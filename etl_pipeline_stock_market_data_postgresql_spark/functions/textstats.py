@@ -1,0 +1,50 @@
+"""Text-analysis column expressions (beyond-reference operators: the
+text half of a large-scale training-data pipeline).
+
+Everything here is a pure JVM-side column expression (split/regexp/
+aggregate higher-order functions) — no Python UDFs — and every
+expression has an exact DuckDB-SQL twin in workload/textstats.py so the
+oracle can verify it. Tokenization is shared and deliberately simple:
+lowercase, split on non-alphanumeric runs, drop empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    """lowercased alphanumeric tokens, empties removed."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams (1-indexed element_at); empty array when
+    fewer than n tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def occurrence_count(text_lower: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length arithmetic — the same
+    formula is valid DuckDB SQL, keeping both engines bit-identical."""
+    return (
+        (F.length(text_lower) - F.length(F.replace(text_lower, F.lit(needle))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def word_occurrence_count(col: Column, word: str) -> Column:
+    """Whole-word occurrences: count ' word ' within ' text ' padding."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return occurrence_count(padded, f" {word} ")

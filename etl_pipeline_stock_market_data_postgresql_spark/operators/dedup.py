@@ -1,0 +1,136 @@
+"""Document deduplication operators (beyond-reference, first-class):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each implementation):
+
+- **exact**: hash-groupBy on a 32-byte digest, not the full text — the
+  shuffle carries (hash, id), never the documents themselves.
+- **ngram Jaccard**: candidate pairs come from an *inverted shingle
+  index* self-join (pairs share ≥1 shingle), never an all-pairs cross
+  product. Cost is Σ df(shingle)²; a stop-shingle cap (``max_df``)
+  bounds the quadratic blowup from ubiquitous shingles at 100 TB.
+- **MinHash+LSH**: constant-size signature (K permutations) per doc,
+  banded so only same-band-signature docs join — sub-quadratic end to
+  end; signature agg is map-side partial (K `min`s).
+- **SimHash**: one 32-bit signature per doc via token-bit vote;
+  exact-collision groups via groupBy on the signature.
+
+All expressions use the portable MD5-derived hashes from
+functions.hashing so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import textstats
+from ..functions.hashing import MERSENNE_P, MINHASH_PERMS, hash32, minhash_perm
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id + duplicate count."""
+    return (docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")))
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition by key to full parallelism. Compute-heavy text
+    operators follow a skinny scan (documents can arrive as one
+    row-group); without this the explode+hash work serializes on
+    however few partitions the scan produced."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index building block."""
+    toks = textstats.tokens(F.col(text_col))
+    grams = textstats.word_ngrams(toks, n)
+    return (_spread(docs, id_col)
+            .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+            .distinct())
+
+
+def jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float,
+                  max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold from an inverted
+    shingle index. ``max_df`` drops shingles present in more than that
+    many docs (stop-shingles) before pairing — the standard guard
+    against quadratic hot keys; None keeps exact semantics."""
+    sh = shingles
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle")
+              .drop("_df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_common")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+           .withColumn("jaccard",
+                       F.col("n_common")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       k: int = len(MINHASH_PERMS)) -> DataFrame:
+    """K-permutation MinHash signature per doc as columns m0..m{k-1} —
+    one grouped aggregation, map-side combinable."""
+    hm = (hash32(F.col("shingle")) % F.lit(MERSENNE_P)).alias("hm")
+    hashed = shingles.select(F.col(id_col), hm)
+    aggs = [F.min(minhash_perm(F.col("hm"), i)).alias(f"m{i}") for i in range(k)]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        bands: int = 4, rows_per_band: int = 3) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of ≥1 band become candidate
+    pairs. The band join key is (band_id, concatenated band signature) —
+    equi-join, shuffle proportional to docs × bands."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_rows.append(signatures.select(
+            F.col(id_col), F.lit(b).alias("band_id"),
+            F.concat_ws("_", *cols).alias("band_key")))
+    all_bands = band_rows[0]
+    for br in band_rows[1:]:
+        all_bands = all_bands.unionByName(br)
+    a = all_bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = all_bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (a.join(b, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str,
+            n_bits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc: every token (with multiplicity) votes
+    ±1 on each bit of its 32-bit hash; bit j of the signature is 1 iff
+    the vote sum is positive. explode(tokens) × explode(bits) keeps the
+    whole computation in one groupBy — no UDFs, no driver loops."""
+    toks = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.explode(textstats.tokens(F.col(text_col))).alias("tok"))
+    hashed = toks.select(F.col(id_col), hash32(F.col("tok")).alias("h"))
+    bits = hashed.select(
+        F.col(id_col), "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"))
+    # portable bit extraction: floor(h / 2^bit) % 2 (shiftright needs a
+    # literal count in both engines' function APIs)
+    bit_val = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long")
+               % F.lit(2))
+    votes = bits.withColumn("vote", F.when(bit_val == 1, 1).otherwise(-1))
+    per_bit = (votes.groupBy(id_col, "bit")
+               .agg(F.sum("vote").alias("vote_sum")))
+    weight = F.when(F.col("vote_sum") > 0,
+                    F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
+    return (per_bit.groupBy(id_col)
+            .agg(F.sum(weight).alias("simhash")))

@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (beyond-reference,
+first-class): brute-force cosine top-k as the correctness baseline and a
+sign-bucketed (IVF-style) variant as the scale path.
+
+Scale design:
+- Norms are computed ONCE per vector before pairing (the per-pair
+  arithmetic is bit-identical to recomputing them, so oracle parity is
+  unaffected, but the per-pair cost drops to one dot product).
+- The corpus side is hash-repartitioned to full parallelism first —
+  embedding tables often arrive as few fat row-groups, and the pairwise
+  compute must not serialize on scan partitioning.
+- Brute force is broadcast(queries) × corpus: no corpus shuffle.
+  Fine up to ~1e10 pair-ops; beyond that, bucket.
+- IVF/sign-LSH: both sides get a coarse bucket id from component signs;
+  the join is bucket-equi, probing 1/2^bits of the corpus per query.
+  Recall < 1 by design — the approximate scale path; brute force is the
+  exact oracle to measure recall against.
+
+Ranking uses round(sim, 6) with an id tiebreak so ordering is stable
+across engines and runs (floating-point last-ulp differences cannot
+flip ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vectors
+
+
+def _prepped(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
+             vec_alias: str, nrm_alias: str, n_bits: int = 0) -> DataFrame:
+    v = vectors.as_double(F.col(vec_col))
+    cols = [F.col(id_col).alias(id_alias), v.alias(vec_alias),
+            vectors.norm(v).alias(nrm_alias)]
+    if n_bits > 0:
+        cols.append(vectors.sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    return df.select(*cols)
+
+
+def _sim(vec_a: str, vec_b: str, nrm_a: str, nrm_b: str) -> F.Column:
+    return F.round(
+        vectors.dot(F.col(vec_a), F.col(vec_b)) / (F.col(nrm_a) * F.col(nrm_b)), 6)
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+                     vec_col: str, k: int) -> DataFrame:
+    """Exact cosine top-k: (q_id, neighbor_id, sim, rank). Self-matches
+    (same id) are excluded."""
+    q = _prepped(queries, id_col, vec_col, "q_id", "q_vec", "q_nrm")
+    c = _spread(_prepped(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm"),
+                "neighbor_id")
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("sim", _sim("q_vec", "n_vec", "q_nrm", "n_nrm"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "sim", "rank"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
+             vec_col: str, k: int, n_bits: int = 4) -> DataFrame:
+    """Approximate top-k probing only the query's sign-bucket:
+    (q_id, neighbor_id, bucket, sim, rank)."""
+    q = _prepped(queries, id_col, vec_col, "q_id", "q_vec", "q_nrm", n_bits)
+    c = _spread(_prepped(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm", n_bits),
+                "neighbor_id")
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("sim", _sim("q_vec", "n_vec", "q_nrm", "n_nrm"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "bucket", "sim", "rank"))
+
+
+def neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                  threshold: float, n_bits: int = 0) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
+    threshold). ``n_bits > 0`` restricts to same-sign-bucket pairs (the
+    scale path — near-identical vectors share sign buckets)."""
+    a = _spread(_prepped(corpus, id_col, vec_col, "id_a", "vec_a", "nrm_a", n_bits),
+                "id_a")
+    b = _prepped(corpus, id_col, vec_col, "id_b", "vec_b", "nrm_b", n_bits)
+    pairs = a.join(F.broadcast(b), "bucket") if n_bits > 0 else a.crossJoin(F.broadcast(b))
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("sim", _sim("vec_a", "vec_b", "nrm_a", "nrm_b"))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))

@@ -1,0 +1,49 @@
+"""Loaders for the driver-provided testdata star schema (TESTDATA.md).
+
+Parquet scans are the engine's primary source (reference's table scans,
+SURVEY.md §2.1 S4). Catalyst pushes filters and prunes columns at the
+scan — callers should filter/select on the returned DataFrame and let
+pushdown happen, never pre-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Columns stored as INT64 TIMESTAMP(NANOS) in the driver parquet. Spark's
+# reader has no nanos timestamp type; with spark.sql.legacy.parquet.
+# nanosAsLong they arrive as long and are converted here by integer
+# division (ns ≈ 1.7e18 exceeds double's 2^53 exact range — `div`, never
+# `/`). Truncation matches DuckDB's nanos→micros behavior.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. At cluster scale the same call reads a
+    multi-file parquet dataset; nothing here assumes single-file."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TESTDATA_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

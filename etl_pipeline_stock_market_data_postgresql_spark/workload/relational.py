@@ -1,0 +1,303 @@
+"""Generic relational query surface (SURVEY.md §2.5-§2.8 + §7.1 step 7).
+
+The reference outsources all querying to PostgreSQL/DuckDB; these queries
+prove the engine owns that delegated surface: multi-way joins,
+aggregation, windowed top-n, set operations, rollup, pivot-style
+conditional aggregation, distinct aggregates, and the as-of join.
+
+Scale notes: dimension joins (region/nation/customer/supplier) are
+broadcast (Catalyst auto-broadcasts under the configured threshold);
+fact-fact joins shuffle on the join key and AQE handles skew; double
+sums go through DECIMAL so results are shuffle-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import Query
+from ..operators.asof import asof_join_union
+from ..sources.tables import load
+
+_DEC = "decimal(24,8)"
+
+
+def _revenue_dec(price_col: str = "l_extendedprice", disc_col: str = "l_discount"):
+    return (F.col(price_col) * (F.lit(1.0) - F.col(disc_col))).cast(_DEC)
+
+
+def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; only 7 of 11
+    lineitem columns are read (check ReadSchema) and the shipdate filter
+    is pushed to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_price = _revenue_dec()
+    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              * (F.lit(1.0) + F.col("l_tax"))).cast(_DEC)
+    return (li.filter(F.col("l_shipdate") <= F.lit("1999-01-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+                 (F.sum(disc_price).cast("double") / F.count("*")).alias("avg_price"),
+                 F.count("*").alias("count_order")))
+
+
+_Q11_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q12_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast customer), grouped revenue,
+    top-10 with deterministic tiebreak."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp"))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    return (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+_Q12_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q13_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join across all six relational tables;
+    the dimension chain (region→nation→customer/supplier) broadcasts."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    joined = (li
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(supp),
+                    (li.l_suppkey == supp.s_suppkey)
+                    & (cust.c_nationkey == supp.s_nationkey))
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (joined.groupBy("n_name")
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue")))
+
+
+_Q13_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q14_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per priority: windowed row_number,
+    the standard top-k-per-group plan (rank pushdown via window group
+    limit in recent Spark)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn"))
+
+
+_Q14_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.8): (1995 buyers ∩ 1996 buyers) ∪
+    (high-balance customers ∖ 1995 buyers). All distinct semantics."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    buyers_95 = (orders.filter(F.year("o_orderdate") == 1995)
+                 .select("o_custkey").withColumnRenamed("o_custkey", "custkey").distinct())
+    buyers_96 = (orders.filter(F.year("o_orderdate") == 1996)
+                 .select("o_custkey").withColumnRenamed("o_custkey", "custkey").distinct())
+    rich = (cust.filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("custkey")).distinct())
+    return buyers_95.intersect(buyers_96).union(rich.subtract(buyers_95)).distinct()
+
+
+_Q15_SQL = """
+(SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+ INTERSECT
+ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+UNION
+(SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+ EXCEPT
+ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995)
+"""
+
+
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): subtotal + grand-total rows with
+    NULL group keys, exactly the SQL semantics."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_total")))
+
+
+_Q16_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q17_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (portable to ANSI SQL, unlike
+    PIVOT syntax): one row per priority, one column per order status."""
+    orders = load(spark, sf_dir, "orders")
+
+    def n_status(s: str):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+
+    def sum_status(s: str):
+        return (F.sum(F.when(F.col("o_orderstatus") == s,
+                             F.col("o_totalprice").cast("decimal(18,4)")))
+                .cast("double"))
+
+    return (orders.groupBy("o_orderpriority")
+            .agg(n_status("O").alias("n_open"),
+                 n_status("F").alias("n_finished"),
+                 n_status("P").alias("n_pending"),
+                 sum_status("O").alias("total_open"),
+                 sum_status("F").alias("total_finished"),
+                 sum_status("P").alias("total_pending")))
+
+
+_Q17_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q18_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (COUNT DISTINCT expands to a two-phase
+    aggregate; the partial phase is map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n_orders"),
+                 F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.count("*").alias("n_rows")))
+
+
+_Q18_SQL = """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q19_having_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING + dimension join-back: customers with ≥ 15
+    orders (the reference's COUNT-existence check, generalized)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    heavy = (orders.groupBy("o_custkey")
+             .agg(F.count("*").alias("n_orders"),
+                  F.max("o_orderdate").alias("last_order"))
+             .filter(F.col("n_orders") >= 15))
+    return (heavy.join(F.broadcast(cust), heavy.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "n_orders", "last_order"))
+
+
+_Q19_SQL = """
+SELECT c_custkey, c_name, count(*) AS n_orders, max(o_orderdate) AS last_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name HAVING count(*) >= 15
+"""
+
+
+def q20_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly
+    earlier click (operators.asof — union + window, single shuffle, no
+    range cross-product)."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_union(purchases, clicks, ["user_id"], "ts", "ts",
+                          right_value_cols=["ts"], strict=True)
+    return out.select("event_id", "user_id", "ts",
+                      F.col("asof_ts").alias("last_click_ts"))
+
+
+_Q20_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts)
+       AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q11_pricing_summary": Query(q11_pricing_summary, _Q11_SQL),
+    "q12_top_revenue_orders": Query(q12_top_revenue_orders, _Q12_SQL),
+    "q13_region_revenue": Query(q13_region_revenue, _Q13_SQL),
+    "q14_group_topn": Query(q14_group_topn, _Q14_SQL),
+    "q15_set_ops": Query(q15_set_ops, _Q15_SQL),
+    "q16_rollup": Query(q16_rollup, _Q16_SQL),
+    "q17_pivot_status": Query(q17_pivot_status, _Q17_SQL),
+    "q18_distinct_agg": Query(q18_distinct_agg, _Q18_SQL),
+    "q19_having_heavy_customers": Query(q19_having_heavy_customers, _Q19_SQL),
+    "q20_asof_last_click": Query(q20_asof_last_click, _Q20_SQL),
+}

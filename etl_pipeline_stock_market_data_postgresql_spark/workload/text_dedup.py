@@ -1,0 +1,148 @@
+"""Deduplication workload over the documents table (beyond-reference
+operators, BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH,
+SimHash. Spark plans live in operators/dedup.py; the DuckDB oracle SQL
+below is generated from the same hashing constants
+(functions/hashing.py) so both engines compute identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import Query
+from ..functions.hashing import MERSENNE_P, MINHASH_PERMS, hash32_sql, minhash_perm_sql
+from ..operators import dedup
+from ..sources.tables import load
+
+JACCARD_THRESHOLD = 0.25
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+# shared oracle CTEs: tokenization and distinct word-3-gram shingles,
+# mirroring functions.textstats.tokens / word_ngrams
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - 1)]) AS shingle
+  FROM toks WHERE len(tk) >= 3
+)
+"""
+
+
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text digest: shuffle carries (hash, id) only."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+_Q23_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard via inverted shingle index
+    (no all-pairs cross product)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+    return pairs.select("id_a", "id_b", "n_common", "n_a", "n_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q24_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH candidate pairs — the
+    sub-quadratic dedup scale path."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    return dedup.lsh_candidate_pairs(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+
+
+def _minhash_sql() -> str:
+    k = LSH_BANDS * LSH_ROWS
+    mins = ",\n         ".join(
+        f"min({minhash_perm_sql('hm', i)}) AS m{i}" for i in range(k))
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(m{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sig")
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+hm_t AS (SELECT doc_id, {hash32_sql('shingle')} % {MERSENNE_P} AS hm FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hm_t GROUP BY doc_id
+),
+bands AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (token bit-vote)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+_Q26_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+h_t AS (SELECT doc_id, {hash32_sql('tok')} AS h FROM toks),
+bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS bit FROM h_t),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN CAST(floor(h / pow(2, bit)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote_sum
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote_sum > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q23_dedup_exact": Query(q23_dedup_exact, _Q23_SQL),
+    "q24_ngram_jaccard": Query(q24_ngram_jaccard, _Q24_SQL),
+    "q25_minhash_lsh": Query(q25_minhash_lsh, _minhash_sql()),
+    "q26_simhash": Query(q26_simhash, _Q26_SQL),
+}

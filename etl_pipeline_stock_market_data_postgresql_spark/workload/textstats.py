@@ -1,0 +1,204 @@
+"""Text-analysis workload over the documents table (beyond-reference):
+language-ID (marker-word scoring), quality scoring, token counting,
+document fingerprinting. All built-in higher-order functions — zero
+Python in the hot path; each has an exact DuckDB twin.
+
+Note on language-ID: the synthetic corpus shares one vocabulary across
+its ``lang`` labels, so the classifier here demonstrates the *operator*
+(n-gram/marker frequency scoring with deterministic argmax), not a
+production language model. The profile lists are trivially swappable
+for real stopword tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import Query
+from ..functions.hashing import hash32, hash32_seeded, hash32_sql, hash32_seeded_sql
+from ..functions import textstats
+from ..sources.tables import load
+
+# marker-word profiles, evaluated in this fixed order for tiebreaks
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["window", "batch", "group", "merge"],
+    "en": ["the", "a", "table", "row"],
+    "es": ["data", "stream", "filter", "scan"],
+    "fr": ["query", "line", "order", "join"],
+}
+
+FP_SEED = 7
+
+
+def _tok_count(toks: Column, word: str) -> Column:
+    """Exact whole-token occurrence count (multiplicity included)."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
+
+
+def _tok_count_sql(word: str) -> str:
+    return f"CAST(len(list_filter(tk, x -> x = '{word}')) AS BIGINT)"
+
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+
+def q30_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scoring with deterministic argmax (first
+    profile in fixed order wins ties)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("tk"))
+    for lang, words in LANG_PROFILES.items():
+        score = None
+        for w in words:
+            c = _tok_count(F.col("tk"), w)
+            score = c if score is None else (score + c)
+        d = d.withColumn(f"s_{lang}", score)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PROFILES])
+    pred = None
+    for lang in LANG_PROFILES:  # fixed order tiebreak
+        cond = F.col(f"s_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return d.select("doc_id", "labeled_lang",
+                    *[f"s_{lang}" for lang in LANG_PROFILES],
+                    pred.alias("predicted_lang"))
+
+
+def _langid_sql() -> str:
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        expr = " + ".join(_tok_count_sql(w) for w in words)
+        scores.append(f"({expr}) AS s_{lang}")
+    score_cols = ", ".join(f"s_{lang}" for lang in LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PROFILES) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_PROFILES) + " END"
+    return f"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id, lang AS labeled_lang, {", ".join(scores)}
+  FROM toks
+)
+SELECT doc_id, labeled_lang, {score_cols}, {case} AS predicted_lang
+FROM scored
+"""
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: token count, mean token length,
+    stopword ratio, composite score — the filter stage of a training
+    -data pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.select("doc_id", F.col("n_chars").alias("n_chars"), toks.alias("tk"))
+    n_tok = F.size("tk").cast("long")
+    char_sum = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    stop = _tok_count(F.col("tk"), "the") + _tok_count(F.col("tk"), "a")
+    d = (d.withColumn("n_tokens", n_tok)
+         .withColumn("avg_token_len", char_sum / n_tok)
+         .withColumn("stopword_ratio", stop / n_tok))
+    score = (0.3 * F.least(F.col("n_tokens") / 60.0, F.lit(1.0))
+             + 0.4 * (1.0 - F.col("stopword_ratio"))
+             + 0.3 * F.least(F.col("avg_token_len") / 5.0, F.lit(1.0)))
+    return d.select("doc_id", "n_chars", "n_tokens",
+                    F.round("avg_token_len", 6).alias("avg_token_len"),
+                    F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                    F.round(score, 6).alias("quality_score"))
+
+
+_Q31_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))) AS char_sum,
+         {_tok_count_sql('the')} + {_tok_count_sql('a')} AS stop
+  FROM toks
+),
+d AS (
+  SELECT m.doc_id, doc.n_chars, m.n_tokens,
+         m.char_sum / m.n_tokens AS avg_token_len,
+         m.stop / m.n_tokens AS stopword_ratio
+  FROM m JOIN documents doc ON doc.doc_id = m.doc_id
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(avg_token_len, 6) AS avg_token_len,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(0.3 * least(n_tokens / 60.0, 1.0)
+             + 0.4 * (1.0 - stopword_ratio)
+             + 0.3 * least(avg_token_len / 5.0, 1.0), 6) AS quality_score
+FROM d
+"""
+
+
+def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    subword-unit estimate (⌈len/4⌉ units per token)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("tk"))
+    subwords = F.aggregate(
+        F.transform(F.col("tk"),
+                    lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct_tokens"),
+        subwords.alias("n_subword_units"))
+
+
+_Q32_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_units
+FROM toks
+"""
+
+
+def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash over word-4-gram rolling windows,
+    two independent hash seeds (winnowing-style content signature;
+    docs shorter than 4 tokens have no fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = textstats.tokens(F.col("text"))
+    grams = textstats.word_ngrams(toks, 4)
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    return (exploded.groupBy("doc_id")
+            .agg(F.min(hash32(F.col("gram"))).alias("fp1"),
+                 F.min(hash32_seeded(F.col("gram"), FP_SEED)).alias("fp2")))
+
+
+_Q33_SQL = f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                 for i in range(1, len(tk) - 2)]) AS gram
+  FROM toks WHERE len(tk) >= 4
+)
+SELECT doc_id,
+       min({hash32_sql('gram')}) AS fp1,
+       min({hash32_seeded_sql('gram', FP_SEED)}) AS fp2
+FROM grams GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q30_langid": Query(q30_langid, _langid_sql()),
+    "q31_quality_score": Query(q31_quality_score, _Q31_SQL),
+    "q32_token_stats": Query(q32_token_stats, _Q32_SQL),
+    "q33_fingerprint": Query(q33_fingerprint, _Q33_SQL),
+}

@@ -1,0 +1,69 @@
+"""Local differential-oracle harness — the same comparison the driver's
+correctness gate performs: run every workload query in Spark AND its
+DuckDB oracle SQL on identical parquet, compare row count, column names,
+and order-insensitive values.
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR=/root/
+testdata/sf0.01 for the driver-scale check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import TESTDATA_TABLES
+from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries
+
+QUERIES = all_queries()
+
+
+def _duckdb_conn(sf_dir: str):
+    conn = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        conn.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return conn
+
+
+def _normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _normalize_rows(cols, rows):
+    """Sort columns by name, stringify, sort rows — order-insensitive."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_normalize_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = QUERIES[name]
+    sdf = q.spark_fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    assert q.oracle is not None, f"{name}: no oracle SQL declared"
+    conn = _duckdb_conn(sf_dir)
+    try:
+        res = conn.execute(q.oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        conn.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
+    a = _normalize_rows(spark_cols, spark_rows)
+    b = _normalize_rows(duck_cols, duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
