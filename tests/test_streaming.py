@@ -1,0 +1,52 @@
+"""Streaming ingest smoke: batch fixtures drive the streaming dedup and
+bar-derivation plans to completion via the memory sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+from etl_pipeline_stock_market_data_postgresql_spark.streaming import ingest
+
+
+def _write_ticks(spark, path):
+    base = dt.datetime(2025, 12, 9, 10, 0, 0)
+    rows = []
+    for i in range(60):
+        rows.append(("AAPL", base + dt.timedelta(minutes=i), 100.0 + i))
+    # duplicate PK rows (the overlap-refetch case)
+    rows += rows[:10]
+    df = spark.createDataFrame(rows, "company_symbol string, ts timestamp, price double")
+    df.write.mode("overwrite").parquet(path)
+    return df.schema
+
+
+def test_streaming_dedup_and_bars(spark, tmp_path):
+    path = str(tmp_path / "ticks")
+    schema = _write_ticks(spark, path)
+    stream = ingest.read_stream(spark, path, schema)
+
+    name_d = f"dedup_{uuid.uuid4().hex[:8]}"
+    q1 = ingest.run_to_memory(
+        ingest.dedup_incremental(stream, ["company_symbol", "ts"], "ts"), name_d)
+    try:
+        assert spark.sql(f"SELECT count(*) AS n FROM {name_d}").first()["n"] == 60
+    finally:
+        q1.stop()
+
+    name_b = f"bars_{uuid.uuid4().hex[:8]}"
+    q2 = ingest.run_to_memory(
+        ingest.bars_from_ticks(stream, "company_symbol", "ts", "price"), name_b)
+    try:
+        bars = spark.sql(
+            f"SELECT * FROM {name_b} ORDER BY bar_start").collect()
+        # 60 one-minute ticks -> 12 five-minute windows, but append mode
+        # emits only watermark-finalized ones: watermark = max(ts) - 10min
+        # = 10:49, closing the 9 windows ending at/before 10:45+5min
+        assert len(bars) == 9
+        assert bars[0]["low_price"] == 100.0 and bars[0]["high_price"] == 104.0
+        # first two windows contain the duplicated ticks (no dedup in the
+        # bar derivation itself; chain dedup_incremental upstream for that)
+        assert [r["n_ticks"] for r in bars] == [10, 10] + [5] * 7
+    finally:
+        q2.stop()
