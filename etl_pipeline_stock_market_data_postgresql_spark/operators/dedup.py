@@ -43,12 +43,14 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index building block."""
+    """(id, shingle) distinct pairs — the inverted-index building block.
+    ``array_distinct`` before the explode already guarantees per-doc
+    uniqueness, so no post-explode distinct (that would be a full
+    shuffle of every shingle instance for nothing)."""
     toks = textstats.tokens(F.col(text_col))
     grams = textstats.word_ngrams(toks, n)
     return (_spread(docs, id_col)
-            .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-            .distinct())
+            .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")))
 
 
 def jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float,
@@ -62,6 +64,9 @@ def jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float,
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle")
               .drop("_df"))
+    # the index fans out into three branches (both join sides + sizes);
+    # persist so the shingle pipeline runs once, not three times
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -93,6 +98,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     """Banded LSH: docs agreeing on all rows of ≥1 band become candidate
     pairs. The band join key is (band_id, concatenated band signature) —
     equi-join, shuffle proportional to docs × bands."""
+    # the band table self-joins: persist so signatures compute once
+    signatures = signatures.persist()
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"m{b * rows_per_band + r}").cast("string")

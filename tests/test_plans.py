@@ -1,0 +1,57 @@
+"""Plan-shape assertions: the free Catalyst optimizations the engine
+relies on at scale must actually appear in the physical plans
+(SURVEY.md §4). A failure here is a 100×-at-scale regression even if
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_stock_market_data_postgresql_spark import plans
+from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+    q11_pricing_summary, q12_top_revenue_orders, q13_region_revenue)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = (load(spark, sf_dir, "customer")
+          .filter(F.col("c_mktsegment") == "BUILDING")
+          .select("c_custkey"))
+    pf = plans.pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pf), pf
+
+
+def test_column_pruning_q11(spark, sf_dir):
+    df = q11_pricing_summary(spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    cols = schemas[0]
+    # 7 of 11 lineitem columns: the scan must not read the other 4
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert set(cols) >= {"l_quantity", "l_extendedprice", "l_discount",
+                         "l_tax", "l_returnflag", "l_linestatus"}
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert plans.has_broadcast_join(q12_top_revenue_orders(spark, sf_dir))
+    assert plans.has_broadcast_join(q13_region_revenue(spark, sf_dir))
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.reference_parity import q01_topk_latest
+
+    text = plans.explain_str(q01_topk_latest(spark, sf_dir))
+    assert "TakeOrderedAndProject" in text, text[:500]
+
+
+def test_wholestage_codegen_present(spark, sf_dir):
+    # AQE wraps the plan before execution and hides codegen subtrees
+    # from explain; disable it for the static inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q11_pricing_summary(spark, sf_dir)
+        assert plans.wholestage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
