@@ -33,12 +33,13 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     from . import (events_analytics, reference_parity, relational,
-                   scalar_functions, similarity, stock_domain, text_dedup,
-                   textstats)
+                   scalar_functions, similarity, stock_domain,
+                   subqueries_windows, text_dedup, textstats)
 
     out: dict[str, Query] = {}
     for mod in (reference_parity, relational, events_analytics, text_dedup,
-                similarity, textstats, stock_domain, scalar_functions):
+                similarity, textstats, stock_domain, scalar_functions,
+                subqueries_windows):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
