@@ -101,10 +101,22 @@ class StockStore:
         return self.spark.read.schema(schemas.TABLES[table]).parquet(self.path(table))
 
     def append(self, table: str, df: DataFrame) -> None:
-        writer = df.write.mode("append")
         if table != "companies":
-            writer = writer.partitionBy("company_symbol")
-        writer.parquet(self.path(table))
+            # One shuffle partition per symbol hash, sorted by
+            # (symbol, time): the writer finds rows already grouped by
+            # its partition column — no writer-side (non-stable!) resort
+            # to scramble the time order — and emits one file per symbol
+            # per append instead of one per task×symbol. Parquet min/max
+            # stats on the time column then make watermark reads and
+            # time-range scans metadata-cheap (SURVEY.md §4). If one
+            # symbol ever dominates a batch, salt the repartition.
+            time_col = schemas.TIME_COLUMNS[table]
+            df = (df.repartition("company_symbol")
+                  .sortWithinPartitions("company_symbol", time_col))
+            df.write.mode("append").partitionBy("company_symbol").parquet(
+                self.path(table))
+        else:
+            df.write.mode("append").parquet(self.path(table))
 
     # --- lifecycle -------------------------------------------------
 

@@ -34,12 +34,12 @@ class Query:
 def all_queries() -> dict[str, Query]:
     from . import (events_analytics, reference_parity, relational,
                    scalar_functions, similarity, stock_domain,
-                   subqueries_windows, text_dedup, textstats)
+                   streaming_exec, subqueries_windows, text_dedup, textstats)
 
     out: dict[str, Query] = {}
     for mod in (reference_parity, relational, events_analytics, text_dedup,
                 similarity, textstats, stock_domain, scalar_functions,
-                subqueries_windows):
+                subqueries_windows, streaming_exec):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
