@@ -1,0 +1,146 @@
+"""Finance-flavored analytics over the event stream — the derived-value
+capabilities a stock engine's users actually run (VWAP, realized
+volatility, drawdown), plus the engine's pure-SQL surface (the
+reference's read path is ad-hoc SQL, README_duckdb.md:74-92).
+
+Variance is computed from decimal-exact power sums
+(Σx, Σx² → (Σx² − (Σx)²/n)/(n−1)) rather than stddev_samp: engines
+differ in accumulation algorithms (Welford vs power sums) and shuffle
+order, while power sums in DECIMAL are bit-stable everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import Query
+from ..sources.tables import load, register_views
+
+
+def q47_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape issued through the engine's SQL surface
+    (spark.sql over registered views): EXISTS decorrelates to a
+    semi-join."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+    """)
+
+
+_Q47_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q48_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per user-day (value = price,
+    event_id used as a deterministic stand-in for trade size)."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("user_id", F.date_trunc("day", "ts").alias("day_start"),
+                  "value", (F.col("event_id") % 100 + 1).alias("size")))
+    pv = (F.col("value") * F.col("size")).cast("decimal(24,8)")
+    return (ev.groupBy("user_id", "day_start")
+            .agg((F.sum(pv).cast("double")
+                  / F.sum("size").cast("double")).alias("vwap"),
+                 F.sum("size").cast("long").alias("total_size"),
+                 F.count("*").alias("n_trades")))
+
+
+_Q48_SQL = """
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       CAST(sum(CAST(value * (event_id % 100 + 1) AS DECIMAL(24,8))) AS DOUBLE)
+         / CAST(sum(event_id % 100 + 1) AS DOUBLE) AS vwap,
+       CAST(sum(event_id % 100 + 1) AS BIGINT) AS total_size,
+       count(*) AS n_trades
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+def q49_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per user: sample stddev of log returns of
+    consecutive purchase values, via decimal-exact power sums."""
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase") & (F.col("value") > 0)))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("prev", F.lag("value").over(w)).filter(F.col("prev").isNotNull())
+    lr = F.ln(F.col("value") / F.col("prev"))
+    sums = (r.select("user_id", lr.alias("lr"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("lr").cast("decimal(28,14)")).cast("double").alias("s1"),
+                 F.sum((F.col("lr") * F.col("lr")).cast("decimal(28,14)"))
+                 .cast("double").alias("s2")))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return (sums.filter(F.col("n") >= 2)
+            .select("user_id", "n", F.round(F.sqrt(var), 8).alias("volatility")))
+
+
+_Q49_SQL = """
+WITH r AS (
+  SELECT user_id, ln(value / lag(value) OVER w) AS lr
+  FROM events WHERE event_type = 'purchase' AND value > 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sums AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(lr AS DECIMAL(28,14))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(lr * lr AS DECIMAL(28,14))) AS DOUBLE) AS s2
+  FROM r WHERE lr IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n, ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 8) AS volatility
+FROM sums WHERE n >= 2
+"""
+
+
+def q50_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and max drawdown per user: cumulative max window +
+    min ratio — one sorted window pass."""
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase") & (F.col("value") > 0)))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_peak = ev.withColumn("peak", F.max("value").over(w))
+    dd = F.col("value") / F.col("peak") - 1.0
+    return (with_peak.groupBy("user_id")
+            .agg(F.round(F.min(dd), 8).alias("max_drawdown"),
+                 F.max("peak").alias("peak_value"),
+                 F.count("*").alias("n_points")))
+
+
+_Q50_SQL = """
+WITH p AS (
+  SELECT user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM events WHERE event_type = 'purchase' AND value > 0
+)
+SELECT user_id, ROUND(min(value / peak - 1.0), 8) AS max_drawdown,
+       max(peak) AS peak_value, count(*) AS n_points
+FROM p GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q47_sql_exists": Query(q47_sql_exists, _Q47_SQL),
+    "q48_vwap": Query(q48_vwap, _Q48_SQL),
+    "q49_volatility": Query(q49_volatility, _Q49_SQL),
+    "q50_drawdown": Query(q50_drawdown, _Q50_SQL),
+}
