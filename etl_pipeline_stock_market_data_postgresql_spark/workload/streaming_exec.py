@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory: stream the sf dir with a
