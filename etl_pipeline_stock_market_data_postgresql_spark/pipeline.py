@@ -144,7 +144,11 @@ class StockStore:
         ok, rejected = av.split_error_envelopes(raw)
         report.rejected_payloads = rejected.count()
 
+        # persist both parse outputs: every report counter below is an
+        # action, and without this each one re-runs the JSON parse DAG
         good, bad = parser(ok)
+        good = good.persist()
+        bad = bad.persist()
         report.rows_in = good.count()
         report.rows_quarantined = bad.count()
 
@@ -174,6 +178,8 @@ class StockStore:
         if report.rows_appended:
             self.append(table, appended)
         appended.unpersist()
+        good.unpersist()
+        bad.unpersist()
         return report
 
     def validate(self) -> dict[str, int]:

@@ -30,6 +30,18 @@ LANG_PROFILES: dict[str, list[str]] = {
 FP_SEED = 7
 
 
+def _round6_portable(c: Column) -> Column:
+    """Round-half-up at 6 dp as explicit double arithmetic. Engine
+    ROUND()s disagree on exact ties (Spark half-up, DuckDB half-even),
+    and q31's inputs are dyadic rationals (token counts, /64) that DO
+    land on exact e-7 fives at sf0.1."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def _round6_portable_sql(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
 def _tok_count(toks: Column, word: str) -> Column:
     """Exact whole-token occurrence count (multiplicity included)."""
     return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
@@ -110,9 +122,9 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.4 * (1.0 - F.col("stopword_ratio"))
              + 0.3 * F.least(F.col("avg_token_len") / 5.0, F.lit(1.0)))
     return d.select("doc_id", "n_chars", "n_tokens",
-                    F.round("avg_token_len", 6).alias("avg_token_len"),
-                    F.round("stopword_ratio", 6).alias("stopword_ratio"),
-                    F.round(score, 6).alias("quality_score"))
+                    _round6_portable(F.col("avg_token_len")).alias("avg_token_len"),
+                    _round6_portable(F.col("stopword_ratio")).alias("stopword_ratio"),
+                    _round6_portable(score).alias("quality_score"))
 
 
 _Q31_SQL = f"""
@@ -131,11 +143,12 @@ d AS (
   FROM m JOIN documents doc ON doc.doc_id = m.doc_id
 )
 SELECT doc_id, n_chars, n_tokens,
-       ROUND(avg_token_len, 6) AS avg_token_len,
-       ROUND(stopword_ratio, 6) AS stopword_ratio,
-       ROUND(0.3 * least(n_tokens / 60.0, 1.0)
-             + 0.4 * (1.0 - stopword_ratio)
-             + 0.3 * least(avg_token_len / 5.0, 1.0), 6) AS quality_score
+       {_round6_portable_sql('avg_token_len')} AS avg_token_len,
+       {_round6_portable_sql('stopword_ratio')} AS stopword_ratio,
+       {_round6_portable_sql(
+           '0.3 * least(n_tokens / 60.0, 1.0)'
+           ' + 0.4 * (1.0 - stopword_ratio)'
+           ' + 0.3 * least(avg_token_len / 5.0, 1.0)')} AS quality_score
 FROM d
 """
 
