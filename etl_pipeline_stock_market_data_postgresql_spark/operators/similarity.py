@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import vectors
+from ..functions.rounding import round_half_up
 
 
 def _prepped(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
@@ -39,7 +40,7 @@ def _prepped(df: DataFrame, id_col: str, vec_col: str, id_alias: str,
 
 
 def _sim(vec_a: str, vec_b: str, nrm_a: str, nrm_b: str) -> F.Column:
-    return F.round(
+    return round_half_up(
         vectors.dot(F.col(vec_a), F.col(vec_b)) / (F.col(nrm_a) * F.col(nrm_b)), 6)
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import Query
 from ..sources.tables import load, register_views
+from ..functions.rounding import round_half_up
 
 
 def q47_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +91,7 @@ def q49_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("s2")))
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     return (sums.filter(F.col("n") >= 2)
-            .select("user_id", "n", F.round(F.sqrt(var), 8).alias("volatility")))
+            .select("user_id", "n", round_half_up(F.sqrt(var), 8).alias("volatility")))
 
 
 _Q49_SQL = """
@@ -105,7 +106,7 @@ sums AS (
          CAST(sum(CAST(lr * lr AS DECIMAL(28,14))) AS DOUBLE) AS s2
   FROM r WHERE lr IS NOT NULL GROUP BY user_id
 )
-SELECT user_id, n, ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 8) AS volatility
+SELECT user_id, n, floor(sqrt((s2 - s1 * s1 / n) / (n - 1)) * 100000000 + 0.5) / 100000000 AS volatility
 FROM sums WHERE n >= 2
 """
 
@@ -120,7 +121,7 @@ def q50_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_peak = ev.withColumn("peak", F.max("value").over(w))
     dd = F.col("value") / F.col("peak") - 1.0
     return (with_peak.groupBy("user_id")
-            .agg(F.round(F.min(dd), 8).alias("max_drawdown"),
+            .agg(round_half_up(F.min(dd), 8).alias("max_drawdown"),
                  F.max("peak").alias("peak_value"),
                  F.count("*").alias("n_points")))
 
@@ -132,7 +133,7 @@ WITH p AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
   FROM events WHERE event_type = 'purchase' AND value > 0
 )
-SELECT user_id, ROUND(min(value / peak - 1.0), 8) AS max_drawdown,
+SELECT user_id, floor(min(value / peak - 1.0) * 100000000 + 0.5) / 100000000 AS max_drawdown,
        max(peak) AS peak_value, count(*) AS n_points
 FROM p GROUP BY user_id
 """

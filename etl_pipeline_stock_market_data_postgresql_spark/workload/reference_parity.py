@@ -24,6 +24,7 @@ from ..functions.indicators import sma
 from ..functions.timeparse import parse_timestamp_multi
 from ..operators import upsert
 from ..sources.tables import load
+from ..functions.rounding import round_half_up
 
 CUTOFF = "2024-01-20"   # early/late split of the events timeline
 OVERLAP = "2024-01-15"  # re-fetch window start (duplicates vs target)
@@ -152,12 +153,12 @@ def q07_sma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sma(purchases, "value", "user_id", "ts", n=5,
               out_col="sma_5", tiebreak_cols=["event_id"])
     return out.select("user_id", "event_id", "ts",
-                      F.round("sma_5", 4).alias("sma_5"))
+                      round_half_up(F.col("sma_5"), 4).alias("sma_5"))
 
 
 _Q07_SQL = """
 SELECT user_id, event_id, ts,
-       ROUND(CASE WHEN count(*) OVER w >= 5 THEN avg(value) OVER w END, 4) AS sma_5
+       floor((CASE WHEN count(*) OVER w >= 5 THEN avg(value) OVER w END) * 10000 + 0.5) / 10000 AS sma_5
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import Query
 from ..multimodal import attach_binary_payload, binary_metadata
 from ..sources.tables import load
+from ..functions.rounding import round_half_up
 
 
 def q34_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,18 +85,18 @@ def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` and accept the sketch error."""
     events = load(spark, sf_dir, "events")
     return (events.groupBy("event_type")
-            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            .agg(round_half_up(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 round_half_up(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 round_half_up(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
                  F.min("value").alias("min_value"),
                  F.max("value").alias("max_value")))
 
 
 _Q39_SQL = """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+       floor(quantile_cont(value, 0.9) * 1000000 + 0.5) / 1000000 AS p90,
+       floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type
 """

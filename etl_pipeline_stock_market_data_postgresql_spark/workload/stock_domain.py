@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from . import Query
 from ..functions.indicators import sma
 from ..sources.tables import load
+from ..functions.rounding import round_half_up
 
 _BARS_SQL_CTE = """
 b AS (
@@ -69,14 +70,14 @@ def q36_sma_over_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _bars(spark, sf_dir)
     out = sma(bars, "close_value", "user_id", "day_start", n=3, out_col="sma_3")
     return out.select("user_id", "day_start", "close_value",
-                      F.round("sma_3", 4).alias("sma_3"))
+                      round_half_up(F.col("sma_3"), 4).alias("sma_3"))
 
 
 _Q36_SQL = f"""
 WITH {_BARS_SQL_CTE}
 SELECT user_id, day_start, close_value,
-       ROUND(CASE WHEN count(*) OVER w2 >= 3
-                  THEN avg(close_value) OVER w2 END, 4) AS sma_3
+       floor((CASE WHEN count(*) OVER w2 >= 3
+                  THEN avg(close_value) OVER w2 END) * 10000 + 0.5) / 10000 AS sma_3
 FROM bars
 WINDOW w2 AS (PARTITION BY user_id ORDER BY day_start
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import Query
 from ..sources.tables import load
+from ..functions.rounding import round_half_up
 
 
 def q41_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +130,7 @@ def q45_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("next_value"),
         F.row_number().over(w).alias("rn"),
         F.rank().over(wv).alias("value_rank"),
-        F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+        round_half_up(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
         F.ntile(4).over(wv).alias("value_quartile"))
 
 
@@ -139,7 +140,7 @@ SELECT event_id, event_type,
        lead(value) OVER w AS next_value,
        CAST(row_number() OVER w AS INT) AS rn,
        CAST(rank() OVER wv AS INT) AS value_rank,
-       ROUND(percent_rank() OVER wv, 6) AS value_pct_rank,
+       floor(percent_rank() OVER wv * 1000000 + 0.5) / 1000000 AS value_pct_rank,
        CAST(ntile(4) OVER wv AS INT) AS value_quartile
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),

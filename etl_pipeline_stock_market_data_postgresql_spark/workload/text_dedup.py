@@ -13,6 +13,7 @@ from . import Query
 from ..functions.hashing import MERSENNE_P, MINHASH_PERMS, hash32_sql, minhash_perm_sql
 from ..operators import dedup
 from ..sources.tables import load
+from ..functions.rounding import round_half_up
 
 JACCARD_THRESHOLD = 0.25
 LSH_BANDS = 4
@@ -55,7 +56,7 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
     return pairs.select("id_a", "id_b", "n_common", "n_a", "n_b",
-                        F.round("jaccard", 6).alias("jaccard"))
+                        round_half_up(F.col("jaccard"), 6).alias("jaccard"))
 
 
 _Q24_SQL = f"""
@@ -67,7 +68,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+       floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
