@@ -117,6 +117,27 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
             .select("id_a", "id_b").distinct())
 
 
+def verify_jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str,
+                            threshold: float) -> DataFrame:
+    """Exact Jaccard for a (small) candidate-pair set — the verification
+    stage after LSH: cost is Σ_pairs |shingles(a)|, not Σ df², so the
+    expensive exact computation touches only candidates."""
+    sh = shingles.persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_common")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+           .withColumn("jaccard",
+                       F.col("n_common")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
 def simhash(docs: DataFrame, id_col: str, text_col: str,
             n_bits: int = 32) -> DataFrame:
     """32-bit SimHash per doc: every token (with multiplicity) votes

@@ -141,9 +141,55 @@ FROM votes GROUP BY doc_id
 """
 
 
+LSH_VERIFY_THRESHOLD = 0.20
+
+
+def q51_lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sub-quadratic near-dup pipeline: LSH candidate pairs →
+    exact Jaccard verification on candidates only → threshold. This is
+    the 100 TB dedup plan end to end (signatures O(docs), pairing
+    O(band collisions), exact math O(candidates))."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+    verified = dedup.verify_jaccard_on_pairs(cand, sh, "doc_id",
+                                             LSH_VERIFY_THRESHOLD)
+    return verified.select("id_a", "id_b", "n_common", "n_a", "n_b",
+                           round_half_up(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _lsh_verified_sql() -> str:
+    cand = _minhash_sql().strip()
+    # reuse the candidate-pair SQL as a CTE body: strip its WITH and
+    # final SELECT into composable parts
+    body = cand[len("WITH "):]
+    select_idx = body.rindex("SELECT DISTINCT")
+    ctes, final_select = body[:select_idx].rstrip().rstrip(","), body[select_idx:]
+    return f"""
+WITH {ctes},
+cand AS ({final_select}),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q23_dedup_exact": Query(q23_dedup_exact, _Q23_SQL),
     "q24_ngram_jaccard": Query(q24_ngram_jaccard, _Q24_SQL),
     "q25_minhash_lsh": Query(q25_minhash_lsh, _minhash_sql()),
     "q26_simhash": Query(q26_simhash, _Q26_SQL),
+    "q51_lsh_verified_neardup": Query(q51_lsh_verified_neardup, _lsh_verified_sql()),
 }
