@@ -56,6 +56,45 @@ def bars_from_ticks(ticks: DataFrame, key_col: str, time_col: str,
                     "low_price", "high_price", "n_ticks"))
 
 
+def stateful_hwm_filter(stream: DataFrame, key_col: str, time_col: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key
+    high-water-mark filter — emit only rows strictly newer than the
+    key's max time seen across ALL previous micro-batches, then advance
+    the state. This is the reference's ``check_last_date`` + skip loop
+    (``main_parallel.py:206-218``, ``:265-266``) as true streaming
+    state: the watermark lives in the checkpointed state store instead
+    of being re-read from the target table per batch.
+
+    Rows inside one batch are filtered against the state at batch
+    start, then the state advances to the batch max — matching the
+    reference, whose watermark also doesn't move mid-payload.
+    """
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream.schema
+    state_schema = "hwm_us long"
+
+    def fn(key, pdfs, state: "GroupState"):
+        hwm_us = state.get[0] if state.exists else None
+        max_seen = hwm_us
+        for pdf in pdfs:
+            t_us = pdf[time_col].astype("int64") // 1000  # ns -> us
+            kept = pdf[t_us > hwm_us] if hwm_us is not None else pdf
+            batch_max = int(t_us.max()) if len(t_us) else None
+            if batch_max is not None and (max_seen is None or batch_max > max_seen):
+                max_seen = batch_max
+            if len(kept):
+                yield kept
+        if max_seen is not None:
+            state.update((max_seen,))
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
     """Drive a streaming plan to completion against a memory sink
     (tests / smoke); caller reads ``spark.sql(f"SELECT * FROM {name}")``."""

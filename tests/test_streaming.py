@@ -50,3 +50,45 @@ def test_streaming_dedup_and_bars(spark, tmp_path):
         assert [r["n_ticks"] for r in bars] == [10, 10] + [5] * 7
     finally:
         q2.stop()
+
+
+def test_stateful_hwm_filter_across_batches(spark, tmp_path):
+    """Custom stateful operator: rows at/below a key's stored high-water
+    mark are dropped in LATER micro-batches; state persists across
+    batches via the state store."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "hwm_src")
+    base = dt.datetime(2025, 12, 9, 10, 0, 0)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows, "company_symbol string, ts timestamp, price double")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([("AAPL", base + dt.timedelta(minutes=m), 1.0 + m)
+                 for m in range(5)], "b1")
+
+    schema = spark.read.parquet(src).schema
+    stream = ingest.read_stream(spark, src, schema)
+    filtered = ingest.stateful_hwm_filter(stream, "company_symbol", "ts")
+    name = f"hwm_{uuid.uuid4().hex[:8]}"
+    q = (filtered.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql(f"SELECT count(*) AS n FROM {name}").first()["n"]
+        assert n1 == 5
+
+        # batch 2: 3 overlapping rows (m 2..4) + 2 new (m 5..6)
+        write_batch([("AAPL", base + dt.timedelta(minutes=m), 1.0 + m)
+                     for m in range(2, 7)], "b2")
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT * FROM {name} ORDER BY ts").collect()
+        assert len(rows) == 7  # 5 + only the 2 strictly-newer rows
+        assert [r["price"] for r in rows[-2:]] == [6.0, 7.0]
+    finally:
+        q.stop()
