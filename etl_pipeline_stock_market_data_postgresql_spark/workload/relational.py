@@ -178,6 +178,35 @@ UNION
 """
 
 
+def q52_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: UNION ALL / INTERSECT ALL / EXCEPT ALL
+    preserve duplicate multiplicities — the other half of the set-op
+    surface next to q15's distinct variants."""
+    orders = load(spark, sf_dir, "orders")
+    a = (orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+         .select(F.col("o_custkey").alias("custkey")))
+    b = (orders.filter(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("custkey")))
+    both = a.intersectAll(b)
+    only_a = a.exceptAll(b)
+    combined = both.withColumn("src", F.lit("both")).unionAll(
+        only_a.withColumn("src", F.lit("only_early")))
+    return combined.groupBy("custkey", "src").agg(F.count("*").alias("n"))
+
+
+_Q52_SQL = """
+WITH a AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+combined AS (
+  SELECT custkey, 'both' AS src FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+  UNION ALL
+  SELECT custkey, 'only_early' AS src FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+)
+SELECT custkey, src, count(*) AS n FROM combined GROUP BY custkey, src
+"""
+
+
 def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (priority, status): subtotal + grand-total rows with
     NULL group keys, exactly the SQL semantics."""
@@ -300,4 +329,5 @@ QUERIES: dict[str, Query] = {
     "q18_distinct_agg": Query(q18_distinct_agg, _Q18_SQL),
     "q19_having_heavy_customers": Query(q19_having_heavy_customers, _Q19_SQL),
     "q20_asof_last_click": Query(q20_asof_last_click, _Q20_SQL),
+    "q52_multiset_ops": Query(q52_multiset_ops, _Q52_SQL),
 }
