@@ -139,9 +139,133 @@ FROM p GROUP BY user_id
 """
 
 
+EMA_ALPHA = 0.2
+EMA_WINDOW = 10
+RSI_WINDOW = 14
+
+
+def q53_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average over the trailing window: a decayed
+    recursive fold, expressed as collect-ordered-frame + left fold —
+    identical fold order in both engines (Spark ``aggregate`` == DuckDB
+    ``list_reduce``), so results are bit-stable."""
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase") & (F.col("value") > 0)))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(EMA_WINDOW - 1), Window.currentRow))
+    arr = F.collect_list("value").over(w)
+    ema = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * (1 - EMA_ALPHA) + x * EMA_ALPHA)
+    return (ev.select("user_id", "event_id", "ts",
+                      round_half_up(ema, 6).alias(f"ema_{EMA_WINDOW}")))
+
+
+_Q53_SQL = f"""
+SELECT user_id, event_id, ts,
+       floor(list_reduce(list(value) OVER w,
+                         (acc, x) -> acc * {1 - EMA_ALPHA} + x * {EMA_ALPHA})
+             * 1000000 + 0.5) / 1000000 AS ema_{EMA_WINDOW}
+FROM events WHERE event_type = 'purchase' AND value > 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {EMA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q54_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (simple average form): conditional gain/
+    loss window averages; all-gain periods pin to 100 in both engines."""
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase") & (F.col("value") > 0)))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    diff = F.col("value") - F.lag("value").over(wo)
+    d = ev.withColumn("gain", F.when(diff > 0, diff).otherwise(F.lit(0.0))) \
+          .withColumn("loss", F.when(diff < 0, -diff).otherwise(F.lit(0.0))) \
+          .withColumn("has_prev", F.lag("value").over(wo).isNotNull())
+    wf = wo.rowsBetween(-(RSI_WINDOW - 1), Window.currentRow)
+    avg_gain = F.sum("gain").over(wf) / F.sum(F.when(F.col("has_prev"), 1).otherwise(0)).over(wf)
+    avg_loss = F.sum("loss").over(wf) / F.sum(F.when(F.col("has_prev"), 1).otherwise(0)).over(wf)
+    rsi = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + avg_gain / avg_loss))
+    out = d.filter(F.col("has_prev"))
+    return out.select("user_id", "event_id", "ts",
+                      round_half_up(rsi, 6).alias("rsi"))
+
+
+_Q54_SQL = f"""
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN value - lag(value) OVER wo > 0
+              THEN value - lag(value) OVER wo ELSE 0.0 END AS gain,
+         CASE WHEN value - lag(value) OVER wo < 0
+              THEN -(value - lag(value) OVER wo) ELSE 0.0 END AS loss,
+         lag(value) OVER wo IS NOT NULL AS has_prev
+  FROM events WHERE event_type = 'purchase' AND value > 0
+  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       floor((CASE WHEN sum(loss) OVER wf / sum(CASE WHEN has_prev THEN 1 ELSE 0 END) OVER wf = 0
+                   THEN 100.0
+                   ELSE 100.0 - 100.0 / (1.0 + (sum(gain) OVER wf / sum(CASE WHEN has_prev THEN 1 ELSE 0 END) OVER wf)
+                                               / (sum(loss) OVER wf / sum(CASE WHEN has_prev THEN 1 ELSE 0 END) OVER wf))
+              END) * 1000000 + 0.5) / 1000000 AS rsi
+FROM d WHERE has_prev
+WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {RSI_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q55_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: windowed mean ± 2σ with the variance from
+    windowed power sums (engine-stable; never stddev_samp)."""
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("event_type") == "purchase") & (F.col("value") > 0)))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-9, Window.currentRow))
+    # materialize the window power sums BEFORE filtering: a filter on a
+    # window column re-scopes any window expressions computed after it
+    p = ev.select(
+        "user_id", "event_id", "ts",
+        F.count("value").over(w).alias("n"),
+        F.sum("value").over(w).alias("s1"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+        F.lit(0.0))
+    sd = F.sqrt(var)
+    return (p.filter(F.col("n") >= 2)
+            .select("user_id", "event_id", "ts",
+                    round_half_up(mean, 6).alias("bb_mid"),
+                    round_half_up(mean + 2 * sd, 6).alias("bb_upper"),
+                    round_half_up(mean - 2 * sd, 6).alias("bb_lower")))
+
+
+_Q55_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         count(value) OVER w AS n,
+         sum(value) OVER w AS s1,
+         sum(value * value) OVER w AS s2
+  FROM events WHERE event_type = 'purchase' AND value > 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts,
+       floor((s1 / n) * 1000000 + 0.5) / 1000000 AS bb_mid,
+       floor((s1 / n + 2 * sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))) * 1000000 + 0.5) / 1000000 AS bb_upper,
+       floor((s1 / n - 2 * sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))) * 1000000 + 0.5) / 1000000 AS bb_lower
+FROM p WHERE n >= 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q47_sql_exists": Query(q47_sql_exists, _Q47_SQL),
     "q48_vwap": Query(q48_vwap, _Q48_SQL),
     "q49_volatility": Query(q49_volatility, _Q49_SQL),
     "q50_drawdown": Query(q50_drawdown, _Q50_SQL),
+    "q53_ema": Query(q53_ema, _Q53_SQL),
+    "q54_rsi": Query(q54_rsi, _Q54_SQL),
+    "q55_bollinger": Query(q55_bollinger, _Q55_SQL),
 }
