@@ -61,6 +61,13 @@ def jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float,
     against quadratic hot keys; None keeps exact semantics."""
     sh = shingles
     if max_df is not None:
+        # the df-count aggregate and the join-back both consume the
+        # (explode-heavy) shingle pipeline — persist it at the fan-out.
+        # agg+join rather than a count-over-window: the aggregate is
+        # map-side combinable and the join back is co-partitioned on
+        # shingle, so a planet-hot shingle never forces a single sorted
+        # window partition.
+        sh = sh.persist()
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle")
               .drop("_df"))

@@ -81,12 +81,23 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
 def neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
                   threshold: float, n_bits: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
-    threshold). ``n_bits > 0`` restricts to same-sign-bucket pairs (the
-    scale path — near-identical vectors share sign buckets)."""
+    threshold).
+
+    ``n_bits > 0`` is the scale path: both sides carry a sign-bucket id
+    and the pairing is a plain bucket equi-join — a shuffle proportional
+    to the corpus, never a corpus broadcast (the full corpus stops
+    fitting in executor memory long before the interesting scale).
+    Near-identical vectors share sign buckets, so recall for true
+    near-dups is high; pick ``n_bits`` so 2^n_bits buckets keep
+    per-bucket populations task-sized (more bits at bigger corpora).
+    Catalyst/AQE still broadcast-joins when a side is genuinely small.
+
+    ``n_bits = 0`` is the exact all-pairs baseline (broadcast corpus) —
+    the recall oracle, small-scale only."""
     a = _spread(_prepped(corpus, id_col, vec_col, "id_a", "vec_a", "nrm_a", n_bits),
                 "id_a")
     b = _prepped(corpus, id_col, vec_col, "id_b", "vec_b", "nrm_b", n_bits)
-    pairs = a.join(F.broadcast(b), "bucket") if n_bits > 0 else a.crossJoin(F.broadcast(b))
+    pairs = a.join(b, "bucket") if n_bits > 0 else a.crossJoin(F.broadcast(b))
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     return (pairs.withColumn("sim", _sim("vec_a", "vec_b", "nrm_a", "nrm_b"))
             .filter(F.col("sim") >= threshold)

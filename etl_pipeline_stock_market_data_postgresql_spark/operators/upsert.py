@@ -62,13 +62,29 @@ def filter_newer_than_watermark(batch: DataFrame, watermarks: DataFrame,
 
 
 def antijoin_new_rows(batch: DataFrame, target: DataFrame, pk_cols: list[str],
-                      time_col: str | None = None) -> DataFrame:
+                      time_col: str | None = None,
+                      time_determined_by_pk: bool = False) -> DataFrame:
     """Rows of ``batch`` whose PK is absent from ``target`` — the
     ``ON CONFLICT DO NOTHING`` set. With ``time_col``, prune the target
     scan to the batch's time range first (parquet min/max + partition
-    pruning make the probe side cheap at scale)."""
+    pruning make the probe side cheap at scale).
+
+    SOUNDNESS PRECONDITION: the range prune only sees target rows whose
+    ``time_col`` falls inside the batch's [min, max] — so a PK that can
+    recur with a *different* time value would dodge the probe and be
+    appended twice. The prune is therefore refused unless ``time_col``
+    is part of the PK, or the caller asserts via
+    ``time_determined_by_pk=True`` that equal PKs always carry equal
+    time values (e.g. an event_id that embeds its timestamp)."""
     probe = target
     if time_col is not None:
+        if time_col not in pk_cols and not time_determined_by_pk:
+            raise ValueError(
+                f"time-range pruning on {time_col!r} is unsound: it is not in "
+                f"pk_cols {pk_cols} — a matching PK outside the batch's time "
+                "range would be missed and duplicated. Pass "
+                "time_determined_by_pk=True only if equal PKs imply equal "
+                f"{time_col!r} values.")
         bounds = batch.agg(F.min(time_col).alias("lo"), F.max(time_col).alias("hi")).first()
         if bounds and bounds["lo"] is not None:
             probe = target.filter(
@@ -78,13 +94,15 @@ def antijoin_new_rows(batch: DataFrame, target: DataFrame, pk_cols: list[str],
 
 
 def idempotent_append(batch: DataFrame, target: DataFrame, pk_cols: list[str],
-                      time_col: str | None = None) -> DataFrame:
+                      time_col: str | None = None,
+                      time_determined_by_pk: bool = False) -> DataFrame:
     """Full conflict-ignoring insert pipeline: in-batch dedup → anti-join
     vs target → the rows to append. Returns the delta (caller appends it);
     appending the result twice is a no-op the second time, which is the
     reference's idempotency property (SURVEY.md §5 golden test)."""
     deduped = dedup_within_batch(batch, pk_cols)
-    return antijoin_new_rows(deduped, target, pk_cols, time_col)
+    return antijoin_new_rows(deduped, target, pk_cols, time_col,
+                             time_determined_by_pk)
 
 
 def validate_foreign_key(facts: DataFrame, dimension: DataFrame,

@@ -124,7 +124,10 @@ def q06_idempotent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     target = events.filter(F.col("ts") < F.lit(CUTOFF).cast("timestamp"))
     batch = events.filter(F.col("ts") >= F.lit(OVERLAP).cast("timestamp"))
-    delta = upsert.idempotent_append(batch, target, ["event_id"], time_col="ts")
+    # event_id functionally determines ts in this table (one immutable
+    # event per id), which is what makes the time-range prune sound here
+    delta = upsert.idempotent_append(batch, target, ["event_id"], time_col="ts",
+                                     time_determined_by_pk=True)
     merged = target.unionByName(delta)
     return (merged.groupBy("event_type")
             .agg(F.count("*").alias("n_rows"),

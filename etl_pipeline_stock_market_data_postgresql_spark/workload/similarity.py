@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import Query
+from ..functions.rounding import round_half_up_sql
 from ..functions.vectors import cosine_sql, sign_bucket_sql
 from ..operators import similarity
 from ..sources.tables import load
@@ -22,6 +23,9 @@ NEARDUP_THRESHOLD = 0.30  # synthetic corpus has no true near-dups; low
                           # threshold keeps the result set non-trivial
 
 _COS = cosine_sql("a.v", "b.v")
+# portable half-up rounding (NOT DuckDB ROUND, which is half-even —
+# an exact tie at the 7th decimal would flip ranks across engines)
+_SIM6 = round_half_up_sql(_COS, 6)
 _EMB_D = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
 
@@ -36,10 +40,10 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q27_SQL = f"""
 SELECT * FROM (
   SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-         ROUND({_COS}, 6) AS sim,
+         {_SIM6} AS sim,
          CAST(row_number() OVER (
            PARTITION BY a.vec_id
-           ORDER BY ROUND({_COS}, 6) DESC, b.vec_id ASC) AS INT) AS rank
+           ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
   FROM {_EMB_D} a JOIN {_EMB_D} b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < {N_QUERIES}
 )
@@ -61,10 +65,10 @@ _BUCKET_B = sign_bucket_sql("b.v", IVF_BITS)
 _Q28_SQL = f"""
 SELECT * FROM (
   SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_BUCKET_A} AS bucket,
-         ROUND({_COS}, 6) AS sim,
+         {_SIM6} AS sim,
          CAST(row_number() OVER (
            PARTITION BY a.vec_id
-           ORDER BY ROUND({_COS}, 6) DESC, b.vec_id ASC) AS INT) AS rank
+           ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
   FROM {_EMB_D} a
   JOIN {_EMB_D} b ON {_BUCKET_A} = {_BUCKET_B} AND a.vec_id <> b.vec_id
   WHERE a.vec_id < {N_QUERIES}
@@ -74,17 +78,20 @@ WHERE rank <= 3
 
 
 def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above threshold (exact
-    all-pairs at test scale; operators.similarity.neardup_pairs takes
-    n_bits>0 for the bucketed variant at corpus scale)."""
+    """Embedding-cosine near-duplicate pairs above threshold via the
+    bucketed scale path: candidates come from a sign-bucket equi-join
+    (shuffle ∝ corpus, no corpus broadcast, no all-pairs product).
+    q27 is the exact all-pairs recall baseline for this family."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs(emb, "vec_id", "embedding", NEARDUP_THRESHOLD)
+    return similarity.neardup_pairs(emb, "vec_id", "embedding",
+                                    NEARDUP_THRESHOLD, n_bits=IVF_BITS)
 
 
 _Q29_SQL = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS sim
-FROM {_EMB_D} a JOIN {_EMB_D} b ON a.vec_id < b.vec_id
-WHERE ROUND({_COS}, 6) >= {NEARDUP_THRESHOLD}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SIM6} AS sim
+FROM {_EMB_D} a
+JOIN {_EMB_D} b ON {_BUCKET_A} = {_BUCKET_B} AND a.vec_id < b.vec_id
+WHERE {_SIM6} >= {NEARDUP_THRESHOLD}
 """
 
 

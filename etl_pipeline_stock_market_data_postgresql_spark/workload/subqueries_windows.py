@@ -59,13 +59,18 @@ UNION ALL SELECT o_orderpriority, 'P', n_pending FROM wide
 
 def q43_array_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions: per user, the sorted distinct
-    event-type vocabulary and membership/cardinality over it."""
+    event-type vocabulary and membership/cardinality over it.
+
+    The array itself stays internal: the projection exposes only scalar
+    derivations (`types_csv` is the lossless serialization) because the
+    external correctness gate canonicalizes results with pandas, which
+    can't hash list cells."""
     events = load(spark, sf_dir, "events")
     agg = (events.groupBy("user_id")
            .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
                 F.count("*").alias("n_events")))
     return agg.select(
-        "user_id", "types", "n_events",
+        "user_id", "n_events",
         F.size("types").alias("n_types"),
         F.array_contains("types", "purchase").alias("has_purchase"),
         F.element_at("types", 1).alias("first_type"),
@@ -78,7 +83,7 @@ WITH agg AS (
          count(*) AS n_events
   FROM events GROUP BY user_id
 )
-SELECT user_id, types, n_events,
+SELECT user_id, n_events,
        CAST(len(types) AS INT) AS n_types,
        list_contains(types, 'purchase') AS has_purchase,
        types[1] AS first_type,

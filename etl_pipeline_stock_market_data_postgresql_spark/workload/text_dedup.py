@@ -16,6 +16,13 @@ from ..sources.tables import load
 from ..functions.rounding import round_half_up
 
 JACCARD_THRESHOLD = 0.25
+# Stop-shingle cap: shingles in more than this many docs are dropped
+# before pairing, bounding the inverted-index join at Σdf² ≤ max_df·Σdf —
+# linear in the corpus instead of quadratic in the hottest key. Near-dup
+# signal lives in rare shingles, so the cap costs ~nothing in recall
+# (at sf0.1 it trims 28k of 2.8M pair-ops; at 100 TB it is the
+# difference between a plan that finishes and one that doesn't).
+Q24_MAX_DF = 20
 LSH_BANDS = 4
 LSH_ROWS = 3
 
@@ -51,20 +58,26 @@ FROM documents GROUP BY md5(text)
 
 def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard via inverted shingle index
-    (no all-pairs cross product)."""
+    (no all-pairs cross product), with the stop-shingle cap wired so the
+    index self-join fanout is bounded (Jaccard is then computed over the
+    capped shingle sets on both engines)."""
     docs = load(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
-    pairs = dedup.jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD,
+                                max_df=Q24_MAX_DF)
     return pairs.select("id_a", "id_b", "n_common", "n_a", "n_b",
                         round_half_up(F.col("jaccard"), 6).alias("jaccard"))
 
 
 _Q24_SQL = f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {Q24_MAX_DF}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
