@@ -61,16 +61,19 @@ def jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float,
     against quadratic hot keys; None keeps exact semantics."""
     sh = shingles
     if max_df is not None:
-        # the df-count aggregate and the join-back both consume the
-        # (explode-heavy) shingle pipeline — persist it at the fan-out.
-        # agg+join rather than a count-over-window: the aggregate is
-        # map-side combinable and the join back is co-partitioned on
-        # shingle, so a planet-hot shingle never forces a single sorted
-        # window partition.
+        # the df-count aggregate and the stop-shingle filter both consume
+        # the (explode-heavy) shingle pipeline — persist it at the fan-out.
+        # Filtering is a LEFT ANTI against the *hot* set (df > max_df):
+        # heavy hitters above any useful cap are few, so AQE broadcasts
+        # that side and the filter costs no shuffle — vs a semi-join on
+        # the keep-set, which is nearly every distinct shingle. The df
+        # aggregate itself is map-side combinable, and no count-over-
+        # window is involved, so a planet-hot shingle never forces a
+        # single sorted window partition.
         sh = sh.persist()
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = (sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle")
-              .drop("_df"))
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     # the index fans out into three branches (both join sides + sizes);
     # persist so the shingle pipeline runs once, not three times
     sh = sh.persist()
