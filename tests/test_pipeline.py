@@ -98,3 +98,26 @@ def test_sma_feed_and_native_recompute(store, spark):
     last = (native.filter(F.col("date") == "2025-12-10")
             .select(F.round("sma_value", 4).alias("v")).first())
     assert last["v"] == Decimal("9.0000")
+
+
+def test_cli_lifecycle_via_run(spark, tmp_path, monkeypatch):
+    """The __main__ orchestration end-to-end with the offline transport:
+    DDL-free parquet warehouse, dim load, 27-task fetch, 3 ingests,
+    validation — and a second run that is a pure idempotent no-op."""
+    from etl_pipeline_stock_market_data_postgresql_spark.__main__ import demo_transport, run
+    from etl_pipeline_stock_market_data_postgresql_spark.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(warehouse_dir=str(tmp_path / "wh"),
+                         symbols=("AAPL", "MSFT", "NVDA"))
+    s1 = run(config=cfg, transport=demo_transport, max_workers=4)
+    assert s1["new_companies"] == 3
+    assert s1["fetch_ok"] == 9 and s1["fetch_failed"] == 0
+    assert all(r.success for r in s1["ingests"].values())
+    assert all(r.rows_appended == r.rows_in > 0 for r in s1["ingests"].values())
+    assert all(v == 0 for v in s1["validation"].values())
+
+    s2 = run(config=cfg, transport=demo_transport, max_workers=4)
+    assert s2["new_companies"] == 0
+    assert all(r.rows_appended == 0 and r.rows_skipped_existing == r.rows_in
+               for r in s2["ingests"].values())
+    assert all(v == 0 for v in s2["validation"].values())
