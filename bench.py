@@ -48,6 +48,10 @@ def main() -> None:
         except Exception as ex:  # one bad query must not sink the bench
             failures[name] = f"{type(ex).__name__}: {ex}"[:200]
             print(f"  {name}: FAILED {failures[name]}", file=sys.stderr)
+        # queries that persist intermediates (dedup/LSH pipelines) must
+        # not leak cache blocks into the next query's timing — each
+        # query is measured cold against the page-cached parquet only
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -26,7 +26,14 @@ def token_count(col: Column) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams (1-indexed element_at); empty array when
-    fewer than n tokens."""
+    fewer than n tokens.
+
+    Pass a *materialized column reference* (project ``tokens(...)`` to a
+    named column first, ideally below an exchange), never the raw
+    ``tokens(text)`` expression: ``toks`` is referenced n+2 times here,
+    and a compound argument gets its whole tree duplicated into each
+    reference at construction time — tokenization would then re-run per
+    element_at, O(words²) string work per document."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,

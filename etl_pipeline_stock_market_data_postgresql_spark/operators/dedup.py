@@ -46,10 +46,17 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     """(id, shingle) distinct pairs — the inverted-index building block.
     ``array_distinct`` before the explode already guarantees per-doc
     uniqueness, so no post-explode distinct (that would be a full
-    shuffle of every shingle instance for nothing)."""
-    toks = textstats.tokens(F.col(text_col))
-    grams = textstats.word_ngrams(toks, n)
-    return (_spread(docs, id_col)
+    shuffle of every shingle instance for nothing).
+
+    Tokenization is projected BELOW the repartition exchange: the n-gram
+    transform references the token array once per element, and Catalyst
+    inlines alias chains within a stage — without the exchange boundary
+    the split/lower/filter pipeline would re-run inside every element_at
+    (O(words²) string work per doc, observed in the physical plan). The
+    exchange materializes `tk` once per doc and ships the array."""
+    toked = docs.select(F.col(id_col), textstats.tokens(F.col(text_col)).alias("tk"))
+    grams = textstats.word_ngrams(F.col("tk"), n)
+    return (_spread(toked, id_col)
             .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")))
 
 

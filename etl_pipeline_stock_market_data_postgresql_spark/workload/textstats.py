@@ -185,10 +185,13 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     two independent hash seeds (winnowing-style content signature;
     docs shorter than 4 tokens have no fingerprint)."""
     docs = load(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = textstats.tokens(F.col("text"))
-    grams = textstats.word_ngrams(toks, 4)
-    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    # tokenize BELOW the exchange: passing the raw tokens expression into
+    # word_ngrams would duplicate the split/lower/filter tree into every
+    # element_at (O(words²) per doc) — see operators.dedup.shingle_table
+    toked = docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+    toked = toked.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = textstats.word_ngrams(F.col("tk"), 4)
+    exploded = toked.select("doc_id", F.explode(grams).alias("gram"))
     return (exploded.groupBy("doc_id")
             .agg(F.min(hash32(F.col("gram"))).alias("fp1"),
                  F.min(hash32_seeded(F.col("gram"), FP_SEED)).alias("fp2")))
