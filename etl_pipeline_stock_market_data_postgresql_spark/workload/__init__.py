@@ -32,14 +32,16 @@ class Query:
 
 
 def all_queries() -> dict[str, Query]:
-    from . import (events_analytics, finance_analytics, reference_parity,
-                   relational, scalar_functions, similarity, stock_domain,
-                   streaming_exec, subqueries_windows, text_dedup, textstats)
+    from . import (events_analytics, finance_analytics, pipeline_ops,
+                   reference_parity, relational, scalar_functions, similarity,
+                   stock_domain, streaming_exec, subqueries_windows,
+                   text_dedup, textstats)
 
     out: dict[str, Query] = {}
     for mod in (reference_parity, relational, events_analytics, text_dedup,
                 similarity, textstats, stock_domain, scalar_functions,
-                subqueries_windows, streaming_exec, finance_analytics):
+                subqueries_windows, streaming_exec, finance_analytics,
+                pipeline_ops):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,279 @@
+"""Scale-pattern operators a large training-data pipeline needs beyond
+plain SQL (round-2 coverage growth): band-bucketed range join,
+hierarchical rollup re-aggregation, deterministic stratified split,
+per-stratum hash sampling, and exact distributed centroid statistics.
+
+Each query demonstrates a 100 TB-shaped plan at test scale and carries
+an exact DuckDB oracle. Determinism follows the workload-wide rules
+(module docstring in ``workload/__init__``); the centroid query pushes
+them further: float sums are done in *integer space* (values scaled by
+10^9 and floored to BIGINT) so the distributed aggregation is exact and
+shuffle-order-independent in both engines with no decimal-cast tie
+hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import Query
+from ..functions.hashing import hash32, hash32_sql
+from ..functions.rounding import round_half_up, round_half_up_sql
+from ..sources.tables import load
+
+# --- q56: range join via band buckets -----------------------------------
+
+RANGE_GAP_US = 60_000_000  # pair events within ±60 s
+
+
+def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of same-type events within 60 s of each other — a range
+    join with NO useful equi-key beyond the type.
+
+    Scale path: band bucketing. Both sides key on (type, 60 s bucket);
+    one side explodes to its bucket ±1 (3× fanout on one side only), the
+    join is a plain equi-join, and the exact |Δts| predicate filters the
+    band. Shuffle ∝ events, worst key ∝ hottest (type, minute) — never
+    the quadratic per-type cross product a naive theta-join would run.
+    Each qualifying pair surfaces exactly once (the right side keeps its
+    single true bucket)."""
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.unix_micros("ts").alias("us")))
+    # testdata parquet is a single row-group: without this both join
+    # inputs (and the 3× explode) would compute on one core
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "event_id")
+    bucket = F.floor(F.col("us") / RANGE_GAP_US)
+    a = ev.select(
+        F.col("event_type"), F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"))
+    b = ev.select(
+        F.col("event_type"), F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"), bucket.alias("bucket"))
+    pairs = (a.join(b, ["event_type", "bucket"])
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.abs(F.col("us_a") - F.col("us_b")) <= RANGE_GAP_US)))
+    gap = F.abs(F.col("us_a") - F.col("us_b"))
+    return (pairs.groupBy("event_type")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(gap).alias("sum_gap_us"))
+            .withColumn("avg_gap_us",
+                        round_half_up(F.col("sum_gap_us") / F.col("n_pairs"), 6)))
+
+
+_Q56_SQL = f"""
+WITH pairs AS (
+  SELECT a.event_type, abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND a.event_id < b.event_id
+   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_GAP_US}
+)
+SELECT event_type, count(*) AS n_pairs,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       {round_half_up_sql('CAST(sum(gap) AS DOUBLE) / count(*)', 6)} AS avg_gap_us
+FROM pairs GROUP BY event_type
+"""
+
+
+# --- q57: hierarchical rollup (continuous-aggregate shape) ---------------
+
+def q57_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day rollup where the DAY level re-aggregates the HOURLY
+    aggregate, not the raw table — the hypertable/continuous-aggregate
+    pattern: at 100 TB the daily pass reads |hours| rows, not |events|.
+    Decimal partial sums make the re-aggregation exact."""
+    events = load(spark, sf_dir, "events")
+    hourly = (events.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,4)")).alias("_s")))
+    # cache the fine level: it feeds both output branches
+    hourly = hourly.persist()
+    daily = (hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"))
+             .agg(F.sum("n_events").alias("n_events"),
+                  F.sum("_s").alias("_s")))
+    out_cols = ["level", "bucket_start", "n_events",
+                F.col("_s").cast("double").alias("sum_value")]
+    return (hourly.withColumn("level", F.lit("hour")).select(*out_cols)
+            .unionByName(daily.withColumn("level", F.lit("day")).select(*out_cols)))
+
+
+_Q57_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,4))) AS s
+  FROM events GROUP BY 1
+)
+SELECT 'hour' AS level, bucket_start, n_events, CAST(s AS DOUBLE) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day', date_trunc('day', bucket_start), CAST(sum(n_events) AS BIGINT),
+       CAST(sum(s) AS DOUBLE)
+FROM hourly GROUP BY 2
+"""
+
+
+# --- q58: deterministic stratified split ---------------------------------
+
+SPLIT_SEED = "split:"  # hash domain separator
+
+
+def _split_hash(id_col) -> "F.Column":
+    return hash32(F.concat(F.lit(SPLIT_SEED), id_col.cast("string")))
+
+
+def q58_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 80/10/10 train/val/test assignment per doc —
+    content-addressed (stable under reshuffles, reruns, and corpus
+    growth; no rand(), no global sort) — with per-(lang, split) stats.
+    This is how a 100 TB corpus gets split: a pure map, no coordination."""
+    docs = load(spark, sf_dir, "documents")
+    split_id = _split_hash(F.col("doc_id")) % 10
+    name = (F.when(split_id < 8, "train")
+            .when(split_id == 8, "val").otherwise("test"))
+    return (docs.withColumn("split", name)
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"))
+            .withColumn("avg_chars",
+                        round_half_up(F.col("sum_chars") / F.col("n_docs"), 6)))
+
+
+_Q58_SQL = f"""
+WITH assigned AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN {hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+              WHEN {hash32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       {round_half_up_sql('CAST(sum(n_chars) AS DOUBLE) / count(*)', 6)} AS avg_chars
+FROM assigned GROUP BY lang, split
+"""
+
+
+# --- q59: per-stratum deterministic sample -------------------------------
+
+SAMPLE_K = 5
+SAMPLE_SEED = "sample:"
+
+
+def q59_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-stratum sample without replacement: order each
+    stratum by a content hash and keep the first k. Equivalent to a
+    random draw (the hash is uniform) but reproducible and distributed —
+    a per-stratum top-k (partial per partition, merged), never a global
+    sort. doc_id tiebreak keeps it total-ordered."""
+    docs = load(spark, sf_dir, "documents")
+    h = hash32(F.concat(F.lit(SAMPLE_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.select("lang", "doc_id", h.alias("sort_hash"))
+            .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("sample_rank") <= SAMPLE_K))
+
+
+_Q59_SQL = f"""
+SELECT * FROM (
+  SELECT lang, doc_id,
+         {hash32_sql("'sample:' || CAST(doc_id AS VARCHAR)")} AS sort_hash,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {hash32_sql("'sample:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS INT) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {SAMPLE_K}
+"""
+
+
+# --- q60: exact distributed centroid statistics --------------------------
+
+_NORM_SCALE = 1_000_000        # per-vector norms quantized to 1e-6
+_ELEM_SCALE = 1_000_000_000    # elements quantized to 1e-9
+
+
+def q60_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: mean vector norm and the norm of
+    the centroid — the monitoring stage of an embedding pipeline.
+
+    Exactness at scale: doubles summed across a shuffle are
+    order-dependent in the low bits. Both aggregations therefore run in
+    integer space — values scaled (1e6 for norms, 1e9 for elements) and
+    floored to BIGINT, summed exactly, descaled once at the end. The
+    squared pos-sums go through DECIMAL(38,0) (≈1e26 < 10^38, exact).
+    No decimal-cast-of-double anywhere, so no cross-engine tie hazard.
+    The per-row norm fold is left-to-right in both engines
+    (``F.aggregate`` / ``list_sum``), bit-identical by construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    inorm = F.floor(norm * _NORM_SCALE + F.lit(0.5))
+    norms = (emb.select("label", inorm.alias("inorm"))
+             .groupBy("label")
+             .agg(F.count("*").alias("n_vecs"),
+                  F.sum("inorm").alias("s_inorm")))
+
+    elem = emb.select("label", F.posexplode(vec).alias("pos", "v"))
+    ielem = F.floor(F.col("v") * _ELEM_SCALE + F.lit(0.5))
+    pos_sums = (elem.groupBy("label", "pos")
+                .agg(F.sum(ielem).alias("s")))
+    sq = F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    cent = (pos_sums.groupBy("label")
+            .agg(F.sum(sq).alias("ssq")))
+
+    joined = norms.join(cent, "label")
+    avg_norm = F.col("s_inorm") / (F.col("n_vecs") * F.lit(float(_NORM_SCALE)))
+    cent_norm = (F.sqrt(F.col("ssq").cast("double"))
+                 / (F.col("n_vecs") * F.lit(float(_ELEM_SCALE))))
+    return joined.select(
+        "label", "n_vecs",
+        round_half_up(avg_norm, 6).alias("avg_norm"),
+        round_half_up(cent_norm, 6).alias("centroid_norm"))
+
+
+_Q60_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+norms AS (
+  SELECT label,
+         CAST(floor(sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * {_NORM_SCALE} + 0.5) AS BIGINT) AS inorm
+  FROM e
+),
+n_agg AS (
+  SELECT label, count(*) AS n_vecs, sum(inorm) AS s_inorm
+  FROM norms GROUP BY label
+),
+exploded AS (
+  SELECT label, unnest(v) AS ev, generate_subscripts(v, 1) AS pos FROM e
+),
+pos_sums AS (
+  SELECT label, pos,
+         sum(CAST(floor(ev * {_ELEM_SCALE} + 0.5) AS BIGINT)) AS s
+  FROM exploded GROUP BY label, pos
+),
+cent AS (
+  SELECT label, sum(s * s) AS ssq FROM pos_sums GROUP BY label
+)
+SELECT n_agg.label, n_vecs,
+       {round_half_up_sql(f'CAST(s_inorm AS DOUBLE) / (n_vecs * {_NORM_SCALE}.0)', 6)} AS avg_norm,
+       {round_half_up_sql(f'sqrt(CAST(ssq AS DOUBLE)) / (n_vecs * {_ELEM_SCALE}.0)', 6)} AS centroid_norm
+FROM n_agg JOIN cent ON n_agg.label = cent.label
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q56_range_join": Query(q56_range_join, _Q56_SQL),
+    "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
+    "q58_stratified_split": Query(q58_stratified_split, _Q58_SQL),
+    "q59_stratum_sample": Query(q59_stratum_sample, _Q59_SQL),
+    "q60_embedding_centroids": Query(q60_embedding_centroids, _Q60_SQL),
+}
