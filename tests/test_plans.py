@@ -55,3 +55,37 @@ def test_wholestage_codegen_present(spark, sf_dir):
         assert plans.wholestage_codegen_spans(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # q56's ±60s range join must execute as an equi-join on the band
+    # bucket; a theta-join would plan BroadcastNestedLoopJoin/Cartesian
+    # and go quadratic per event_type at scale.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import q56_range_join
+
+    text = plans.explain_str(q56_range_join(spark, sf_dir))
+    assert "NestedLoop" not in text and "Cartesian" not in text, text[:800]
+    assert "Join" in text
+
+
+def test_stratum_sample_has_no_global_sort(spark, sf_dir):
+    # q59's per-stratum top-k must hash-partition by lang for the
+    # window, never range-partition the full corpus into a total order.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import q59_stratum_sample
+
+    text = plans.explain_str(q59_stratum_sample(spark, sf_dir))
+    assert "rangepartitioning" not in text.lower(), text[:800]
+    assert "hashpartitioning(lang" in text, text[:800]
+
+
+def test_rollup_reuses_cached_hourly_level(spark, sf_dir):
+    # q57's day level must re-aggregate the persisted hourly aggregate
+    # (InMemoryRelation appears), not rescan raw events twice.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import q57_hierarchical_rollup
+
+    df = q57_hierarchical_rollup(spark, sf_dir)
+    try:
+        text = plans.explain_str(df)
+        assert text.count("InMemoryTableScan") >= 2, text[:800]
+    finally:
+        spark.catalog.clearCache()
