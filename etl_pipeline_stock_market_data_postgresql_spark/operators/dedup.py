@@ -179,3 +179,66 @@ def simhash(docs: DataFrame, id_col: str, text_col: str,
                     F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
     return (per_bit.groupBy(id_col)
             .agg(F.sum(weight).alias("simhash")))
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_iter: int = 25) -> DataFrame:
+    """(node, comp) for every node in ``edges``, where ``comp`` is the
+    minimum node id reachable through the undirected pair graph — the
+    cluster-resolution step that turns near-dup PAIRS into dedup GROUPS
+    (pick one canonical doc per component, drop the rest).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels. Rounds
+    needed = graph diameter — for dedup graphs that is tiny (near-dup
+    clusters are dense cliques-of-cliques, diameter ≲ 5 even at corpus
+    scale), so the driver loop runs O(diameter) Spark jobs, each a
+    single equi-join + map-side-combinable grouped min, shuffle ∝ edges.
+    Nothing is ever collected; the driver sees one scalar per round.
+
+    Convergence is detected with a 1-row aggregate: labels only ever
+    decrease, so sum(comp) is strictly decreasing until fixpoint —
+    comparing consecutive sums costs one scalar read, not a
+    change-count join. The sum is done in DECIMAL(38,0) so overflow
+    can't fake convergence at scale.
+
+    Each round's labels are ``localCheckpoint``-ed, not merely
+    persisted: persist caches data but keeps the logical plan, and an
+    iterative join DOUBLES the plan tree per round (round k references
+    round k-1 twice) — analysis alone OOMs the driver near k≈20.
+    Checkpointing truncates lineage to the materialized blocks, so the
+    plan stays constant-size per round. On a real cluster with
+    preemptible executors, swap localCheckpoint for reliable
+    ``checkpoint()`` on a checkpoint dir; the algorithm is unchanged.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(edges.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v")))
+           .distinct().persist())
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    prev = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+    for _ in range(max_iter):
+        # every node has >= 1 neighbor by construction, so the inner
+        # joins keep all nodes; least() folds the node's own label in
+        neigh = (sym.select("u", F.col("v").alias("node"))
+                 .join(labels, "node")
+                 .groupBy(F.col("u").alias("node"))
+                 .agg(F.min("comp").alias("neigh_min")))
+        labels = (labels.join(neigh, "node")
+                  .select(F.col("node"),
+                          F.least(F.col("comp"),
+                                  F.col("neigh_min")).alias("comp"))
+                  .localCheckpoint(eager=True))
+        cur = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds")
+    sym.unpersist()
+    return labels

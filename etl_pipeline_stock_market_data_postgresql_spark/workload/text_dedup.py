@@ -199,10 +199,64 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
 """
 
 
+def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: LSH-verified near-dup pairs → connected
+    components → one summary row per duplicate GROUP (canonical doc =
+    min id, member count, member list). This is the step that turns the
+    pair list into an actionable drop-set — what a 100 TB dedup job
+    actually emits. Component search is distributed min-label
+    propagation (operators.dedup.connected_components): O(diameter)
+    rounds of join+grouped-min, never a collect."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+    verified = dedup.verify_jaccard_on_pairs(cand, sh, "doc_id",
+                                             LSH_VERIFY_THRESHOLD)
+    # pairs are tiny relative to docs; persist so the label-propagation
+    # rounds don't re-run the whole LSH pipeline every iteration
+    edges = verified.select("id_a", "id_b").persist()
+    comp = dedup.connected_components(edges, "id_a", "id_b")
+    members_csv = F.array_join(
+        F.transform(F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string")), ",")
+    out = (comp.groupBy("comp")
+           .agg(F.count("*").alias("n_members"), members_csv.alias("members"))
+           .select(F.col("comp").alias("keep_id"), "n_members", "members"))
+    edges.unpersist()
+    return out
+
+
+def _dedup_clusters_sql() -> str:
+    verified = _lsh_verified_sql().strip()
+    # embed the verified-pair query as a derived table; WITH RECURSIVE
+    # at the top level drives the transitive closure
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({verified}) v
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS node, u AS m FROM edges
+  UNION
+  SELECT r.node, e.w FROM reach r JOIN edges e ON e.u = r.m
+),
+comp AS (SELECT node, min(m) AS comp FROM reach GROUP BY node)
+SELECT comp AS keep_id, count(*) AS n_members,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM comp GROUP BY comp
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q23_dedup_exact": Query(q23_dedup_exact, _Q23_SQL),
     "q24_ngram_jaccard": Query(q24_ngram_jaccard, _Q24_SQL),
     "q25_minhash_lsh": Query(q25_minhash_lsh, _minhash_sql()),
     "q26_simhash": Query(q26_simhash, _Q26_SQL),
     "q51_lsh_verified_neardup": Query(q51_lsh_verified_neardup, _lsh_verified_sql()),
+    "q61_dedup_clusters": Query(q61_dedup_clusters, _dedup_clusters_sql()),
 }

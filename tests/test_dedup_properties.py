@@ -172,3 +172,46 @@ def test_simhash_is_token_order_invariant(spark):
     hb = {r["doc_id"]: r["simhash"]
           for r in dedup.simhash(b, "doc_id", "text").collect()}
     assert ha == hb
+
+
+def _uf_components(n_nodes_edges):
+    """Pure-Python union-find reference: node -> min id in component."""
+    edges = n_nodes_edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {node: find(node) for node in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = sorted({(min(a, b), max(a, b))
+                        for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                                     for _ in range(45)) if a != b})
+        expected = _uf_components(edges)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["comp"]
+               for r in dedup.connected_components(df, "id_a", "id_b").collect()}
+        assert got == expected, f"seed {seed}"
+
+
+def test_connected_components_long_chain(spark):
+    # a path graph is the worst diameter case for label propagation:
+    # every node must still resolve to the chain's minimum
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = dedup.connected_components(df, "id_a", "id_b").collect()
+    assert {r["node"] for r in got} == set(range(13))
+    assert all(r["comp"] == 0 for r in got)
