@@ -270,10 +270,83 @@ FROM n_agg JOIN cent ON n_agg.label = cent.label
 """
 
 
+# --- q64: token-budget sequence packing ----------------------------------
+
+PACK_BUDGET = 2048       # subword units per training sequence
+PACK_SHARDS = 16         # deterministic packing shards per language
+PACK_SEED = "pack:"
+
+
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-budget training sequences (≤2048
+    subword units) and report packing efficiency per (lang, shard) —
+    the batch-assembly stage between corpus filtering and training.
+
+    Scale design: packing is a running total, which is inherently
+    sequential — so it is NEVER run over a whole language. Docs are
+    first sharded by a content hash (16 shards/lang here; thousands at
+    100 TB), and the cumulative sum runs per (lang, shard): every
+    window partition holds corpus/|shards| docs and the shards pack
+    independently — exactly how production packers parallelize. A doc
+    lands in the sequence its cumulative start offset falls in
+    (floor(start/budget)), so oversized docs simply span bins and the
+    unit accounting stays exact."""
+    docs = load(spark, sf_dir, "documents")
+    # subword-unit estimate matching q32: ceil(len/4) per whitespace token
+    from ..functions import textstats as tfn
+    units = F.aggregate(
+        F.transform(tfn.tokens(F.col("text")),
+                    lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    shard = hash32(F.concat(F.lit(PACK_SEED),
+                            F.col("doc_id").cast("string"))) % PACK_SHARDS
+    d = docs.select("lang", "doc_id", units.alias("units"),
+                    shard.alias("shard"))
+    w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("units").over(w) - F.col("units")
+    seq = F.floor(start / PACK_BUDGET)
+    packed = d.withColumn("seq_id", seq)
+    return (packed.groupBy("lang", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("units").alias("total_units"),
+                 F.countDistinct("seq_id").alias("n_seqs"))
+            .withColumn("avg_fill",
+                        round_half_up(F.col("total_units")
+                                      / (F.col("n_seqs") * PACK_BUDGET), 6)))
+
+
+_Q64_SQL = f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(list_sum(list_transform(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''),
+           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS units,
+         {hash32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard
+  FROM documents
+),
+packed AS (
+  SELECT lang, shard, units,
+         floor((sum(units) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - units)
+               / {PACK_BUDGET}) AS seq_id
+  FROM toks
+)
+SELECT lang, shard, count(*) AS n_docs,
+       CAST(sum(units) AS BIGINT) AS total_units,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       {round_half_up_sql(
+           f'CAST(sum(units) AS DOUBLE) / (count(DISTINCT seq_id) * {PACK_BUDGET})', 6)} AS avg_fill
+FROM packed GROUP BY lang, shard
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q56_range_join": Query(q56_range_join, _Q56_SQL),
     "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
     "q58_stratified_split": Query(q58_stratified_split, _Q58_SQL),
     "q59_stratum_sample": Query(q59_stratum_sample, _Q59_SQL),
     "q60_embedding_centroids": Query(q60_embedding_centroids, _Q60_SQL),
+    "q64_sequence_packing": Query(q64_sequence_packing, _Q64_SQL),
 }

@@ -51,8 +51,73 @@ SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS buck
 FROM events GROUP BY 1, 2
 """
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SESSION windows executed through Structured Streaming:
+    ``session_window`` merges an event into the open session while it
+    arrives strictly before last_ts + gap — the stateful
+    merge-on-overlap operator (dynamic window bounds, unlike q46's
+    fixed tumbling buckets). Complete output mode over availableNow
+    micro-batches; the oracle reproduces the exact boundary rule
+    (a gap of EXACTLY 30 min starts a new session) with
+    gaps-and-islands SQL."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict((f.name, f.dataType.simpleString())
+            for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    agg = (stream.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                          "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double").alias("sum_value"))
+           .select("user_id", F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"),
+                   "n_events", "sum_value"))
+
+    name = f"q62_out_{uuid.uuid4().hex[:10]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+_Q62_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sess_no
+"""
+
+
 from . import Query  # noqa: E402
 
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
+    "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
 }

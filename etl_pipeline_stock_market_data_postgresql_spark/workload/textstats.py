@@ -12,7 +12,7 @@ for real stopword tables.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from . import Query
 from ..functions.hashing import hash32, hash32_seeded, hash32_sql, hash32_seeded_sql
@@ -212,9 +212,115 @@ FROM grams GROUP BY doc_id
 """
 
 
+def _quality_iscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_tokens, iscore): the q31 composite quality score
+    quantized to an exact integer (×1e6, half-up) so every downstream
+    comparison is integer math — no float threshold ambiguity."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.select("doc_id", "lang", toks.alias("tk"))
+    n_tok = F.size("tk").cast("long")
+    char_sum = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    stop = _tok_count(F.col("tk"), "the") + _tok_count(F.col("tk"), "a")
+    d = (d.withColumn("n_tokens", n_tok)
+         .withColumn("avg_token_len", char_sum / n_tok)
+         .withColumn("stopword_ratio", stop / n_tok))
+    score = (0.3 * F.least(F.col("n_tokens") / 60.0, F.lit(1.0))
+             + 0.4 * (1.0 - F.col("stopword_ratio"))
+             + 0.3 * F.least(F.col("avg_token_len") / 5.0, F.lit(1.0)))
+    return d.select(
+        "lang", "doc_id", "n_tokens",
+        F.floor(score * 1_000_000 + F.lit(0.5)).cast("long").alias("iscore"))
+
+
+def q63_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated quality filter: per language, drop documents
+    scoring below the nearest-rank p25 of the q31 composite score, and
+    report the kept/dropped token budget — the corpus-filtering stage
+    of a training-data pipeline.
+
+    Scale design: the threshold comes from a score HISTOGRAM, not a
+    per-language sort of documents. groupBy(lang, iscore) bounds every
+    window partition at the number of distinct quantized scores (≤1e6
+    six-decimal values) regardless of corpus size, the cumulative count
+    runs over that small histogram, and the 1-row-per-lang threshold
+    broadcast-joins back onto the docs. A window partitioned by lang
+    over raw docs would put a quarter of a 100 TB corpus in one task;
+    this never materializes a per-doc rank at all (docs AT the
+    threshold are kept, so no within-tie ranking is needed)."""
+    scored = _quality_iscore(spark, sf_dir).persist()
+    hist = scored.groupBy("lang", "iscore").agg(F.count("*").alias("n"))
+    w = (Window.partitionBy("lang").orderBy("iscore")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("cum", F.sum("n").over(w))
+           .withColumn("total", F.sum("n").over(Window.partitionBy("lang"))))
+    # nearest-rank p25: smallest iscore whose cumulative count reaches
+    # ceil(total/4) — pure integer arithmetic in both engines
+    thr = (cum.filter(F.col("cum") >= F.ceil(F.col("total") / 4))
+           .groupBy("lang").agg(F.min("iscore").alias("thr")))
+    gated = (scored.join(F.broadcast(thr), "lang")
+             .withColumn("keep", (F.col("iscore") >= F.col("thr")).cast("int")))
+    return (gated.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("keep").alias("n_kept"),
+                 F.sum(1 - F.col("keep")).alias("n_dropped"),
+                 F.sum(F.col("n_tokens") * F.col("keep")).alias("kept_tokens"),
+                 F.sum(F.col("n_tokens") * (1 - F.col("keep"))).alias("dropped_tokens"),
+                 (F.min("thr") / 1_000_000.0).alias("p25_score")))
+
+
+_Q63_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))) AS char_sum,
+         {_tok_count_sql('the')} + {_tok_count_sql('a')} AS stop
+  FROM toks
+),
+scored AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(floor((0.3 * least(n_tokens / 60.0, 1.0)
+                     + 0.4 * (1.0 - stop / n_tokens)
+                     + 0.3 * least((char_sum / n_tokens) / 5.0, 1.0))
+                    * 1000000 + 0.5) AS BIGINT) AS iscore
+  FROM m
+),
+hist AS (
+  SELECT lang, iscore, count(*) AS n FROM scored GROUP BY lang, iscore
+),
+cum AS (
+  SELECT lang, iscore,
+         sum(n) OVER (PARTITION BY lang ORDER BY iscore
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS total
+  FROM hist
+),
+thr AS (
+  SELECT lang, min(iscore) AS thr FROM cum
+  WHERE cum >= ceil(total / 4.0) GROUP BY lang
+),
+gated AS (
+  SELECT s.lang, s.n_tokens, t.thr,
+         CASE WHEN s.iscore >= t.thr THEN 1 ELSE 0 END AS keep
+  FROM scored s JOIN thr t ON s.lang = t.lang
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+       CAST(sum(n_tokens * keep) AS BIGINT) AS kept_tokens,
+       CAST(sum(n_tokens * (1 - keep)) AS BIGINT) AS dropped_tokens,
+       min(thr) / 1000000.0 AS p25_score
+FROM gated GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q30_langid": Query(q30_langid, _langid_sql()),
     "q31_quality_score": Query(q31_quality_score, _Q31_SQL),
     "q32_token_stats": Query(q32_token_stats, _Q32_SQL),
     "q33_fingerprint": Query(q33_fingerprint, _Q33_SQL),
+    "q63_quality_gate": Query(q63_quality_gate, _Q63_SQL),
 }
