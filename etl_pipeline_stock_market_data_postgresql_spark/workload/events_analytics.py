@@ -67,7 +67,87 @@ FROM flagged GROUP BY user_id
 """
 
 
+def q65_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user count via the SALTED two-phase plan
+    (operators.skew.salted_distinct_count): distinct state for a hot
+    event_type builds on 16 salt partitions, then merges — identical
+    answer to a direct COUNT(DISTINCT), which is the oracle. The few-
+    hot-keys aggregation is where a plain groupBy puts one key's whole
+    state on one task at 100 TB."""
+    from ..operators.skew import salted_distinct_count
+    events = load(spark, sf_dir, "events")
+    # single-row-group testdata: spread before the compute-heavy agg
+    events = events.repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    return salted_distinct_count(
+        events.select("event_type", "user_id"),
+        ["event_type"], "user_id", factor=16)
+
+
+_Q65_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def q66_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean absolute deviation via the SALTED replicate join
+    (operators.skew.salted_join): the skewed fact side salts on row
+    content, the small dim side replicates across all salts, and the
+    join shuffles the hot event_type over 8 partitions instead of one.
+    The oracle is the plain join — salting must be result-invisible.
+
+    Exactness: |value_i − mean| would divide decimals (engines disagree
+    on result scale), so the deviation is computed as the integer
+    |iv·n − s| with iv = value×10⁴ as BIGINT — exact in both engines;
+    the only division is one final double op on the aggregate."""
+    from ..operators.skew import salted_join
+    from ..functions.rounding import round_half_up
+    iv = (F.col("value").cast("decimal(18,4)") * 10_000).cast("long")
+    events = (load(spark, sf_dir, "events")
+              .select("event_id", "event_type", iv.alias("iv")))
+    events = events.repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
+    dim = (events.groupBy("event_type")
+           .agg(F.count("*").alias("n"), F.sum("iv").alias("s")))
+    joined = salted_join(events, dim, ["event_type"], ["event_id"], factor=8)
+    dev = F.abs(F.col("iv").cast("decimal(38,0)") * F.col("n") - F.col("s"))
+    agg = (joined.groupBy("event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(dev).alias("_dev"), F.min("n").alias("_n")))
+    sum_abs_dev = (F.col("_dev").cast("double")
+                   / (F.col("_n") * F.lit(10_000.0)))
+    return agg.select(
+        "event_type", "n_events",
+        round_half_up(sum_abs_dev, 6).alias("sum_abs_dev"),
+        round_half_up(sum_abs_dev / F.col("_n"), 6).alias("mad"))
+
+
+_Q66_SQL = """
+WITH iv AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS iv
+  FROM events
+),
+dim AS (
+  SELECT event_type, count(*) AS n, sum(iv) AS s FROM iv GROUP BY event_type
+),
+agg AS (
+  SELECT e.event_type, count(*) AS n_events,
+         sum(abs(CAST(e.iv AS DECIMAL(38,0)) * d.n - d.s)) AS dev,
+         min(d.n) AS n
+  FROM iv e JOIN dim d ON e.event_type = d.event_type
+  GROUP BY e.event_type
+)
+SELECT event_type, n_events,
+       floor((CAST(dev AS DOUBLE) / (n * 10000.0)) * 1000000 + 0.5) / 1000000 AS sum_abs_dev,
+       floor((CAST(dev AS DOUBLE) / (n * 10000.0) / n) * 1000000 + 0.5) / 1000000 AS mad
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q21_tumbling_window": Query(q21_tumbling_window, _Q21_SQL),
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
+    "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
+    "q66_salted_join": Query(q66_salted_join, _Q66_SQL),
 }
