@@ -1,0 +1,353 @@
+"""Corpus-curation operators round 3 (beyond-reference: the
+training-data half of the engine, alongside dedup/similarity/textstats):
+TF-IDF vocabulary ranking, benchmark-contamination detection,
+temperature-scaled domain mixture sampling, and SCD2 dimension-history
+construction.
+
+Every query is pure JVM-side DataFrame code with an exact DuckDB oracle.
+Cross-engine determinism notes specific to this module:
+
+- q67 uses natural log (libm, not IEEE-correctly-rounded) — scores are
+  therefore rounded half-up to 6 dp BEFORE ranking, and rank ties break
+  on the term itself, so a last-ulp ln() divergence cannot flip the
+  top-k membership or order.
+- q69 avoids transcendentals entirely: temperature alpha=0.5 is sqrt
+  (IEEE-exact), per-language weights are quantized to integers before
+  the cross-language sum, and the final sampling probability is built
+  from exactly-representable integers with one multiply and one divide
+  (each correctly rounded, hence bit-identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import Query
+from ..functions import textstats
+from ..functions.hashing import hash32, hash32_sql
+from ..functions.rounding import round_half_up, round_half_up_sql
+from ..sources.tables import load
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, tk) with tokenization materialized below an
+    exchange — single-row-group parquet otherwise tokenizes on one core,
+    and downstream higher-order functions must reference a named column
+    (expression-tree duplication, see functions/textstats.word_ngrams)."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return docs.select("doc_id", "lang",
+                       textstats.tokens(F.col("text")).alias("tk"))
+
+
+# --- q67: TF-IDF top terms per language ----------------------------------
+
+TFIDF_TOP_K = 15
+
+
+def q67_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary ranking: top-15 terms per language by aggregate
+    TF-IDF (smoothed idf = ln((N+1)/(df+1)) + 1).
+
+    Scale shape: explode → two hash aggregations, both map-side
+    combinable — shuffle 1 carries (lang, doc_id, token) partial counts,
+    shuffle 2 carries (lang, token). Per-language doc totals are a tiny
+    aggregate broadcast back; the final top-k is a bounded window over
+    (lang) on the vocabulary table (|vocab| rows, corpus-independent).
+    Ranking is by ROUNDED score with a term tiebreak (module docstring)."""
+    tf = (_tokens_df(spark, sf_dir)
+          .select("lang", "doc_id", F.explode("tk").alias("token"))
+          .groupBy("lang", "doc_id", "token")
+          .agg(F.count("*").alias("tf")))
+    stats = (tf.groupBy("lang", "token")
+             .agg(F.sum("tf").alias("sum_tf"),
+                  F.count("*").alias("df")))
+    n_docs = (load(spark, sf_dir, "documents")
+              .groupBy("lang").agg(F.count("*").alias("n_docs")))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (stats.join(F.broadcast(n_docs), "lang")
+              .withColumn("tfidf", round_half_up(F.col("sum_tf") * idf, 6)))
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(),
+                                           F.col("token").asc())
+    return (scored
+            .withColumn("term_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("term_rank") <= TFIDF_TOP_K)
+            .select("lang", "term_rank", "token", "sum_tf", "df", "tfidf"))
+
+
+_Q67_SQL = f"""
+WITH {_TOKS_CTE},
+tf AS (
+  SELECT lang, doc_id, t AS token, count(*) AS tf
+  FROM (SELECT lang, doc_id, unnest(tk) AS t FROM toks)
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT lang, token, CAST(sum(tf) AS BIGINT) AS sum_tf, count(*) AS df
+  FROM tf GROUP BY 1, 2
+),
+nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+scored AS (
+  SELECT s.lang, token, sum_tf, df,
+         {round_half_up_sql(
+             'sum_tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)', 6)} AS tfidf
+  FROM stats s JOIN nd USING (lang)
+)
+SELECT lang, term_rank, token, sum_tf, df, tfidf
+FROM (SELECT *, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, token) AS INT) AS term_rank
+      FROM scored)
+WHERE term_rank <= {TFIDF_TOP_K}
+"""
+
+
+# --- q68: benchmark-contamination detection ------------------------------
+
+EVAL_MOD = 97       # doc_id % 97 == 0 => held-out eval doc
+CONTAM_NGRAM = 5    # word n-gram size for the overlap check
+
+
+def q68_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: which training docs share at least one
+    word-5-gram with the held-out eval slice (doc_id % 97 == 0), per
+    language — the decontamination gate every training corpus runs
+    before a benchmark is trusted.
+
+    Scale shape: grams are 32-bit hashes (shuffle carries longs, never
+    gram text); membership is a distinct (doc, gram-hash) semi-join on
+    the hash — shuffle ∝ distinct grams, no broadcast of the corpus
+    side. Docs with < 5 tokens have no grams and count as clean;
+    per-language train totals come straight off the scan."""
+    grams = (_tokens_df(spark, sf_dir)
+             .select("doc_id", "lang",
+                     F.explode(textstats.word_ngrams(F.col("tk"),
+                                                     CONTAM_NGRAM)).alias("g"))
+             .select("doc_id", "lang", hash32(F.col("g")).alias("gh"))
+             .distinct())
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("gh").distinct()
+    contam = (grams.filter(~is_eval)
+              .join(eval_grams, "gh", "left_semi")
+              .select("doc_id", "lang").distinct()
+              .groupBy("lang").agg(F.count("*").alias("n_contaminated")))
+    train = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % EVAL_MOD != 0)
+             .groupBy("lang").agg(F.count("*").alias("n_train")))
+    rate = F.col("n_contaminated") / F.col("n_train")
+    return (train.join(contam, "lang", "left")
+            .withColumn("n_contaminated",
+                        F.coalesce("n_contaminated", F.lit(0).cast("long")))
+            .withColumn("contamination_rate", round_half_up(rate, 6))
+            .select("lang", "n_train", "n_contaminated", "contamination_rate"))
+
+
+def _q68_gram_expr() -> str:
+    parts = " || ' ' || ".join(f"tk[i+{j}]" for j in range(CONTAM_NGRAM))
+    return (f"[{parts} for i in range(1, len(tk) - {CONTAM_NGRAM - 2})]")
+
+
+_Q68_SQL = f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT DISTINCT doc_id, lang, {hash32_sql('g')} AS gh
+  FROM (SELECT doc_id, lang, unnest({_q68_gram_expr()}) AS g
+        FROM toks WHERE len(tk) >= {CONTAM_NGRAM})
+),
+eval_g AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+contam AS (
+  SELECT lang, count(*) AS n_contaminated
+  FROM (SELECT DISTINCT g.doc_id, g.lang
+        FROM grams g JOIN eval_g USING (gh)
+        WHERE g.doc_id % {EVAL_MOD} <> 0)
+  GROUP BY lang
+),
+train AS (
+  SELECT lang, count(*) AS n_train FROM documents
+  WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY lang
+)
+SELECT train.lang, n_train,
+       CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       {round_half_up_sql(
+           'CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_train', 6)}
+         AS contamination_rate
+FROM train LEFT JOIN contam USING (lang)
+"""
+
+
+# --- q69: temperature-scaled domain mixture sampling ---------------------
+
+MIX_TARGET_FRAC = 0.25   # sample ~25% of the corpus overall
+MIX_SEED = "mix:"        # hash domain separator
+_W_SCALE = 1_000_000     # sqrt-weight quantization
+_P_SCALE = 1_000_000     # sampling-probability quantization
+
+
+def q69_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha = 0.5): per-language
+    sampling probabilities p_lang ∝ sqrt(n_lang)/n_lang that hit a 25%
+    overall budget, applied content-addressed (same hash-split family as
+    q58 — reshuffle-stable, no rand()) — the mixture-reweighting stage
+    that upsamples rare domains before training.
+
+    Scale shape: pass 1 is a tiny per-language count; probabilities are
+    computed on that aggregate and broadcast back; pass 2 is a pure map
+    filter on the scan. Nothing large shuffles. Exactness: sqrt is
+    IEEE-correctly-rounded, weights are integer-quantized before the
+    cross-language sum, so the thresholds are bit-identical cross-engine
+    (module docstring)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    iw = F.floor(F.sqrt(F.col("n_docs").cast("double")) * _W_SCALE)
+    weighted = counts.withColumn("iw", iw)
+    totals = weighted.agg(F.sum("n_docs").alias("total"),
+                          F.sum("iw").alias("siw"))
+    budget = F.floor(F.col("total").cast("double") * F.lit(MIX_TARGET_FRAC))
+    p = F.least(F.lit(1.0),
+                (budget * F.col("iw").cast("double"))
+                / (F.col("siw").cast("double") * F.col("n_docs").cast("double")))
+    thr = (weighted.crossJoin(F.broadcast(totals))
+           .select("lang", "n_docs",
+                   F.floor(p * _P_SCALE).alias("ithr")))
+    keep = (hash32(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string")))
+            % _P_SCALE) < F.col("ithr")
+    sampled = (docs.join(F.broadcast(thr.select("lang", "ithr")), "lang")
+               .filter(keep)
+               .groupBy("lang")
+               .agg(F.count("*").alias("n_sampled"),
+                    F.sum("n_chars").alias("sum_chars")))
+    return (thr.join(sampled, "lang", "left")
+            .select("lang", "n_docs",
+                    (F.col("ithr").cast("double") / _P_SCALE).alias("sample_p"),
+                    F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+                    F.coalesce("sum_chars", F.lit(0).cast("long")).alias("sum_chars")))
+
+
+_Q69_SQL = f"""
+WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_W_SCALE}) AS BIGINT) AS iw
+  FROM cnt
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(sum(iw) AS BIGINT) AS siw
+  FROM w
+),
+thr AS (
+  SELECT lang, n_docs,
+         CAST(floor(least(1.0,
+             (floor(CAST(total AS DOUBLE) * {MIX_TARGET_FRAC})
+              * CAST(iw AS DOUBLE))
+             / (CAST(siw AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+           * {_P_SCALE}) AS BIGINT) AS ithr
+  FROM w CROSS JOIN tot
+),
+samp AS (
+  SELECT d.lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents d JOIN thr USING (lang)
+  WHERE {hash32_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % {_P_SCALE} < ithr
+  GROUP BY d.lang
+)
+SELECT thr.lang, n_docs, CAST(ithr AS DOUBLE) / {_P_SCALE} AS sample_p,
+       CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(sum_chars, 0) AS BIGINT) AS sum_chars
+FROM thr LEFT JOIN samp USING (lang)
+"""
+
+
+# --- q70: SCD2 dimension-history construction ----------------------------
+
+SCD2_SENTINEL = "9999-12-31 00:00:00"  # open-interval end marker
+SCD2_CUST_MOD = 7                      # sample 1/7 of customers for output
+
+
+def q70_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history of each
+    customer's order priority from the orders change-log (reference's
+    dimension upsert, K4 in SURVEY §2, extended to full history): one
+    observation per (customer, day) — arg-min by orderkey for same-day
+    determinism — collapsed into effective_from/effective_to version
+    intervals wherever the attribute actually changed.
+
+    Scale shape: one shuffle on custkey serves all three windows
+    (same-day pick, change detection, interval close) — Catalyst chains
+    them in a single sort within the same exchange. Output is sampled
+    (custkey % 7 == 0) with the filter at the scan, so the demo result
+    stays bounded while the plan is the full-history build."""
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey") % SCD2_CUST_MOD == 0)
+              # one explicit exchange on custkey; every window below has
+              # its ClusteredDistribution satisfied by it (their keys are
+              # supersets), so no further shuffles are inserted
+              .repartition(spark.sparkContext.defaultParallelism,
+                           "o_custkey"))
+    w_day = (Window.partitionBy("o_custkey", "o_orderdate")
+             .orderBy("o_orderkey"))
+    obs = (orders
+           .withColumn("rn", F.row_number().over(w_day))
+           .filter(F.col("rn") == 1)
+           .select("o_custkey", "o_orderdate", "o_orderpriority"))
+    w_hist = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    changed = (obs
+               .withColumn("prev", F.lag("o_orderpriority").over(w_hist))
+               .filter(F.col("prev").isNull()
+                       | (F.col("prev") != F.col("o_orderpriority"))))
+    w_ver = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    eff_to = F.coalesce(F.lead("o_orderdate").over(w_ver),
+                        F.lit(SCD2_SENTINEL).cast("timestamp"))
+    return (changed
+            .withColumn("version_n", F.row_number().over(w_ver).cast("int"))
+            .withColumn("effective_to", eff_to)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("version_n"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_orderdate").alias("effective_from"),
+                    "effective_to",
+                    (F.col("effective_to")
+                     == F.lit(SCD2_SENTINEL).cast("timestamp")).alias("is_current")))
+
+
+_Q70_SQL = f"""
+WITH obs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
+        FROM orders WHERE o_custkey % {SCD2_CUST_MOD} = 0)
+  WHERE rn = 1
+),
+changed AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (SELECT *, lag(o_orderpriority) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+        FROM obs)
+  WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey,
+       CAST(row_number() OVER w AS INT) AS version_n,
+       o_orderpriority AS priority,
+       o_orderdate AS effective_from,
+       coalesce(lead(o_orderdate) OVER w,
+                TIMESTAMP '{SCD2_SENTINEL}') AS effective_to,
+       coalesce(lead(o_orderdate) OVER w,
+                TIMESTAMP '{SCD2_SENTINEL}') = TIMESTAMP '{SCD2_SENTINEL}'
+         AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q67_tfidf_topterms": Query(q67_tfidf_topterms, _Q67_SQL),
+    "q68_contamination": Query(q68_contamination, _Q68_SQL),
+    "q69_domain_mix_sample": Query(q69_domain_mix_sample, _Q69_SQL),
+    "q70_scd2_history": Query(q70_scd2_history, _Q70_SQL),
+}
