@@ -77,13 +77,22 @@ def jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float,
         # aggregate itself is map-side combinable, and no count-over-
         # window is involved, so a planet-hot shingle never forces a
         # single sorted window partition.
-        sh = sh.persist()
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        pre = sh.persist()
+        hot = (pre.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_df).select("shingle"))
-        sh = sh.join(hot, "shingle", "left_anti")
-    # the index fans out into three branches (both join sides + sizes);
-    # persist so the shingle pipeline runs once, not three times
-    sh = sh.persist()
+        # materialize the capped index eagerly (cheap: both inputs read
+        # the cached pre-cap blocks), then free the pre-cap cache — the
+        # uncapped shingle set is the largest intermediate in the whole
+        # pipeline and must not outlive this stage (ADVICE r2)
+        sh = pre.join(hot, "shingle", "left_anti").persist()
+        sh.count()
+        pre.unpersist()
+    else:
+        # the index fans out into three branches (both join sides +
+        # sizes); persist so the shingle pipeline runs once, not thrice.
+        # This cache backs the RETURNED lazy result, so the caller owns
+        # its lifetime (bench.py/tests clearCache between queries).
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -210,35 +219,44 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     plan stays constant-size per round. On a real cluster with
     preemptible executors, swap localCheckpoint for reliable
     ``checkpoint()`` on a checkpoint dir; the algorithm is unchanged.
+
+    Storage lifecycle: at most TWO rounds of label blocks are ever
+    referenced (the loop rebinds ``labels`` each round, dropping the
+    only reference to round k-1; Spark's ContextCleaner reclaims
+    dereferenced checkpoint RDD blocks). The edge cache is freed
+    deterministically on every exit path. The final labels' blocks back
+    the returned DataFrame and are the caller's to release.
     """
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))
            .distinct().persist())
-    labels = (sym.select(F.col("u").alias("node")).distinct()
-              .withColumn("comp", F.col("node"))
-              .localCheckpoint(eager=True))
-    prev = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
-    for _ in range(max_iter):
-        # every node has >= 1 neighbor by construction, so the inner
-        # joins keep all nodes; least() folds the node's own label in
-        neigh = (sym.select("u", F.col("v").alias("node"))
-                 .join(labels, "node")
-                 .groupBy(F.col("u").alias("node"))
-                 .agg(F.min("comp").alias("neigh_min")))
-        labels = (labels.join(neigh, "node")
-                  .select(F.col("node"),
-                          F.least(F.col("comp"),
-                                  F.col("neigh_min")).alias("comp"))
+    try:
+        labels = (sym.select(F.col("u").alias("node")).distinct()
+                  .withColumn("comp", F.col("node"))
                   .localCheckpoint(eager=True))
-        cur = labels.agg(
+        prev = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint in {max_iter} rounds")
-    sym.unpersist()
+        for _ in range(max_iter):
+            # every node has >= 1 neighbor by construction, so the inner
+            # joins keep all nodes; least() folds the node's own label in
+            neigh = (sym.select("u", F.col("v").alias("node"))
+                     .join(labels, "node")
+                     .groupBy(F.col("u").alias("node"))
+                     .agg(F.min("comp").alias("neigh_min")))
+            labels = (labels.join(neigh, "node")
+                      .select(F.col("node"),
+                              F.least(F.col("comp"),
+                                      F.col("neigh_min")).alias("comp"))
+                      .localCheckpoint(eager=True))
+            cur = labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds")
+    finally:
+        sym.unpersist()
     return labels

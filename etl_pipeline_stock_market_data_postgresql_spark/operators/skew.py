@@ -27,16 +27,22 @@ def deterministic_salt(cols: list[str], factor: int) -> Column:
 
 def salted_distinct_count(df: DataFrame, key_cols: list[str], value_col: str,
                           factor: int = 16) -> DataFrame:
-    """Exact COUNT(DISTINCT value) per key, two-phase: distinct within
-    (key, salt) partitions first, then merge — the hot key's distinct
-    state is built on ``factor`` tasks instead of one."""
-    salted = df.withColumn("_salt", deterministic_salt([value_col], factor))
-    partial = (salted.groupBy(*key_cols, "_salt")
-               .agg(F.collect_set(value_col).alias("_vals")))
-    return (partial
-            .select(*key_cols, F.explode("_vals").alias("_v"))
+    """Exact COUNT(DISTINCT value) per key, two-phase and array-free:
+    phase 1 dedups (key, value) — a hash aggregation whose shuffle key
+    IS (key, value), so a hot key's distinct state spreads across the
+    whole cluster natively (hashing by value is exactly what salting by
+    value would do, minus the salt bookkeeping); phase 2 counts rows per
+    key with map-side partial counts. No per-task arrays anywhere — the
+    earlier collect_set formulation put a hot key's entire distinct set
+    (÷ factor) in single-task memory, which dies at ~1e9 distinct values
+    per key.
+
+    ``factor`` is kept for API stability; the (key, value) shuffle
+    already provides maximal spreading, so no explicit salt is needed."""
+    del factor  # spreading comes from the (key, value) shuffle itself
+    return (df.select(*key_cols, value_col).distinct()
             .groupBy(*key_cols)
-            .agg(F.countDistinct("_v").alias("n_distinct")))
+            .agg(F.count("*").alias("n_distinct")))
 
 
 def salted_join(skewed: DataFrame, other: DataFrame, key_cols: list[str],

@@ -35,8 +35,25 @@ def quote_ident(name: str) -> str:
 def render_bound(value) -> str:
     """Render a lower-bound value as a standard, unambiguous SQL
     literal. Python ``str()`` of datetime/Decimal is not guaranteed to
-    parse in every backend; typed ANSI literals are."""
+    parse in every backend; typed ANSI literals are.
+
+    Soundness notes (this literal PRUNES the probe scan, so rendering a
+    value larger than the true minimum re-appends existing PKs):
+
+    - tz-aware datetimes are normalized to UTC and rendered as
+      ``TIMESTAMP WITH TIME ZONE ... +00:00`` — dropping tzinfo would
+      render a naive literal the server interprets in ITS zone, which
+      can exceed the true minimum and over-prune.
+    - ``bool`` is an ``int`` subclass: rendered as TRUE/FALSE, not
+      repr(), which some backends reject as a literal.
+    """
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
     if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            utc = value.astimezone(_dt.timezone.utc)
+            return ("TIMESTAMP WITH TIME ZONE "
+                    f"'{utc.strftime('%Y-%m-%d %H:%M:%S.%f')}+00:00'")
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"

@@ -68,11 +68,13 @@ FROM flagged GROUP BY user_id
 
 
 def q65_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-type distinct-user count via the SALTED two-phase plan
-    (operators.skew.salted_distinct_count): distinct state for a hot
-    event_type builds on 16 salt partitions, then merges — identical
-    answer to a direct COUNT(DISTINCT), which is the oracle. The few-
-    hot-keys aggregation is where a plain groupBy puts one key's whole
+    """Exact per-type distinct-user count via the array-free two-phase
+    plan (operators.skew.salted_distinct_count): phase 1 dedups on the
+    (event_type, user_id) shuffle key — a hot type's distinct state
+    spreads across the whole cluster, no per-task arrays — phase 2 is a
+    map-side-combinable count. Identical answer to a direct
+    COUNT(DISTINCT), which is the oracle. The few-hot-keys aggregation
+    is where a single-shuffle COUNT(DISTINCT) puts one key's whole
     state on one task at 100 TB."""
     from ..operators.skew import salted_distinct_count
     events = load(spark, sf_dir, "events")

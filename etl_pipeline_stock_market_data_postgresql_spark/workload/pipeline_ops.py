@@ -319,10 +319,13 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q64_SQL = f"""
 WITH toks AS (
   SELECT lang, doc_id,
-         CAST(list_sum(list_transform(
+         -- coalesce: DuckDB list_sum of an empty list is NULL (a
+         -- token-less doc would also divide-by-zero nothing here, it
+         -- just packs 0 units); Spark's F.aggregate returns the 0 seed
+         CAST(coalesce(list_sum(list_transform(
            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                        x -> x <> ''),
-           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS units,
+           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS units,
          {hash32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard
   FROM documents
 ),

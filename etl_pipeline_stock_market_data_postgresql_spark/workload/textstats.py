@@ -106,10 +106,14 @@ FROM scored
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics: token count, mean token length,
     stopword ratio, composite score — the filter stage of a training
-    -data pipeline."""
+    -data pipeline. Token-less (empty/punctuation-only) documents are
+    excluded up front: every ratio divides by the token count, and the
+    gate drops them definitionally (the oracle filters identically, so
+    ANSI DIVIDE_BY_ZERO can never fire on either engine)."""
     docs = load(spark, sf_dir, "documents")
     toks = textstats.tokens(F.col("text"))
-    d = docs.select("doc_id", F.col("n_chars").alias("n_chars"), toks.alias("tk"))
+    d = (docs.select("doc_id", F.col("n_chars").alias("n_chars"), toks.alias("tk"))
+         .filter(F.size("tk") > 0))
     n_tok = F.size("tk").cast("long")
     char_sum = F.aggregate(
         F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
@@ -134,7 +138,7 @@ m AS (
          CAST(len(tk) AS BIGINT) AS n_tokens,
          list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))) AS char_sum,
          {_tok_count_sql('the')} + {_tok_count_sql('a')} AS stop
-  FROM toks
+  FROM toks WHERE len(tk) > 0
 ),
 d AS (
   SELECT m.doc_id, doc.n_chars, m.n_tokens,
@@ -175,7 +179,9 @@ WITH {_TOKS_CTE}
 SELECT doc_id,
        CAST(len(tk) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
-       CAST(list_sum(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_units
+       -- coalesce: DuckDB list_sum of an empty list is NULL; Spark's
+       -- F.aggregate returns the 0 seed
+       CAST(coalesce(list_sum(list_transform(tk, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subword_units
 FROM toks
 """
 
@@ -215,10 +221,13 @@ FROM grams GROUP BY doc_id
 def _quality_iscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_id, n_tokens, iscore): the q31 composite quality score
     quantized to an exact integer (×1e6, half-up) so every downstream
-    comparison is integer math — no float threshold ambiguity."""
+    comparison is integer math — no float threshold ambiguity.
+    Token-less docs are dropped up front (see q31 — same ratio math,
+    same oracle-mirrored filter)."""
     docs = load(spark, sf_dir, "documents")
     toks = textstats.tokens(F.col("text"))
-    d = docs.select("doc_id", "lang", toks.alias("tk"))
+    d = (docs.select("doc_id", "lang", toks.alias("tk"))
+         .filter(F.size("tk") > 0))
     n_tok = F.size("tk").cast("long")
     char_sum = F.aggregate(
         F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
@@ -244,14 +253,18 @@ def q63_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the threshold comes from a score HISTOGRAM, not a
     per-language sort of documents. groupBy(lang, iscore) bounds every
     window partition at the number of distinct quantized scores (≤1e6
-    six-decimal values) regardless of corpus size, the cumulative count
-    runs over that small histogram, and the 1-row-per-lang threshold
-    broadcast-joins back onto the docs. A window partitioned by lang
-    over raw docs would put a quarter of a 100 TB corpus in one task;
-    this never materializes a per-doc rank at all (docs AT the
-    threshold are kept, so no within-tie ranking is needed)."""
-    scored = _quality_iscore(spark, sf_dir).persist()
-    hist = scored.groupBy("lang", "iscore").agg(F.count("*").alias("n"))
+    six-decimal values) regardless of corpus size, and the cumulative
+    count runs over that small histogram. The corpus is scanned ONCE:
+    the histogram carries the per-bucket token sums, so both the
+    threshold and every reported budget derive from histogram rows —
+    no join back onto the documents, no per-doc rank, and the only
+    persisted intermediate is the histogram itself (rows bounded by
+    distinct quantized scores, corpus-size-independent — this replaced
+    a full per-doc persist that was never freed, ADVICE r2)."""
+    scored = _quality_iscore(spark, sf_dir)
+    hist = (scored.groupBy("lang", "iscore")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_tokens").alias("tok")).persist())
     w = (Window.partitionBy("lang").orderBy("iscore")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (hist.withColumn("cum", F.sum("n").over(w))
@@ -260,14 +273,14 @@ def q63_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ceil(total/4) — pure integer arithmetic in both engines
     thr = (cum.filter(F.col("cum") >= F.ceil(F.col("total") / 4))
            .groupBy("lang").agg(F.min("iscore").alias("thr")))
-    gated = (scored.join(F.broadcast(thr), "lang")
+    gated = (hist.join(F.broadcast(thr), "lang")
              .withColumn("keep", (F.col("iscore") >= F.col("thr")).cast("int")))
     return (gated.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("keep").alias("n_kept"),
-                 F.sum(1 - F.col("keep")).alias("n_dropped"),
-                 F.sum(F.col("n_tokens") * F.col("keep")).alias("kept_tokens"),
-                 F.sum(F.col("n_tokens") * (1 - F.col("keep"))).alias("dropped_tokens"),
+            .agg(F.sum("n").alias("n_docs"),
+                 F.sum(F.col("n") * F.col("keep")).alias("n_kept"),
+                 F.sum(F.col("n") * (1 - F.col("keep"))).alias("n_dropped"),
+                 F.sum(F.col("tok") * F.col("keep")).alias("kept_tokens"),
+                 F.sum(F.col("tok") * (1 - F.col("keep"))).alias("dropped_tokens"),
                  (F.min("thr") / 1_000_000.0).alias("p25_score")))
 
 
@@ -278,7 +291,7 @@ m AS (
          CAST(len(tk) AS BIGINT) AS n_tokens,
          list_sum(list_transform(tk, x -> CAST(length(x) AS BIGINT))) AS char_sum,
          {_tok_count_sql('the')} + {_tok_count_sql('a')} AS stop
-  FROM toks
+  FROM toks WHERE len(tk) > 0
 ),
 scored AS (
   SELECT lang, doc_id, n_tokens,

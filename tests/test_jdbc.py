@@ -124,6 +124,22 @@ def test_render_bound_literals():
     assert jdbc.render_bound("o'brien") == "'o''brien'"
 
 
+def test_render_bound_tz_aware_normalized_to_utc():
+    # a naive rendering of 00:30+05:00 would read as 00:30 server-local,
+    # potentially ABOVE the true minimum (over-pruning the probe scan)
+    est = dt.timezone(dt.timedelta(hours=5))
+    v = dt.datetime(2024, 1, 2, 0, 30, 0, tzinfo=est)
+    assert (jdbc.render_bound(v)
+            == "TIMESTAMP WITH TIME ZONE '2024-01-01 19:30:00.000000+00:00'")
+
+
+def test_render_bound_bool_not_int():
+    # bool is an int subclass; repr() would render True/False which some
+    # backends reject as literals
+    assert jdbc.render_bound(True) == "TRUE"
+    assert jdbc.render_bound(False) == "FALSE"
+
+
 def test_quote_ident():
     assert jdbc.quote_ident("daily") == '"daily"'
     assert jdbc.quote_ident('we"ird') == '"we""ird"'

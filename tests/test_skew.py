@@ -18,6 +18,17 @@ def test_salted_distinct_count_matches_plain(spark):
     assert salted["hot"] == 700
 
 
+def test_salted_distinct_count_plan_is_array_free(spark):
+    # the scale guarantee: two hash aggregations, no per-task arrays —
+    # a collect_set formulation would show ObjectHashAggregate
+    df = spark.createDataFrame([("k", 1)], "k string, v int")
+    plan = (skew.salted_distinct_count(df, ["k"], "v")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_set" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_salted_join_matches_plain(spark):
     left = spark.createDataFrame(
         [("hot", i) for i in range(1000)] + [("cold", i) for i in range(5)],
