@@ -45,6 +45,36 @@ def _normalize_rows(cols, rows):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
+    _compare(spark, sf_dir, name)
+
+
+# The queries the external driver's 50-row gate has historically missed
+# (see CORRECTNESS_SEEN.md) lean hardest on local evidence — run them at
+# the driver's own scale (sf0.01) in the DEFAULT suite, not just behind
+# the env knob (~+45s budget; skipped when the knob already points at a
+# non-default dir to avoid double-running).
+import os as _os
+
+_DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
+_DRIVER_GAPPED = [
+    "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
+    "q48_vwap", "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
+    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
+    "q58_stratified_split", "q59_stratum_sample", "q60_embedding_centroids",
+    "q62_streaming_session_window", "q64_sequence_packing",
+    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
+    "q70_scd2_history",
+]
+
+
+@pytest.mark.parametrize("name", _DRIVER_GAPPED)
+def test_driver_gapped_query_at_driver_scale(spark, name):
+    if _os.environ.get("SPARK_GRAFT_TEST_SF_DIR"):
+        pytest.skip("explicit SF dir set; main parametrization covers this")
+    _compare(spark, _DRIVER_SCALE_DIR, name)
+
+
+def _compare(spark, sf_dir, name):
     q = QUERIES[name]
     sdf = q.spark_fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]

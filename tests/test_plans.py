@@ -78,6 +78,47 @@ def test_stratum_sample_has_no_global_sort(spark, sf_dir):
     assert "hashpartitioning(lang" in text, text[:800]
 
 
+def test_scd2_single_exchange_serves_all_windows(spark, sf_dir):
+    # q70 chains three windows (same-day pick, change detection,
+    # interval close) whose partition keys are all supersets of
+    # {custkey}: the explicit custkey repartition must be the ONLY
+    # shuffle — extra Exchanges would re-shuffle the fact table per
+    # window at scale.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q70_scd2_history
+
+    import re
+
+    text = plans.explain_str(q70_scd2_history(spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange", text)
+    assert len(exchanges) == 1, text[:1200]
+
+
+def test_contamination_filter_reaches_scan(spark, sf_dir):
+    # q68's train-side totals must push the eval-slice exclusion into
+    # the documents scan, not filter post-shuffle.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q68_contamination
+
+    text = plans.explain_str(q68_contamination(spark, sf_dir))
+    assert "NestedLoop" not in text and "Cartesian" not in text, text[:800]
+
+
+def test_domain_mix_broadcasts_thresholds(spark, sf_dir):
+    # q69's per-language thresholds are a handful of rows — they must
+    # broadcast onto the corpus scan, never shuffle the documents.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q69_domain_mix_sample
+
+    assert plans.has_broadcast_join(q69_domain_mix_sample(spark, sf_dir))
+
+
+def test_tfidf_topk_window_is_hash_partitioned(spark, sf_dir):
+    # q67's final top-k runs over the (lang) vocabulary table — hash
+    # partitioning by lang, never a rangepartitioned global sort.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q67_tfidf_topterms
+
+    text = plans.explain_str(q67_tfidf_topterms(spark, sf_dir))
+    assert "rangepartitioning" not in text.lower(), text[:800]
+
+
 def test_rollup_reuses_cached_hourly_level(spark, sf_dir):
     # q57's day level must re-aggregate the persisted hourly aggregate
     # (InMemoryRelation appears), not rescan raw events twice.
