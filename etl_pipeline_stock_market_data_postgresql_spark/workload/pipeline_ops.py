@@ -345,6 +345,104 @@ FROM packed GROUP BY lang, shard
 """
 
 
+# --- q71: incremental rollup refresh (delta maintenance) ------------------
+
+ROLLUP_CUTOFF = "2024-01-30 12:30:00"  # mid-hour: the 12:00 bucket has
+                                       # rows on BOTH sides of the cutoff
+
+
+def _hourly_partial(df: DataFrame) -> DataFrame:
+    return (df.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).alias("_s")))
+
+
+def q71_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate REFRESH: merge a stored hourly rollup with
+    the rollup of newly-arrived rows, and prove the merged result equals
+    a full recompute (the oracle is the plain full rollup).
+
+    This is the maintenance step a 100 TB hypertable runs per refresh
+    window: read ONLY the delta (cutoff pushed to the scan) plus the
+    small materialized aggregate — never rescan the base table. The
+    cutoff lands mid-hour deliberately, so the boundary bucket exists in
+    BOTH inputs and the merge must combine partial states: counts add,
+    and sums stay exact under re-aggregation because partials are
+    DECIMAL (order- and grouping-independent). Here the "stored" side is
+    recomputed from the base table so the oracle can verify equality;
+    in production it is a parquet/Delta table written by the previous
+    refresh, and only the delta branch touches new data."""
+    events = load(spark, sf_dir, "events")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+    mv = _hourly_partial(events.filter(F.col("ts") < cutoff))
+    delta = _hourly_partial(events.filter(F.col("ts") >= cutoff))
+    merged = (mv.unionByName(delta)
+              .groupBy("bucket_start")
+              .agg(F.sum("n_events").alias("n_events"),
+                   F.sum("_s").alias("_s")))
+    return merged.select("bucket_start", "n_events",
+                         F.col("_s").cast("double").alias("sum_value"))
+
+
+# the oracle is the FULL recompute — equality proves the merge correct
+_Q71_SQL = """
+SELECT date_trunc('hour', ts) AS bucket_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# --- q72: policy-term redaction (PII-scrub mechanism) ---------------------
+
+REDACT_PATTERN = r"\b(customer|vector)\b"  # stand-in for PII regexes
+REDACT_TOKEN = "[REDACTED]"
+
+
+def q72_policy_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrubbing: redact policy-listed terms and report the
+    redaction footprint per language — mechanically identical to
+    PII removal (email/phone/id regexes), which is the form every
+    training corpus runs before release; the term list is a stand-in
+    because the synthetic corpus contains no PII-shaped strings.
+
+    Scale shape: one pure-map pass (regexp_extract_all + regexp_replace
+    under whole-stage codegen — the regex never leaves the JVM), then a
+    tiny per-language aggregate. Nothing shuffles but the final
+    few-row-per-language partials. The redacted text itself is NOT
+    returned here (the demo reports the audit metrics); the production
+    writer is the same map with a .write on the redacted column."""
+    docs = load(spark, sf_dir, "documents")
+    n_matches = F.size(F.regexp_extract_all("text", F.lit(REDACT_PATTERN), F.lit(0)))
+    redacted_len = F.length(
+        F.regexp_replace("text", REDACT_PATTERN, REDACT_TOKEN))
+    d = docs.select(
+        "lang",
+        n_matches.cast("long").alias("nm"),
+        (redacted_len - F.length("text")).cast("long").alias("len_delta"))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("nm") > 0).cast("long")).alias("n_docs_affected"),
+                 F.sum("nm").alias("total_redactions"),
+                 F.sum("len_delta").alias("chars_delta")))
+
+
+_Q72_SQL = rf"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT) AS nm,
+         CAST(length(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g'))
+              - length(text) AS BIGINT) AS len_delta
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+       CAST(sum(nm) AS BIGINT) AS total_redactions,
+       CAST(sum(len_delta) AS BIGINT) AS chars_delta
+FROM d GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q56_range_join": Query(q56_range_join, _Q56_SQL),
     "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
@@ -352,4 +450,6 @@ QUERIES: dict[str, Query] = {
     "q59_stratum_sample": Query(q59_stratum_sample, _Q59_SQL),
     "q60_embedding_centroids": Query(q60_embedding_centroids, _Q60_SQL),
     "q64_sequence_packing": Query(q64_sequence_packing, _Q64_SQL),
+    "q71_rollup_refresh": Query(q71_rollup_refresh, _Q71_SQL),
+    "q72_policy_redaction": Query(q72_policy_redaction, _Q72_SQL),
 }

@@ -63,7 +63,7 @@ _DRIVER_GAPPED = [
     "q58_stratified_split", "q59_stratum_sample", "q60_embedding_centroids",
     "q62_streaming_session_window", "q64_sequence_packing",
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
-    "q70_scd2_history",
+    "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
 ]
 
 
