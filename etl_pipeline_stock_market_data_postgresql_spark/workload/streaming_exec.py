@@ -115,9 +115,79 @@ FROM sess GROUP BY user_id, sess_no
 """
 
 
+JOIN_WINDOW_MIN = 60  # pair a click with same-user views in the prior hour
+
+
+def _event_stream(spark: SparkSession, sf_dir: str):
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict((f.name, f.dataType.simpleString())
+            for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def q73_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join executed through Structured Streaming:
+    clicks join same-user views from the preceding hour — the
+    attribution-join shape. Both sides carry watermarks and the join
+    condition is an equi-key plus a bounded time range, which is exactly
+    what lets Spark expire join state at scale: a view's state lives
+    only until the watermark passes view_ts + 60 min, so state is
+    bounded by (rate × window), never the full stream. Append output
+    mode — inner-join matches emit as they occur and never retract —
+    makes the result deterministic and equal to the batch join, which is
+    the oracle."""
+    clicks = (_event_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    views = (_event_stream(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "2 hours"))
+    joined = (clicks.join(
+        views,
+        F.expr(f"""c_user = v_user AND
+                   view_ts BETWEEN click_ts - INTERVAL {JOIN_WINDOW_MIN} MINUTES
+                               AND click_ts"""))
+        .select(F.col("c_user").alias("user_id"), "click_id", "view_id",
+                (F.unix_micros("click_ts")
+                 - F.unix_micros("view_ts")).alias("gap_us")))
+
+    name = f"q73_out_{uuid.uuid4().hex[:10]}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+_Q73_SQL = f"""
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts BETWEEN a.ts - INTERVAL {JOIN_WINDOW_MIN} MINUTE AND a.ts
+"""
+
+
 from . import Query  # noqa: E402
 
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
     "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
+    "q73_streaming_stream_join": Query(q73_streaming_stream_join, _Q73_SQL),
 }
