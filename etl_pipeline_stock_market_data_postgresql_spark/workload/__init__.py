@@ -48,7 +48,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # new in round 3 (no row yet)
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
     "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
-    "q73_streaming_stream_join",
+    "q73_streaming_stream_join", "q74_multimodal_decode",
     # green in r1 but bumped out of the r2 window
     "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
     "q48_vwap",

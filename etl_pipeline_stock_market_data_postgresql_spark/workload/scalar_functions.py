@@ -32,6 +32,39 @@ FROM documents
 """
 
 
+def q74_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow slow path EXECUTED inside the correctness gate: the
+    image-decode ``mapInPandas`` kernel (multimodal.decode_image_stub)
+    runs over the binary payload column and its per-dimension histogram
+    is hash-checked against the oracle. The stub derives dimensions
+    deterministically from the byte length (this container has no media
+    libs), which is precisely what makes the Python-side computation
+    SQL-expressible — so the gate verifies the Arrow batch plumbing
+    (schema, types, batching, partition locality) end to end, not just
+    in unit tests. Swap the stub body for PIL and the plan is unchanged.
+
+    Scale shape: decode introduces NO shuffle (batches stay on the
+    scan partitions); the only exchange is the final tiny histogram
+    aggregation."""
+    from ..multimodal.binary_columns import attach_binary_payload, decode_image_stub
+
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    decoded = decode_image_stub(attach_binary_payload(docs))
+    return (decoded.groupBy("width", "height", "n_channels")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+_Q74_SQL = """
+SELECT CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       3 AS n_channels, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
 def q37_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 2^2 grouping sets."""
     li = load(spark, sf_dir, "lineitem")
@@ -138,6 +171,7 @@ FROM events
 
 QUERIES: dict[str, Query] = {
     "q34_multimodal_meta": Query(q34_multimodal_meta, _Q34_SQL),
+    "q74_multimodal_decode": Query(q74_multimodal_decode, _Q74_SQL),
     "q37_cube": Query(q37_cube, _Q37_SQL),
     "q38_string_funcs": Query(q38_string_funcs, _Q38_SQL),
     "q39_percentiles": Query(q39_percentiles, _Q39_SQL),

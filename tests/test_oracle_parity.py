@@ -64,7 +64,7 @@ _DRIVER_GAPPED = [
     "q62_streaming_session_window", "q64_sequence_packing",
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
     "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
-    "q73_streaming_stream_join",
+    "q73_streaming_stream_join", "q74_multimodal_decode",
 ]
 
 
