@@ -49,6 +49,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
     "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
     "q73_streaming_stream_join", "q74_multimodal_decode",
+    "q75_bucketed_join", "q76_repetition_stats", "q77_funnel",
+    "q78_token_chunks", "q79_shuffle_shard", "q80_hll_distinct",
+    "q81_kmeans_step",
     # green in r1 but bumped out of the r2 window
     "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
     "q48_vwap",
@@ -61,14 +64,14 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     from . import (events_analytics, finance_analytics, pipeline_ops,
                    reference_parity, relational, scalar_functions, similarity,
-                   stock_domain, streaming_exec, subqueries_windows,
+                   stock_domain, storage, streaming_exec, subqueries_windows,
                    text_dedup, textstats, training_ops)
 
     merged: dict[str, Query] = {}
     for mod in (reference_parity, relational, events_analytics, text_dedup,
                 similarity, textstats, stock_domain, scalar_functions,
                 subqueries_windows, streaming_exec, finance_analytics,
-                pipeline_ops, training_ops):
+                pipeline_ops, training_ops, storage):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

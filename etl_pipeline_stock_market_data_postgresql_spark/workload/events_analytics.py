@@ -147,9 +147,117 @@ FROM agg
 """
 
 
+# --- q77: ordered funnel conversion --------------------------------------
+
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user converts a stage
+    only with an event at-or-after their entry into the previous stage
+    (min-timestamp chaining — the classic funnel formulation).
+
+    Scale shape: each stage is a map-side-combinable MIN aggregate on
+    user_id; the stage joins are equi-joins between per-user aggregates
+    (|users| rows, orders of magnitude below |events|), with the stage
+    filters pushed into the event scans. One row out. Timestamp ties
+    resolve identically in both engines because the comparison is
+    ts >= prev_stage_ts on microsecond-exact values."""
+    from ..functions.rounding import round_half_up
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    agg = (v.join(c, "user_id", "left").join(p, "user_id", "left")
+           .agg(F.count("*").alias("n_view"),
+                F.count("t_click").alias("n_click"),
+                F.count("t_buy").alias("n_purchase")))
+    rate = lambda num, den: F.when(  # noqa: E731
+        den > 0, round_half_up(num.cast("double") / den, 6)).otherwise(0.0)
+    return agg.select(
+        "n_view", "n_click", "n_purchase",
+        rate(F.col("n_click"), F.col("n_view")).alias("view_to_click"),
+        rate(F.col("n_purchase"), F.col("n_click")).alias("click_to_purchase"),
+        rate(F.col("n_purchase"), F.col("n_view")).alias("overall"))
+
+
+_Q77_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts >= t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(ts) AS t_buy
+  FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts >= t_click GROUP BY e.user_id
+),
+agg AS (
+  SELECT count(*) AS n_view, count(t_click) AS n_click,
+         count(t_buy) AS n_purchase
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT n_view, n_click, n_purchase,
+       CASE WHEN n_view > 0 THEN floor(CAST(n_click AS DOUBLE) / n_view
+            * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS view_to_click,
+       CASE WHEN n_click > 0 THEN floor(CAST(n_purchase AS DOUBLE) / n_click
+            * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS click_to_purchase,
+       CASE WHEN n_view > 0 THEN floor(CAST(n_purchase AS DOUBLE) / n_view
+            * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS overall
+FROM agg
+"""
+
+
+# --- q80: sketch-based distinct (HLL) with a tolerance-certified oracle --
+
+HLL_RSD = 0.02       # Spark HLL++ relative standard deviation
+HLL_TOL = 0.10       # certified bound: |approx − exact| / exact ≤ 10%
+
+
+def q80_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HLL sketches —
+    at 100 TB the sketch (constant-size partial state, map-side
+    combinable, mergeable across partitions) replaces the exact
+    distinct's (key, value) shuffle entirely.
+
+    Cross-engine gate design: Spark's HLL++ and DuckDB's HLL are
+    different sketches, so raw estimates can't hash-match. The query
+    emits the exact count plus a BOOLEAN certifying the engine's own
+    estimate is within 10% of it — both engines assert their own
+    sketch's accuracy contract, and those booleans (true at any sane
+    cardinality; HLL error here is ≤ a few %) hash-match exactly."""
+    ev = load(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", HLL_RSD)
+    exact = F.countDistinct("user_id")
+    agg = (ev.groupBy("event_type")
+           .agg(exact.alias("n_exact"), est.alias("_apx")))
+    ok = (F.abs(F.col("_apx").cast("double") - F.col("n_exact"))
+          / F.col("n_exact")) <= HLL_TOL
+    return agg.select("event_type", "n_exact", ok.alias("within_tol"))
+
+
+_Q80_SQL = f"""
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           - count(DISTINCT user_id)) / count(DISTINCT user_id)
+         <= {HLL_TOL} AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q21_tumbling_window": Query(q21_tumbling_window, _Q21_SQL),
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
     "q66_salted_join": Query(q66_salted_join, _Q66_SQL),
+    "q77_funnel": Query(q77_funnel, _Q77_SQL),
+    "q80_hll_distinct": Query(q80_hll_distinct, _Q80_SQL),
 }

@@ -7,6 +7,18 @@ Variance is computed from decimal-exact power sums
 (Σx, Σx² → (Σx² − (Σx)²/n)/(n−1)) rather than stddev_samp: engines
 differ in accumulation algorithms (Welford vs power sums) and shuffle
 order, while power sums in DECIMAL are bit-stable everywhere.
+
+Partitioning note (q49/q50/q53–q55): every indicator windows over
+``user_id`` — the per-series key, mirroring the reference's per-symbol
+series. That holds at 100 TB as long as series count scales with data
+(many users/symbols); tests/test_plans.py asserts the windows
+hash-partition on user_id with no global sort. For the degenerate
+shape — ONE symbol's full tick history through a sequential indicator —
+no engine parallelizes a true recursive fold; the scale play is the
+time-sliced variant used by q63's histogram trick and q35's bars:
+pre-aggregate ticks into time buckets (bars) FIRST, then run the
+indicator over the bounded per-bucket series (q36 runs SMA over q35's
+bars exactly this way).
 """
 
 from __future__ import annotations

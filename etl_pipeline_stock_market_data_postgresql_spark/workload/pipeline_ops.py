@@ -443,6 +443,115 @@ FROM d GROUP BY lang
 """
 
 
+# --- q78: sliding-window token chunking -----------------------------------
+
+CHUNK_TOKENS = 64   # context-window chunk size
+CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
+
+
+def q78_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 64-token chunks
+    with 16-token overlap (stride 48) — the tokenize-and-chunk stage
+    that turns a raw corpus into training sequences. Each chunk carries
+    an engine-portable content hash of its text so the gate verifies
+    the actual token slices, not just the arithmetic.
+
+    Scale shape: pure per-row map — tokenize, compute the chunk count
+    in integer arithmetic, explode a bounded sequence, slice. No
+    shuffle at all beyond the initial spread; chunk fanout per doc is
+    ~n_tokens/stride. Token-less docs produce zero chunks (explode of
+    an empty sequence) in both engines."""
+    from ..functions import textstats
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = (docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+         .withColumn("n", F.size("tk").cast("long"))
+         .filter(F.col("n") > 0))
+    # 1 + ceil(max(0, n - CHUNK) / STRIDE), all-integer (`div`, no doubles)
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})"
+               f" div {CHUNK_STRIDE} + 1"))
+    ch = (d.withColumn("chunk_id",
+                       F.explode(F.sequence(F.lit(0).cast("long"),
+                                            n_chunks - 1)))
+          .withColumn("start_tok", F.col("chunk_id") * CHUNK_STRIDE + 1)
+          .withColumn("n_tok", F.least(F.lit(CHUNK_TOKENS).cast("long"),
+                                       F.col("n") - F.col("start_tok") + 1)))
+    chunk_text = F.array_join(
+        F.slice("tk", F.col("start_tok").cast("int"),
+                F.col("n_tok").cast("int")), " ")
+    return ch.select("doc_id", "chunk_id", "start_tok", "n_tok",
+                     hash32(chunk_text).alias("chunk_hash"))
+
+
+_Q78_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+d AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0
+),
+ch AS (
+  SELECT doc_id, tk, n, CAST(i AS BIGINT) AS chunk_id,
+         CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok
+  FROM d, unnest(range(0,
+        CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+             ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} + 1
+        END)) AS t(i)
+)
+SELECT doc_id, chunk_id, start_tok,
+       least({CHUNK_TOKENS}, n - start_tok + 1) AS n_tok,
+       {hash32_sql("array_to_string(tk[start_tok:"
+                   f"start_tok + least({CHUNK_TOKENS}, n - start_tok + 1) - 1"
+                   "], ' ')")} AS chunk_hash
+FROM ch
+"""
+
+
+# --- q79: deterministic training-order shuffle (shard + in-shard order) ---
+
+SHUF_SEED = "shuf:"   # hash domain separator
+N_SHARDS = 32
+
+
+def q79_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every doc gets a
+    content-addressed order key, a shard (key mod 32), and a position
+    within its shard — the standard write-shuffled-shards layout.
+    Reading shards in index order then rows in position order is a
+    reproducible pseudo-random permutation of the corpus: no rand(),
+    re-runs and retries land identical.
+
+    Scale shape: the ONLY global structure is the shard id, so the plan
+    is one hash exchange on shard + a per-shard sort — embarrassingly
+    parallel, no global sort, no single-partition window. Shard count
+    scales with the corpus so each shard stays task-sized."""
+    docs = load(spark, sf_dir, "documents")
+    key = hash32(F.concat(F.lit(SHUF_SEED), F.col("doc_id").cast("string")))
+    d = (docs.select("doc_id", key.alias("order_key"))
+         .withColumn("shard", (F.col("order_key") % N_SHARDS).cast("int")))
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return d.select("doc_id", "shard", "order_key",
+                    F.row_number().over(w).cast("long").alias("pos"))
+
+
+_Q79_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {hash32_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS order_key
+  FROM documents
+)
+SELECT doc_id, CAST(order_key % {N_SHARDS} AS INT) AS shard, order_key,
+       CAST(row_number() OVER (PARTITION BY order_key % {N_SHARDS}
+                               ORDER BY order_key, doc_id) AS BIGINT) AS pos
+FROM d
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q56_range_join": Query(q56_range_join, _Q56_SQL),
     "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
@@ -452,4 +561,6 @@ QUERIES: dict[str, Query] = {
     "q64_sequence_packing": Query(q64_sequence_packing, _Q64_SQL),
     "q71_rollup_refresh": Query(q71_rollup_refresh, _Q71_SQL),
     "q72_policy_redaction": Query(q72_policy_redaction, _Q72_SQL),
+    "q78_token_chunks": Query(q78_token_chunks, _Q78_SQL),
+    "q79_shuffle_shard": Query(q79_shuffle_shard, _Q79_SQL),
 }

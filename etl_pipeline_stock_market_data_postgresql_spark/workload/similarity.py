@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import Query
+from ..functions import vectors as vfun
 from ..functions.rounding import round_half_up_sql
 from ..functions.vectors import cosine_sql, sign_bucket_sql
 from ..operators import similarity
@@ -95,8 +96,101 @@ WHERE {_SIM6} >= {NEARDUP_THRESHOLD}
 """
 
 
+# --- q81: k-means iteration (learned IVF partitions) ----------------------
+
+KMEANS_K = 8
+
+
+def q81_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full distributed Lloyd iteration (operators/kmeans.py) seeded
+    from the first K vectors: nearest-centroid assignment (broadcast
+    K-fanout, struct-min argmin), integer-space centroid update, and
+    per-cluster quantized inertia + centroid-drift — the training step
+    behind a learned-partition IVF index (q28's sign buckets are the
+    untrained stand-in).
+
+    Every output is an exact integer (quantized folds, see kmeans
+    module docstring), so the cross-engine hash match certifies the
+    whole iteration: assignments, means, and convergence metrics."""
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vectors = emb.select(F.col("vec_id").alias("id"),
+                         vfun.as_double(F.col("embedding")).alias("v"))
+    centroids = (vectors.filter(F.col("id") < KMEANS_K)
+                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    assigned = kmeans.assign(vectors, centroids)
+    stats = (assigned.groupBy("cid")
+             .agg(F.count("*").alias("n_members"),
+                  F.sum(F.floor(F.col("d2") * kmeans.Q_D2).cast("long"))
+                  .alias("inertia_q")))
+    sums = kmeans.component_sums(assigned)
+    # per-component drift term between new mean and old centroid,
+    # quantized before the 64-way sum so the sum is exact
+    old_comp = centroids.select(
+        "cid", F.posexplode("cv").alias("pos", "old_x"))
+    new_comp = F.col("s").cast("double") / (F.col("n").cast("double")
+                                            * kmeans.Q_COMP)
+    diff2 = (new_comp - F.col("old_x")) * (new_comp - F.col("old_x"))
+    drift = (sums.join(old_comp, ["cid", "pos"])
+             .withColumn("dq", F.floor(diff2 * kmeans.Q_DRIFT).cast("long"))
+             .groupBy("cid").agg(F.sum("dq").alias("drift_q")))
+    return (centroids.select("cid")
+            .join(stats, "cid", "left").join(drift, "cid", "left")
+            .select(F.col("cid").alias("cluster_id"),
+                    F.coalesce("n_members", F.lit(0).cast("long"))
+                    .alias("n_members"),
+                    F.coalesce("inertia_q", F.lit(0).cast("long"))
+                    .alias("inertia_q"),
+                    F.coalesce("drift_q", F.lit(0).cast("long"))
+                    .alias("drift_q")))
+
+
+_SQDIST = ("list_sum(list_transform(range(1, len(e.v) + 1), "
+           "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))")
+
+_Q81_SQL = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {KMEANS_K}),
+a AS (
+  SELECT e.id, min(({_SQDIST}, c.cid)) AS m
+  FROM e CROSS JOIN c GROUP BY e.id
+),
+assigned AS (
+  SELECT a.id, m[2] AS cid, m[1] AS d2, e.v
+  FROM a JOIN e ON a.id = e.id
+),
+stats AS (
+  SELECT cid, count(*) AS n_members,
+         CAST(sum(CAST(floor(d2 * {10**6}) AS BIGINT)) AS BIGINT) AS inertia_q
+  FROM assigned GROUP BY cid
+),
+sums AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(v[i] * {10**9}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM assigned, unnest(range(1, len(v) + 1)) AS t(i)
+  GROUP BY cid, i
+),
+drift AS (
+  SELECT s.cid,
+         CAST(sum(CAST(floor(
+           (CAST(s.s AS DOUBLE) / (CAST(s.n AS DOUBLE) * {10**9}) - c.cv[s.pos + 1])
+           * (CAST(s.s AS DOUBLE) / (CAST(s.n AS DOUBLE) * {10**9}) - c.cv[s.pos + 1])
+           * {10**12}) AS BIGINT)) AS BIGINT) AS drift_q
+  FROM sums s JOIN c ON s.cid = c.cid
+  GROUP BY s.cid
+)
+SELECT c.cid AS cluster_id,
+       CAST(coalesce(n_members, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(inertia_q, 0) AS BIGINT) AS inertia_q,
+       CAST(coalesce(drift_q, 0) AS BIGINT) AS drift_q
+FROM c LEFT JOIN stats USING (cid) LEFT JOIN drift USING (cid)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q27_cosine_topk": Query(q27_cosine_topk, _Q27_SQL),
     "q28_ivf_topk": Query(q28_ivf_topk, _Q28_SQL),
     "q29_embedding_neardup": Query(q29_embedding_neardup, _Q29_SQL),
+    "q81_kmeans_step": Query(q81_kmeans_step, _Q81_SQL),
 }

@@ -330,10 +330,112 @@ FROM gated GROUP BY lang
 """
 
 
+# --- q76: intra-document repetition stats --------------------------------
+
+REP_NGRAM = 3            # duplicate-n-gram size (Gopher-style filter)
+REP_DUP3_MAX = 0.20      # flag: > 20% of 3-gram occurrences are repeats
+REP_TOPW_MAX = 0.30      # flag: top word covers > 30% of the doc
+
+
+def q76_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/MassiveText repetition
+    rules, rephrased over this corpus): per document, the fraction of
+    word occurrences that are duplicates, the coverage of the single most
+    frequent word, and the duplicate-3-gram fraction; docs exceeding the
+    thresholds are flagged for removal.
+
+    Scale shape: two explode → hash-aggregate chains (unigrams, 3-grams),
+    both keyed on doc_id — map-side combinable, shuffle carries (doc_id,
+    token-hash-sized strings) counts, never documents. The per-doc stats
+    join is doc_id-equi on already-aggregated (|docs|-row) inputs. No
+    windows, no sorts, no Python.
+
+    Fractions are ratios of exact integers, rounded with the portable
+    half-up form, so both engines emit bit-identical doubles."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+    uni = (d.select("doc_id", F.explode("tk").alias("t"))
+           .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.sum("c").alias("n_words"),
+                F.count("*").alias("n_distinct"),
+                F.max("c").alias("top_c")))
+    tri = (d.select("doc_id",
+                    F.explode(textstats.word_ngrams(F.col("tk"),
+                                                    REP_NGRAM)).alias("g"))
+           .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.sum("c").alias("n3"), F.count("*").alias("d3")))
+    base = d.select("doc_id").join(uni, "doc_id", "left").join(tri, "doc_id", "left")
+    nz = lambda c: F.coalesce(c, F.lit(0).cast("long"))  # noqa: E731
+    n_words, n3 = nz(F.col("n_words")), nz(F.col("n3"))
+    dup_word = F.when(n_words > 0,
+                      (n_words - nz(F.col("n_distinct"))) / n_words).otherwise(0.0)
+    top_word = F.when(n_words > 0, nz(F.col("top_c")) / n_words).otherwise(0.0)
+    dup3 = F.when(n3 > 0, (n3 - nz(F.col("d3"))) / n3).otherwise(0.0)
+    out = (base.withColumn("n_words", n_words)
+           .withColumn("dup_word_frac", _round6_portable(dup_word))
+           .withColumn("top_word_frac", _round6_portable(top_word))
+           .withColumn("dup_3gram_frac", _round6_portable(dup3)))
+    flagged = ((F.col("dup_3gram_frac") > REP_DUP3_MAX)
+               | (F.col("top_word_frac") > REP_TOPW_MAX))
+    return out.select("doc_id", "n_words", "dup_word_frac", "top_word_frac",
+                      "dup_3gram_frac", flagged.alias("flagged"))
+
+
+def _q76_gram_expr() -> str:
+    parts = " || ' ' || ".join(f"tk[i+{j}]" for j in range(REP_NGRAM))
+    return f"[{parts} for i in range(1, len(tk) - {REP_NGRAM - 2})]"
+
+
+_Q76_SQL = f"""
+WITH {_TOKS_CTE},
+uni AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+  FROM (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3, count(*) AS d3
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({_q76_gram_expr()}) AS g
+              FROM toks WHERE len(tk) >= {REP_NGRAM}) GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT t.doc_id,
+         coalesce(n_words, 0) AS n_words, coalesce(n_distinct, 0) AS n_distinct,
+         coalesce(top_c, 0) AS top_c, coalesce(n3, 0) AS n3, coalesce(d3, 0) AS d3
+  FROM toks t LEFT JOIN uni USING (doc_id) LEFT JOIN tri USING (doc_id)
+),
+f AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         {_round6_portable_sql(
+             'CASE WHEN n_words > 0 THEN CAST(n_words - n_distinct AS DOUBLE)'
+             ' / n_words ELSE 0.0 END')} AS dup_word_frac,
+         {_round6_portable_sql(
+             'CASE WHEN n_words > 0 THEN CAST(top_c AS DOUBLE) / n_words'
+             ' ELSE 0.0 END')} AS top_word_frac,
+         {_round6_portable_sql(
+             'CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3'
+             ' ELSE 0.0 END')} AS dup_3gram_frac
+  FROM j
+)
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_3gram_frac,
+       (dup_3gram_frac > {REP_DUP3_MAX} OR top_word_frac > {REP_TOPW_MAX})
+         AS flagged
+FROM f
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q30_langid": Query(q30_langid, _langid_sql()),
     "q31_quality_score": Query(q31_quality_score, _Q31_SQL),
     "q32_token_stats": Query(q32_token_stats, _Q32_SQL),
     "q33_fingerprint": Query(q33_fingerprint, _Q33_SQL),
     "q63_quality_gate": Query(q63_quality_gate, _Q63_SQL),
+    "q76_repetition_stats": Query(q76_repetition_stats, _Q76_SQL),
 }

@@ -65,6 +65,9 @@ _DRIVER_GAPPED = [
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
     "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
     "q73_streaming_stream_join", "q74_multimodal_decode",
+    "q75_bucketed_join", "q76_repetition_stats", "q77_funnel",
+    "q78_token_chunks", "q79_shuffle_shard", "q80_hll_distinct",
+    "q81_kmeans_step",
 ]
 
 

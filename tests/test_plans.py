@@ -119,6 +119,44 @@ def test_tfidf_topk_window_is_hash_partitioned(spark, sf_dir):
     assert "rangepartitioning" not in text.lower(), text[:800]
 
 
+def test_indicator_windows_partition_by_series_key(spark, sf_dir):
+    # q53/q54/q55 (EMA, RSI, Bollinger) must window over the per-series
+    # key (user_id) — hash partitioning, never a rangepartitioned
+    # global sort. See finance_analytics module docstring for the
+    # single-hot-series story (pre-bar the ticks, q35→q36 shape).
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.finance_analytics import (
+        q53_ema, q54_rsi, q55_bollinger)
+
+    for q in (q53_ema, q54_rsi, q55_bollinger):
+        text = plans.explain_str(q(spark, sf_dir))
+        assert "hashpartitioning(user_id" in text, (q.__name__, text[:800])
+        assert "rangepartitioning" not in text.lower(), (q.__name__, text[:800])
+
+
+def test_token_chunking_is_shuffle_free(spark, sf_dir):
+    # q78 is a pure per-row map (tokenize → explode bounded sequence →
+    # slice): beyond the initial single-row-group spread there must be
+    # no Exchange — chunking 100 TB is then perfectly parallel.
+    import re
+
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import q78_token_chunks
+
+    text = plans.explain_str(q78_token_chunks(spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange", text)
+    assert len(exchanges) <= 1, text[:1200]  # only the defensive spread
+
+
+def test_shuffle_shard_has_no_global_sort(spark, sf_dir):
+    # q79's training-order shuffle must sort within hash-partitioned
+    # shards only; a rangepartitioning would serialize the corpus
+    # through a global sample-and-sort at scale.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import q79_shuffle_shard
+
+    text = plans.explain_str(q79_shuffle_shard(spark, sf_dir))
+    assert "rangepartitioning" not in text.lower(), text[:800]
+    assert "hashpartitioning" in text, text[:800]
+
+
 def test_rollup_reuses_cached_hourly_level(spark, sf_dir):
     # q57's day level must re-aggregate the persisted hourly aggregate
     # (InMemoryRelation appears), not rescan raw events twice.
