@@ -266,7 +266,10 @@ FROM thr LEFT JOIN samp USING (lang)
 
 # --- q70: SCD2 dimension-history construction ----------------------------
 
-SCD2_SENTINEL = "9999-12-31 00:00:00"  # open-interval end marker
+# Open intervals carry a NULL effective_to (is_current marks them); a
+# far-future sentinel like 9999-12-31 overflows pandas' datetime64[ns]
+# range (max 2262-04-11) and breaks any Arrow/pandas consumer of the
+# result, so NULL is the portable encoding.
 SCD2_CUST_MOD = 7                      # sample 1/7 of customers for output
 
 
@@ -302,18 +305,15 @@ def q70_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("prev").isNull()
                        | (F.col("prev") != F.col("o_orderpriority"))))
     w_ver = Window.partitionBy("o_custkey").orderBy("o_orderdate")
-    eff_to = F.coalesce(F.lead("o_orderdate").over(w_ver),
-                        F.lit(SCD2_SENTINEL).cast("timestamp"))
     return (changed
             .withColumn("version_n", F.row_number().over(w_ver).cast("int"))
-            .withColumn("effective_to", eff_to)
+            .withColumn("effective_to", F.lead("o_orderdate").over(w_ver))
             .select(F.col("o_custkey").alias("custkey"),
                     F.col("version_n"),
                     F.col("o_orderpriority").alias("priority"),
                     F.col("o_orderdate").alias("effective_from"),
                     "effective_to",
-                    (F.col("effective_to")
-                     == F.lit(SCD2_SENTINEL).cast("timestamp")).alias("is_current")))
+                    F.col("effective_to").isNull().alias("is_current")))
 
 
 _Q70_SQL = f"""
@@ -335,11 +335,8 @@ SELECT o_custkey AS custkey,
        CAST(row_number() OVER w AS INT) AS version_n,
        o_orderpriority AS priority,
        o_orderdate AS effective_from,
-       coalesce(lead(o_orderdate) OVER w,
-                TIMESTAMP '{SCD2_SENTINEL}') AS effective_to,
-       coalesce(lead(o_orderdate) OVER w,
-                TIMESTAMP '{SCD2_SENTINEL}') = TIMESTAMP '{SCD2_SENTINEL}'
-         AS is_current
+       lead(o_orderdate) OVER w AS effective_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
 FROM changed
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
 """

@@ -9,9 +9,11 @@ testdata/sf0.01 for the driver-scale check.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 
 import duckdb
+import pandas as pd
 import pytest
 
 from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import TESTDATA_TABLES
@@ -34,6 +36,25 @@ def _normalize_cell(v):
             return "NaN"
         return f"{v:.9g}"
     return str(v)
+
+
+def _assert_pandas_safe(name, engine, rows):
+    """The external driver's gate compares results through pandas, whose
+    datetime64[ns] range tops out at 2262-04-11 — narrower than Spark's
+    and DuckDB's TIMESTAMP. A value that stringifies fine here but
+    overflows there (e.g. a 9999-12-31 sentinel) would pass locally and
+    fail at the gate, so force every temporal cell through the same
+    nanosecond conversion the driver performs."""
+    for r in rows:
+        for v in r:
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                try:
+                    pd.Timestamp(v).as_unit("ns")
+                except (ValueError, OverflowError) as e:
+                    raise AssertionError(
+                        f"{name}: {engine} value {v!r} is outside pandas "
+                        f"datetime64[ns] range — the driver gate would "
+                        f"fail on it: {e}") from e
 
 
 def _normalize_rows(cols, rows):
@@ -93,6 +114,8 @@ def _compare(spark, sf_dir, name):
     finally:
         conn.close()
 
+    _assert_pandas_safe(name, "spark", spark_rows)
+    _assert_pandas_safe(name, "duckdb", duck_rows)
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}")
     assert len(spark_rows) == len(duck_rows), (

@@ -9,7 +9,7 @@ from collections import defaultdict
 from pyspark.sql import functions as F
 
 from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
-    SCD2_SENTINEL, q69_domain_mix_sample, q70_scd2_history)
+    q69_domain_mix_sample, q70_scd2_history)
 
 
 def test_scd2_intervals_partition_history(spark, sf_dir):
@@ -31,8 +31,11 @@ def test_scd2_intervals_partition_history(spark, sf_dir):
             assert a["effective_to"] == b["effective_from"], (cust, a, b)
             # a new version exists only when the attribute changed
             assert a["priority"] != b["priority"], (cust, a, b)
-        assert str(versions[-1]["effective_to"]).startswith(
-            SCD2_SENTINEL.split()[0])
+        # the open interval is encoded as NULL (pandas-safe; no
+        # 9999-12-31-style sentinel that overflows datetime64[ns])
+        assert versions[-1]["effective_to"] is None
+        for r in versions[:-1]:
+            assert r["effective_to"] is not None
 
 
 def test_domain_mix_upsamples_rare_languages(spark, sf_dir):
