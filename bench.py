@@ -38,8 +38,9 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, q in sorted(queries.items()):
+    for i, (name, q) in enumerate(sorted(queries.items())):
         t0 = time.perf_counter()
+        df = None
         try:
             df = q.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -48,10 +49,18 @@ def main() -> None:
         except Exception as ex:  # one bad query must not sink the bench
             failures[name] = f"{type(ex).__name__}: {ex}"[:200]
             print(f"  {name}: FAILED {failures[name]}", file=sys.stderr)
+        del df
         # queries that persist intermediates (dedup/LSH pipelines) must
         # not leak cache blocks into the next query's timing — each
         # query is measured cold against the page-cached parquet only
         spark.catalog.clearCache()
+        # localCheckpoint blocks (q61/q81 label rounds, streaming sink
+        # materializations) are reclaimed by ContextCleaner only after a
+        # JVM GC notices the RDDs are unreachable; nudge periodically so
+        # one run's blocks can't pile up into memory pressure that
+        # poisons later queries' timings (untimed: between queries)
+        if i % 10 == 9:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     out = {

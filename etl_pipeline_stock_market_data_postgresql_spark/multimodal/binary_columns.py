@@ -97,6 +97,46 @@ def decode_image_stub(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(decode, DECODED_SCHEMA)
 
 
+DECODED_HIST_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("min_doc_id", T.LongType()),
+])
+
+
+def decode_image_histogram_stub(df: DataFrame, id_col: str = "doc_id",
+                                bin_col: str = "payload") -> DataFrame:
+    """Decode + dimension histogram with the combine pushed INTO the
+    Arrow kernel: each batch decodes (same stub as decode_image_stub)
+    and returns one partial row per distinct (width, height, channels)
+    instead of one row per document — map-side combine at the Python
+    boundary. Arrow return traffic and the downstream shuffle shrink
+    from |docs| rows to |distinct dims| per batch; the input transfer
+    (the payloads being decoded) is the irreducible cost."""
+    src = df.select(id_col, bin_col)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[bin_col].map(len)
+            dims = pd.DataFrame({
+                # real impl: PIL.Image.open(io.BytesIO(b)).size
+                "width": (n % 640 + 1).astype("int32"),
+                "height": (n % 480 + 1).astype("int32"),
+                "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
+                "doc_id": pdf[id_col].astype("int64"),
+            })
+            g = (dims.groupby(["width", "height", "n_channels"],
+                              as_index=False)
+                 .agg(n_docs=("doc_id", "count"),
+                      min_doc_id=("doc_id", "min")))
+            g["n_docs"] = g["n_docs"].astype("int64")
+            yield g[["width", "height", "n_channels", "n_docs", "min_doc_id"]]
+
+    return src.mapInPandas(decode, DECODED_HIST_SCHEMA)
+
+
 def extract_features_stub(df: DataFrame, id_col: str = "doc_id",
                           bin_col: str = "payload") -> DataFrame:
     """Feature extraction via mapInPandas. STUB: deterministic

@@ -239,16 +239,23 @@ def q80_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = F.countDistinct("user_id")
     agg = (ev.groupBy("event_type")
            .agg(exact.alias("n_exact"), est.alias("_apx")))
-    ok = (F.abs(F.col("_apx").cast("double") - F.col("n_exact"))
-          / F.col("n_exact")) <= HLL_TOL
+    # n_exact = 0 (all user_ids NULL in a group) would divide by zero:
+    # Spark doubles give NaN, DuckDB gives NULL — guard in both engines
+    # so the certification is vacuously true on the empty edge case.
+    ok = F.when(
+        F.col("n_exact") > 0,
+        (F.abs(F.col("_apx").cast("double") - F.col("n_exact"))
+         / F.col("n_exact")) <= HLL_TOL).otherwise(F.lit(True))
     return agg.select("event_type", "n_exact", ok.alias("within_tol"))
 
 
 _Q80_SQL = f"""
 SELECT event_type, count(DISTINCT user_id) AS n_exact,
-       abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
-           - count(DISTINCT user_id)) / count(DISTINCT user_id)
-         <= {HLL_TOL} AS within_tol
+       CASE WHEN count(DISTINCT user_id) > 0 THEN
+         abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+             - count(DISTINCT user_id)) / count(DISTINCT user_id)
+           <= {HLL_TOL}
+       ELSE TRUE END AS within_tol
 FROM events GROUP BY event_type
 """
 

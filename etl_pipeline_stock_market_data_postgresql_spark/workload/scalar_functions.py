@@ -44,16 +44,18 @@ def q74_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in unit tests. Swap the stub body for PIL and the plan is unchanged.
 
     Scale shape: decode introduces NO shuffle (batches stay on the
-    scan partitions); the only exchange is the final tiny histogram
-    aggregation."""
-    from ..multimodal.binary_columns import attach_binary_payload, decode_image_stub
+    scan partitions) and the histogram combine runs INSIDE the kernel —
+    each Arrow batch returns per-dimension partials, not per-doc rows —
+    so the only exchange carries |distinct dims| rows per partition."""
+    from ..multimodal.binary_columns import (attach_binary_payload,
+                                             decode_image_histogram_stub)
 
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    decoded = decode_image_stub(attach_binary_payload(docs))
-    return (decoded.groupBy("width", "height", "n_channels")
-            .agg(F.count("*").alias("n_docs"),
-                 F.min("doc_id").alias("min_doc_id")))
+    partials = decode_image_histogram_stub(attach_binary_payload(docs))
+    return (partials.groupBy("width", "height", "n_channels")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.min("min_doc_id").alias("min_doc_id")))
 
 
 _Q74_SQL = """

@@ -18,6 +18,7 @@ equivalent of "the DBA added the right index".
 
 from __future__ import annotations
 
+import getpass
 import os
 import re
 import tempfile
@@ -35,12 +36,25 @@ def _scratch_base(sf_dir: str) -> tuple[str, str]:
     """Deterministic per-SF scratch location for the bucketed copies.
 
     Overwritten on every run (idempotent); keyed by the sf_dir basename
-    so gate (sf0.01) and bench (sf0.1) runs never clobber each other.
-    On a real cluster this would be a warehouse path — the layout
-    contract, not the tmp location, is what the query demonstrates.
+    so gate (sf0.01) and bench (sf0.1) runs never clobber each other,
+    and by user (or an explicit SPARK_GRAFT_SCRATCH root) so concurrent
+    runs under different accounts on a shared host neither race on the
+    overwrite nor squat each other's predictable /tmp subpath. On a real
+    cluster this would be a warehouse path — the layout contract, not
+    the tmp location, is what the query demonstrates. Lifecycle: the
+    copies persist between runs as a cache; delete the directory to
+    reclaim space.
     """
     sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    return os.path.join(tempfile.gettempdir(), "etl_spark_bucketed", sf_tag), sf_tag
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not root:
+        try:
+            user = getpass.getuser()
+        except (KeyError, OSError):  # no passwd entry (containers)
+            user = f"uid{os.getuid()}"
+        root = os.path.join(tempfile.gettempdir(),
+                            f"etl_spark_bucketed_{user}")
+    return os.path.join(root, sf_tag), sf_tag
 
 
 def q75_joined(spark: SparkSession, sf_dir: str) -> DataFrame:

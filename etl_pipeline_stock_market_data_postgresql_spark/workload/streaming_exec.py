@@ -43,15 +43,25 @@ def _stateful_shuffle_partitions(spark: SparkSession, n_parts: int | None):
 
 
 def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str,
-                          n_parts: int | None) -> str:
+                          n_parts: int | None) -> DataFrame:
+    """Execute ``df`` through Structured Streaming into a memory sink
+    and return the materialized result detached from the sink: the rows
+    are checkpointed into block storage and the sink's temp view is
+    dropped immediately, so a long multi-query run (gate, bench) never
+    accumulates driver-resident sink state — previously each streaming
+    query leaked its output as a session temp view for the rest of the
+    process."""
+    spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:10]}"
-    with _stateful_shuffle_partitions(df.sparkSession, n_parts):
+    with _stateful_shuffle_partitions(spark, n_parts):
         q = (df.writeStream.outputMode(mode)
              .format("memory").queryName(name)
              .trigger(availableNow=True).start())
         q.processAllAvailable()
         q.stop()
-    return name
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,8 +85,8 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("w.start").alias("bucket_start"), "event_type",
                    "n_events", "sum_value"))
 
-    return spark.table(_run_stream_to_memory(agg, "q46_out", "complete",
-                                          STREAM_SMALL_STATE_PARTITIONS))
+    return _run_stream_to_memory(agg, "q46_out", "complete",
+                                 STREAM_SMALL_STATE_PARTITIONS)
 
 
 _Q46_SQL = """
@@ -119,7 +129,7 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("w.end").alias("session_end"),
                    "n_events", "sum_value"))
 
-    return spark.table(_run_stream_to_memory(agg, "q62_out", "complete", None))
+    return _run_stream_to_memory(agg, "q62_out", "complete", None)
 
 
 _Q62_SQL = f"""
@@ -194,8 +204,8 @@ def q73_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("click_ts")
                  - F.unix_micros("view_ts")).alias("gap_us")))
 
-    return spark.table(_run_stream_to_memory(joined, "q73_out", "append",
-                                          STREAM_SMALL_STATE_PARTITIONS))
+    return _run_stream_to_memory(joined, "q73_out", "append",
+                                 STREAM_SMALL_STATE_PARTITIONS)
 
 
 _Q73_SQL = f"""

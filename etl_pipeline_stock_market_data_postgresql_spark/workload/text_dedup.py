@@ -223,6 +223,12 @@ def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (comp.groupBy("comp")
            .agg(F.count("*").alias("n_members"), members_csv.alias("members"))
            .select(F.col("comp").alias("keep_id"), "n_members", "members"))
+    # Detach the (tiny) cluster summary from the propagation lineage:
+    # without this, the returned DataFrame keeps every label-round's
+    # checkpoint blocks referenced for as long as the caller holds the
+    # result. Checkpointing the ~|clusters| rows here lets the O(|docs|)
+    # label blocks become unreachable the moment this function returns.
+    out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out
 

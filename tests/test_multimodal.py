@@ -30,6 +30,22 @@ def test_decode_stub_schema_and_determinism(spark):
     assert all(r[1] >= 1 and r[2] >= 1 for r in a)  # width/height positive
 
 
+def test_decode_histogram_partials_match_per_doc_decode(spark):
+    # the in-kernel combine must be a pure refactor of per-doc decode +
+    # groupBy: same histogram, regardless of how rows split into batches
+    payload = mm.attach_binary_payload(_docs(spark))
+    per_doc = mm.decode_image_stub(payload)
+    expected = {(r["width"], r["height"], r["n_channels"]): r
+                for r in per_doc.groupBy("width", "height", "n_channels")
+                .count().collect()}
+    partial = mm.binary_columns.decode_image_histogram_stub(payload)
+    assert partial.schema == mm.binary_columns.DECODED_HIST_SCHEMA
+    got = (partial.groupBy("width", "height", "n_channels")
+           .sum("n_docs").collect())
+    assert {(r[0], r[1], r[2]): r[3] for r in got} == {
+        k: v["count"] for k, v in expected.items()}
+
+
 def test_features_stub(spark):
     df = mm.extract_features_stub(mm.attach_binary_payload(_docs(spark)))
     rows = {r["doc_id"]: r["features"] for r in df.collect()}
