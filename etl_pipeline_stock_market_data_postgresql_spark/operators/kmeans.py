@@ -88,7 +88,11 @@ def lloyd(vectors: DataFrame, centroids: DataFrame,
           n_iter: int) -> tuple[DataFrame, list[int]]:
     """Run ``n_iter`` Lloyd iterations; returns the final centroids and
     the per-iteration quantized inertia history (monotone non-increasing
-    by the standard k-means argument — asserted in tests)."""
+    by the standard k-means argument — asserted in tests).
+
+    The per-iteration ``.collect()`` fetches one scalar (the inertia)
+    and exists for the convergence-loop API; the gated/driver path is
+    :func:`lloyd_trace`, which keeps the history distributed."""
     history: list[int] = []
     for _ in range(n_iter):
         assigned = assign(vectors, centroids)
@@ -100,3 +104,37 @@ def lloyd(vectors: DataFrame, centroids: DataFrame,
         # previous rounds' joins
         centroids = centroids.localCheckpoint(eager=True)
     return centroids, history
+
+
+def lloyd_trace(vectors: DataFrame, centroids: DataFrame,
+                n_iter: int) -> DataFrame:
+    """``n_iter`` Lloyd iterations with the convergence trace as DATA:
+    returns one row per iteration ``(iteration, inertia_q, n_assigned)``
+    with no driver-side ``.collect()`` anywhere in the path.
+
+    Per iteration the O(|corpus|) assignment is ``localCheckpoint``-ed
+    once and then feeds BOTH the inertia row and the centroid update, so
+    the broadcast-K argmin runs exactly once per round; the 1-row
+    inertia aggregate is checkpointed too, which detaches the returned
+    union from every iteration's corpus-sized blocks — they become
+    unreachable (ContextCleaner-collectable) as soon as the next round's
+    centroids materialize. The returned plan is a union of ``n_iter``
+    one-row scans, nothing more."""
+    rows: list[DataFrame] = []
+    for it in range(1, n_iter + 1):
+        assigned = assign(vectors, centroids).localCheckpoint(eager=True)
+        trace = (assigned.agg(
+            F.sum(F.floor(F.col("d2") * Q_D2).cast("long")).alias("inertia_q"),
+            F.count("*").alias("n_assigned"))
+            .select(F.lit(it).alias("iteration"),
+                    F.coalesce("inertia_q", F.lit(0).cast("long"))
+                    .alias("inertia_q"), "n_assigned")
+            .localCheckpoint(eager=True))
+        rows.append(trace)
+        if it < n_iter:
+            centroids = (new_centroids(component_sums(assigned), centroids)
+                         .localCheckpoint(eager=True))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

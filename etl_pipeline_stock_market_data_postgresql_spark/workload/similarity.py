@@ -188,9 +188,98 @@ FROM c LEFT JOIN stats USING (cid) LEFT JOIN drift USING (cid)
 """
 
 
+# --- q82: multi-iteration Lloyd with the convergence trace as data --------
+
+N_LLOYD_ITERS = 3
+
+
+def q82_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations (operators/kmeans.lloyd_trace) seeded
+    from the first K vectors; output is the convergence trace itself —
+    one row per iteration with the exact quantized inertia. This gates
+    the ITERATIVE path q81 proves one step of: assignment → integer-
+    space centroid update → reassignment against the rebuilt means,
+    with per-round localCheckpoint lineage truncation and no driver
+    collect anywhere.
+
+    Both engines rebuild iteration-2/3 centroids as s/(n·10⁹) from
+    exact BIGINT component sums, so the doubles entering the next
+    assignment are bit-identical and the cross-engine hash certifies
+    the whole 3-round recursion, monotone inertia included."""
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vectors = (emb.select(F.col("vec_id").alias("id"),
+                          vfun.as_double(F.col("embedding")).alias("v"))
+               # embeddings parquet is a single row-group; spread the
+               # K-fanout assignment work before iterating
+               .repartition(spark.sparkContext.defaultParallelism, "id"))
+    centroids = (vectors.filter(F.col("id") < KMEANS_K)
+                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    return kmeans.lloyd_trace(vectors, centroids, N_LLOYD_ITERS)
+
+
+def _lloyd_trace_sql(n_iter: int, k: int) -> str:
+    """Unroll the Lloyd recursion into a DuckDB CTE chain — the same
+    quantized arithmetic as operators/kmeans.py, iteration by
+    iteration (c1 = seed, c{i+1} = integer-sum means over s{i})."""
+    from ..operators.kmeans import Q_COMP, Q_D2
+
+    def sq(c: str) -> str:
+        return ("list_sum(list_transform(range(1, len(e.v) + 1), "
+                f"i -> (e.v[i] - {c}.cv[i]) * (e.v[i] - {c}.cv[i])))")
+
+    ctes = [
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        c = f"c{it}"
+        ctes.append(f"""a{it} AS (
+  SELECT e.id, min(({sq(c)}, {c}.cid)) AS m
+  FROM e CROSS JOIN {c} GROUP BY e.id
+)""")
+        ctes.append(f"""s{it} AS (
+  SELECT a{it}.id, m[2] AS cid, m[1] AS d2, e.v
+  FROM a{it} JOIN e ON a{it}.id = e.id
+)""")
+        ctes.append(f"""t{it} AS (
+  SELECT {it} AS iteration,
+         CAST(coalesce(sum(CAST(floor(d2 * {Q_D2}) AS BIGINT)), 0) AS BIGINT)
+           AS inertia_q,
+         count(*) AS n_assigned
+  FROM s{it}
+)""")
+        if it < n_iter:
+            ctes.append(f"""m{it} AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM s{it}, unnest(range(1, len(v) + 1)) AS u(i)
+  GROUP BY cid, i
+)""")
+            ctes.append(f"""r{it} AS (
+  SELECT cid,
+         list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+              ORDER BY pos) AS cv
+  FROM m{it} GROUP BY cid
+)""")
+            ctes.append(f"""c{it + 1} AS (
+  SELECT {c}.cid, coalesce(r{it}.cv, {c}.cv) AS cv
+  FROM {c} LEFT JOIN r{it} ON {c}.cid = r{it}.cid
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT iteration, inertia_q, n_assigned FROM t{it}"
+        for it in range(1, n_iter + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+_Q82_SQL = _lloyd_trace_sql(N_LLOYD_ITERS, KMEANS_K)
+
+
 QUERIES: dict[str, Query] = {
     "q27_cosine_topk": Query(q27_cosine_topk, _Q27_SQL),
     "q28_ivf_topk": Query(q28_ivf_topk, _Q28_SQL),
     "q29_embedding_neardup": Query(q29_embedding_neardup, _Q29_SQL),
     "q81_kmeans_step": Query(q81_kmeans_step, _Q81_SQL),
+    "q82_kmeans_lloyd": Query(q82_kmeans_lloyd, _Q82_SQL),
 }

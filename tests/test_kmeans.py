@@ -35,6 +35,21 @@ def test_lloyd_inertia_never_increases(spark, sf_dir):
     assert all(b <= a + eps_q for a, b in zip(history, history[1:])), history
 
 
+def test_lloyd_trace_matches_lloyd_history(spark, sf_dir):
+    # the distributed trace (gated path, q82) must report exactly the
+    # inertia sequence the driver-side convergence loop sees
+    v = _vectors(spark, sf_dir)
+    centroids = (v.filter(F.col("id") < K)
+                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    _, history = kmeans.lloyd(v, centroids, n_iter=3)
+    trace = kmeans.lloyd_trace(v, centroids, n_iter=3)
+    assert trace.columns == ["iteration", "inertia_q", "n_assigned"]
+    rows = sorted(trace.collect(), key=lambda r: r["iteration"])
+    assert [r["inertia_q"] for r in rows] == history
+    n = v.count()
+    assert all(r["n_assigned"] == n for r in rows)
+
+
 def test_assignment_is_total_and_unique(spark, sf_dir):
     v = _vectors(spark, sf_dir)
     centroids = (v.filter(F.col("id") < K)
