@@ -1,10 +1,14 @@
 """Event-stream analytics in batch form (SURVEY.md §2.9).
 
 The reference's incremental load is a hand-rolled streaming pattern;
-these queries express the native equivalents — tumbling-window
-aggregation and gap-based sessionization — as batch plans whose
-streaming twins live in ``streaming/ingest.py`` (same logical shape,
-plus watermarks/state)."""
+these queries express the native equivalents — gap-based
+sessionization, funnels, sketches — as batch plans whose streaming
+twins live in ``streaming/ingest.py`` (same logical shape, plus
+watermarks/state). Tumbling-window aggregation lives in
+``streaming_exec.q46``, which executes the streaming plan and
+hash-matches it against the batch-SQL oracle — one vehicle proving
+both the batch and streaming sides since r4's registry
+consolidation (it was also q21 in batch form through r3)."""
 
 from __future__ import annotations
 
@@ -14,26 +18,6 @@ from . import Query
 from ..sources.tables import load
 
 SESSION_GAP_MIN = 30
-
-
-def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly tumbling window per event type (F.window == the streaming
-    operator; batch and stream share this plan)."""
-    events = load(spark, sf_dir, "events")
-    return (events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,4)"))
-                 .cast("double").alias("sum_value"))
-            .select(F.col("w.start").alias("hour_start"), "event_type",
-                    "n_events", "sum_value"))
-
-
-_Q21_SQL = """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
-       count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
-"""
 
 
 def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +245,6 @@ FROM events GROUP BY event_type
 
 
 QUERIES: dict[str, Query] = {
-    "q21_tumbling_window": Query(q21_tumbling_window, _Q21_SQL),
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
     "q66_salted_join": Query(q66_salted_join, _Q66_SQL),

@@ -18,7 +18,6 @@ from ..operators import similarity
 from ..sources.tables import load
 
 N_QUERIES = 10      # vec_id < 10 are the query vectors
-TOP_K = 5
 IVF_BITS = 4
 NEARDUP_THRESHOLD = 0.30  # synthetic corpus has no true near-dups; low
                           # threshold keeps the result set non-trivial
@@ -30,51 +29,55 @@ _SIM6 = round_half_up_sql(_COS, 6)
 _EMB_D = "(SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
 
 
-def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for the first 10 query vectors —
-    query side broadcast, corpus streamed, windowed rank."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return similarity.brute_force_topk(queries, emb, "vec_id", "embedding", TOP_K)
-
-
-_Q27_SQL = f"""
-SELECT * FROM (
-  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-         {_SIM6} AS sim,
-         CAST(row_number() OVER (
-           PARTITION BY a.vec_id
-           ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
-  FROM {_EMB_D} a JOIN {_EMB_D} b ON a.vec_id <> b.vec_id
-  WHERE a.vec_id < {N_QUERIES}
-)
-WHERE rank <= {TOP_K}
-"""
-
-
 def q28_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 probing only the query's sign bucket — the
-    1/2^bits-of-corpus-per-query ANN scale path."""
+    1/2^bits-of-corpus-per-query ANN scale path — with its recall
+    against the exact brute-force top-3 measured in the same result:
+    ``in_exact_top3`` marks IVF hits that the exact ranking also
+    returns. One vehicle proves both the approximate scale path and
+    the exact baseline it is graded against (the baseline was q27
+    until r4's registry consolidation)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return similarity.ivf_topk(queries, emb, "vec_id", "embedding", 3, IVF_BITS)
+    ivf = similarity.ivf_topk(queries, emb, "vec_id", "embedding", 3, IVF_BITS)
+    exact = (similarity.brute_force_topk(queries, emb, "vec_id", "embedding", 3)
+             .select("q_id", "neighbor_id", F.lit(1).alias("in_exact_top3")))
+    return (ivf.join(F.broadcast(exact), ["q_id", "neighbor_id"], "left")
+            .select("q_id", "neighbor_id", "bucket", "sim", "rank",
+                    F.coalesce(F.col("in_exact_top3"), F.lit(0))
+                    .alias("in_exact_top3")))
 
 
 _BUCKET_A = sign_bucket_sql("a.v", IVF_BITS)
 _BUCKET_B = sign_bucket_sql("b.v", IVF_BITS)
 
 _Q28_SQL = f"""
-SELECT * FROM (
-  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_BUCKET_A} AS bucket,
-         {_SIM6} AS sim,
-         CAST(row_number() OVER (
-           PARTITION BY a.vec_id
-           ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
-  FROM {_EMB_D} a
-  JOIN {_EMB_D} b ON {_BUCKET_A} = {_BUCKET_B} AND a.vec_id <> b.vec_id
-  WHERE a.vec_id < {N_QUERIES}
+WITH ivf AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, {_BUCKET_A} AS bucket,
+           {_SIM6} AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
+    FROM {_EMB_D} a
+    JOIN {_EMB_D} b ON {_BUCKET_A} = {_BUCKET_B} AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rank <= 3
+),
+exact AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
+    FROM {_EMB_D} a JOIN {_EMB_D} b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rank <= 3
 )
-WHERE rank <= 3
+SELECT i.q_id, i.neighbor_id, i.bucket, i.sim, i.rank,
+       CAST(CASE WHEN e.q_id IS NULL THEN 0 ELSE 1 END AS INT) AS in_exact_top3
+FROM ivf i LEFT JOIN exact e
+  ON i.q_id = e.q_id AND i.neighbor_id = e.neighbor_id
 """
 
 
@@ -82,7 +85,8 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above threshold via the
     bucketed scale path: candidates come from a sign-bucket equi-join
     (shuffle ∝ corpus, no corpus broadcast, no all-pairs product).
-    q27 is the exact all-pairs recall baseline for this family."""
+    q28's in_exact_top3 column carries the exact recall baseline for
+    this family."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs(emb, "vec_id", "embedding",
                                     NEARDUP_THRESHOLD, n_bits=IVF_BITS)
@@ -277,7 +281,6 @@ _Q82_SQL = _lloyd_trace_sql(N_LLOYD_ITERS, KMEANS_K)
 
 
 QUERIES: dict[str, Query] = {
-    "q27_cosine_topk": Query(q27_cosine_topk, _Q27_SQL),
     "q28_ivf_topk": Query(q28_ivf_topk, _Q28_SQL),
     "q29_embedding_neardup": Query(q29_embedding_neardup, _Q29_SQL),
     "q81_kmeans_step": Query(q81_kmeans_step, _Q81_SQL),

@@ -53,29 +53,26 @@ def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("volume")))
 
 
-def q35_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_sma_over_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLCV bars derived from raw events — the
     daily_stock_prices grain (symbol→user_id, date→day_start) built by
-    the engine instead of fetched pre-aggregated."""
-    return _bars(spark, sf_dir)
-
-
-_Q35_SQL = f"WITH {_BARS_SQL_CTE} SELECT * FROM bars"
-
-
-def q36_sma_over_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native trailing-3 SMA over the derived daily closes — the
-    sma_indicators table computed, not fetched (SURVEY.md §2.5 A4,
-    N=10@daily analog)."""
+    the engine instead of fetched pre-aggregated — with the native
+    trailing-3 SMA over the derived closes in the same result (the
+    sma_indicators table computed, not fetched; SURVEY.md §2.5 A4,
+    N=10@daily analog). One vehicle proves both the bar derivation
+    (every OHLCV column is in the output) and the indicator over it
+    (the bars-only view was q35 until r4's registry consolidation)."""
     bars = _bars(spark, sf_dir)
     out = sma(bars, "close_value", "user_id", "day_start", n=3, out_col="sma_3")
-    return out.select("user_id", "day_start", "close_value",
+    return out.select("user_id", "day_start", "open_value", "high_value",
+                      "low_value", "close_value", "volume",
                       round_half_up(F.col("sma_3"), 4).alias("sma_3"))
 
 
 _Q36_SQL = f"""
 WITH {_BARS_SQL_CTE}
-SELECT user_id, day_start, close_value,
+SELECT user_id, day_start, open_value, high_value, low_value, close_value,
+       volume,
        floor((CASE WHEN count(*) OVER w2 >= 3
                   THEN avg(close_value) OVER w2 END) * 10000 + 0.5) / 10000 AS sma_3
 FROM bars
@@ -85,6 +82,5 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY day_start
 
 
 QUERIES: dict[str, Query] = {
-    "q35_ohlcv_bars": Query(q35_ohlcv_bars, _Q35_SQL),
     "q36_sma_over_bars": Query(q36_sma_over_bars, _Q36_SQL),
 }
