@@ -40,24 +40,25 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (no r1 or r2 row)
-    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi", "q55_bollinger",
-    "q56_range_join", "q57_hierarchical_rollup", "q58_stratified_split",
-    "q59_stratum_sample", "q60_embedding_centroids",
-    "q62_streaming_session_window", "q64_sequence_packing",
-    # new in round 3 (no row yet)
-    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
-    "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
-    "q73_streaming_stream_join", "q74_multimodal_decode",
-    "q75_bucketed_join", "q76_repetition_stats", "q77_funnel",
-    "q78_token_chunks", "q79_shuffle_shard", "q80_hll_distinct",
-    "q81_kmeans_step",
-    # green in r1 but bumped out of the r2 window
-    "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
-    "q48_vwap",
-    # r2-green only once (never seen in r1)
-    "q61_dedup_clusters", "q63_quality_gate", "q65_salted_distinct",
-    "q66_salted_join", "q51_lsh_verified_neardup", "q52_multiset_ops",
+    # round-4 window. Never driver-proven: q70's r3 row errored on the
+    # 9999-12-31 sentinel (fixed this round: NULL effective_to).
+    "q70_scd2_history",
+    # new in round 4 (no row possible yet)
+    "q82_kmeans_lloyd",
+    # outputs CHANGED by the r4 registry consolidation (merged vehicles):
+    # q28 gained the in_exact_top3 recall column (absorbed q27); q36 now
+    # returns bars+SMA in one result (absorbed q35). Their old green rows
+    # no longer certify the current code.
+    "q28_ivf_topk", "q36_sma_over_bars",
+    # stale: r1+r2 double-green but no r3 row (code unchanged since)
+    "q14_group_topn", "q15_set_ops", "q16_rollup", "q17_pivot_status",
+    "q18_distinct_agg", "q19_having_heavy_customers", "q20_asof_last_click",
+    "q22_sessionization", "q23_dedup_exact", "q24_ngram_jaccard",
+    "q25_minhash_lsh", "q26_simhash", "q29_embedding_neardup",
+    "q30_langid", "q31_quality_score", "q32_token_stats", "q33_fingerprint",
+    "q34_multimodal_meta", "q37_cube", "q38_string_funcs", "q39_percentiles",
+    "q40_date_funcs", "q41_correlated_max", "q42_unpivot",
+    "q43_array_aggregation", "q44_joinback_avg",
 )
 
 
