@@ -32,20 +32,34 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defensive runtime confs for sessions we didn't build (the driver
     passes its own SparkSession to the entry points): nanos-parquet
-    readability and UTC timestamps (oracle comparability). Both are
-    runtime-settable SQL confs."""
+    readability, no TIMESTAMP_NTZ inference (plain `timestamp[us]`
+    parquet columns must arrive as TIMESTAMP so `unix_micros` /
+    `withWatermark` work), and UTC timestamps (oracle comparability).
+    All are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. At cluster scale the same call reads a
-    multi-file parquet dataset; nothing here assumes single-file."""
+    multi-file parquet dataset; nothing here assumes single-file.
+
+    Time columns are normalized to TIMESTAMP regardless of the parquet
+    encoding the driver ships: INT64 TIMESTAMP(NANOS) arrives as bigint
+    (nanosAsLong) and is integer-divided to micros; `timestamp[us],
+    isAdjustedToUTC=false` would arrive as TIMESTAMP_NTZ if inference
+    were on, so it's disabled above AND cast here as a belt-and-braces
+    (session TZ is pinned UTC, so NTZ→LTZ preserves wall-clock values
+    and matches DuckDB's naive reading)."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
