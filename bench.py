@@ -47,7 +47,20 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
             print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
         except Exception as ex:  # one bad query must not sink the bench
-            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+            # Keep enough context to diagnose from the JSON alone: the
+            # exception class, the first message line (Spark analysis
+            # errors front-load the useful part), and the innermost
+            # repo-local stack frame (streaming queries execute inside
+            # spark_fn, so "where in OUR code" is the actionable bit).
+            frame = ""
+            tb = ex.__traceback__
+            while tb is not None:
+                fname = tb.tb_frame.f_code.co_filename
+                if "site-packages" not in fname and "pyspark" not in fname:
+                    frame = f" at {os.path.basename(fname)}:{tb.tb_lineno}"
+                tb = tb.tb_next
+            msg = str(ex).strip().splitlines()[0] if str(ex).strip() else ""
+            failures[name] = f"{type(ex).__name__}: {msg}"[:300] + frame
             print(f"  {name}: FAILED {failures[name]}", file=sys.stderr)
         del df
         # queries that persist intermediates (dedup/LSH pipelines) must
