@@ -258,6 +258,87 @@ FROM comp GROUP BY comp
 """
 
 
+SPAN_N = 6  # span width (word n-gram) for duplicate-span profiling
+
+
+def q83_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate profiling: for every doc with ≥ SPAN_N
+    tokens, how many of its word-SPAN_N-gram spans also occur in at
+    least one OTHER document (the exact-substring dedup signal of
+    Lee et al. 2021, arXiv:2107.06499 — repeated boilerplate that
+    doc-level dedup like q23–q26 can't see because the containing
+    documents differ).
+
+    Scale shape: spans are 32-bit hashes the moment they leave the
+    tokenizer — every shuffle carries (doc_id, long), never span text.
+    The cross-doc duplicate set is a hash-grouped aggregate over
+    distinct (doc, hash) pairs (map-side combinable), and per-doc
+    flagging is a hash-partitioned LEFT SEMI — nothing is quadratic
+    and nothing is broadcast-sized by the corpus."""
+    from ..functions import textstats
+    from ..functions.hashing import hash32
+
+    docs = load(spark, sf_dir, "documents")
+    # tokenize below the exchange (see q24 note: a raw tokens(text)
+    # argument gets its tree duplicated into every element_at)
+    toked = (docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    spans = toked.select(
+        "doc_id",
+        F.explode(textstats.word_ngrams(F.col("tk"), SPAN_N)).alias("g"))
+    # three consumers (dup set, per-doc totals, flagging join) — persist
+    # backs the returned lazy result; callers own cache lifetime.
+    hashed = spans.select("doc_id", hash32(F.col("g")).alias("gh")).persist()
+    dup = (hashed.distinct()
+           .groupBy("gh").agg(F.count("*").alias("_ndocs"))
+           .filter(F.col("_ndocs") >= 2).select("gh"))
+    per_doc = hashed.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per_doc_dup = (hashed.join(dup, "gh", "left_semi")
+                   .groupBy("doc_id").agg(F.count("*").alias("n_dup_spans")))
+    ratio = F.col("n_dup_spans") / F.col("n_spans")
+    return (per_doc.join(per_doc_dup, "doc_id", "left")
+            .withColumn("n_dup_spans",
+                        F.coalesce("n_dup_spans", F.lit(0).cast("long")))
+            .withColumn("dup_span_ratio", round_half_up(ratio, 6))
+            .select("doc_id", "n_spans", "n_dup_spans", "dup_span_ratio"))
+
+
+def _q83_gram_expr() -> str:
+    parts = " || ' ' || ".join(f"tk[i+{j}]" for j in range(SPAN_N))
+    return f"[{parts} for i in range(1, len(tk) - {SPAN_N - 2})]"
+
+
+def _q83_sql() -> str:
+    from ..functions.hashing import hash32_sql
+    from ..functions.rounding import round_half_up_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest({_q83_gram_expr()}) AS g
+  FROM toks WHERE len(tk) >= {SPAN_N}
+),
+hashed AS (SELECT doc_id, {hash32_sql('g')} AS gh FROM spans),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM hashed)
+  GROUP BY gh HAVING count(*) >= 2
+),
+per_doc AS (
+  SELECT h.doc_id, count(*) AS n_spans, count(d.gh) AS n_dup_spans
+  FROM hashed h LEFT JOIN dup d USING (gh)
+  GROUP BY h.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       {round_half_up_sql('n_dup_spans / n_spans', 6)} AS dup_span_ratio
+FROM per_doc
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q23_dedup_exact": Query(q23_dedup_exact, _Q23_SQL),
     "q24_ngram_jaccard": Query(q24_ngram_jaccard, _Q24_SQL),
@@ -265,4 +346,5 @@ QUERIES: dict[str, Query] = {
     "q26_simhash": Query(q26_simhash, _Q26_SQL),
     "q51_lsh_verified_neardup": Query(q51_lsh_verified_neardup, _lsh_verified_sql()),
     "q61_dedup_clusters": Query(q61_dedup_clusters, _dedup_clusters_sql()),
+    "q83_duplicate_spans": Query(q83_duplicate_spans, _q83_sql()),
 }

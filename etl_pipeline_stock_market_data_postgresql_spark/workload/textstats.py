@@ -431,6 +431,85 @@ FROM f
 """
 
 
+# Count-min sketch geometry: DEPTH independent hash rows × WIDTH
+# buckets. State is DEPTH·WIDTH counters regardless of corpus size —
+# the property that makes the sketch the 100 TB path for frequency
+# estimation when the exact distinct-token table would not fit.
+CM_WIDTH = 256
+CM_SEEDS = (11, 23, 37, 53)
+CM_TOPK = 20
+
+
+def _cm_bucket(tok: Column, seed: int) -> Column:
+    return hash32_seeded(tok, seed) % CM_WIDTH
+
+
+def q84_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a deterministic count-min sketch (Cormode &
+    Muthukrishnan 2005): estimate corpus token frequencies from
+    DEPTH×WIDTH counters, report the exact top-K tokens with their
+    sketch estimates and the sketch's (always ≥ 0) overcount.
+
+    The exact aggregate is the in-result recall oracle, mirroring
+    q28's sketch-vs-exact pattern: at 100 TB the sketch side survives
+    unchanged (constant state, map-side combinable, mergeable across
+    shards/streams) while candidates would come from per-partition
+    top-k instead of the global exact pass. Fixed seeds + the portable
+    MD5-derived hash make every counter bit-identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    toked = (docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    tok = toked.select(F.explode("tk").alias("t"))
+    # one pass over tokens: stack (row, bucket) pairs, hash-agg counts.
+    # Shuffle after map-side combine is ≤ DEPTH·WIDTH rows per task.
+    db = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"), _cm_bucket(F.col("t"), s).alias("b"))
+        for d, s in enumerate(CM_SEEDS)])).alias("db")
+    sketch = (tok.select(db).select("db.d", "db.b")
+              .groupBy("d", "b").agg(F.count("*").alias("c")))
+    exact = (tok.groupBy("t").agg(F.count("*").alias("exact_count"))
+             .orderBy(F.desc("exact_count"), F.asc("t")).limit(CM_TOPK))
+    cand = exact.select("t", "exact_count", db).select(
+        "t", "exact_count", "db.d", "db.b")
+    est = (sketch.join(F.broadcast(cand), ["d", "b"])
+           .groupBy("t", "exact_count").agg(F.min("c").alias("est_count")))
+    return (est.withColumn("overcount", F.col("est_count") - F.col("exact_count"))
+            .select(F.col("t").alias("token"), "exact_count", "est_count",
+                    "overcount"))
+
+
+def _q84_sql() -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {d} AS d, {hash32_seeded_sql('t', s)} % {CM_WIDTH} AS b FROM tok"
+        for d, s in enumerate(CM_SEEDS))
+    cases = "\n           ".join(
+        f"WHEN {d} THEN {hash32_seeded_sql('t', s)} % {CM_WIDTH}"
+        for d, s in enumerate(CM_SEEDS))
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(tk) AS t FROM toks),
+pairs AS (
+  {rows}
+),
+sketch AS (SELECT d, b, count(*) AS c FROM pairs GROUP BY d, b),
+exact AS (
+  SELECT t, count(*) AS exact_count FROM tok GROUP BY t
+  ORDER BY exact_count DESC, t LIMIT {CM_TOPK}
+),
+cand AS (
+  SELECT t, exact_count, d,
+         CASE d
+           {cases}
+         END AS b
+  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+)
+SELECT c.t AS token, c.exact_count, min(s.c) AS est_count,
+       min(s.c) - c.exact_count AS overcount
+FROM cand c JOIN sketch s USING (d, b)
+GROUP BY c.t, c.exact_count
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q30_langid": Query(q30_langid, _langid_sql()),
     "q31_quality_score": Query(q31_quality_score, _Q31_SQL),
@@ -438,4 +517,5 @@ QUERIES: dict[str, Query] = {
     "q33_fingerprint": Query(q33_fingerprint, _Q33_SQL),
     "q63_quality_gate": Query(q63_quality_gate, _Q63_SQL),
     "q76_repetition_stats": Query(q76_repetition_stats, _Q76_SQL),
+    "q84_heavy_hitters": Query(q84_heavy_hitters, _q84_sql()),
 }

@@ -168,3 +168,30 @@ def test_rollup_reuses_cached_hourly_level(spark, sf_dir):
         assert text.count("InMemoryTableScan") >= 2, text[:800]
     finally:
         spark.catalog.clearCache()
+
+
+def test_duplicate_spans_no_cartesian_and_hash_joins_only(spark, sf_dir):
+    # q83's cross-doc dup set must come from hash aggregation + LEFT
+    # SEMI on the hash — an all-pairs product over spans would be
+    # quadratic in the corpus.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.text_dedup import q83_duplicate_spans
+
+    df = q83_duplicate_spans(spark, sf_dir)
+    try:
+        text = plans.explain_str(df)
+        assert "CartesianProduct" not in text, text[:800]
+        assert "SortMergeJoin" not in text, text[:800]
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    # q84 joins the DEPTH*WIDTH sketch against 20 candidate rows: the
+    # candidate side must broadcast; a shuffle join on (d, b) would
+    # exchange the sketch for nothing.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.textstats import q84_heavy_hitters
+
+    df = q84_heavy_hitters(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "CartesianProduct" not in text, text[:800]
