@@ -244,10 +244,61 @@ FROM events GROUP BY event_type
 """
 
 
+def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted in each later week they return, with the retention rate
+    against the cohort size — the standard cohort-triangle analysis.
+
+    Scale shape: events collapse to distinct (user, week) FIRST (map-
+    side-combinable, |user-weeks| ≪ |events|), so every later join and
+    aggregate runs on the user grain; the outer count needs no
+    count-distinct because the input is already distinct; cohort sizes
+    (≤ |weeks| rows) broadcast back. Both engines truncate weeks to
+    Monday and the offset is exact integer day-arithmetic / 7."""
+    from ..functions.rounding import round_half_up
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+    user_weeks = ev.distinct()
+    cohort = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    act = (user_weeks.join(cohort, "user_id")
+           .select("cohort_week",
+                   F.floor(F.datediff("week", "cohort_week") / 7)
+                   .cast("long").alias("week_offset"))
+           .groupBy("cohort_week", "week_offset")
+           .agg(F.count("*").alias("n_active")))
+    rate = F.col("n_active") / F.col("n_cohort")
+    return (act.join(F.broadcast(sizes), "cohort_week")
+            .withColumn("retention_rate", round_half_up(rate, 6))
+            .select("cohort_week", "week_offset", "n_active", "n_cohort",
+                    "retention_rate"))
+
+
+_Q85_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM coh GROUP BY cohort_week),
+act AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+         count(*) AS n_active
+  FROM uw JOIN coh USING (user_id)
+  GROUP BY cohort_week, week_offset
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort,
+       floor(a.n_active / s.n_cohort * 1000000 + 0.5) / 1000000
+         AS retention_rate
+FROM act a JOIN sizes s USING (cohort_week)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
     "q66_salted_join": Query(q66_salted_join, _Q66_SQL),
     "q77_funnel": Query(q77_funnel, _Q77_SQL),
     "q80_hll_distinct": Query(q80_hll_distinct, _Q80_SQL),
+    "q85_retention_cohorts": Query(q85_retention_cohorts, _Q85_SQL),
 }

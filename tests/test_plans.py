@@ -195,3 +195,16 @@ def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
     text = plans.explain_str(df)
     assert plans.has_broadcast_join(df), text[:800]
     assert "CartesianProduct" not in text, text[:800]
+
+
+def test_retention_cohorts_broadcasts_sizes_and_dedups_first(spark, sf_dir):
+    # q85's outer agg must consume the already-distinct user-week table
+    # (no expensive count-distinct), and the tiny cohort-size table must
+    # broadcast back rather than shuffle the cohort triangle.
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import q85_retention_cohorts
+
+    df = q85_retention_cohorts(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "distinct" not in text.lower().replace("hashaggregate", ""), \
+        "count-distinct should not appear; input is pre-distinct"
