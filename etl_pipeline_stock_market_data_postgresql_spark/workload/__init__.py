@@ -45,6 +45,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # First: never-proven (new in r5) — span-level duplicate profiling
     # and count-min heavy hitters.
     "q83_duplicate_spans", "q84_heavy_hitters", "q85_retention_cohorts",
+    "q86_cluster_purity",
     # Then the three queries the TIMESTAMP_NTZ encoding actually broke
     # (q22 red in CORRECTNESS_r04; q56/q73 erroring in BENCH_r04) —
     # fixed in sources/tables.py (inferTimestampNTZ off + NTZ cast).
@@ -71,7 +72,6 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
     "q10_quarantine_counts", "q11_pricing_summary", "q12_top_revenue_orders",
     "q13_region_revenue", "q14_group_topn", "q15_set_ops", "q16_rollup",
-    "q17_pivot_status",
 )
 
 

@@ -280,9 +280,72 @@ def _lloyd_trace_sql(n_iter: int, k: int) -> str:
 _Q82_SQL = _lloyd_trace_sql(N_LLOYD_ITERS, KMEANS_K)
 
 
+# --- q86: cluster purity (unsupervised partitions vs labels) ---------------
+
+
+def q86_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label agreement: assign every embedding to its nearest
+    seed centroid (q81's assignment step) and score each cluster by
+    majority-label purity — the standard external evaluation of a
+    learned partitioning (IVF cells, dedup clusters) against labels.
+
+    Scale shape: assignment is the broadcast-K argmin (shuffle-free
+    fanout); the (cluster, label) contingency table is one map-side-
+    combinable aggregate of |vectors| rows into ≤ K·|labels| cells; the
+    majority pick is a struct-min over that tiny table. Tie on count
+    goes to the smaller label in both engines ((-n, label) min)."""
+    from ..functions.rounding import round_half_up
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vectors = emb.select(F.col("vec_id").alias("id"),
+                         vfun.as_double(F.col("embedding")).alias("v"))
+    centroids = (vectors.filter(F.col("id") < KMEANS_K)
+                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    assigned = kmeans.assign(vectors, centroids).select("id", "cid")
+    lab = emb.select(F.col("vec_id").alias("id"), "label")
+    counts = (assigned.join(lab, "id")
+              .groupBy("cid", "label").agg(F.count("*").alias("n")))
+    best = (counts.groupBy("cid")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                                F.col("label"))).alias("m"),
+                 F.sum("n").alias("n_members")))
+    n_maj = -F.col("m.neg_n")
+    return best.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n_members"),
+        F.col("m.label").alias("majority_label"),
+        n_maj.alias("n_majority"),
+        round_half_up(n_maj / F.col("n_members"), 6).alias("purity"))
+
+
+_Q86_SQL = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {KMEANS_K}),
+a AS (
+  SELECT e.id, min(({_SQDIST}, c.cid)) AS m
+  FROM e CROSS JOIN c GROUP BY e.id
+),
+al AS (
+  SELECT a.m[2] AS cid, emb.label
+  FROM a JOIN embeddings emb ON a.id = emb.vec_id
+),
+counts AS (SELECT cid, label, count(*) AS n FROM al GROUP BY cid, label),
+best AS (
+  SELECT cid, min((-n, label)) AS m,
+         CAST(sum(n) AS BIGINT) AS n_members
+  FROM counts GROUP BY cid
+)
+SELECT cid AS cluster_id, n_members,
+       m[2] AS majority_label, -m[1] AS n_majority,
+       floor((-m[1]) / n_members * 1000000 + 0.5) / 1000000 AS purity
+FROM best
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q28_ivf_topk": Query(q28_ivf_topk, _Q28_SQL),
     "q29_embedding_neardup": Query(q29_embedding_neardup, _Q29_SQL),
     "q81_kmeans_step": Query(q81_kmeans_step, _Q81_SQL),
     "q82_kmeans_lloyd": Query(q82_kmeans_lloyd, _Q82_SQL),
+    "q86_cluster_purity": Query(q86_cluster_purity, _Q86_SQL),
 }
