@@ -42,10 +42,12 @@ class Query:
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # round-5 window. The driver REGENERATED the testdata mid-r4 (new
     # parquet time encoding), so only r4 rows certify on current data.
-    # First: never-proven (new in r5) — span-level duplicate profiling
-    # and count-min heavy hitters.
+    # First: never-proven (new in r5) — span-level duplicate profiling,
+    # count-min heavy hitters, retention cohorts, cluster purity,
+    # full-outer reconciliation, sliding windows.
     "q83_duplicate_spans", "q84_heavy_hitters", "q85_retention_cohorts",
-    "q86_cluster_purity",
+    "q86_cluster_purity", "q87_full_outer_reconciliation",
+    "q88_sliding_window_stats",
     # Then the three queries the TIMESTAMP_NTZ encoding actually broke
     # (q22 red in CORRECTNESS_r04; q56/q73 erroring in BENCH_r04) —
     # fixed in sources/tables.py (inferTimestampNTZ off + NTZ cast).
@@ -64,14 +66,14 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q75_bucketed_join", "q76_repetition_stats",
     "q78_token_chunks", "q79_shuffle_shard", "q81_kmeans_step",
     # Fill to the driver's 50-query cap with r4-green queries (all
-    # already proven on the regenerated data); the 32 past the cap are
+    # already proven on the regenerated data); the 35 past the cap are
     # likewise r4-green, so a fully-green r5 completes the union on
     # current data.
     "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
     "q04_antijoin_new_keys", "q05_semijoin_members", "q06_idempotent_merge",
     "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
     "q10_quarantine_counts", "q11_pricing_summary", "q12_top_revenue_orders",
-    "q13_region_revenue", "q14_group_topn", "q15_set_ops", "q16_rollup",
+    "q13_region_revenue", "q14_group_topn",
 )
 
 

@@ -294,6 +294,47 @@ FROM act a JOIN sizes s USING (cohort_week)
 """
 
 
+def q88_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) time windows: 1-hour windows every 30
+    minutes per event_type — the hopping-window aggregation q46's
+    tumbling windows can't express (each event lands in length/slide =
+    2 windows). Uses the native `window()` generator, so the identical
+    groupBy works unchanged under Structured Streaming with a
+    watermark.
+
+    Scale shape: the row fanout is the constant length/slide factor
+    applied map-side before one hash aggregate; the value sum is exact
+    DECIMAL cast back to double (repo determinism convention)."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    val = F.col("value").cast("decimal(18,4)")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(val).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+# each event belongs to exactly two 30-min-aligned hour windows: the one
+# starting at its 30-min floor and the one 30 minutes earlier
+_Q88_SQL = """
+WITH ev AS (
+  SELECT event_type, value,
+         epoch_us(ts) - epoch_us(ts) % 1800000000 AS s0_us
+  FROM events
+),
+x AS (
+  SELECT event_type, value,
+         unnest([make_timestamp(s0_us), make_timestamp(s0_us - 1800000000)])
+           AS window_start
+  FROM ev
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM x GROUP BY window_start, event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
@@ -301,4 +342,5 @@ QUERIES: dict[str, Query] = {
     "q77_funnel": Query(q77_funnel, _Q77_SQL),
     "q80_hll_distinct": Query(q80_hll_distinct, _Q80_SQL),
     "q85_retention_cohorts": Query(q85_retention_cohorts, _Q85_SQL),
+    "q88_sliding_window_stats": Query(q88_sliding_window_stats, _Q88_SQL),
 }

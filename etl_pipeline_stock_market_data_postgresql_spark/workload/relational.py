@@ -318,6 +318,56 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q87_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation between the order header and its
+    recomputed line-level total — the data-quality audit that finds
+    headers without lines, orphan lines, and price drift, in one pass.
+
+    Scale shape: the line aggregate and the full-outer join shuffle on
+    the same orderkey, so the exchange is reused; the mismatch test
+    runs on exact DECIMAL sums cast to double at the very end (repo
+    determinism convention), and the output is one summary row."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    charge = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              * (F.lit(1.0) + F.col("l_tax"))).cast(_DEC)
+    l = (load(spark, sf_dir, "lineitem")
+         .groupBy("l_orderkey")
+         .agg(F.sum(charge).cast("double").alias("computed_total")))
+    j = o.join(l, o["o_orderkey"] == l["l_orderkey"], "full_outer")
+    has_o = F.col("o_orderkey").isNotNull()
+    has_l = F.col("l_orderkey").isNotNull()
+    mism = F.abs(F.col("computed_total") - F.col("o_totalprice")) > 0.01
+    return j.agg(
+        F.count(F.when(has_o & has_l, 1)).alias("n_matched"),
+        F.count(F.when(has_o & ~has_l, 1)).alias("n_order_only"),
+        F.count(F.when(~has_o & has_l, 1)).alias("n_lineitem_only"),
+        F.count(F.when(has_o & has_l & mism, 1)).alias("n_price_mismatch"))
+
+
+_Q87_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                       AS DECIMAL(24,8))) AS DOUBLE) AS computed_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, o.o_totalprice, l.l_orderkey, l.computed_total
+  FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT count(*) FILTER (WHERE o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL)
+         AS n_matched,
+       count(*) FILTER (WHERE o_orderkey IS NOT NULL AND l_orderkey IS NULL)
+         AS n_order_only,
+       count(*) FILTER (WHERE o_orderkey IS NULL AND l_orderkey IS NOT NULL)
+         AS n_lineitem_only,
+       count(*) FILTER (WHERE o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+                        AND abs(computed_total - o_totalprice) > 0.01)
+         AS n_price_mismatch
+FROM j
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q11_pricing_summary": Query(q11_pricing_summary, _Q11_SQL),
     "q12_top_revenue_orders": Query(q12_top_revenue_orders, _Q12_SQL),
@@ -329,5 +379,7 @@ QUERIES: dict[str, Query] = {
     "q18_distinct_agg": Query(q18_distinct_agg, _Q18_SQL),
     "q19_having_heavy_customers": Query(q19_having_heavy_customers, _Q19_SQL),
     "q20_asof_last_click": Query(q20_asof_last_click, _Q20_SQL),
+    "q87_full_outer_reconciliation": Query(q87_full_outer_reconciliation,
+                                           _Q87_SQL),
     "q52_multiset_ops": Query(q52_multiset_ops, _Q52_SQL),
 }
