@@ -220,8 +220,46 @@ FROM events a JOIN events b
 
 from . import Query  # noqa: E402
 
+def q89_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88's hopping-window aggregation EXECUTED through Structured
+    Streaming: 1-hour windows every 30 minutes, so each arriving event
+    updates exactly length/slide = 2 window states — the overlapping-
+    state shape q46's tumbling windows never exercise. Complete output
+    mode over availableNow micro-batches; the oracle is the same
+    two-windows-per-event expansion that certifies the batch plan
+    (workload/events_analytics._Q88_SQL)."""
+    from ..sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    agg = (stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                          "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double").alias("total_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "total_value"))
+
+    return _run_stream_to_memory(agg, "q89_out", "complete",
+                                 STREAM_SMALL_STATE_PARTITIONS)
+
+
+def _q89_sql() -> str:
+    from .events_analytics import _Q88_SQL
+    return _Q88_SQL
+
+
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
     "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
     "q73_streaming_stream_join": Query(q73_streaming_stream_join, _Q73_SQL),
+    "q89_streaming_sliding_window": Query(q89_streaming_sliding_window,
+                                          _q89_sql()),
 }
