@@ -335,6 +335,75 @@ FROM x GROUP BY window_start, event_type
 """
 
 
+def q90_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (TimescaleDB's time_bucket_gapfill + locf, the op behind continuous
+    bar charts over sparse feeds): build the complete hourly grid per
+    event_type across the corpus time range, mark empty buckets with
+    n_events = 0, and carry the last seen bucket average forward into
+    the gaps.
+
+    Scale shape: the heavy aggregate is map-side combinable on
+    (type, hour); the grid is |types| x |hours| rows (thousands, not
+    corpus-sized) built from a broadcast 1-row bounds aggregate; the
+    LOCF window sorts only the tiny grid per type. Averages follow the
+    repo determinism convention (exact DECIMAL sum / count, in double)."""
+    from ..functions.rounding import round_half_up
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("h"),
+        "value")
+    act = (ev.groupBy("event_type", "h")
+           .agg(F.count("*").alias("n_events"),
+                (F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                 / F.count("*")).alias("avg_value")))
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.expr(
+                        "sequence(h0, h1, interval 1 hour)")).alias("h")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = (grid.join(act, ["event_type", "h"], "left")
+         .withColumn("n_events",
+                     F.coalesce("n_events", F.lit(0).cast("long"))))
+    return (j.withColumn("filled_avg",
+                         round_half_up(F.last("avg_value", ignorenulls=True)
+                                       .over(w), 6))
+            .select("event_type", F.col("h").alias("bucket_start"),
+                    "n_events", "filled_avg"))
+
+
+_Q90_SQL = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+grid AS (
+  SELECT t.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM b) gs
+),
+act AS (
+  SELECT event_type, h, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+           AS avg_value
+  FROM ev GROUP BY event_type, h
+),
+j AS (
+  SELECT g.event_type, g.h, coalesce(a.n_events, 0) AS n_events, a.avg_value
+  FROM grid g LEFT JOIN act a USING (event_type, h)
+)
+SELECT event_type, h AS bucket_start, n_events,
+       floor(last_value(avg_value IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) * 1000000 + 0.5) / 1000000
+         AS filled_avg
+FROM j
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
@@ -343,4 +412,5 @@ QUERIES: dict[str, Query] = {
     "q80_hll_distinct": Query(q80_hll_distinct, _Q80_SQL),
     "q85_retention_cohorts": Query(q85_retention_cohorts, _Q85_SQL),
     "q88_sliding_window_stats": Query(q88_sliding_window_stats, _Q88_SQL),
+    "q90_gapfill_locf": Query(q90_gapfill_locf, _Q90_SQL),
 }

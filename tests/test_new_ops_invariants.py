@@ -80,3 +80,28 @@ def test_sliding_windows_double_count_events(spark, sf_dir):
     n_events = load(spark, sf_dir, "events").count()
     # length/slide = 2: every event appears in exactly two windows
     assert sum(r.n_events for r in rows) == 2 * n_events
+
+
+def test_gapfill_grid_is_complete_and_conserves_events(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        q90_gapfill_locf)
+
+    rows = q90_gapfill_locf(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    hours = ev.select(F.date_trunc("hour", "ts").alias("h")) \
+              .agg(F.min("h"), F.max("h")).collect()[0]
+    n_hours = int((hours[1] - hours[0]).total_seconds() // 3600) + 1
+    # the grid is dense: every (type, hour) cell exists exactly once
+    assert len(rows) == n_types * n_hours
+    assert len({(r.event_type, r.bucket_start) for r in rows}) == len(rows)
+    # gap filling invents no events
+    assert sum(r.n_events for r in rows) == ev.count()
+    # LOCF: once a type has seen data, filled_avg is never NULL again
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.bucket_start)):
+        seen = by_type.get(r.event_type, False)
+        if r.n_events > 0:
+            by_type[r.event_type] = True
+        elif seen:
+            assert r.filled_avg is not None, r
