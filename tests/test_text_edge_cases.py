@@ -36,6 +36,10 @@ DOC_QUERIES = [
     "q64_sequence_packing", "q67_tfidf_topterms", "q68_contamination",
     "q69_domain_mix_sample", "q30_langid", "q23_dedup_exact",
     "q58_stratified_split", "q59_stratum_sample",
+    # r5: span dedup drops docs with < 6 tokens (empty/punct/single-token
+    # rows must vanish identically in both engines); the count-min sketch
+    # must survive a corpus where some docs contribute zero tokens
+    "q83_duplicate_spans", "q84_heavy_hitters",
 ]
 
 
