@@ -52,11 +52,12 @@ def main() -> None:
             # errors front-load the useful part), and the innermost
             # repo-local stack frame (streaming queries execute inside
             # spark_fn, so "where in OUR code" is the actionable bit).
+            repo_root = os.path.dirname(os.path.abspath(__file__))
             frame = ""
             tb = ex.__traceback__
             while tb is not None:
-                fname = tb.tb_frame.f_code.co_filename
-                if "site-packages" not in fname and "pyspark" not in fname:
+                fname = os.path.abspath(tb.tb_frame.f_code.co_filename)
+                if fname.startswith(repo_root):
                     frame = f" at {os.path.basename(fname)}:{tb.tb_lineno}"
                 tb = tb.tb_next
             msg = str(ex).strip().splitlines()[0] if str(ex).strip() else ""

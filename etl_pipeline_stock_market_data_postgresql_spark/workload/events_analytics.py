@@ -316,11 +316,15 @@ def q88_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # each event belongs to exactly two 30-min-aligned hour windows: the one
-# starting at its 30-min floor and the one 30 minutes earlier
+# starting at its 30-min floor and the one 30 minutes earlier. The floor
+# uses a floor-mod (((x % m) + m) % m), not plain %, because DuckDB's %
+# rounds toward zero on negatives while Spark's window() floors toward
+# -inf — plain % would desync the engines on any pre-1970 timestamp.
 _Q88_SQL = """
 WITH ev AS (
   SELECT event_type, value,
-         epoch_us(ts) - epoch_us(ts) % 1800000000 AS s0_us
+         epoch_us(ts)
+           - ((epoch_us(ts) % 1800000000) + 1800000000) % 1800000000 AS s0_us
   FROM events
 ),
 x AS (

@@ -64,20 +64,31 @@ def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str,
     return out
 
 
-def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """THE single events stream source for q46/q62/q73/q89: batch-sniff
+    the schema (ensure_session_confs already normalizes NTZ inference),
+    stream the sf dir with a glob selecting just the events file, and
+    normalize any remaining non-timestamp ts encoding here — when the
+    driver ships a new parquet time encoding, this function and
+    tables.load are the only two places to touch."""
     from ..sources.tables import ensure_session_confs
 
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # the file-stream source wants a directory: stream the sf dir with a
-    # glob filter selecting just the events file
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+    dtypes = {f.name: f.dataType.simpleString() for f in raw_schema.fields}
+    if dtypes.get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
+
+def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _event_stream(spark, sf_dir)
     agg = (stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
            .agg(F.count("*").alias("n_events"),
                 F.sum(F.col("value").cast("decimal(18,4)"))
@@ -108,18 +119,7 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches; the oracle reproduces the exact boundary rule
     (a gap of EXACTLY 30 min starts a new session) with
     gaps-and-islands SQL."""
-    from ..sources.tables import ensure_session_confs
-
-    ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    if dict((f.name, f.dataType.simpleString())
-            for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-
+    stream = _event_stream(spark, sf_dir)
     agg = (stream.groupBy(F.session_window("ts", "30 minutes").alias("w"),
                           "user_id")
            .agg(F.count("*").alias("n_events"),
@@ -155,21 +155,6 @@ FROM sess GROUP BY user_id, sess_no
 
 
 JOIN_WINDOW_MIN = 60  # pair a click with same-user views in the prior hour
-
-
-def _event_stream(spark: SparkSession, sf_dir: str):
-    from ..sources.tables import ensure_session_confs
-
-    ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    if dict((f.name, f.dataType.simpleString())
-            for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
 
 
 def q73_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,17 +213,7 @@ def q89_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode over availableNow micro-batches; the oracle is the same
     two-windows-per-event expansion that certifies the batch plan
     (workload/events_analytics._Q88_SQL)."""
-    from ..sources.tables import ensure_session_confs
-
-    ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-
+    stream = _event_stream(spark, sf_dir)
     agg = (stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
                           "event_type")
            .agg(F.count("*").alias("n_events"),

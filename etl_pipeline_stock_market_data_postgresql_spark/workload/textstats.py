@@ -485,6 +485,7 @@ def _q84_sql() -> str:
     cases = "\n           ".join(
         f"WHEN {d} THEN {hash32_seeded_sql('t', s)} % {CM_WIDTH}"
         for d, s in enumerate(CM_SEEDS))
+    depths = ", ".join(str(d) for d in range(len(CM_SEEDS)))
     return f"""
 WITH {_TOKS_CTE},
 tok AS (SELECT unnest(tk) AS t FROM toks),
@@ -501,7 +502,7 @@ cand AS (
          CASE d
            {cases}
          END AS b
-  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+  FROM exact CROSS JOIN (SELECT unnest([{depths}]) AS d)
 )
 SELECT c.t AS token, c.exact_count, min(s.c) AS est_count,
        min(s.c) - c.exact_count AS overcount

@@ -19,3 +19,23 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+# Shared result-normalization for all differential-oracle suites (the
+# parity, text-edge, and events-edge tests must agree on what "equal"
+# means — %.9g float formatting was tuned for q31's dyadic ties).
+import math as _math
+
+
+def normalize_cell(v):
+    if isinstance(v, float):
+        if _math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def normalize_rows(cols, rows):
+    """Sort columns by name, stringify, sort rows — order-insensitive."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(normalize_cell(r[i]) for i in order) for r in rows)

@@ -9,7 +9,6 @@ over a synthetic events table where every boundary class appears.
 from __future__ import annotations
 
 import datetime as dt
-import math
 import os
 
 import duckdb
@@ -75,17 +74,7 @@ def edge_events_dir(spark, tmp_path_factory):
     return str(d)
 
 
-def _normalize_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_normalize_cell(r[i]) for i in order) for r in rows)
+from conftest import normalize_rows as _normalize
 
 
 @pytest.mark.parametrize("name", EVENT_QUERIES)

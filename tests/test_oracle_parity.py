@@ -30,12 +30,7 @@ def _duckdb_conn(sf_dir: str):
     return conn
 
 
-def _normalize_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
+from conftest import normalize_rows as _normalize_rows_impl
 
 
 def _assert_pandas_safe(name, engine, rows):
@@ -58,10 +53,7 @@ def _assert_pandas_safe(name, engine, rows):
 
 
 def _normalize_rows(cols, rows):
-    """Sort columns by name, stringify, sort rows — order-insensitive."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_normalize_cell(r[i]) for i in order) for r in rows]
-    return sorted(out)
+    return _normalize_rows_impl(cols, rows)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -8,7 +8,6 @@ over a synthetic documents table where every text-edge class appears.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -54,17 +53,7 @@ def edge_sf_dir(spark, tmp_path_factory):
     return str(d)
 
 
-def _normalize_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_normalize_cell(r[i]) for i in order) for r in rows)
+from conftest import normalize_rows as _normalize
 
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
