@@ -118,8 +118,11 @@ def q81_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole iteration: assignments, means, and convergence metrics."""
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
-    vectors = emb.select(F.col("vec_id").alias("id"),
-                         vfun.as_double(F.col("embedding")).alias("v"))
+    vectors = (emb.select(F.col("vec_id").alias("id"),
+                          vfun.as_double(F.col("embedding")).alias("v"))
+               # embeddings parquet is a single row-group; spread the
+               # broadcast-K argmin before computing
+               .repartition(spark.sparkContext.defaultParallelism, "id"))
     centroids = (vectors.filter(F.col("id") < KMEANS_K)
                  .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     assigned = kmeans.assign(vectors, centroids)
@@ -297,8 +300,11 @@ def q86_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import round_half_up
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
-    vectors = emb.select(F.col("vec_id").alias("id"),
-                         vfun.as_double(F.col("embedding")).alias("v"))
+    vectors = (emb.select(F.col("vec_id").alias("id"),
+                          vfun.as_double(F.col("embedding")).alias("v"))
+               # embeddings parquet is a single row-group; spread the
+               # broadcast-K argmin before computing
+               .repartition(spark.sparkContext.defaultParallelism, "id"))
     centroids = (vectors.filter(F.col("id") < KMEANS_K)
                  .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     assigned = kmeans.assign(vectors, centroids).select("id", "cid")
