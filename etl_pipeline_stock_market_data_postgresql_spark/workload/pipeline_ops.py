@@ -552,6 +552,64 @@ FROM d
 """
 
 
+def q91_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with tombstones — the Delta/Hudi/Iceberg MERGE shape
+    the engine's insert-only upserts (K3/K4, q06) never exercise:
+    apply a change feed of latest-wins updates AND deletes to a base
+    snapshot. The feed is derived deterministically from orders (each
+    order is a CDC event on its customer; o_orderkey is the version;
+    every 10th-ish key is a tombstone), so both engines construct the
+    identical feed.
+
+    Scale shape: latest-wins per key is ONE map-side-combinable
+    struct-max aggregate (no sort, no window — version is unique within
+    a key's feed), then a single equi-join against the snapshot; delete
+    filtering is a map-side predicate. At 100 TB this is the standard
+    log-compaction plan: shuffle ∝ |change keys|, never |log|."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("balance"))
+    ev = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 10 < 2, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("new_balance"))
+    latest = (ev.groupBy("c_custkey")
+              .agg(F.max(F.struct("version", "op", "new_balance")).alias("m"))
+              .select("c_custkey", F.col("m.op").alias("op"),
+                      F.col("m.new_balance").alias("new_balance")))
+    merged = base.join(latest, "c_custkey", "left")
+    live = merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return live.select(
+        "c_custkey",
+        F.when(F.col("op") == "U", F.col("new_balance"))
+        .otherwise(F.col("balance")).alias("balance"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .otherwise(F.lit("base")).alias("src"))
+
+
+_Q91_SQL = """
+WITH ev AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS version,
+         CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_balance
+  FROM orders
+),
+latest AS (
+  SELECT c_custkey, op, new_balance FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY version DESC) AS rn
+    FROM ev)
+  WHERE rn = 1
+)
+SELECT c.c_custkey,
+       CASE WHEN l.op = 'U' THEN l.new_balance ELSE c.c_acctbal END AS balance,
+       CASE WHEN l.op = 'U' THEN 'updated' ELSE 'base' END AS src
+FROM customer c LEFT JOIN latest l USING (c_custkey)
+WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q56_range_join": Query(q56_range_join, _Q56_SQL),
     "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
@@ -563,4 +621,5 @@ QUERIES: dict[str, Query] = {
     "q72_policy_redaction": Query(q72_policy_redaction, _Q72_SQL),
     "q78_token_chunks": Query(q78_token_chunks, _Q78_SQL),
     "q79_shuffle_shard": Query(q79_shuffle_shard, _Q79_SQL),
+    "q91_cdc_apply": Query(q91_cdc_apply, _Q91_SQL),
 }
