@@ -64,12 +64,19 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     and at 100 TB it is a map-side-combinable aggregate, not a sort."""
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).collect()[0]
+    if lo_a is None or lo_b is None:  # empty input: nothing to cluster
+        df.write.mode(mode).parquet(path)
+        return
     top = (1 << bits) - 1
 
     def scaled(c: str, lo, hi) -> Column:
+        # divide FIRST: (v-lo)*top would overflow long (ANSI error /
+        # silent wrap) for spans above ~2^63/top, e.g. epoch-microsecond
+        # domains. (v-lo)/span is an exact-enough double in [0, 1];
+        # the clamp guards the v == hi rounding edge.
         span = max(int(hi) - int(lo), 1)
-        return ((F.col(c).cast("long") - F.lit(int(lo))) * top / span) \
-            .cast("long")
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        return F.least(F.floor(frac * top).cast("long"), F.lit(top))
 
     zk = z_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
     (df.withColumn("_zorder_key", zk)

@@ -100,6 +100,15 @@ WHERE {_SIM6} >= {NEARDUP_THRESHOLD}
 """
 
 
+def _spread_vectors(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(id, v) vectors repartitioned to full parallelism — the
+    embeddings parquet is a single row-group, so without the spread the
+    broadcast-K argmin / Lloyd fanout computes on one core."""
+    return (emb.select(F.col("vec_id").alias("id"),
+                       vfun.as_double(F.col("embedding")).alias("v"))
+            .repartition(spark.sparkContext.defaultParallelism, "id"))
+
+
 # --- q81: k-means iteration (learned IVF partitions) ----------------------
 
 KMEANS_K = 8
@@ -118,11 +127,7 @@ def q81_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole iteration: assignments, means, and convergence metrics."""
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
-    vectors = (emb.select(F.col("vec_id").alias("id"),
-                          vfun.as_double(F.col("embedding")).alias("v"))
-               # embeddings parquet is a single row-group; spread the
-               # broadcast-K argmin before computing
-               .repartition(spark.sparkContext.defaultParallelism, "id"))
+    vectors = _spread_vectors(spark, emb)
     centroids = (vectors.filter(F.col("id") < KMEANS_K)
                  .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     assigned = kmeans.assign(vectors, centroids)
@@ -215,11 +220,7 @@ def q82_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole 3-round recursion, monotone inertia included."""
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
-    vectors = (emb.select(F.col("vec_id").alias("id"),
-                          vfun.as_double(F.col("embedding")).alias("v"))
-               # embeddings parquet is a single row-group; spread the
-               # K-fanout assignment work before iterating
-               .repartition(spark.sparkContext.defaultParallelism, "id"))
+    vectors = _spread_vectors(spark, emb)
     centroids = (vectors.filter(F.col("id") < KMEANS_K)
                  .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     return kmeans.lloyd_trace(vectors, centroids, N_LLOYD_ITERS)
@@ -300,11 +301,7 @@ def q86_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import round_half_up
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
-    vectors = (emb.select(F.col("vec_id").alias("id"),
-                          vfun.as_double(F.col("embedding")).alias("v"))
-               # embeddings parquet is a single row-group; spread the
-               # broadcast-K argmin before computing
-               .repartition(spark.sparkContext.defaultParallelism, "id"))
+    vectors = _spread_vectors(spark, emb)
     centroids = (vectors.filter(F.col("id") < KMEANS_K)
                  .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     assigned = kmeans.assign(vectors, centroids).select("id", "cid")

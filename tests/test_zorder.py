@@ -96,12 +96,19 @@ def test_z_value_interleaves_bits(spark):
     assert df.collect()[0].z == 0b011011
 
 
-def test_zordered_read_roundtrip(spark, layouts):
+def test_zordered_read_roundtrip(spark, sf_dir, layouts):
     zpath, _ = layouts
     df = spark.read.parquet(zpath)
     got = df.filter((F.col("l_partkey") % 97 == 3)).count()
     # same rows as the source — layout must not lose or duplicate data
-    src = load(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
-                                     "/root/testdata/sf0.001"), "lineitem")
+    src = load(spark, sf_dir, "lineitem")
     want = src.filter((F.col("l_partkey") % 97 == 3)).count()
     assert got == want
+
+
+def test_zorder_empty_input_writes_cleanly(spark, tmp_path):
+    df = (load(spark, "/root/testdata/sf0.001", "lineitem")
+          .select("l_partkey", "l_suppkey").filter(F.lit(False)))
+    out = os.path.join(str(tmp_path), "empty")
+    write_zordered(df, out, "l_partkey", "l_suppkey", 4)
+    assert spark.read.parquet(out).count() == 0
