@@ -48,7 +48,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q83_duplicate_spans", "q84_heavy_hitters", "q85_retention_cohorts",
     "q86_cluster_purity", "q87_full_outer_reconciliation",
     "q88_sliding_window_stats", "q89_streaming_sliding_window",
-    "q90_gapfill_locf", "q91_cdc_apply",
+    "q90_gapfill_locf", "q91_cdc_apply", "q92_time_range_window",
     # Then the three queries the TIMESTAMP_NTZ encoding actually broke
     # (q22 red in CORRECTNESS_r04; q56/q73 erroring in BENCH_r04) —
     # fixed in sources/tables.py (inferTimestampNTZ off + NTZ cast).
@@ -67,13 +67,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q75_bucketed_join", "q76_repetition_stats",
     "q78_token_chunks", "q79_shuffle_shard", "q81_kmeans_step",
     # Fill to the driver's 50-query cap with r4-green queries (all
-    # already proven on the regenerated data); the 38 past the cap are
+    # already proven on the regenerated data); the 39 past the cap are
     # likewise r4-green, so a fully-green r5 completes the union on
     # current data.
     "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
     "q04_antijoin_new_keys", "q05_semijoin_members", "q06_idempotent_merge",
     "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
-    "q10_quarantine_counts", "q11_pricing_summary",
+    "q10_quarantine_counts",
 )
 
 

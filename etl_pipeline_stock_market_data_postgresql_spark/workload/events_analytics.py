@@ -408,6 +408,49 @@ FROM j
 """
 
 
+RANGE_WINDOW_US = 10 * 60 * 1_000_000  # trailing 10 minutes
+
+
+def q92_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frames (RANGE BETWEEN ... PRECEDING): for
+    every event, the count and average value of the same user's events
+    in the trailing 10 minutes. This is the frame mechanic row-count
+    frames (q07/q36/q53-q55) cannot express — on an irregular series,
+    "last N rows" and "last N minutes" are different answers, and the
+    RANGE frame also pulls in ALL peers at an equal timestamp (both
+    engines agree on peer semantics, making duplicate-ts rows
+    deterministic with no tiebreak column).
+
+    Scale shape: one shuffle partitioned by user_id (high cardinality
+    — per-user series are short, so no giant sorted partition), then a
+    single sliding frame pass; sums are exact DECIMAL."""
+    from ..functions.rounding import round_half_up
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-RANGE_WINDOW_US, Window.currentRow))
+    n = F.count("*").over(w)
+    nv = F.count("value").over(w)
+    s = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    return ev.select(
+        "event_id", "user_id",
+        n.alias("n_in_window"),
+        F.when(nv > 0, round_half_up(s / nv, 6)).alias("avg_value_10m"))
+
+
+_Q92_SQL = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_in_window,
+       CASE WHEN count(value) OVER w > 0 THEN
+         floor(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / count(value) OVER w * 1000000 + 0.5) / 1000000
+       END AS avg_value_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
@@ -417,4 +460,5 @@ QUERIES: dict[str, Query] = {
     "q85_retention_cohorts": Query(q85_retention_cohorts, _Q85_SQL),
     "q88_sliding_window_stats": Query(q88_sliding_window_stats, _Q88_SQL),
     "q90_gapfill_locf": Query(q90_gapfill_locf, _Q90_SQL),
+    "q92_time_range_window": Query(q92_time_range_window, _Q92_SQL),
 }

@@ -58,7 +58,7 @@ EDGE_EVENTS = [
 EVENT_QUERIES = [
     "q22_sessionization", "q77_funnel", "q80_hll_distinct",
     "q85_retention_cohorts", "q88_sliding_window_stats",
-    "q90_gapfill_locf",
+    "q90_gapfill_locf", "q92_time_range_window",
 ]
 
 
