@@ -39,3 +39,21 @@ def normalize_rows(cols, rows):
     """Sort columns by name, stringify, sort rows — order-insensitive."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(normalize_cell(r[i]) for i in order) for r in rows)
+
+
+def write_single_parquet(df, dest_path):
+    """Write a DataFrame as ONE parquet FILE at dest_path — the driver
+    testdata layout (`<dir>/events.parquet` is a file, not a directory).
+    Streaming fixtures must match it: the stream source's pathGlobFilter
+    matches leaf names, so a directory named events.parquet containing
+    part-files streams as zero rows."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    tmp = dest_path + "._tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))
+    assert len(part) == 1, part
+    _shutil.move(part[0], dest_path)
+    _shutil.rmtree(tmp)

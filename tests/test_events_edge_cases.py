@@ -69,8 +69,8 @@ def edge_events_dir(spark, tmp_path_factory):
         EDGE_EVENTS,
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string")
-    df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(str(d), "events.parquet"))
+    from conftest import write_single_parquet
+    write_single_parquet(df, os.path.join(str(d), "events.parquet"))
     return str(d)
 
 
@@ -88,7 +88,7 @@ def test_edge_events_match_oracle(spark, edge_events_dir, name):
     try:
         conn.execute(
             "CREATE VIEW events AS SELECT * FROM "
-            f"'{edge_events_dir}/events.parquet/*.parquet'")
+            f"'{edge_events_dir}/events.parquet'")
         res = conn.execute(q.oracle)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()

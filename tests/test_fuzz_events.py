@@ -1,0 +1,121 @@
+"""Seeded randomized differential test over an epoch-crossing events
+corpus: timestamps span 1969-12-25 → 1970-01-10, so every epoch-
+arithmetic path sees NEGATIVE microsecond values (where C-style % and
+floor-division disagree between engines — the exact class of bug the
+q88 floor-mod fix closed), plus random NULL values and forced
+duplicate timestamps. Deterministic seed: failures reproduce.
+
+Every events-only query — batch, salted, sketch, and the three
+Structured-Streaming-executed ones — must hash-match its DuckDB oracle
+on this corpus, same comparison as the driver gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import duckdb
+import pytest
+
+from conftest import normalize_rows as _normalize
+
+from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries
+
+SEED = 0xC0FFEE
+N_EVENTS = 400
+N_USERS = 30
+TYPES = ["view", "click", "purchase", "error", "scroll"]
+
+_T0 = dt.datetime(1969, 12, 25, 0, 0, 0)
+_SPAN_S = 16 * 24 * 3600  # through 1970-01-10
+
+
+def _gen_events():
+    rng = random.Random(SEED)
+    rows = []
+    for eid in range(N_EVENTS):
+        # coarse 97-second grid forces duplicate timestamps (RANGE-frame
+        # peers, window ties) while still crossing the epoch boundary
+        ts = _T0 + dt.timedelta(seconds=97 * rng.randrange(_SPAN_S // 97))
+        value = None if rng.random() < 0.05 else round(rng.uniform(0, 100), 2)
+        rows.append((eid, ts, rng.randrange(N_USERS), rng.choice(TYPES),
+                     value, "{}"))
+    return rows
+
+
+# every registered query that reads ONLY the events table — except
+# q73: Spark initializes the streaming watermark at epoch 0, so a
+# WATERMARKED operator treats every pre-1970 event time as already
+# late and emits nothing (reproduced minimally: the identical
+# two-row join emits 1 row shifted post-1970, 0 rows pre-1970).
+# test_pre_epoch_watermark_boundary below PINS that engine behavior.
+FUZZ_QUERIES = [
+    "q22_sessionization", "q46_streaming_tumbling",
+    "q62_streaming_session_window", "q65_salted_distinct",
+    "q66_salted_join", "q77_funnel",
+    "q80_hll_distinct", "q85_retention_cohorts",
+    "q88_sliding_window_stats", "q89_streaming_sliding_window",
+    "q90_gapfill_locf", "q92_time_range_window",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_events")
+    df = spark.createDataFrame(
+        _gen_events(),
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    from conftest import write_single_parquet
+    write_single_parquet(df, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_fuzz_events_match_oracle(spark, fuzz_events_dir, name):
+    q = all_queries()[name]
+    sdf = q.spark_fn(spark, fuzz_events_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    conn = duckdb.connect()
+    try:
+        conn.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{fuzz_events_dir}/events.parquet'")
+        res = conn.execute(q.oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        conn.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} vs {len(duck_rows)}")
+    assert _normalize(spark_cols, spark_rows) == _normalize(duck_cols, duck_rows)
+
+
+def test_pre_epoch_watermark_boundary(spark, fuzz_events_dir):
+    """Pin the Spark engine boundary that keeps q73 out of FUZZ_QUERIES:
+    the streaming watermark starts at epoch 0, so on an all-pre-1970
+    corpus a watermarked stream-stream join drops everything as late
+    and emits zero rows, while the batch oracle finds real matches.
+    If a future Spark initializes the watermark to -inf instead, this
+    test fails and q73 can join the fuzz list."""
+    q = all_queries()["q73_streaming_stream_join"]
+    streamed = len(q.spark_fn(spark, fuzz_events_dir).collect())
+
+    conn = duckdb.connect()
+    try:
+        conn.execute("CREATE VIEW events AS SELECT * FROM "
+                     f"'{fuzz_events_dir}/events.parquet'")
+        batch = len(conn.execute(q.oracle).fetchall())
+    finally:
+        conn.close()
+
+    assert batch >= 1, "fuzz corpus should contain at least one click-view pair"
+    assert streamed == 0, (
+        "Spark now emits pre-epoch watermarked joins — drop this pin and "
+        f"add q73 back to FUZZ_QUERIES (streamed={streamed}, batch={batch})")
