@@ -14,10 +14,27 @@ from pyspark.sql import Column, functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+# ASCII-only case fold. NOT lower(): full unicode case mapping genuinely
+# differs between the engines (Java lowers U+0130 'İ' to 'i' + combining
+# dot U+0307, utf8proc to plain 'i'; Java maps a final 'Σ' to 'ς',
+# utf8proc to 'σ'), so tokenizing through lower() splits differently on
+# mixed-script text. translate() is a deterministic codepoint map,
+# identical in both engines; non-ASCII codepoints stay untouched and the
+# [^a-z0-9] split then treats them as separators in BOTH engines.
+# Verified by tests/test_fuzz_documents.py's unicode corpus.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+ASCII_LOWER_SQL = f"translate(text, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
+def ascii_lower(col: Column) -> Column:
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
 
 def tokens(col: Column) -> Column:
-    """lowercased alphanumeric tokens, empties removed."""
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+    """ASCII-lowercased alphanumeric tokens, empties removed."""
+    return F.filter(F.split(ascii_lower(col), TOKEN_SPLIT_RE),
+                    lambda t: t != "")
 
 
 def token_count(col: Column) -> Column:

@@ -323,7 +323,7 @@ WITH toks AS (
          -- token-less doc would also divide-by-zero nothing here, it
          -- just packs 0 units); Spark's F.aggregate returns the 0 seed
          CAST(coalesce(list_sum(list_transform(
-           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                        x -> x <> ''),
            x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS units,
          {hash32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard
@@ -488,7 +488,7 @@ def q78_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q78_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents
 ),

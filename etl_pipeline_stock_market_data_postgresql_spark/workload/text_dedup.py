@@ -31,7 +31,7 @@ LSH_ROWS = 3
 _SHINGLE_CTE = """
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents
 ),
@@ -136,7 +136,7 @@ def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q26_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                             x -> x <> '')) AS tok
   FROM documents
 ),
@@ -315,7 +315,7 @@ def _q83_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents
 ),

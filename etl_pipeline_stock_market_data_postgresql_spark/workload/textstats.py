@@ -54,7 +54,7 @@ def _tok_count_sql(word: str) -> str:
 _TOKS_CTE = """
 toks AS (
   SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents
 )

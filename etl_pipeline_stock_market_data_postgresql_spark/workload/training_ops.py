@@ -31,7 +31,7 @@ from ..sources.tables import load
 _TOKS_CTE = """
 toks AS (
   SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                      x -> x <> '') AS tk
   FROM documents
 )

@@ -1,0 +1,113 @@
+"""Seeded randomized differential test over a unicode-laced documents
+corpus: mixed scripts, digit runs, exotic whitespace, empty and
+punctuation-only texts, exact and near duplicates — all with a
+deterministic seed.
+
+Notably this corpus embeds Greek words ending in Σ, where the two
+engines genuinely DISAGREE on lower() (Java produces the context-
+sensitive final sigma 'ς', utf8proc produces 'σ'). The token pipeline
+must be insulated from that divergence because `[^a-z0-9]+` splitting
+treats every non-ascii-alnum codepoint as a separator AFTER
+lowercasing — this suite is the proof that the insulation holds across
+every documents-only operator, dedup pipelines included.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pytest
+
+from conftest import normalize_rows as _normalize, write_single_parquet
+
+from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries
+
+SEED = 0xBEEF
+N_DOCS = 120
+LANGS = ["en", "fr", "de", "es"]
+ASCII_VOCAB = ["table", "row", "query", "scan", "merge", "stream", "filter",
+               "join", "order", "line", "data", "fast", "slow", "key",
+               "the", "a", "part", "hash", "value", "window"]
+UNICODE_WORDS = ["ΣΙΣΥΦΟΣ", "ΟΔΥΣΣΕΥΣ", "İstanbul", "STRASSE", "фыва",
+                 "ångström", "ǅungla", "ﬁnance", "çöğü", "naïve"]
+PUNCT = ["!!!", "...", "—", "§§", "¿?", "~~~"]
+
+
+def _gen_docs():
+    rng = random.Random(SEED)
+    docs = []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if docs and r < 0.10:                      # exact duplicate
+            text = rng.choice(docs)[1]
+        elif docs and r < 0.20:                    # near duplicate
+            text = rng.choice(docs)[1] + " " + rng.choice(ASCII_VOCAB)
+        elif r < 0.25:                             # degenerate
+            text = rng.choice(["", "   ", "\t\n", "!!! ??? ...", "42"])
+        else:
+            n = rng.randrange(3, 40)
+            words = []
+            for _ in range(n):
+                u = rng.random()
+                if u < 0.15:
+                    words.append(rng.choice(UNICODE_WORDS))
+                elif u < 0.22:
+                    words.append(str(rng.randrange(10_000)))
+                elif u < 0.27:
+                    words.append(rng.choice(PUNCT))
+                else:
+                    words.append(rng.choice(ASCII_VOCAB))
+            text = " ".join(words)
+        docs.append((i, text, rng.choice(LANGS),
+                     rng.choice(["web", "book", "code"]), len(text)))
+    return docs
+
+
+# every documents-only operator, dedup pipelines included
+FUZZ_DOC_QUERIES = [
+    "q23_dedup_exact", "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash",
+    "q30_langid", "q31_quality_score", "q32_token_stats", "q33_fingerprint",
+    "q51_lsh_verified_neardup", "q58_stratified_split", "q59_stratum_sample",
+    "q61_dedup_clusters", "q63_quality_gate", "q64_sequence_packing",
+    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
+    "q76_repetition_stats", "q83_duplicate_spans", "q84_heavy_hitters",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_docs")
+    df = spark.createDataFrame(
+        _gen_docs(),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    write_single_parquet(df, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FUZZ_DOC_QUERIES)
+def test_fuzz_documents_match_oracle(spark, fuzz_docs_dir, name):
+    q = all_queries()[name]
+    sdf = q.spark_fn(spark, fuzz_docs_dir)
+    try:
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_cols = list(sdf.columns)
+
+        conn = duckdb.connect()
+        try:
+            conn.execute("CREATE VIEW documents AS SELECT * FROM "
+                         f"'{fuzz_docs_dir}/documents.parquet'")
+            res = conn.execute(q.oracle)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        finally:
+            conn.close()
+
+        assert sorted(spark_cols) == sorted(duck_cols)
+        assert len(spark_rows) == len(duck_rows), (
+            f"{name}: {len(spark_rows)} vs {len(duck_rows)}")
+        assert _normalize(spark_cols, spark_rows) == \
+            _normalize(duck_cols, duck_rows)
+    finally:
+        spark.catalog.clearCache()  # dedup pipelines persist intermediates
