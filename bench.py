@@ -61,7 +61,10 @@ def main() -> None:
                     frame = f" at {os.path.basename(fname)}:{tb.tb_lineno}"
                 tb = tb.tb_next
             msg = str(ex).strip().splitlines()[0] if str(ex).strip() else ""
-            failures[name] = f"{type(ex).__name__}: {msg}"[:300] + frame
+            # budget the frame suffix into the 300-char cap so recorded
+            # entries never exceed it
+            failures[name] = (
+                f"{type(ex).__name__}: {msg}"[:300 - len(frame)] + frame)
             print(f"  {name}: FAILED {failures[name]}", file=sys.stderr)
         del df
         # queries that persist intermediates (dedup/LSH pipelines) must

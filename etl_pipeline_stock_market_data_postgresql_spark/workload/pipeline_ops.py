@@ -558,8 +558,8 @@ def q91_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply a change feed of latest-wins updates AND deletes to a base
     snapshot. The feed is derived deterministically from orders (each
     order is a CDC event on its customer; o_orderkey is the version;
-    every 10th-ish key is a tombstone), so both engines construct the
-    identical feed.
+    roughly every fifth key is a tombstone), so both engines construct
+    the identical feed.
 
     Scale shape: latest-wins per key is ONE map-side-combinable
     struct-max aggregate (no sort, no window — version is unique within

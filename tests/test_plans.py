@@ -206,5 +206,11 @@ def test_retention_cohorts_broadcasts_sizes_and_dedups_first(spark, sf_dir):
     df = q85_retention_cohorts(spark, sf_dir)
     text = plans.explain_str(df)
     assert plans.has_broadcast_join(df), text[:800]
-    assert "distinct" not in text.lower().replace("hashaggregate", ""), \
+    # assert the absence of the specific count-distinct expansion (the
+    # `count(distinct ...)` expression / its Expand rewrite), not the bare
+    # substring "distinct" — node names may legitimately contain it
+    lowered = text.lower()
+    assert "count(distinct" not in lowered, \
         "count-distinct should not appear; input is pre-distinct"
+    assert "expand" not in lowered, \
+        "count-distinct Expand rewrite should not appear"
