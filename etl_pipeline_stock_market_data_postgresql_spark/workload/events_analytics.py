@@ -451,6 +451,106 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+# --- q95: mergeable quantile sketch with a tolerance-certified oracle --
+
+QSK_QS = (0.5, 0.9, 0.99)
+QSK_ACCURACY = 10_000  # percentile_approx: rank error ≤ n/accuracy
+QSK_TOL = 0.02         # certified rank-space bound (see docstring)
+
+
+def q95_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles via a MERGEABLE sketch (Spark's
+    ``percentile_approx``, a Greenwald-Khanna-style summary) — the
+    single-pass scale path q39's exact ``percentile`` doesn't have: the
+    exact operator materializes every group's values to interpolate,
+    while the sketch is constant-size partial state, map-side
+    combinable, and mergeable across partitions/shards/streams.
+
+    Cross-engine gate design (q80's HLL pattern): Spark's GK summary
+    and DuckDB's t-digest (``approx_quantile``) are different sketches,
+    so raw estimates can't hash-match. The query emits the exact
+    interpolated percentile (q39 proved that hash-matches) plus a
+    BOOLEAN certifying the engine's own sketch in RANK space — the
+    space sketch guarantees actually live in: with ``frac_le`` /
+    ``frac_lt`` the fraction of values ≤ / < the estimate, the
+    estimate is a valid q-quantile within tolerance iff
+    ``frac_le ≥ q − tol`` and ``frac_lt ≤ q + tol``. (A value-space
+    |apx − exact| bound would be wrong: heavy-tailed p99 gaps are
+    unbounded even for a perfect sketch.) The verification pass is one
+    broadcast of the tiny (group, q, estimate) table back over events
+    with a map-side-combinable conditional count — |quantiles|-fold
+    map fanout, ≤ |groups|·|quantiles| result cells, no extra shuffle
+    of the data. tol = 0.02 covers the discrete-rank granularity 2/n
+    at the smallest test groups (n = 200 at sf0.001) with margin; at
+    scale the sketch errors (1e-4 GK, ~1e-3 t-digest) are far inside
+    it.
+
+    Reference parity note: the reference computes summary stats in
+    PostgreSQL over full data; this is the operator a 100 TB engine
+    must swap in when a sorted-full-scan percentile stops existing."""
+    from ..functions.rounding import round_half_up
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    qlist = ",".join(map(str, QSK_QS))
+    agg = (ev.groupBy("event_type")
+           .agg(F.count("value").alias("n"),
+                F.expr(f"percentile(value, array({qlist}))").alias("ex"),
+                F.expr(f"percentile_approx(value, array({qlist}),"
+                       f" {QSK_ACCURACY})").alias("ap")))
+    qarr = F.array(*[F.lit(float(q)) for q in QSK_QS])
+    pairs = (agg.select("event_type", "n",
+                        F.posexplode(F.arrays_zip("ex", "ap"))
+                        .alias("i", "z"))
+             .select("event_type", "n",
+                     F.element_at(qarr, F.col("i") + 1).alias("q"),
+                     F.col("z.ex").alias("exact_raw"),
+                     F.col("z.ap").alias("apx")))
+    rk = (ev.join(F.broadcast(pairs), "event_type")
+          .groupBy("event_type", "q", "n", "exact_raw", "apx")
+          .agg(F.sum(F.when(F.col("value") <= F.col("apx"), 1)
+                     .otherwise(0)).alias("n_le"),
+               F.sum(F.when(F.col("value") < F.col("apx"), 1)
+                     .otherwise(0)).alias("n_lt")))
+    frac_le = F.col("n_le").cast("double") / F.col("n")
+    frac_lt = F.col("n_lt").cast("double") / F.col("n")
+    ok = F.when(F.col("n") > 0,
+                (frac_le >= F.col("q") - QSK_TOL)
+                & (frac_lt <= F.col("q") + QSK_TOL)).otherwise(F.lit(True))
+    return rk.select("event_type", "q", "n",
+                     round_half_up(F.col("exact_raw"), 6).alias("exact_v"),
+                     ok.alias("within_tol"))
+
+
+_Q95_SQL = f"""
+WITH ev AS (SELECT event_type, value FROM events),
+st AS (
+  SELECT event_type, count(value) AS n,
+         quantile_cont(value, 0.5) AS e1, approx_quantile(value, 0.5) AS a1,
+         quantile_cont(value, 0.9) AS e2, approx_quantile(value, 0.9) AS a2,
+         quantile_cont(value, 0.99) AS e3, approx_quantile(value, 0.99) AS a3
+  FROM ev GROUP BY event_type
+),
+pairs AS (
+  SELECT event_type, n, CAST(0.5 AS DOUBLE) AS q, e1 AS exact_raw, a1 AS apx FROM st
+  UNION ALL SELECT event_type, n, CAST(0.9 AS DOUBLE), e2, a2 FROM st
+  UNION ALL SELECT event_type, n, CAST(0.99 AS DOUBLE), e3, a3 FROM st
+),
+rk AS (
+  SELECT p.event_type, p.q, p.n, p.exact_raw,
+         sum(CASE WHEN e.value <= p.apx THEN 1 ELSE 0 END) AS n_le,
+         sum(CASE WHEN e.value < p.apx THEN 1 ELSE 0 END) AS n_lt
+  FROM pairs p JOIN ev e USING (event_type)
+  GROUP BY p.event_type, p.q, p.n, p.exact_raw
+)
+SELECT event_type, q, CAST(n AS BIGINT) AS n,
+       floor(exact_raw * 1000000 + 0.5) / 1000000 AS exact_v,
+       CASE WHEN n > 0 THEN
+         (CAST(n_le AS DOUBLE) / n >= q - {QSK_TOL})
+         AND (CAST(n_lt AS DOUBLE) / n <= q + {QSK_TOL})
+       ELSE TRUE END AS within_tol
+FROM rk
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
@@ -461,4 +561,5 @@ QUERIES: dict[str, Query] = {
     "q88_sliding_window_stats": Query(q88_sliding_window_stats, _Q88_SQL),
     "q90_gapfill_locf": Query(q90_gapfill_locf, _Q90_SQL),
     "q92_time_range_window": Query(q92_time_range_window, _Q92_SQL),
+    "q95_quantile_sketch": Query(q95_quantile_sketch, _Q95_SQL),
 }

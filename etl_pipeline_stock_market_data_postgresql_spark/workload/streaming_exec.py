@@ -231,10 +231,52 @@ def _q89_sql() -> str:
     return _Q88_SQL
 
 
+# q96: how long a duplicate delivery can trail the original and still be
+# suppressed. State is |keys inside the horizon|, NOT |stream|: a key's
+# state is evicted once the watermark passes its event time + horizon.
+# 35 days covers the whole test fixture (every cross-batch split still
+# dedups exactly); a production bus with an at-least-once redelivery SLA
+# of minutes would size this to that SLA and hold proportionally tiny
+# state.
+REDELIVERY_HORIZON = "35 days"
+
+
+def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-dedup of an at-least-once feed executed through Structured
+    Streaming: the event stream is unioned with a second delivery of
+    itself (the redelivery/duplicate shape the reference absorbs with
+    ``ON CONFLICT DO NOTHING`` — SURVEY §2.9's late/duplicate case) and
+    ``dropDuplicatesWithinWatermark`` suppresses every duplicate
+    event_id with BOUNDED state — unlike plain ``dropDuplicates``,
+    whose key state never expires, this evicts each key as soon as the
+    watermark passes its event time + horizon, which is what makes
+    streaming PK-dedup runnable forever at 100 TB/day. Append mode:
+    the first delivery of each key emits immediately and duplicates
+    never retract it, so the result is deterministic and equal to the
+    batch distinct — the oracle (duplicates are exact copies, so every
+    column is determined by the key)."""
+    def delivery() -> DataFrame:
+        return (_event_stream(spark, sf_dir)
+                .select("event_id", "user_id", "event_type", "ts", "value"))
+
+    redelivered = delivery().unionAll(delivery())
+    deduped = (redelivered
+               .withWatermark("ts", REDELIVERY_HORIZON)
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    return _run_stream_to_memory(deduped, "q96_out", "append",
+                                 STREAM_SMALL_STATE_PARTITIONS)
+
+
+_Q96_SQL = """
+SELECT event_id, user_id, event_type, ts, value FROM events
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
     "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
     "q73_streaming_stream_join": Query(q73_streaming_stream_join, _Q73_SQL),
     "q89_streaming_sliding_window": Query(q89_streaming_sliding_window,
                                           _q89_sql()),
+    "q96_streaming_dedup": Query(q96_streaming_dedup, _Q96_SQL),
 }

@@ -92,3 +92,35 @@ def test_stateful_hwm_filter_across_batches(spark, tmp_path):
         assert [r["price"] for r in rows[-2:]] == [6.0, 7.0]
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_suppresses_cross_batch_redelivery(spark, tmp_path):
+    """q96's operator contract across micro-batch boundaries: a second
+    delivery of the same keys in a LATER micro-batch is suppressed, as
+    long as it arrives inside the redelivery horizon (the state the
+    watermark has not yet evicted)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
+        REDELIVERY_HORIZON, STREAM_SMALL_STATE_PARTITIONS,
+        _run_stream_to_memory)
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=i), i % 3, "view", float(i))
+            for i in range(50)]
+    schema_str = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+    src = str(tmp_path / "feed")
+    delivery = spark.createDataFrame(rows, schema_str).coalesce(1)
+    delivery.write.mode("append").parquet(src)   # delivery 1: one file
+    delivery.write.mode("append").parquet(src)   # redelivery: one file
+
+    stream = (spark.readStream.schema(delivery.schema)
+              .option("maxFilesPerTrigger", 1)   # one delivery per batch
+              .parquet(src))
+    deduped = (stream.withWatermark("ts", REDELIVERY_HORIZON)
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    out = _run_stream_to_memory(deduped, "t96", "append",
+                                STREAM_SMALL_STATE_PARTITIONS)
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == list(range(50))  # each key exactly once, dups dropped
