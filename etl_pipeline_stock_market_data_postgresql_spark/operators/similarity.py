@@ -78,6 +78,52 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, id_col: str,
             .select("q_id", "neighbor_id", "bucket", "sim", "rank"))
 
 
+def learned_ivf_topk(queries: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, id_col: str, vec_col: str,
+                     k: int, nprobe: int = 2) -> DataFrame:
+    """IVF-Flat ANN with LEARNED cells: corpus vectors live in their
+    nearest-centroid cell; each query probes its ``nprobe`` nearest
+    cells. (q_id, neighbor_id, cell, sim, rank) — the trained upgrade
+    of :func:`ivf_topk`'s sign-bucket heuristic, and the standard
+    100 TB ANN shape (FAISS IVF-Flat): per-query work is the probed
+    cells' population, ~nprobe/K of the corpus, and recall follows
+    cell quality rather than a fixed hash.
+
+    ``centroids``: (cid, cv: array<double>), e.g. from
+    operators/kmeans.lloyd. Scale shape: both cell assignments are the
+    broadcast-K struct-min argmin (shuffle-free fanout; ties on d2 go
+    to the smaller cid in both engines); the candidate pairing is a
+    broadcast of the tiny probe table keyed on cell — each corpus row
+    belongs to exactly one cell, so a (q, neighbor) pair arises at most
+    once and needs no dedup."""
+    from .kmeans import sqdist
+
+    q = _prepped(queries, id_col, vec_col, "q_id", "q_vec", "q_nrm")
+    c = _spread(_prepped(corpus, id_col, vec_col, "neighbor_id", "n_vec",
+                         "n_nrm"), "neighbor_id")
+    cd = (c.crossJoin(F.broadcast(centroids))
+          .withColumn("d2", sqdist(F.col("n_vec"), F.col("cv"))))
+    cells = (cd.groupBy("neighbor_id")
+             .agg(F.min(F.struct("d2", "cid")).alias("m"),
+                  F.first("n_vec").alias("n_vec"),   # constant per id
+                  F.first("n_nrm").alias("n_nrm"))
+             .select("neighbor_id", "n_vec", "n_nrm",
+                     F.col("m.cid").alias("cell")))
+    qd = (q.crossJoin(F.broadcast(centroids))
+          .withColumn("d2", sqdist(F.col("q_vec"), F.col("cv"))))
+    wp = Window.partitionBy("q_id").orderBy("d2", "cid")
+    probes = (qd.withColumn("cell_rank", F.row_number().over(wp))
+              .filter(F.col("cell_rank") <= nprobe)
+              .select("q_id", "q_vec", "q_nrm", F.col("cid").alias("cell")))
+    pairs = (cells.join(F.broadcast(probes), "cell")
+             .filter(F.col("q_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("sim", _sim("q_vec", "n_vec", "q_nrm", "n_nrm"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "cell", "sim", "rank"))
+
+
 def neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
                   threshold: float, n_bits: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥

@@ -284,6 +284,126 @@ def _lloyd_trace_sql(n_iter: int, k: int) -> str:
 _Q82_SQL = _lloyd_trace_sql(N_LLOYD_ITERS, KMEANS_K)
 
 
+# --- q94: learned-IVF ANN (Lloyd centroids feeding the probe) --------------
+
+N_PROBE = 2
+
+
+def q94_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with LEARNED cells — q28's probe routed through
+    k-means centroids instead of sign buckets, composing the two proven
+    components (operators/kmeans assignment+update, operators/
+    similarity probe): seed centroids take one exact integer-space
+    Lloyd update, every corpus vector is assigned to its nearest
+    learned cell, and each query probes its ``N_PROBE`` nearest cells
+    for the top-3 — with ``in_exact_top3`` carrying recall against the
+    brute-force ranking, directly comparable to q28's sign-bucket
+    baseline (``tests/test_similarity_quality.py`` asserts learned ≥
+    sign-bucket recall).
+
+    This is the real 100 TB ANN shape (FAISS IVF-Flat): train on a
+    sample, assign once (broadcast-K argmin, shuffle ∝ corpus), then
+    every query touches ~nprobe/K of the corpus. Cross-engine
+    determinism: learned centroid components are rebuilt as
+    s/(n·10⁹) from exact BIGINT sums (q82's contract), so the doubles
+    entering both engines' assignments are bit-identical and every
+    tie breaks on (d2, cid) / (sim, neighbor_id)."""
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _spread_vectors(spark, emb)
+    seeds = (vecs.filter(F.col("id") < KMEANS_K)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    assigned = kmeans.assign(vecs, seeds)
+    learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
+               .localCheckpoint(eager=True))  # K rows; reused by 2 argmins
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    ivf = similarity.learned_ivf_topk(queries, emb, learned, "vec_id",
+                                      "embedding", 3, N_PROBE)
+    exact = (similarity.brute_force_topk(queries, emb, "vec_id", "embedding", 3)
+             .select("q_id", "neighbor_id", F.lit(1).alias("in_exact_top3")))
+    return (ivf.join(F.broadcast(exact), ["q_id", "neighbor_id"], "left")
+            .select("q_id", "neighbor_id", "cell", "sim", "rank",
+                    F.coalesce(F.col("in_exact_top3"), F.lit(0))
+                    .alias("in_exact_top3")))
+
+
+def _q94_sql() -> str:
+    """Unrolled oracle: one Lloyd update (q82's CTE chain), cell
+    assignment, nprobe-cell probing, ranked probe, exact-top-3 flag."""
+    from ..operators.kmeans import Q_COMP
+
+    def sq(c: str) -> str:
+        return ("list_sum(list_transform(range(1, len(e.v) + 1), "
+                f"i -> (e.v[i] - {c}.cv[i]) * (e.v[i] - {c}.cv[i])))")
+
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {KMEANS_K}),
+a1 AS (
+  SELECT e.id, min(({sq('c1')}, c1.cid)) AS m
+  FROM e CROSS JOIN c1 GROUP BY e.id
+),
+s1 AS (SELECT a1.id, m[2] AS cid, e.v FROM a1 JOIN e ON a1.id = e.id),
+m1 AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM s1, unnest(range(1, len(v) + 1)) AS u(i)
+  GROUP BY cid, i
+),
+r1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                   ORDER BY pos) AS cv
+  FROM m1 GROUP BY cid
+),
+c2 AS (
+  SELECT c1.cid, coalesce(r1.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN r1 ON c1.cid = r1.cid
+),
+cellassign AS (
+  SELECT e.id, min(({sq('c2')}, c2.cid)) AS m
+  FROM e CROSS JOIN c2 GROUP BY e.id
+),
+corpusv AS (
+  SELECT ca.id AS neighbor_id, ca.m[2] AS cell, e.v
+  FROM cellassign ca JOIN e ON ca.id = e.id
+),
+qp AS (
+  SELECT * FROM (
+    SELECT e.id AS q_id, c2.cid AS cell, e.v,
+           CAST(row_number() OVER (
+             PARTITION BY e.id ORDER BY {sq('c2')}, c2.cid) AS INT)
+             AS cell_rank
+    FROM e CROSS JOIN c2 WHERE e.id < {N_QUERIES}
+  ) WHERE cell_rank <= {N_PROBE}
+),
+ivf AS (
+  SELECT * FROM (
+    SELECT a.q_id, b.neighbor_id, a.cell, {_SIM6} AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY a.q_id
+             ORDER BY {_SIM6} DESC, b.neighbor_id ASC) AS INT) AS rank
+    FROM qp a JOIN corpusv b
+      ON a.cell = b.cell AND a.q_id <> b.neighbor_id
+  ) WHERE rank <= 3
+),
+exact AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_SIM6} DESC, b.vec_id ASC) AS INT) AS rank
+    FROM {_EMB_D} a JOIN {_EMB_D} b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rank <= 3
+)
+SELECT i.q_id, i.neighbor_id, i.cell, i.sim, i.rank,
+       CAST(CASE WHEN x.q_id IS NULL THEN 0 ELSE 1 END AS INT) AS in_exact_top3
+FROM ivf i LEFT JOIN exact x
+  ON i.q_id = x.q_id AND i.neighbor_id = x.neighbor_id
+"""
+
+
 # --- q86: cluster purity (unsupervised partitions vs labels) ---------------
 
 
@@ -351,4 +471,5 @@ QUERIES: dict[str, Query] = {
     "q81_kmeans_step": Query(q81_kmeans_step, _Q81_SQL),
     "q82_kmeans_lloyd": Query(q82_kmeans_lloyd, _Q82_SQL),
     "q86_cluster_purity": Query(q86_cluster_purity, _Q86_SQL),
+    "q94_learned_ivf": Query(q94_learned_ivf, _q94_sql()),
 }
