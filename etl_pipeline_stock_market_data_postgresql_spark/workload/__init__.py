@@ -40,40 +40,36 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-5 window. The driver REGENERATED the testdata mid-r4 (new
-    # parquet time encoding), so only r4 rows certify on current data.
-    # First: never-proven (new in r5) — span-level duplicate profiling,
-    # count-min heavy hitters, retention cohorts, cluster purity,
-    # full-outer reconciliation, sliding windows.
-    "q83_duplicate_spans", "q84_heavy_hitters", "q85_retention_cohorts",
-    "q86_cluster_purity", "q87_full_outer_reconciliation",
-    "q88_sliding_window_stats", "q89_streaming_sliding_window",
-    "q90_gapfill_locf", "q91_cdc_apply", "q92_time_range_window",
-    # Then the three queries the TIMESTAMP_NTZ encoding actually broke
-    # (q22 red in CORRECTNESS_r04; q56/q73 erroring in BENCH_r04) —
-    # fixed in sources/tables.py (inferTimestampNTZ off + NTZ cast).
-    "q22_sessionization", "q56_range_join", "q73_streaming_stream_join",
-    # Then the 27 other queries whose newest green row is r3
-    # (pre-regeneration data): they ran green in BENCH_r04 but need a
-    # correctness row on the regenerated data.
-    "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
-    "q48_vwap", "q49_volatility", "q50_drawdown",
-    "q53_ema", "q54_rsi", "q55_bollinger",
-    "q57_hierarchical_rollup", "q58_stratified_split", "q59_stratum_sample",
-    "q60_embedding_centroids", "q62_streaming_session_window",
-    "q63_quality_gate", "q64_sequence_packing",
-    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
-    "q71_rollup_refresh", "q72_policy_redaction", "q74_multimodal_decode",
-    "q75_bucketed_join", "q76_repetition_stats",
-    "q78_token_chunks", "q79_shuffle_shard", "q81_kmeans_step",
-    # Fill to the driver's 50-query cap with r4-green queries (all
-    # already proven on the regenerated data); the 39 past the cap are
-    # likewise r4-green, so a fully-green r5 completes the union on
-    # current data.
-    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
-    "q04_antijoin_new_keys", "q05_semijoin_members", "q06_idempotent_merge",
-    "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
-    "q10_quarantine_counts",
+    # round-6 window. r5 went 50/50 green, so every query has a green
+    # driver row on the regenerated data within r4∪r5. This round:
+    # first the four queries new in r6 (never proven) — z-order
+    # pruning, learned-IVF ANN, quantile sketch, streaming dedup.
+    "q93_zorder_pruning", "q94_learned_ivf", "q95_quantile_sketch",
+    "q96_streaming_dedup",
+    # Then the 39 queries whose newest green row is r4: their rows
+    # predate r5's loader/tokenizer edits (sources/tables.py,
+    # functions/textstats.py), so they rotate forward per the
+    # oldest-green-first rule in CORRECTNESS_SEEN.md.
+    "q11_pricing_summary", "q12_top_revenue_orders", "q13_region_revenue",
+    "q14_group_topn", "q15_set_ops", "q16_rollup", "q17_pivot_status",
+    "q18_distinct_agg", "q19_having_heavy_customers", "q20_asof_last_click",
+    "q23_dedup_exact", "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash",
+    "q28_ivf_topk", "q29_embedding_neardup", "q30_langid",
+    "q31_quality_score", "q32_token_stats", "q33_fingerprint",
+    "q34_multimodal_meta", "q36_sma_over_bars", "q37_cube",
+    "q38_string_funcs", "q39_percentiles", "q40_date_funcs",
+    "q41_correlated_max", "q42_unpivot", "q43_array_aggregation",
+    "q44_joinback_avg", "q51_lsh_verified_neardup", "q52_multiset_ops",
+    "q61_dedup_clusters", "q65_salted_distinct", "q66_salted_join",
+    "q70_scd2_history", "q77_funnel", "q80_hll_distinct",
+    "q82_kmeans_lloyd",
+    # Fill to the driver's 50-query cap with r5-green queries that have
+    # exactly ONE row on the regenerated data, preferring the
+    # time-encoding-sensitive ones (the NTZ casualties + the
+    # window/streaming suite). The 43 past the cap are all r5-green.
+    "q22_sessionization", "q45_window_suite", "q46_streaming_tumbling",
+    "q47_sql_exists", "q48_vwap", "q56_range_join",
+    "q73_streaming_stream_join",
 )
 
 
