@@ -214,3 +214,30 @@ def test_retention_cohorts_broadcasts_sizes_and_dedups_first(spark, sf_dir):
         "count-distinct should not appear; input is pre-distinct"
     assert "expand" not in lowered, \
         "count-distinct Expand rewrite should not appear"
+
+
+def test_q94_learned_ivf_broadcasts_never_cartesian(spark, sf_dir):
+    # both argmin fanouts (corpus->cells, query->probes), the probe
+    # pairing, and the exact-top3 flag join must all be broadcasts of
+    # the tiny side; any CartesianProduct would mean the corpus gets
+    # paired all-against-all somewhere
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import q94_learned_ivf
+
+    df = q94_learned_ivf(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "CartesianProduct" not in text, text[:800]
+
+
+def test_q95_sketch_is_single_aggregation_pass(spark, sf_dir):
+    # the sketch must be computed by percentile_approx partials (one
+    # grouped aggregation over events), and the rank-verification pass
+    # must broadcast the tiny per-(group, q) estimate table back — no
+    # shuffle of events keyed on anything but event_type
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import q95_quantile_sketch
+
+    df = q95_quantile_sketch(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert "percentile_approx" in text, text[:800]
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "CartesianProduct" not in text, text[:800]
