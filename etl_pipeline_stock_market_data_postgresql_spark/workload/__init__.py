@@ -42,10 +42,10 @@ class Query:
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # round-6 window. r5 went 50/50 green, so every query has a green
     # driver row on the regenerated data within r4∪r5. This round:
-    # first the four queries new in r6 (never proven) — z-order
-    # pruning, learned-IVF ANN, quantile sketch, streaming dedup.
+    # first the queries new in r6 (never proven) — z-order pruning,
+    # learned-IVF ANN, quantile sketch, streaming dedup, BM25.
     "q93_zorder_pruning", "q94_learned_ivf", "q95_quantile_sketch",
-    "q96_streaming_dedup",
+    "q96_streaming_dedup", "q97_bm25_ranking",
     # Then the 39 queries whose newest green row is r4: their rows
     # predate r5's loader/tokenizer edits (sources/tables.py,
     # functions/textstats.py), so they rotate forward per the
@@ -68,8 +68,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # time-encoding-sensitive ones (the NTZ casualties + the
     # window/streaming suite). The 43 past the cap are all r5-green.
     "q22_sessionization", "q45_window_suite", "q46_streaming_tumbling",
-    "q47_sql_exists", "q48_vwap", "q56_range_join",
-    "q73_streaming_stream_join",
+    "q48_vwap", "q56_range_join", "q73_streaming_stream_join",
 )
 
 

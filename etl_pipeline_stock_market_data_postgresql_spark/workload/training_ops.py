@@ -342,9 +342,112 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
 """
 
 
+# --- q97: BM25 document ranking ------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QTERMS = 5   # query = the N most document-frequent tokens
+BM25_TOP_K = 20
+_BM25_K1P1 = BM25_K1 + 1.0   # computed once in Python and interpolated
+_BM25_OMB = 1.0 - BM25_B     # into the SQL, so both engines see the
+                             # SAME double literals, not re-derived ones
+
+
+def q97_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the ranking function behind corpus
+    search / retrieval-based decontamination, one step past q67's
+    additive TF-IDF: per-term saturation (k1) and doc-length
+    normalization (b) against the corpus-average length. The query is
+    derived from the corpus itself (the ``BM25_N_QTERMS`` highest-df
+    tokens, tiebreak on token) so both engines construct the identical
+    query; output is the top-``BM25_TOP_K`` docs by total score.
+
+    Scale shape: tokens explode into TWO map-side-combinable hash aggs
+    ((doc, token) tf and token df — q67's shuffles); corpus stats
+    (N, Σdl) are a one-row aggregate broadcast back; the query-term
+    table is broadcast so scoring touches only matching (doc, term)
+    pairs (≤ |Q|·|docs| rows, |Q| = 5); the final top-k is
+    TakeOrdered, never a global sort.
+
+    Determinism: per-(doc, term) scores are quantized to integer
+    micro-units BEFORE the per-doc sum (exact BIGINT addition is
+    shuffle-order-independent; a 5-double float sum would not be), and
+    ln() appears only inside the quantization — the module-docstring
+    argument for why a last-ulp libm divergence cannot flip ranks."""
+    toks = _tokens_df(spark, sf_dir)
+    dl = toks.select("doc_id", "lang", F.size("tk").cast("long").alias("dl"))
+    tf = (toks.select("doc_id", F.explode("tk").alias("token"))
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qterms = (dfreq.orderBy(F.col("df").desc(), F.col("token").asc())
+              .limit(BM25_N_QTERMS))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+
+    avgdl = (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+    idf = F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + BM25_K1
+             * (_BM25_OMB + (BM25_B * F.col("dl")) / avgdl))
+    score_t = (idf * (F.col("tf") * _BM25_K1P1)) / denom
+    terms = (tf.join(F.broadcast(qterms), "token")
+             .join(dl, "doc_id")
+             .crossJoin(F.broadcast(stats))
+             .select("doc_id",
+                     F.floor(score_t * 1_000_000 + F.lit(0.5)).cast("long")
+                     .alias("score_q")))
+    docscore = terms.groupBy("doc_id").agg(F.sum("score_q").alias("sq"))
+    top = (docscore.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+           .limit(BM25_TOP_K))
+    w = Window.orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .join(F.broadcast(dl), "doc_id")
+            .select("rank", "doc_id", "lang", "dl",
+                    (F.col("sq").cast("double") / 1_000_000).alias("score")))
+
+
+_Q97_SQL = f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, t AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+qterms AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT {BM25_N_QTERMS}),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ((ln((CAST(n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1.0)
+             * (tf.tf * {_BM25_K1P1!r}))
+            / (tf.tf + {BM25_K1!r}
+               * ({_BM25_OMB!r} + ({BM25_B!r} * d.dl)
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           * 1000000 + 0.5) AS BIGINT) AS score_q
+  FROM tf JOIN qterms q USING (token)
+  JOIN dl d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats
+),
+docscore AS (
+  SELECT doc_id, CAST(sum(score_q) AS BIGINT) AS sq
+  FROM terms GROUP BY doc_id
+),
+top AS (SELECT doc_id, sq FROM docscore ORDER BY sq DESC, doc_id LIMIT {BM25_TOP_K})
+SELECT CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS INT) AS rank,
+       doc_id, d.lang, d.dl, CAST(sq AS DOUBLE) / 1000000 AS score
+FROM top JOIN dl d USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q67_tfidf_topterms": Query(q67_tfidf_topterms, _Q67_SQL),
     "q68_contamination": Query(q68_contamination, _Q68_SQL),
     "q69_domain_mix_sample": Query(q69_domain_mix_sample, _Q69_SQL),
     "q70_scd2_history": Query(q70_scd2_history, _Q70_SQL),
+    "q97_bm25_ranking": Query(q97_bm25_ranking, _Q97_SQL),
 }

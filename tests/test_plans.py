@@ -241,3 +241,17 @@ def test_q95_sketch_is_single_aggregation_pass(spark, sf_dir):
     assert "percentile_approx" in text, text[:800]
     assert plans.has_broadcast_join(df), text[:800]
     assert "CartesianProduct" not in text, text[:800]
+
+
+def test_q97_bm25_topk_is_take_ordered_and_broadcasts(spark, sf_dir):
+    # the doc ranking must plan as TakeOrderedAndProject (bounded
+    # top-k, never a global sort) and the query-term / corpus-stats
+    # tables must broadcast; no CartesianProduct anywhere
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q97_bm25_ranking
+
+    df = q97_bm25_ranking(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert "TakeOrderedAndProject" in text, text[:800]
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "CartesianProduct" not in text, text[:800]
+    assert "rangepartitioning" not in text.lower(), text[:800]
