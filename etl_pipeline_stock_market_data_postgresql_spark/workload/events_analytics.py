@@ -551,6 +551,78 @@ FROM rk
 """
 
 
+# --- q99: rolling z-score anomaly detection (exact integer algebra) ----
+
+ZS_WINDOW = 50   # trailing rows per user
+ZS_MIN_N = 20    # don't flag until the baseline has this many samples
+ZS_Z2 = 9        # |z| > 3  ⇔  z² > 9
+ZS_Q = 1_000_000  # micro-unit quantization of `value`
+
+
+def q99_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral anomaly flags: an event is anomalous when its
+    value sits more than 3 trailing standard deviations from the same
+    user's last ``ZS_WINDOW`` events. The monitoring primitive every
+    ingest pipeline runs beside the load (the reference eyeballs
+    outliers in PostgreSQL after the fact; at 100 TB the flag must fall
+    out of the same single pass that lands the data).
+
+    Exact cross-engine algebra: z = (x−μ)/σ compares via
+    ``(n·x − s)² > z₀²·(n·ss − s²)`` — multiply both sides by n²σ² and
+    the test needs only the windowed count/sum/sum-of-squares. Values
+    are micro-unit BIGINTs (``floor(value·1e6)``: both engines floor
+    the same IEEE product), sums stay integer (Spark DECIMAL(38,0),
+    DuckDB HUGEINT — both exact to 1e38 ≫ the ~1e22 worst case), so
+    the boolean can never flip on a last-ulp division the way a
+    floating z-score could.
+
+    Scale shape: ONE shuffle partitioned by high-cardinality user_id,
+    then a single sliding frame pass computing all three moments —
+    no second scan, no self-join, no global ordering."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * ZS_Q).alias("q"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(ZS_WINDOW - 1), Window.currentRow))
+    d38 = "decimal(38,0)"
+    n = F.count("*").over(w)
+    s = F.sum("q").over(w)
+    ss = F.sum((F.col("q") * F.col("q")).cast(d38)).over(w)
+    dev = (n * F.col("q") - s).cast(d38)          # fits long pre-cast
+    lhs = dev * dev
+    rhs = F.lit(ZS_Z2).cast(d38) * (n.cast(d38) * ss
+                                    - s.cast(d38) * s.cast(d38))
+    return (ev.select(
+        "event_id", "user_id",
+        n.alias("n_win"),
+        ((n >= ZS_MIN_N) & (lhs > rhs)).alias("is_anomaly")))
+
+
+_Q99_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * {ZS_Q}) AS BIGINT) AS q
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id, q,
+         count(*) OVER w AS n,
+         sum(q) OVER w AS s,
+         sum(CAST(q AS HUGEINT) * q) OVER w AS ss
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZS_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(n AS BIGINT) AS n_win,
+       (n >= {ZS_MIN_N}
+        AND CAST(n * q - s AS HUGEINT) * CAST(n * q - s AS HUGEINT)
+            > {ZS_Z2} * (CAST(n AS HUGEINT) * ss
+                         - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)))
+         AS is_anomaly
+FROM win
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
@@ -562,4 +634,5 @@ QUERIES: dict[str, Query] = {
     "q90_gapfill_locf": Query(q90_gapfill_locf, _Q90_SQL),
     "q92_time_range_window": Query(q92_time_range_window, _Q92_SQL),
     "q95_quantile_sketch": Query(q95_quantile_sketch, _Q95_SQL),
+    "q99_anomaly_zscore": Query(q99_anomaly_zscore, _Q99_SQL),
 }
