@@ -368,6 +368,156 @@ FROM j
 """
 
 
+# --- q100: single-pass table profiling ---------------------------------
+
+_PROFILE_COLS = (
+    # (name, kind) — kind picks the min/max string rendering
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _fmt_spark(col, kind: str):
+    """Engine-pinned string rendering of a min/max Column."""
+    if kind == "num":
+        return col.cast("decimal(18,4)").cast("string")
+    if kind == "ts":
+        return F.date_format(col, _TS_FMT_SPARK)
+    return col.cast("string")
+
+
+def q100_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling — per-column row count, null
+    count, exact distinct count, and min/max — the stats pass every
+    warehouse runs before planning and every data pipeline runs as an
+    arrival audit. One row per profiled column, uniform schema (min/max
+    rendered to strings with explicit, engine-pinned formats: DECIMAL
+    for doubles, a fixed microsecond pattern for timestamps — never the
+    engines' default float/timestamp casts, which disagree).
+
+    Scale shape: ONE scan. All measures fold into a single aggregate;
+    the multi-column COUNT(DISTINCT) lowers to one Expand + hash
+    aggregate (rows × |cols|, map-side combinable) — not a scan per
+    column. At 100 TB you'd swap exact distinct for
+    approx_count_distinct (q80's HLL is that story); the profile
+    contract here keeps the exact count so the oracle can certify it."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [F.count(c).alias(f"c_{c}"),
+                 F.countDistinct(c).alias(f"d_{c}"),
+                 _fmt_spark(F.min(c), kind).alias(f"mn_{c}"),
+                 _fmt_spark(F.max(c), kind).alias(f"mx_{c}")]
+    a = li.agg(*aggs)
+    rows = [F.struct(F.lit(c).alias("col_name"),
+                     F.col("n_rows").alias("n_rows"),
+                     (F.col("n_rows") - F.col(f"c_{c}")).alias("n_null"),
+                     F.col(f"d_{c}").alias("n_distinct"),
+                     F.col(f"mn_{c}").alias("min_s"),
+                     F.col(f"mx_{c}").alias("max_s"))
+            for c, _ in _PROFILE_COLS]
+    return a.select(F.inline(F.array(*rows)))
+
+
+def _profile_sql() -> str:
+    def fmt(expr: str, kind: str) -> str:
+        if kind == "num":
+            return f"CAST(CAST({expr} AS DECIMAL(18,4)) AS VARCHAR)"
+        if kind == "ts":
+            return f"strftime({expr}, '{_TS_FMT_DUCK}')"
+        return f"CAST({expr} AS VARCHAR)"
+
+    measures = ["count(*) AS n_rows"]
+    for c, kind in _PROFILE_COLS:
+        measures += [f"count({c}) AS c_{c}",
+                     f"count(DISTINCT {c}) AS d_{c}",
+                     f"{fmt(f'min({c})', kind)} AS mn_{c}",
+                     f"{fmt(f'max({c})', kind)} AS mx_{c}"]
+    selects = [
+        f"SELECT '{c}' AS col_name, n_rows, n_rows - c_{c} AS n_null,\n"
+        f"       d_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s FROM a"
+        for c, _ in _PROFILE_COLS]
+    return ("WITH a AS (\n  SELECT " + ",\n         ".join(measures)
+            + "\n  FROM lineitem\n)\n" + "\nUNION ALL ".join(selects))
+
+
+_Q100_SQL = _profile_sql()
+
+
+# --- q102: equi-depth histogram ----------------------------------------
+
+EQD_BUCKETS = 8
+
+
+def q102_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of l_extendedprice — the
+    optimizer-statistics / data-profiling primitive where bucket EDGES
+    adapt so each bucket holds ~1/k of the rows (an equi-width
+    histogram of a skewed price column wastes most buckets).
+
+    Deliberately NOT ntile(): a global ntile is one total sort on a
+    single partition — dead at 100 TB. The scale-correct plan computes
+    the k−1 boundary quantiles in one aggregate, broadcasts that
+    single row, and assigns buckets in a map-only comparison pass, then
+    aggregates per bucket: two scans, no global sort, shuffle only on
+    the k-row final aggregate. Boundaries here are exact interpolated
+    percentiles (hash-certifiable); at 100 TB the boundary source swaps
+    to q95's mergeable sketch and the assignment pass is unchanged.
+    Boundaries are rounded half-up to 6dp so both engines compare
+    against bit-identical doubles; assignment is strict `>` so bucket
+    membership can't straddle an engine-formatting difference."""
+    from ..functions.rounding import round_half_up
+    qs = [k / EQD_BUCKETS for k in range(1, EQD_BUCKETS)]
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, qs))}))")
+        .alias("bs_raw"))
+    bounds = bounds.select(
+        F.transform("bs_raw", lambda b: round_half_up(b, 6)).alias("bs"))
+    asn = (li.crossJoin(F.broadcast(bounds))
+           .select(F.size(F.filter(
+               "bs", lambda b: F.col("l_extendedprice") > b))
+               .cast("int").alias("bucket"), "l_extendedprice"))
+    return (asn.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("l_extendedprice").alias("min_v"),
+                 F.max("l_extendedprice").alias("max_v"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_v")))
+
+
+def _equidepth_sql() -> str:
+    qs = [k / EQD_BUCKETS for k in range(1, EQD_BUCKETS)]
+    bcols = ",\n         ".join(
+        f"floor(quantile_cont(l_extendedprice, {q}) * 1000000 + 0.5) / 1000000"
+        f" AS b{i}" for i, q in enumerate(qs))
+    bsum = " + ".join(
+        f"CASE WHEN l_extendedprice > b{i} THEN 1 ELSE 0 END"
+        for i in range(len(qs)))
+    return f"""
+WITH b AS (
+  SELECT {bcols}
+  FROM lineitem
+),
+asn AS (
+  SELECT CAST(({bsum}) AS INT) AS bucket, l_extendedprice
+  FROM lineitem CROSS JOIN b
+)
+SELECT bucket, count(*) AS n_rows,
+       min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+FROM asn GROUP BY bucket
+"""
+
+
+_Q102_SQL = _equidepth_sql()
+
+
 QUERIES: dict[str, Query] = {
     "q11_pricing_summary": Query(q11_pricing_summary, _Q11_SQL),
     "q12_top_revenue_orders": Query(q12_top_revenue_orders, _Q12_SQL),
@@ -382,4 +532,6 @@ QUERIES: dict[str, Query] = {
     "q87_full_outer_reconciliation": Query(q87_full_outer_reconciliation,
                                            _Q87_SQL),
     "q52_multiset_ops": Query(q52_multiset_ops, _Q52_SQL),
+    "q100_table_profile": Query(q100_table_profile, _Q100_SQL),
+    "q102_equidepth_histogram": Query(q102_equidepth_histogram, _Q102_SQL),
 }
