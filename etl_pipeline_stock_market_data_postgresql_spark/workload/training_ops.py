@@ -444,10 +444,98 @@ FROM top JOIN dl d USING (doc_id)
 """
 
 
+# --- q101: bigram-LM novelty scoring -------------------------------------
+
+BIGRAM_RARE_DF = 2    # a bigram seen in ≤ this many docs is "rare"
+BIGRAM_NOVEL_PCT = 2  # flag docs whose rare-bigram share exceeds 2%
+                      # (the synthetic corpus is templated, so rare
+                      # shares are small: p99 ≈ 3%, max ≈ 9% at sf0.01 —
+                      # 2% flags the genuine high-novelty tail)
+
+
+def q101_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style familiarity filter: build a corpus bigram model (per-
+    bigram document frequency), score every document by how familiar
+    its bigrams are, and flag high-novelty outliers — the
+    transcendental-free analogue of the KenLM-perplexity quality gate
+    every web-scale corpus runs (a doc whose bigrams the corpus has
+    never seen is boilerplate, a glossary, or garbage). Familiarity is
+    mean bigram df in exact micro-units ((Σdf·1e6) div n — integer
+    division, never a float detour) and the novelty flag is the integer
+    cross-multiplication n_rare·100 > pct·n, so no boundary can flip on
+    engine float rounding; ln-perplexity would add nothing the
+    rank/flag semantics need (q67's docstring covers the ln-safety
+    pattern when a log IS needed).
+
+    Scale shape: bigrams become 32-bit hashes before any shuffle
+    (longs, never gram text); the model is one distinct + hash agg
+    (map-side combinable, shuffle ∝ distinct (doc, gram)); scoring
+    re-joins on the high-cardinality hash — shuffle-balanced, no
+    corpus broadcast, nothing quadratic. Short docs (< 2 tokens) have
+    no bigrams and surface with n_bigrams = 0, never dropped."""
+    grams = (_tokens_df(spark, sf_dir)
+             .select("doc_id",
+                     F.explode(textstats.word_ngrams(F.col("tk"), 2))
+                     .alias("g"))
+             .select("doc_id", hash32(F.col("g")).alias("gh")))
+    dfreq = (grams.distinct()
+             .groupBy("gh").agg(F.count("*").alias("df")))
+    sc = (grams.join(dfreq, "gh")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n_bigrams"),
+               F.sum("df").alias("sum_df"),
+               F.sum(F.when(F.col("df") <= BIGRAM_RARE_DF, 1).otherwise(0))
+               .alias("n_rare")))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = docs.join(sc, "doc_id", "left")
+    nb = F.coalesce("n_bigrams", F.lit(0).cast("long"))
+    nr = F.coalesce("n_rare", F.lit(0).cast("long"))
+    fam = F.expr("(sum_df * CAST(1000000 AS BIGINT)) div n_bigrams")
+    return out.select(
+        "doc_id", "lang",
+        nb.alias("n_bigrams"), nr.alias("n_rare"),
+        F.when(nb > 0, fam).alias("fam_e6"),
+        F.coalesce(nr * 100 > BIGRAM_NOVEL_PCT * F.col("n_bigrams"),
+                   F.lit(False)).alias("is_novel"))
+
+
+_Q101_SQL = f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT doc_id, {hash32_sql('g')} AS gh
+  FROM (SELECT doc_id,
+               unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+                 AS g
+        FROM toks WHERE len(tk) >= 2)
+),
+dfreq AS (
+  SELECT gh, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, gh FROM grams) GROUP BY gh
+),
+sc AS (
+  SELECT g.doc_id, count(*) AS n_bigrams,
+         CAST(sum(d.df) AS BIGINT) AS sum_df,
+         CAST(sum(CASE WHEN d.df <= {BIGRAM_RARE_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rare
+  FROM grams g JOIN dfreq d USING (gh) GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+       CASE WHEN n_bigrams > 0
+            THEN CAST((sum_df * 1000000) // n_bigrams AS BIGINT) END
+         AS fam_e6,
+       coalesce(n_rare * 100 > {BIGRAM_NOVEL_PCT} * n_bigrams, FALSE)
+         AS is_novel
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q67_tfidf_topterms": Query(q67_tfidf_topterms, _Q67_SQL),
     "q68_contamination": Query(q68_contamination, _Q68_SQL),
     "q69_domain_mix_sample": Query(q69_domain_mix_sample, _Q69_SQL),
     "q70_scd2_history": Query(q70_scd2_history, _Q70_SQL),
     "q97_bm25_ranking": Query(q97_bm25_ranking, _Q97_SQL),
+    "q101_bigram_novelty": Query(q101_bigram_novelty, _Q101_SQL),
 }
