@@ -327,17 +327,19 @@ def q94_learned_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("in_exact_top3")))
 
 
-def _q94_sql() -> str:
-    """Unrolled oracle: one Lloyd update (q82's CTE chain), cell
-    assignment, nprobe-cell probing, ranked probe, exact-top-3 flag."""
+def _sqd(c: str) -> str:
+    return ("list_sum(list_transform(range(1, len(e.v) + 1), "
+            f"i -> (e.v[i] - {c}.cv[i]) * (e.v[i] - {c}.cv[i])))")
+
+
+def _learned_cells_ctes() -> str:
+    """Shared oracle prefix (q94/q98): one Lloyd update from the first-K
+    seeds (q82's CTE chain) and every corpus vector assigned to its
+    nearest LEARNED cell — ends with corpusv(neighbor_id, cell, v)."""
     from ..operators.kmeans import Q_COMP
 
-    def sq(c: str) -> str:
-        return ("list_sum(list_transform(range(1, len(e.v) + 1), "
-                f"i -> (e.v[i] - {c}.cv[i]) * (e.v[i] - {c}.cv[i])))")
-
-    return f"""
-WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sq = _sqd
+    return f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {KMEANS_K}),
 a1 AS (
   SELECT e.id, min(({sq('c1')}, c1.cid)) AS m
@@ -367,7 +369,16 @@ cellassign AS (
 corpusv AS (
   SELECT ca.id AS neighbor_id, ca.m[2] AS cell, e.v
   FROM cellassign ca JOIN e ON ca.id = e.id
-),
+)"""
+
+
+def _q94_sql() -> str:
+    """Unrolled oracle: one Lloyd update (q82's CTE chain), cell
+    assignment, nprobe-cell probing, ranked probe, exact-top-3 flag."""
+    sq = _sqd
+
+    return f"""
+WITH {_learned_cells_ctes()},
 qp AS (
   SELECT * FROM (
     SELECT e.id AS q_id, c2.cid AS cell, e.v,
@@ -401,6 +412,82 @@ SELECT i.q_id, i.neighbor_id, i.cell, i.sim, i.rank,
        CAST(CASE WHEN x.q_id IS NULL THEN 0 ELSE 1 END AS INT) AS in_exact_top3
 FROM ivf i LEFT JOIN exact x
   ON i.q_id = x.q_id AND i.neighbor_id = x.neighbor_id
+"""
+
+
+# --- q98: semantic dedup (SemDeDup: cluster-blocked cosine dedup) ----------
+
+SEMDEDUP_SIM = 0.40  # ε-ball: the synthetic corpus has no true semantic
+                     # dups (within-cell max ≈ 0.51), so the threshold
+                     # sits at the ~99.9th percentile of within-cell
+                     # similarity to exercise real removals (q29's
+                     # low-threshold rationale)
+
+
+def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with learned k-means cells
+    (q94's one-Lloyd-update centroids), compute cosine similarity ONLY
+    within each cell, and drop every vector that sits inside the ε-ball
+    of a lower-id vector — keeping one representative per semantic
+    group. This is the embedding-space complement of the lexical
+    near-dup family (q24/q25/q51): paraphrases and re-renders that
+    share no n-grams still collide in embedding space.
+
+    Scale shape — the reason SemDeDup clusters first: pair generation
+    is an equi-join on cell id, so candidate count is Σ|cell|²/2, not
+    |corpus|²/2, and K is chosen to keep cells task-sized (the paper
+    uses K≈11k for 100M docs). Assignment is the broadcast-K struct-min
+    argmin (shuffle ∝ corpus); the removal set is one distinct on id_b
+    + a LEFT join back — no connected components needed, because the
+    keep-lowest-id rule resolves every ε-ball in a single pass.
+    Determinism: centroids rebuilt from exact BIGINT sums (q82's
+    contract), sims rounded half-up to 6dp, ties impossible at the flag
+    level (membership is a ≥ on the rounded value both engines share).
+    """
+    from ..functions.rounding import round_half_up
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _spread_vectors(spark, emb)
+    seeds = (vecs.filter(F.col("id") < KMEANS_K)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    assigned = kmeans.assign(vecs, seeds)
+    learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
+               .localCheckpoint(eager=True))  # K rows; reused by argmin
+    cells = (kmeans.assign(vecs, learned)
+             .select("id", "v", F.col("cid").alias("cell"),
+                     vfun.norm(F.col("v")).alias("nrm")))
+    a = cells.select(F.col("id").alias("id_a"), "cell",
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = cells.select(F.col("id").alias("id_b"), "cell",
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim6 = round_half_up(
+        vfun.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", sim6)
+             .filter(F.col("sim") >= SEMDEDUP_SIM))
+    removed = (pairs.select(F.col("id_b").alias("id")).distinct()
+               .withColumn("removed", F.lit(True)))
+    return (cells.join(removed, "id", "left")
+            .select(F.col("id").alias("vec_id"), "cell",
+                    F.coalesce("removed", F.lit(False)).alias("removed")))
+
+
+def _q98_sql() -> str:
+    sim = round_half_up_sql(cosine_sql("a.v", "b.v"), 6)
+    return f"""
+WITH {_learned_cells_ctes()},
+pairs AS (
+  SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+  FROM corpusv a JOIN corpusv b
+    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+  WHERE {sim} >= {SEMDEDUP_SIM}
+),
+removed AS (SELECT DISTINCT id_b AS id FROM pairs)
+SELECT cv.neighbor_id AS vec_id, cv.cell,
+       (r.id IS NOT NULL) AS removed
+FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
 """
 
 
@@ -472,4 +559,5 @@ QUERIES: dict[str, Query] = {
     "q82_kmeans_lloyd": Query(q82_kmeans_lloyd, _Q82_SQL),
     "q86_cluster_purity": Query(q86_cluster_purity, _Q86_SQL),
     "q94_learned_ivf": Query(q94_learned_ivf, _q94_sql()),
+    "q98_semantic_dedup": Query(q98_semantic_dedup, _q98_sql()),
 }
