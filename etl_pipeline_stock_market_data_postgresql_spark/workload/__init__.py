@@ -42,10 +42,14 @@ class Query:
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # round-6 window. r5 went 50/50 green, so every query has a green
     # driver row on the regenerated data within r4∪r5. This round:
-    # first the queries new in r6 (never proven) — z-order pruning,
-    # learned-IVF ANN, quantile sketch, streaming dedup, BM25.
+    # first the ten queries new in r6 (never proven) — z-order pruning,
+    # learned-IVF ANN, quantile sketch, streaming dedup, BM25, semantic
+    # dedup, z-score anomaly, table profile, bigram novelty, equi-depth
+    # histogram.
     "q93_zorder_pruning", "q94_learned_ivf", "q95_quantile_sketch",
-    "q96_streaming_dedup", "q97_bm25_ranking",
+    "q96_streaming_dedup", "q97_bm25_ranking", "q98_semantic_dedup",
+    "q99_anomaly_zscore", "q100_table_profile", "q101_bigram_novelty",
+    "q102_equidepth_histogram",
     # Then the 39 queries whose newest green row is r4: their rows
     # predate r5's loader/tokenizer edits (sources/tables.py,
     # functions/textstats.py), so they rotate forward per the
@@ -63,12 +67,10 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q61_dedup_clusters", "q65_salted_distinct", "q66_salted_join",
     "q70_scd2_history", "q77_funnel", "q80_hll_distinct",
     "q82_kmeans_lloyd",
-    # Fill to the driver's 50-query cap with r5-green queries that have
-    # exactly ONE row on the regenerated data, preferring the
-    # time-encoding-sensitive ones (the NTZ casualties + the
-    # window/streaming suite). The 43 past the cap are all r5-green.
-    "q22_sessionization", "q45_window_suite", "q46_streaming_tumbling",
-    "q48_vwap", "q56_range_join", "q73_streaming_stream_join",
+    # 10 new + 39 r4-newest leaves ONE fill slot to the cap; it goes to
+    # the NTZ-sensitive q22 (single r5 row on the regenerated data).
+    # The 48 past the cap are all r5-green.
+    "q22_sessionization",
 )
 
 
