@@ -105,3 +105,84 @@ def test_gapfill_grid_is_complete_and_conserves_events(spark, sf_dir):
             by_type[r.event_type] = True
         elif seen:
             assert r.filled_avg is not None, r
+
+
+def test_anomaly_flags_respect_min_baseline(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        ZS_MIN_N, q99_anomaly_zscore)
+
+    rows = q99_anomaly_zscore(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    # one verdict per event, never a dropped or duplicated row
+    assert len(rows) == ev.count()
+    flagged = [r for r in rows if r.is_anomaly]
+    # no flag before the baseline has ZS_MIN_N samples
+    assert all(r.n_win >= ZS_MIN_N for r in flagged)
+    # 3-sigma flags are rare by construction (Chebyshev: < 1/9 even
+    # distribution-free; on this data well under 2%)
+    assert len(flagged) < 0.02 * len(rows), len(flagged)
+
+
+def test_semantic_dedup_keeps_a_representative_per_cell(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import q98_semantic_dedup
+
+    rows = q98_semantic_dedup(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        # the lowest id in a cell has no lower-id neighbor to defer to
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert not lowest.removed, (cell, lowest)
+        # dedup never empties a cell
+        assert any(not r.removed for r in members), cell
+
+
+def test_table_profile_measures_are_consistent(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+        _PROFILE_COLS, q100_table_profile)
+
+    rows = q100_table_profile(spark, sf_dir).collect()
+    assert {r.col_name for r in rows} == {c for c, _ in _PROFILE_COLS}
+    n = load(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= r.n_rows
+        assert 0 < r.n_distinct <= r.n_rows - r.n_null
+        assert r.min_s is not None and r.max_s is not None
+
+
+def test_bigram_novelty_bounds(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q101_bigram_novelty
+
+    rows = q101_bigram_novelty(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_rare <= r.n_bigrams
+        if r.n_bigrams == 0:
+            assert r.fam_e6 is None and not r.is_novel
+        else:
+            # every bigram occurs in at least its own doc: df >= 1, so
+            # mean df in micro-units is >= 1e6
+            assert r.fam_e6 >= 1_000_000
+
+
+def test_equidepth_buckets_partition_and_order(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+        EQD_BUCKETS, q102_equidepth_histogram)
+
+    rows = sorted(q102_equidepth_histogram(spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    li = load(spark, sf_dir, "lineitem")
+    assert [r.bucket for r in rows] == list(range(EQD_BUCKETS))
+    # buckets partition the table exactly
+    assert sum(r.n_rows for r in rows) == li.count()
+    # equi-depth: each bucket within 2% of the ideal share (continuous
+    # value column, so boundary ties are negligible)
+    ideal = li.count() / EQD_BUCKETS
+    for r in rows:
+        assert abs(r.n_rows - ideal) <= 0.02 * li.count() + 1, r
+    # value ranges are disjoint and ordered
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_v <= hi.min_v, (lo, hi)

@@ -255,3 +255,77 @@ def test_q97_bm25_topk_is_take_ordered_and_broadcasts(spark, sf_dir):
     assert plans.has_broadcast_join(df), text[:800]
     assert "CartesianProduct" not in text, text[:800]
     assert "rangepartitioning" not in text.lower(), text[:800]
+
+
+def test_q98_semantic_dedup_blocks_on_cells(spark, sf_dir):
+    # centroid fanouts broadcast the K-row side; the candidate pairing
+    # must be a real equi-join on the cell id (never CartesianProduct —
+    # that would be corpus all-pairs, the thing SemDeDup's clustering
+    # exists to avoid); no global sort anywhere
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import q98_semantic_dedup
+
+    df = q98_semantic_dedup(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "CartesianProduct" not in text, text[:800]
+    assert "rangepartitioning" not in text.lower(), text[:800]
+
+
+def test_q99_anomaly_single_user_shuffle(spark, sf_dir):
+    # all three moments (count/sum/sum-of-squares) must come from ONE
+    # window pass: exactly one exchange, hash-partitioned on user_id —
+    # a second exchange would mean the frame was computed twice
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import q99_anomaly_zscore
+
+    import re
+
+    df = q99_anomaly_zscore(spark, sf_dir)
+    text = plans.explain_str(df)
+    low = text.lower()
+    # formatted explain prints each node as a "(N) Name" detail header
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text[:800]
+    assert "hashpartitioning(user_id" in low, text[:800]
+    assert "rangepartitioning" not in low, text[:800]
+
+
+def test_q100_profile_is_one_scan_one_expand(spark, sf_dir):
+    # the whole profile (5 columns x 4 measures + rowcount) must come
+    # from a single parquet scan; the multi-column COUNT(DISTINCT)
+    # lowers to one Expand, not a scan/aggregate per column
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import q100_table_profile
+
+    import re
+
+    df = q100_table_profile(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", text)) == 1, text[:800]
+    assert "Expand" in text, text[:800]
+
+
+def test_q101_bigram_model_join_no_cartesian(spark, sf_dir):
+    # the df-model re-join must be an equi-join on the bigram hash;
+    # nothing in the plan may cartesian or globally sort the corpus
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import q101_bigram_novelty
+
+    df = q101_bigram_novelty(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text[:800]
+    assert "rangepartitioning" not in text.lower(), text[:800]
+
+
+def test_q102_equidepth_no_global_sort(spark, sf_dir):
+    # the whole point vs ntile(): no rangepartitioning / single-partition
+    # global sort; the k-1 boundary row is broadcast back for the
+    # map-only assignment pass
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import q102_equidepth_histogram
+
+    df = q102_equidepth_histogram(spark, sf_dir)
+    text = plans.explain_str(df)
+    low = text.lower()
+    import re
+    # NB: "percentile(" contains the substring "ntile(" — require a
+    # non-letter before the window-function call form
+    assert not re.search(r"(?<![a-z])ntile\(", low), text[:800]
+    assert "rangepartitioning" not in low, text[:800]
+    # the 1-row boundary table broadcasts (nested-loop: there is no key)
+    assert "BroadcastExchange" in text, text[:800]
