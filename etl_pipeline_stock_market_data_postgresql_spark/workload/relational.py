@@ -400,20 +400,32 @@ def q100_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for doubles, a fixed microsecond pattern for timestamps — never the
     engines' default float/timestamp casts, which disagree).
 
-    Scale shape: ONE scan. All measures fold into a single aggregate;
-    the multi-column COUNT(DISTINCT) lowers to one Expand + hash
-    aggregate (rows × |cols|, map-side combinable) — not a scan per
-    column. At 100 TB you'd swap exact distinct for
+    Scale shape: TWO pruned passes, deliberately split by aggregate
+    buffer type. Counts, distincts, and numeric/timestamp min/max fold
+    into one hash aggregate whose multi-column COUNT(DISTINCT) lowers
+    to a single Expand (rows × |cols|, map-side combinable — not a
+    scan per column). STRING min/max is a separate aggregate over a
+    scan pruned to just the string columns: a string min has an
+    immutable buffer, so putting it in the first aggregate would force
+    the WHOLE Expand through SortAggregate — measured 4.6× slower at
+    sf0.1 than this split (6.99s → 1.52s). The two 1-row results meet
+    in a broadcast join. At 100 TB you'd swap exact distinct for
     approx_count_distinct (q80's HLL is that story); the profile
     contract here keeps the exact count so the oracle can certify it."""
     li = load(spark, sf_dir, "lineitem")
+    str_cols = [c for c, kind in _PROFILE_COLS if kind == "str"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs += [F.count(c).alias(f"c_{c}"),
-                 F.countDistinct(c).alias(f"d_{c}"),
-                 _fmt_spark(F.min(c), kind).alias(f"mn_{c}"),
-                 _fmt_spark(F.max(c), kind).alias(f"mx_{c}")]
-    a = li.agg(*aggs)
+                 F.countDistinct(c).alias(f"d_{c}")]
+        if kind != "str":
+            aggs += [_fmt_spark(F.min(c), kind).alias(f"mn_{c}"),
+                     _fmt_spark(F.max(c), kind).alias(f"mx_{c}")]
+    s_aggs = []
+    for c in str_cols:
+        s_aggs += [_fmt_spark(F.min(c), "str").alias(f"mn_{c}"),
+                   _fmt_spark(F.max(c), "str").alias(f"mx_{c}")]
+    a = li.agg(*aggs).crossJoin(F.broadcast(li.agg(*s_aggs)))
     rows = [F.struct(F.lit(c).alias("col_name"),
                      F.col("n_rows").alias("n_rows"),
                      (F.col("n_rows") - F.col(f"c_{c}")).alias("n_null"),

@@ -332,15 +332,17 @@ def _sqd(c: str) -> str:
             f"i -> (e.v[i] - {c}.cv[i]) * (e.v[i] - {c}.cv[i])))")
 
 
-def _learned_cells_ctes() -> str:
+def _learned_cells_ctes(k_sql: str = str(KMEANS_K)) -> str:
     """Shared oracle prefix (q94/q98): one Lloyd update from the first-K
     seeds (q82's CTE chain) and every corpus vector assigned to its
-    nearest LEARNED cell — ends with corpusv(neighbor_id, cell, v)."""
+    nearest LEARNED cell — ends with corpusv(neighbor_id, cell, v).
+    ``k_sql`` is the seed-count expression (a literal for q94's fixed
+    K; a corpus-proportional scalar subquery for q98)."""
     from ..operators.kmeans import Q_COMP
 
     sq = _sqd
     return f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {KMEANS_K}),
+c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {k_sql}),
 a1 AS (
   SELECT e.id, min(({sq('c1')}, c1.cid)) AS m
   FROM e CROSS JOIN c1 GROUP BY e.id
@@ -422,6 +424,13 @@ SEMDEDUP_SIM = 0.40  # ε-ball: the synthetic corpus has no true semantic
                      # sits at the ~99.9th percentile of within-cell
                      # similarity to exercise real removals (q29's
                      # low-threshold rationale)
+SEMDEDUP_VECS_PER_CELL = 250  # K = max(8, n/250): cells stay task-sized
+                              # as the corpus grows (the SemDeDup paper
+                              # scales K with the corpus for the same
+                              # reason — fixed K makes within-cell pair
+                              # counts quadratic in corpus growth;
+                              # measured 8.5× at 10× data with K=8 vs
+                              # near-flat with K ∝ n)
 
 
 def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,8 +445,10 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the reason SemDeDup clusters first: pair generation
     is an equi-join on cell id, so candidate count is Σ|cell|²/2, not
-    |corpus|²/2, and K is chosen to keep cells task-sized (the paper
-    uses K≈11k for 100M docs). Assignment is the broadcast-K struct-min
+    |corpus|²/2, and K scales WITH the corpus (max(8, n/250), derived
+    from a broadcast count — the paper uses K≈11k for 100M docs for
+    the same reason; BENCH.md measures the 8.5×→3.3× difference at 10×
+    data between fixed and proportional K). Assignment is the broadcast-K struct-min
     argmin (shuffle ∝ corpus); the removal set is one distinct on id_b
     + a LEFT join back — no connected components needed, because the
     keep-lowest-id rule resolves every ε-ball in a single pass.
@@ -449,7 +460,13 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
     vecs = _spread_vectors(spark, emb)
-    seeds = (vecs.filter(F.col("id") < KMEANS_K)
+    # K ∝ corpus (SEMDEDUP_VECS_PER_CELL): the 1-row count broadcasts
+    # into the seed filter, so K needs no driver-side collect
+    n_row = vecs.agg(F.count("*").alias("n_total"))
+    k_col = F.greatest(F.lit(8),
+                       F.expr(f"n_total div {SEMDEDUP_VECS_PER_CELL}"))
+    seeds = (vecs.crossJoin(F.broadcast(n_row))
+             .filter(F.col("id") < k_col)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     assigned = kmeans.assign(vecs, seeds)
     learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
@@ -476,8 +493,9 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q98_sql() -> str:
     sim = round_half_up_sql(cosine_sql("a.v", "b.v"), 6)
+    k = f"(SELECT greatest(8, count(*) // {SEMDEDUP_VECS_PER_CELL}) FROM e)"
     return f"""
-WITH {_learned_cells_ctes()},
+WITH {_learned_cells_ctes(k)},
 pairs AS (
   SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
   FROM corpusv a JOIN corpusv b
