@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import Query
 from ..functions import textstats
+from ..operators.asof import asof_join_union
 from ..functions.hashing import hash32, hash32_sql
 from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load
@@ -342,6 +343,80 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
 """
 
 
+# --- q103: SCD2 point-in-time enrichment (dimension as-of join) ----------
+
+
+def q103_scd2_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension lookup: enrich every fact row with
+    the dimension version that was effective WHEN THE FACT HAPPENED —
+    the consumer of q70's SCD2 history and the join every
+    warehouse/feature-store runs to avoid time-travel leakage (training
+    a model on attributes that weren't yet true at event time). Each
+    sampled customer's orders get the priority version effective at
+    their order date.
+
+    Scale shape: deliberately NOT the textbook interval join
+    (fact ⋈ dim ON from <= d AND d < to — a range predicate Spark
+    plans as equi-join-on-key + interval filter, fanning every fact row
+    out to all versions of its key): the PIT pick IS an as-of join, so
+    it runs through operators/asof.asof_join_union — versions and facts
+    union, ONE shuffle on custkey, one window pass carries the latest
+    version forward. The oracle states the interval-containment form,
+    certifying the union+window trick implements exactly those
+    semantics (half-open [from, to) version validity)."""
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey") % SCD2_CUST_MOD == 0)
+              .select(F.col("o_orderkey").alias("orderkey"),
+                      F.col("o_custkey").alias("custkey"),
+                      F.col("o_orderdate").alias("orderdate")))
+    hist = q70_scd2_history(spark, sf_dir).select(
+        "custkey", F.col("effective_from").alias("eff_from"),
+        "priority", "version_n")
+    out = asof_join_union(orders, hist, ["custkey"], "orderdate",
+                          "eff_from", right_value_cols=["priority",
+                                                        "version_n"],
+                          strict=False)
+    return out.select("orderkey", "custkey", "orderdate",
+                      F.col("asof_priority").alias("priority_at_order"),
+                      F.col("asof_version_n").alias("version_at_order"))
+
+
+_Q103_SQL = f"""
+WITH obs AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
+        FROM orders WHERE o_custkey % {SCD2_CUST_MOD} = 0)
+  WHERE rn = 1
+),
+changed AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (SELECT *, lag(o_orderpriority) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+        FROM obs)
+  WHERE prev IS NULL OR prev <> o_orderpriority
+),
+hist AS (
+  SELECT o_custkey AS custkey,
+         CAST(row_number() OVER w AS INT) AS version_n,
+         o_orderpriority AS priority,
+         o_orderdate AS eff_from,
+         lead(o_orderdate) OVER w AS eff_to
+  FROM changed
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+)
+SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+       o.o_orderdate AS orderdate,
+       v.priority AS priority_at_order,
+       v.version_n AS version_at_order
+FROM orders o JOIN hist v
+  ON v.custkey = o.o_custkey
+ AND v.eff_from <= o.o_orderdate
+ AND (v.eff_to IS NULL OR o.o_orderdate < v.eff_to)
+WHERE o.o_custkey % {SCD2_CUST_MOD} = 0
+"""
+
+
 # --- q97: BM25 document ranking ------------------------------------------
 
 BM25_K1 = 1.2
@@ -538,4 +613,5 @@ QUERIES: dict[str, Query] = {
     "q70_scd2_history": Query(q70_scd2_history, _Q70_SQL),
     "q97_bm25_ranking": Query(q97_bm25_ranking, _Q97_SQL),
     "q101_bigram_novelty": Query(q101_bigram_novelty, _Q101_SQL),
+    "q103_scd2_pit_enrichment": Query(q103_scd2_pit_enrichment, _Q103_SQL),
 }
