@@ -530,6 +530,70 @@ FROM asn GROUP BY bucket
 _Q102_SQL = _equidepth_sql()
 
 
+# --- q104: candidate-key (uniqueness) discovery --------------------------
+
+_KEY_CANDIDATES = (
+    # the synthetic generator reuses orderkeys across rows, so unlike
+    # true TPC-H even (orderkey, linenumber) is non-unique here — the
+    # 4-column candidate is the one that actually holds
+    ("l_orderkey",),
+    ("l_orderkey", "l_linenumber"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+)
+
+
+def q104_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery — for each proposed key, is it unique,
+    and if not, how many rows sit in violating groups? The audit behind
+    primary-key inference, MERGE-key validation (q91's CDC and q06's
+    idempotent insert both presume a sound key), and dedup-key choice.
+    The reference trusts PostgreSQL PK constraints to enforce this;
+    at 100 TB the check IS the query, run before the constraint is
+    declared.
+
+    Scale shape: one map-side-combinable groupBy per candidate (shuffle
+    carries the candidate's columns + a count), then a 1-row rollup of
+    each — |candidates| bounded passes, no Expand blow-up of the full
+    row, no distinct-on-struct sort. The exact-count contract is what
+    the oracle certifies; a 100 TB pre-screen would swap in
+    approx_count_distinct (q80) to cheaply reject non-keys first."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = []
+    for cand in _KEY_CANDIDATES:
+        g = li.groupBy(*cand).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            g.agg(F.sum("cnt").alias("n_rows"),
+                  F.count(F.lit(1)).alias("n_keys"),
+                  F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                        .otherwise(F.lit(0))).alias("n_rows_in_dup_groups"))
+            .select(F.lit("+".join(cand)).alias("candidate"),
+                    "n_rows", "n_keys", "n_rows_in_dup_groups",
+                    (F.col("n_keys") == F.col("n_rows")).alias("is_unique")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _key_uniqueness_sql() -> str:
+    selects = []
+    for cand in _KEY_CANDIDATES:
+        cols = ", ".join(cand)
+        selects.append(f"""
+SELECT '{"+".join(cand)}' AS candidate,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_rows_in_dup_groups,
+       count(*) = sum(cnt) AS is_unique
+FROM (SELECT {cols}, count(*) AS cnt FROM lineitem GROUP BY {cols})""")
+    return "\nUNION ALL".join(selects)
+
+
+_Q104_SQL = _key_uniqueness_sql()
+
+
 QUERIES: dict[str, Query] = {
     "q11_pricing_summary": Query(q11_pricing_summary, _Q11_SQL),
     "q12_top_revenue_orders": Query(q12_top_revenue_orders, _Q12_SQL),
@@ -546,4 +610,5 @@ QUERIES: dict[str, Query] = {
     "q52_multiset_ops": Query(q52_multiset_ops, _Q52_SQL),
     "q100_table_profile": Query(q100_table_profile, _Q100_SQL),
     "q102_equidepth_histogram": Query(q102_equidepth_histogram, _Q102_SQL),
+    "q104_key_uniqueness": Query(q104_key_uniqueness, _Q104_SQL),
 }

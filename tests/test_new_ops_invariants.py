@@ -186,3 +186,24 @@ def test_equidepth_buckets_partition_and_order(spark, sf_dir):
     # value ranges are disjoint and ordered
     for lo, hi in zip(rows, rows[1:]):
         assert lo.max_v <= hi.min_v, (lo, hi)
+
+
+def test_key_uniqueness_lattice_properties(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+        _KEY_CANDIDATES, q104_key_uniqueness)
+
+    rows = {r.candidate: r for r in q104_key_uniqueness(spark, sf_dir).collect()}
+    n = load(spark, sf_dir, "lineitem").count()
+    assert set(rows) == {"+".join(c) for c in _KEY_CANDIDATES}
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 1 <= r.n_keys <= n
+        assert r.is_unique == (r.n_keys == n) == (r.n_rows_in_dup_groups == 0)
+        # every violating group has >= 2 rows
+        if not r.is_unique:
+            assert r.n_rows_in_dup_groups >= 2 * (n - r.n_keys > 0)
+    # a superset of columns never has fewer distinct keys
+    for a in _KEY_CANDIDATES:
+        for b in _KEY_CANDIDATES:
+            if set(a) < set(b):
+                assert rows["+".join(a)].n_keys <= rows["+".join(b)].n_keys
