@@ -50,7 +50,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q96_streaming_dedup", "q97_bm25_ranking", "q98_semantic_dedup",
     "q99_anomaly_zscore", "q100_table_profile", "q101_bigram_novelty",
     "q102_equidepth_histogram", "q103_scd2_pit_enrichment",
-    "q104_key_uniqueness",
+    "q104_key_uniqueness", "q105_histogram_drift",
     # Then the 39 queries whose newest green row is r4: their rows
     # predate r5's loader/tokenizer edits (sources/tables.py,
     # functions/textstats.py), so they rotate forward per the
@@ -59,7 +59,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q14_group_topn", "q15_set_ops", "q16_rollup", "q17_pivot_status",
     "q18_distinct_agg", "q19_having_heavy_customers", "q20_asof_last_click",
     "q23_dedup_exact", "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash",
-    "q29_embedding_neardup", "q30_langid",
+    "q30_langid",
     "q31_quality_score", "q32_token_stats", "q33_fingerprint",
     "q34_multimodal_meta", "q36_sma_over_bars", "q37_cube",
     "q38_string_funcs", "q39_percentiles", "q40_date_funcs",
@@ -67,13 +67,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q44_joinback_avg", "q51_lsh_verified_neardup", "q52_multiset_ops",
     "q61_dedup_clusters", "q65_salted_distinct", "q66_salted_join",
     "q70_scd2_history", "q77_funnel", "q80_hll_distinct",
-    # 12 new + 37 r4-aged leaves ONE fill slot to the cap; it goes to
+    # 13 new + 36 r4-aged leaves ONE fill slot to the cap; it goes to
     # the NTZ-sensitive q22 (single r5 row on the regenerated data).
-    # Two r4-aged queries (q28, q82) defer past the cap to make room
-    # for q103/q104 (new > oldest-green): both are embeddings-only —
-    # untouched by the r5 loader (time columns) and tokenizer edits
-    # their rotation guards against — and both stay covered by the
-    # local parity suite.
+    # Three r4-aged queries (q28, q29, q82) defer past the cap to make
+    # room for q103/q104/q105 (new > oldest-green): all three are
+    # embeddings-only — untouched by the r5 loader (time columns) and
+    # tokenizer edits their rotation guards against — and stay covered
+    # by the local parity suite.
     "q22_sessionization",
 )
 

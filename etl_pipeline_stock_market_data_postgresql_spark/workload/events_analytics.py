@@ -623,6 +623,112 @@ FROM win
 """
 
 
+# --- q105: histogram drift monitor (exact TVD between time slices) ------
+
+DRIFT_BINS = 10
+DRIFT_TVD_E6 = 50_000  # flag a type when TVD(early, late) > 5%
+
+
+def q105_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the total-variation
+    distance between the value distribution of the EARLY half of the
+    stream and the LATE half — the pre-deploy check every ML feature
+    pipeline runs (PSI is the industry habit; TVD carries the same
+    signal with NO logarithm, so the statistic is exact integer
+    arithmetic end to end and the drift flag can't flip on a last-ulp
+    ln()). TVD = ½·Σ|p_i − q_i| over an equi-width histogram whose
+    bins and time cutoff both derive from one global bounds row.
+
+    Scale shape: pass 1 is a map-side min/max (4 scalars, broadcast
+    back); pass 2 assigns (slice, bin) in pure map arithmetic and
+    hash-aggregates into ≤ |types|·2·bins cells — the only shuffle
+    carries those tiny partials. Everything after is algebra on the
+    cell table. Exactness: values in micro-units, the midpoint test is
+    2·t > t0+t1 (no halving round-off), bins are integer div, and the
+    TVD in 1e-6 units is (Σ|c1·n2 − c2·n1|·1e6) div (2·n1·n2) — exact
+    BIGINT in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 1_000_000).alias("q"))
+    b = ev.agg(F.min("tus").alias("t0"), F.max("tus").alias("t1"),
+               F.min("q").alias("q0"), F.max("q").alias("q1"))
+    j = ev.crossJoin(F.broadcast(b))
+    sl = F.when(F.lit(2) * F.col("tus") > F.col("t0") + F.col("t1"), 1) \
+          .otherwise(0)
+    bin_ = F.least(
+        F.lit(DRIFT_BINS - 1),
+        F.expr(f"((q - q0) * {DRIFT_BINS}) div (q1 - q0 + 1)")).alias("bin")
+    cells = (j.select("event_type", sl.alias("sl"), bin_)
+             .groupBy("event_type", "sl", "bin")
+             .agg(F.count(F.lit(1)).alias("c")))
+    early = F.sum(F.when(F.col("sl") == 0, F.col("c")).otherwise(0))
+    late = F.sum(F.when(F.col("sl") == 1, F.col("c")).otherwise(0))
+    tot = (cells.groupBy("event_type")
+           .agg(early.alias("n_early"), late.alias("n_late")))
+    pb = (cells.groupBy("event_type", "bin")
+          .agg(early.alias("c1"), late.alias("c2")))
+    dev = F.abs(F.col("c1") * F.col("n_late") - F.col("c2") * F.col("n_early"))
+    agg = (pb.join(F.broadcast(tot), "event_type")
+           .groupBy("event_type", "n_early", "n_late")
+           .agg(F.sum(dev).alias("sdev")))
+    tvd = F.expr("(sdev * CAST(1000000 AS BIGINT)) div (2 * n_early * n_late)")
+    return agg.select(
+        "event_type", "n_early", "n_late",
+        F.when((F.col("n_early") > 0) & (F.col("n_late") > 0), tvd)
+        .alias("tvd_e6"),
+        F.coalesce(
+            F.when((F.col("n_early") > 0) & (F.col("n_late") > 0),
+                   tvd > DRIFT_TVD_E6), F.lit(False)).alias("drifted"))
+
+
+_Q105_SQL = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS tus,
+         CAST(floor(value * 1000000) AS BIGINT) AS q
+  FROM events
+),
+b AS (SELECT min(tus) AS t0, max(tus) AS t1,
+             min(q) AS q0, max(q) AS q1 FROM base),
+a AS (
+  SELECT event_type,
+         CASE WHEN 2 * tus > t0 + t1 THEN 1 ELSE 0 END AS sl,
+         least({DRIFT_BINS - 1}, ((q - q0) * {DRIFT_BINS}) // (q1 - q0 + 1))
+           AS bin
+  FROM base CROSS JOIN b
+),
+cells AS (
+  SELECT event_type, sl, bin, count(*) AS c FROM a GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN sl = 0 THEN c ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(sum(CASE WHEN sl = 1 THEN c ELSE 0 END) AS BIGINT) AS n_late
+  FROM cells GROUP BY 1
+),
+pb AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN sl = 0 THEN c ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN sl = 1 THEN c ELSE 0 END) AS BIGINT) AS c2
+  FROM cells GROUP BY 1, 2
+),
+agg AS (
+  SELECT p.event_type, n_early, n_late,
+         CAST(sum(abs(c1 * n_late - c2 * n_early)) AS BIGINT) AS sdev
+  FROM pb p JOIN tot t ON p.event_type = t.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n_early, n_late,
+       CASE WHEN n_early > 0 AND n_late > 0
+            THEN CAST((sdev * 1000000) // (2 * n_early * n_late) AS BIGINT)
+       END AS tvd_e6,
+       coalesce(CASE WHEN n_early > 0 AND n_late > 0
+                     THEN (sdev * 1000000) // (2 * n_early * n_late)
+                          > {DRIFT_TVD_E6} END, FALSE) AS drifted
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q22_sessionization": Query(q22_sessionization, _Q22_SQL),
     "q65_salted_distinct": Query(q65_salted_distinct, _Q65_SQL),
@@ -635,4 +741,5 @@ QUERIES: dict[str, Query] = {
     "q92_time_range_window": Query(q92_time_range_window, _Q92_SQL),
     "q95_quantile_sketch": Query(q95_quantile_sketch, _Q95_SQL),
     "q99_anomaly_zscore": Query(q99_anomaly_zscore, _Q99_SQL),
+    "q105_histogram_drift": Query(q105_histogram_drift, _Q105_SQL),
 }

@@ -207,3 +207,20 @@ def test_key_uniqueness_lattice_properties(spark, sf_dir):
         for b in _KEY_CANDIDATES:
             if set(a) < set(b):
                 assert rows["+".join(a)].n_keys <= rows["+".join(b)].n_keys
+
+
+def test_drift_tvd_is_a_bounded_metric(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import q105_histogram_drift
+
+    rows = q105_histogram_drift(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    per_type = {r.event_type: r for r in rows}
+    counts = {r.event_type: r.n for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(per_type) == set(counts)
+    for t, r in per_type.items():
+        # slices partition the type's events
+        assert r.n_early + r.n_late == counts[t]
+        # TVD is a [0, 1] metric (micro-units)
+        assert 0 <= r.tvd_e6 <= 1_000_000
+        assert r.drifted == (r.tvd_e6 > 50_000)

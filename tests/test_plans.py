@@ -336,3 +336,16 @@ def test_q102_equidepth_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in low, text[:800]
     # the 1-row boundary table broadcasts (nested-loop: there is no key)
     assert "BroadcastExchange" in text, text[:800]
+
+
+def test_q105_drift_shuffles_only_cells(spark, sf_dir):
+    # the raw-event pass must end at the (type, slice, bin) hash
+    # aggregate: bounds broadcast back (BroadcastExchange), everything
+    # after the cell aggregate is tiny-table algebra; no global sort
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import q105_histogram_drift
+
+    df = q105_histogram_drift(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert "BroadcastExchange" in text, text[:800]
+    assert "CartesianProduct" not in text, text[:800]
+    assert "rangepartitioning" not in text.lower(), text[:800]
