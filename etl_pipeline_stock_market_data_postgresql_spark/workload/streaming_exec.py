@@ -272,6 +272,74 @@ SELECT event_id, user_id, event_type, ts, value FROM events
 """
 
 
+# --- q106: custom stateful operator under the gate -----------------------
+
+
+def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (applyInPandasWithState —
+    streaming/ingest.stateful_hwm_filter) executed under the driver
+    gate with REAL cross-batch state: the events table is split by
+    event_id parity into two files written in order, the file source
+    replays them as two micro-batches (maxFilesPerTrigger=1), and the
+    per-key high-water-mark filter — the reference's
+    ``check_last_date`` + skip loop as checkpointed streaming state —
+    passes batch 1 through while filtering batch 2 against each key's
+    batch-1 maximum. The parity split makes the second delivery
+    STRADDLE every key's stored HWM (a time split would leave nothing
+    to filter): roughly half of batch 2 is at-or-before its key's
+    watermark and must be dropped, exactly the overlapping-refetch
+    shape the reference absorbs row by row. Keys unseen in batch 1
+    would pass entirely. The oracle states the kept set algebraically.
+
+    Scale shape: state is ONE long per key; the Python boundary is
+    Arrow-batched with map-side early filtering inside the kernel; the
+    only shuffle is the groupBy(key) routing into
+    ``STREAM_SMALL_STATE_PARTITIONS`` state stores (keys ≪ stores at
+    sf; the sizing note at the top of this module). The two-file split
+    is the gate-sized stand-in for a real feed's thousands of files —
+    the operator is batch-count-agnostic. Timestamps compare in exact
+    microseconds (ns→us inside the kernel), ties drop (strict >)."""
+    from ..sources.tables import load
+    from ..streaming.ingest import stateful_hwm_filter
+    from .storage import _scratch_base
+
+    base, _ = _scratch_base(sf_dir)
+    path = os.path.join(base, "q106_hwm_feed")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts")
+    is_second = F.col("event_id") % 2 == 1
+    cols = ["event_id", "event_type", "ts"]
+    # two sequential single-file writes: the file source orders batches
+    # by modification time, so batch 1 is exactly the even-id slice
+    ev.filter(~is_second).select(*cols).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    ev.filter(is_second).select(*cols).coalesce(1) \
+        .write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    kept = stateful_hwm_filter(stream, "event_type", "ts")
+    out = _run_stream_to_memory(kept, "q106_out", "append",
+                                STREAM_SMALL_STATE_PARTITIONS)
+    return out.select("event_id", "event_type",
+                      F.unix_micros("ts").alias("tus"))
+
+
+_Q106_SQL = """
+WITH s AS (
+  SELECT event_id, event_type, epoch_us(ts) AS tus,
+         CAST(event_id % 2 AS INT) AS sl
+  FROM events
+),
+hwm AS (SELECT event_type, max(tus) AS m FROM s WHERE sl = 0 GROUP BY 1)
+SELECT event_id, event_type, tus FROM s WHERE sl = 0
+UNION ALL
+SELECT s.event_id, s.event_type, s.tus
+FROM s LEFT JOIN hwm USING (event_type)
+WHERE sl = 1 AND (m IS NULL OR tus > m)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
     "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
@@ -279,4 +347,6 @@ QUERIES: dict[str, Query] = {
     "q89_streaming_sliding_window": Query(q89_streaming_sliding_window,
                                           _q89_sql()),
     "q96_streaming_dedup": Query(q96_streaming_dedup, _Q96_SQL),
+    "q106_streaming_stateful_hwm": Query(q106_streaming_stateful_hwm,
+                                         _Q106_SQL),
 }
