@@ -594,6 +594,52 @@ FROM (SELECT {cols}, count(*) AS cnt FROM lineitem GROUP BY {cols})""")
 _Q104_SQL = _key_uniqueness_sql()
 
 
+# --- q107: bloom-filter runtime pre-join reduction -----------------------
+
+
+def q107_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag, answered through a
+    Bloom-filter runtime pre-join reduction (operators/bloom): the
+    selective order subset builds a ~128 KB bloom bitmap (one
+    map-side-combinable bit_or aggregate, ≤ bits/64 words shuffled),
+    the bitmap broadcasts, and the lineitem side drops
+    definitely-unmatched rows BEFORE the join shuffle — so the
+    sort-merge join shuffles true matches plus a <1% false-positive
+    residue instead of the full fact table. This is the join-side
+    reduction Spark's AQE applies internally with `bloom_filter_agg`
+    (not public API, hence the hand-built operator) and the heart of
+    any big⨝selective-big plan at 100 TB, where neither side
+    broadcasts. The merge hint forces the shuffle join the technique
+    exists for (Catalyst would broadcast this gate-sized subset and
+    hide the point).
+
+    Correctness contract (same as salting/bucketing): the bloom stage
+    is RESULT-INVISIBLE — false positives die in the exact join — so
+    the oracle is the plain join+aggregate."""
+    from ..operators.bloom import bloom_prefiltered
+    sel = (load(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+    reduced = bloom_prefiltered(li, sel, "l_orderkey", "o_orderkey")
+    joined = reduced.join(sel.hint("merge"),
+                          reduced.l_orderkey == sel.o_orderkey)
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(_revenue_dec()).cast("double").alias("revenue")))
+
+
+_Q107_SQL = """
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q11_pricing_summary": Query(q11_pricing_summary, _Q11_SQL),
     "q12_top_revenue_orders": Query(q12_top_revenue_orders, _Q12_SQL),
@@ -611,4 +657,5 @@ QUERIES: dict[str, Query] = {
     "q100_table_profile": Query(q100_table_profile, _Q100_SQL),
     "q102_equidepth_histogram": Query(q102_equidepth_histogram, _Q102_SQL),
     "q104_key_uniqueness": Query(q104_key_uniqueness, _Q104_SQL),
+    "q107_bloom_join": Query(q107_bloom_join, _Q107_SQL),
 }

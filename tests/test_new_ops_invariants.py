@@ -224,3 +224,26 @@ def test_drift_tvd_is_a_bounded_metric(spark, sf_dir):
         # TVD is a [0, 1] metric (micro-units)
         assert 0 <= r.tvd_e6 <= 1_000_000
         assert r.drifted == (r.tvd_e6 > 50_000)
+
+
+def test_bloom_prefilter_is_a_superset_and_actually_reduces(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.bloom import bloom_prefiltered
+
+    sel = (load(spark, sf_dir, "orders")
+           .filter(F.col("o_orderpriority") == "1-URGENT")
+           .select("o_orderkey"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    n_all = li.count()
+    reduced = bloom_prefiltered(li, sel, "l_orderkey", "o_orderkey")
+    n_red = reduced.count()
+    true_m = li.join(sel.distinct(), li.l_orderkey == sel.o_orderkey,
+                     "left_semi")
+    n_true = true_m.count()
+    # never drops a true match...
+    assert reduced.join(sel.distinct(),
+                        reduced.l_orderkey == sel.o_orderkey,
+                        "left_semi").count() == n_true
+    assert n_red >= n_true
+    # ...and the false-positive residue is small: the reduction is real
+    # (1/5 priority selectivity + <1% fp at these key counts)
+    assert n_red <= 0.3 * n_all, (n_red, n_all)
