@@ -272,6 +272,73 @@ FROM p WHERE n >= 2
 """
 
 
+# --- q108: time-weighted average price (TWAP) -----------------------------
+
+
+def q108_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP per user series: each observation weighted by how long it
+    remained the latest price (lead-timestamp deltas) — the
+    irregular-series companion to q48's VWAP, and the benchmark price
+    every execution desk quotes. On an irregular feed a plain AVG
+    over-weights bursts; TWAP is the integral of the price step
+    function over time.
+
+    Scale shape: ONE shuffle on the high-cardinality series key
+    (user_id) serves both the lead() window and the final aggregate
+    (Catalyst satisfies the aggregate's distribution from the window's
+    exchange). Exactness: prices become 1e-4-unit BIGINTs, durations
+    exact micros, and the weighted sum accumulates as DECIMAL(38,0) /
+    HUGEINT (both exact ≫ worst case) — the only division is one final
+    double op, rounded half-up. Duplicate-timestamp ticks get zero
+    weight (dur 0), identically in both engines."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("user_id", "event_id",
+                  F.unix_micros("ts").alias("tus"),
+                  (F.col("value").cast("decimal(18,4)") * 10_000)
+                  .cast("long").alias("pv")))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seg = (ev.withColumn("dur", F.lead("tus").over(w) - F.col("tus"))
+           .filter(F.col("dur").isNotNull()))
+    wsum = (F.col("pv").cast("decimal(38,0)") * F.col("dur"))
+    agg = (seg.groupBy("user_id")
+           .agg(F.sum(wsum).alias("s_pvdur"),
+                F.sum("dur").alias("span_us"),
+                F.count(F.lit(1)).alias("n_intervals")))
+    twap = (F.col("s_pvdur").cast("double")
+            / (F.col("span_us").cast("double") * 10_000.0))
+    return (agg.filter(F.col("span_us") > 0)
+            .select("user_id", "n_intervals", "span_us",
+                    round_half_up(twap, 6).alias("twap")))
+
+
+_Q108_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pv
+  FROM events WHERE event_type = 'purchase'
+),
+seg AS (
+  SELECT user_id, pv,
+         lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus
+           AS dur
+  FROM ev
+),
+agg AS (
+  SELECT user_id,
+         sum(CAST(pv AS HUGEINT) * dur) AS s_pvdur,
+         CAST(sum(dur) AS BIGINT) AS span_us,
+         count(*) AS n_intervals
+  FROM seg WHERE dur IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, span_us,
+       floor(CAST(s_pvdur AS DOUBLE) / (CAST(span_us AS DOUBLE) * 10000.0)
+             * 1000000 + 0.5) / 1000000 AS twap
+FROM agg WHERE span_us > 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q47_sql_exists": Query(q47_sql_exists, _Q47_SQL),
     "q48_vwap": Query(q48_vwap, _Q48_SQL),
@@ -280,4 +347,5 @@ QUERIES: dict[str, Query] = {
     "q53_ema": Query(q53_ema, _Q53_SQL),
     "q54_rsi": Query(q54_rsi, _Q54_SQL),
     "q55_bollinger": Query(q55_bollinger, _Q55_SQL),
+    "q108_twap": Query(q108_twap, _Q108_SQL),
 }

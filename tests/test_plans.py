@@ -363,3 +363,19 @@ def test_q107_bloom_filters_below_forced_merge_join(spark, sf_dir):
     assert "SortMergeJoin" in text, text[:800]
     assert "xxhash64" in text and "element_at" in text, text[:800]
     assert "CartesianProduct" not in text, text[:800]
+
+
+def test_q108_twap_single_series_exchange(spark, sf_dir):
+    # the lead() window and the final aggregate must share ONE user_id
+    # exchange (Catalyst satisfies the aggregate's distribution from
+    # the window's shuffle); no global sort anywhere
+    import re
+
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.finance_analytics import q108_twap
+
+    df = q108_twap(spark, sf_dir)
+    text = plans.explain_str(df)
+    low = text.lower()
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 1, text[:800]
+    assert "hashpartitioning(user_id" in low, text[:800]
+    assert "rangepartitioning" not in low, text[:800]
