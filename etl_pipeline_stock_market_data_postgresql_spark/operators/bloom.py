@@ -12,13 +12,18 @@ so this module builds the identical structure from public functions:
 
 - **build**: each key hashes to ``k`` bit positions (xxhash64 with k
   seeds); positions become (word, bit) pairs and one map-side-combinable
-  ``bit_or`` aggregate ORs them into 64-bit words; the words collapse to
-  a single-row ``map<word_idx, bits>`` — ≤ bits/64 entries, broadcast
-  to every executor.
-- **probe**: a pure JVM row expression — recompute the k positions,
-  look the words up in the broadcast map, AND the masks. An absent word
-  means "no key ever touched it", so ``element_at``'s NULL propagates
-  to a dropped row, exactly might_contain's semantics.
+  ``bit_or`` aggregate ORs them into 64-bit words — a ``(w, bits)``
+  table of ≤ bits/64 rows, corpus-size-independent.
+- **probe**: k BROADCAST HASH JOINS on the word index (one per hash),
+  then a bitmask test. The word table stays relational on purpose:
+  Spark's ``element_at`` on a map literal is a LINEAR key scan
+  (ArrayBasedMapData has no hash index — measured 4.6s for a
+  16384-entry map over 600k rows), and densifying the map into an
+  indexable array is a single-task O(words²) scatter (measured 13s at
+  build). The broadcast hash join IS the O(1) hashed lookup those
+  shapes were reaching for, built from the join machinery that already
+  does it right. Unmatched words null out and correctly fail the mask
+  test — definitely-absent.
 
 False positives are filtered by the exact join that follows, so the
 Bloom stage is RESULT-INVISIBLE — the differential oracle for any query
@@ -30,40 +35,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-BLOOM_BITS = 1 << 20  # 1M bits = 16384 words ≈ 128 KB broadcast
+BLOOM_BITS = 1 << 20  # 1M bits = 16384 words ≈ 256 KB broadcast
 BLOOM_K = 2
+
+
+def _pos_sql(key_col: str, bits: int, seed: int) -> str:
+    # floor-mod keeps negative hashes in [0, bits) identically everywhere
+    return f"(((xxhash64({key_col}, {seed}) % {bits}) + {bits}) % {bits})"
 
 
 def build_bloom(keys: DataFrame, key_col: str, bits: int = BLOOM_BITS,
                 k: int = BLOOM_K) -> DataFrame:
-    """1-row DataFrame ``(bloom: map<bigint, bigint>)`` over the values
-    of ``keys[key_col]``. The only shuffle carries ≤ bits/64
-    (word, partial-bits) pairs — corpus-size-independent."""
-    # floor-mod keeps negative hashes in [0, bits) identically everywhere
-    pos = [f"(((xxhash64({key_col}, {seed}) % {bits}) + {bits}) % {bits})"
-           for seed in range(k)]
+    """``(w, bits)`` word table (≤ bits/64 rows) over the values of
+    ``keys[key_col]``. The only shuffle carries the word partials."""
+    pos = [_pos_sql(key_col, bits, seed) for seed in range(k)]
     words = (keys.selectExpr(f"explode(array({', '.join(pos)})) AS pos")
              .selectExpr("pos div 64 AS w", "CAST(pos % 64 AS INT) AS b"))
-    bm = (words.groupBy("w")
-          .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))")
-               .alias("bits")))
-    return bm.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "bits"))).alias("bloom"))
-
-
-def probe_sql(bloom_col: str, key_col: str, bits: int = BLOOM_BITS,
-              k: int = BLOOM_K) -> str:
-    """might_contain as a SQL boolean over (bloom map, key) columns:
-    true iff every probed word exists AND has the probed bit set (an
-    absent word yields NULL, which the filter drops —
-    definitely-absent)."""
-    conds = []
-    for seed in range(k):
-        p = f"(((xxhash64({key_col}, {seed}) % {bits}) + {bits}) % {bits})"
-        conds.append(
-            f"(element_at({bloom_col}, {p} div 64)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0")
-    return " AND ".join(conds)
+    return (words.groupBy("w")
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))")
+                 .alias("bits")))
 
 
 def bloom_prefiltered(fact: DataFrame, keys: DataFrame, fact_key: str,
@@ -73,6 +63,20 @@ def bloom_prefiltered(fact: DataFrame, keys: DataFrame, fact_key: str,
     pre-shuffle reduction step. Follow with the exact join; the filter
     only shrinks what the join has to shuffle."""
     bloom = build_bloom(keys, key_col, bits, k)
-    return (fact.crossJoin(F.broadcast(bloom))
-            .filter(F.expr(probe_sql("bloom", fact_key, bits, k)))
-            .drop("bloom"))
+    out = fact
+    probe_cols = []
+    for seed in range(k):
+        p = _pos_sql(fact_key, bits, seed)
+        w_col, bits_col = f"_bf_w{seed}", f"_bf_bits{seed}"
+        side = bloom.select(F.col("w").alias(w_col),
+                            F.col("bits").alias(bits_col))
+        out = (out.withColumn(w_col, F.expr(f"{p} div 64"))
+               .join(F.broadcast(side), w_col, "left"))
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+        probe_cols.append((w_col, bits_col,
+                           F.expr(f"({bits_col} & {mask}) != 0")))
+    cond = None
+    for _, _, hit in probe_cols:
+        cond = hit if cond is None else (cond & hit)
+    return out.filter(cond).drop(
+        *[c for w, b, _ in probe_cols for c in (w, b)])

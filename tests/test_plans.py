@@ -353,15 +353,16 @@ def test_q105_drift_shuffles_only_cells(spark, sf_dir):
 
 def test_q107_bloom_filters_below_forced_merge_join(spark, sf_dir):
     # the merge hint must hold (SortMergeJoin, not a broadcast that
-    # would hide the technique) and the bloom probe (xxhash64 +
-    # element_at against the broadcast map) must appear as a Filter in
-    # the plan; the only nested-loop is the 1-row bloom broadcast
+    # would hide the technique); the bloom probe must run as broadcast
+    # HASH joins on the word index (the O(1) lookup — a map element_at
+    # would be a linear scan per row, see operators/bloom.py) followed
+    # by the bitmask test; nothing may cartesian
     from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import q107_bloom_join
 
     df = q107_bloom_join(spark, sf_dir)
     text = plans.explain_str(df)
     assert "SortMergeJoin" in text, text[:800]
-    assert "xxhash64" in text and "element_at" in text, text[:800]
+    assert "BroadcastHashJoin" in text and "xxhash64" in text, text[:800]
     assert "CartesianProduct" not in text, text[:800]
 
 
