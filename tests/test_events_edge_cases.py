@@ -59,6 +59,9 @@ EVENT_QUERIES = [
     "q22_sessionization", "q77_funnel", "q80_hll_distinct",
     "q85_retention_cohorts", "q88_sliding_window_stats",
     "q90_gapfill_locf", "q92_time_range_window",
+    # r6 events-only additions
+    "q95_quantile_sketch", "q99_anomaly_zscore", "q105_histogram_drift",
+    "q108_twap",
 ]
 
 

@@ -58,6 +58,14 @@ FUZZ_QUERIES = [
     "q80_hll_distinct", "q85_retention_cohorts",
     "q88_sliding_window_stats", "q89_streaming_sliding_window",
     "q90_gapfill_locf", "q92_time_range_window",
+    # r6: the quantile sketch, integer z-score flags, TVD drift monitor,
+    # TWAP, and the custom stateful HWM filter are all events-only and
+    # epoch-sign-sensitive (negative micros exercise every div/mod).
+    # q96 stays out for q73's reason: dropDuplicatesWithinWatermark is
+    # WATERMARKED, and the epoch-0 initial watermark treats pre-1970
+    # event times as already late (pinned below).
+    "q95_quantile_sketch", "q99_anomaly_zscore", "q105_histogram_drift",
+    "q106_streaming_stateful_hwm", "q108_twap",
 ]
 
 

@@ -39,6 +39,10 @@ DOC_QUERIES = [
     # rows must vanish identically in both engines); the count-min sketch
     # must survive a corpus where some docs contribute zero tokens
     "q83_duplicate_spans", "q84_heavy_hitters",
+    # r6: BM25 must survive zero-token docs (dl = 0 never reaches a
+    # denominator because such docs have no tf rows); the bigram model
+    # must keep <2-token docs with n_bigrams = 0, never drop them
+    "q97_bm25_ranking", "q101_bigram_novelty",
 ]
 
 
