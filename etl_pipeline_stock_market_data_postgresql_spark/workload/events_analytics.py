@@ -496,6 +496,13 @@ def q95_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"percentile(value, array({qlist}))").alias("ex"),
                 F.expr(f"percentile_approx(value, array({qlist}),"
                        f" {QSK_ACCURACY})").alias("ap")))
+    # an all-NULL group returns NULL (not arrays) from both percentile
+    # functions, and posexplode(NULL) would silently DROP the group while
+    # the oracle's UNION-ALL pairs keep it — pin the 3-NULL array shape
+    null_arr = "array(" + ", ".join(["CAST(NULL AS DOUBLE)"] * len(QSK_QS)) + ")"
+    agg = agg.select("event_type", "n",
+                     F.expr(f"coalesce(ex, {null_arr})").alias("ex"),
+                     F.expr(f"coalesce(ap, {null_arr})").alias("ap"))
     qarr = F.array(*[F.lit(float(q)) for q in QSK_QS])
     pairs = (agg.select("event_type", "n",
                         F.posexplode(F.arrays_zip("ex", "ap"))
@@ -585,9 +592,12 @@ def q99_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-(ZS_WINDOW - 1), Window.currentRow))
     d38 = "decimal(38,0)"
-    n = F.count("*").over(w)
+    # count observed samples, not rows: a NULL value contributes no q,
+    # and counting it would inflate n in the moment algebra
+    n = F.count("q").over(w)
     s = F.sum("q").over(w)
-    ss = F.sum((F.col("q") * F.col("q")).cast(d38)).over(w)
+    # cast BEFORE the multiply: q*q in BIGINT wraps past |value|~3038
+    ss = F.sum(F.col("q").cast(d38) * F.col("q")).over(w)
     dev = (n * F.col("q") - s).cast(d38)          # fits long pre-cast
     lhs = dev * dev
     rhs = F.lit(ZS_Z2).cast(d38) * (n.cast(d38) * ss
@@ -606,7 +616,7 @@ WITH base AS (
 ),
 win AS (
   SELECT event_id, user_id, q,
-         count(*) OVER w AS n,
+         count(q) OVER w AS n,
          sum(q) OVER w AS s,
          sum(CAST(q AS HUGEINT) * q) OVER w AS ss
   FROM base
@@ -647,10 +657,15 @@ def q105_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·t > t0+t1 (no halving round-off), bins are integer div, and the
     TVD in 1e-6 units is (Σ|c1·n2 − c2·n1|·1e6) div (2·n1·n2) — exact
     BIGINT in both engines."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_micros("ts").alias("tus"),
-        F.floor(F.col("value") * 1_000_000).alias("q"))
+    # NULL values are excluded up front: binning NULL would land it in
+    # the TOP bin (least(k-1, NULL) = k-1 in both engines), silently
+    # reading NULL-rate drift as max-value drift — the monitor's
+    # contract is drift of the OBSERVED value distribution
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type",
+                  F.unix_micros("ts").alias("tus"),
+                  F.floor(F.col("value") * 1_000_000).alias("q")))
     b = ev.agg(F.min("tus").alias("t0"), F.max("tus").alias("t1"),
                F.min("q").alias("q0"), F.max("q").alias("q1"))
     j = ev.crossJoin(F.broadcast(b))
@@ -672,7 +687,11 @@ def q105_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (pb.join(F.broadcast(tot), "event_type")
            .groupBy("event_type", "n_early", "n_late")
            .agg(F.sum(dev).alias("sdev")))
-    tvd = F.expr("(sdev * CAST(1000000 AS BIGINT)) div (2 * n_early * n_late)")
+    # DECIMAL(38,0) before the 1e6 scale-up: sdev is bounded by
+    # 2*n_early*n_late, so the BIGINT product would wrap past ~4.3M
+    # events per half (the oracle runs the same width in HUGEINT)
+    tvd = F.expr("(CAST(sdev AS DECIMAL(38,0)) * 1000000)"
+                 " div (2 * CAST(n_early AS DECIMAL(38,0)) * n_late)")
     return agg.select(
         "event_type", "n_early", "n_late",
         F.when((F.col("n_early") > 0) & (F.col("n_late") > 0), tvd)
@@ -686,7 +705,7 @@ _Q105_SQL = f"""
 WITH base AS (
   SELECT event_type, epoch_us(ts) AS tus,
          CAST(floor(value * 1000000) AS BIGINT) AS q
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 b AS (SELECT min(tus) AS t0, max(tus) AS t1,
              min(q) AS q0, max(q) AS q1 FROM base),
@@ -720,10 +739,12 @@ agg AS (
 )
 SELECT event_type, n_early, n_late,
        CASE WHEN n_early > 0 AND n_late > 0
-            THEN CAST((sdev * 1000000) // (2 * n_early * n_late) AS BIGINT)
+            THEN CAST((CAST(sdev AS HUGEINT) * 1000000)
+                      // (2 * CAST(n_early AS HUGEINT) * n_late) AS BIGINT)
        END AS tvd_e6,
        coalesce(CASE WHEN n_early > 0 AND n_late > 0
-                     THEN (sdev * 1000000) // (2 * n_early * n_late)
+                     THEN (CAST(sdev AS HUGEINT) * 1000000)
+                          // (2 * CAST(n_early AS HUGEINT) * n_late)
                           > {DRIFT_TVD_E6} END, FALSE) AS drifted
 FROM agg
 """

@@ -307,7 +307,10 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "q106_hwm_feed")
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts")
-    is_second = F.col("event_id") % 2 == 1
+    # != 0, not == 1: C-style % gives -1 for negative odd ids, which
+    # would silently land them in batch 1 here while the oracle's
+    # sl arithmetic dropped them entirely
+    is_second = F.col("event_id") % 2 != 0
     cols = ["event_id", "event_type", "ts"]
     # two sequential single-file writes: the file source orders batches
     # by modification time, so batch 1 is exactly the even-id slice
@@ -328,7 +331,7 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q106_SQL = """
 WITH s AS (
   SELECT event_id, event_type, epoch_us(ts) AS tus,
-         CAST(event_id % 2 AS INT) AS sl
+         CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END AS sl
   FROM events
 ),
 hwm AS (SELECT event_type, max(tus) AS m FROM s WHERE sl = 0 GROUP BY 1)

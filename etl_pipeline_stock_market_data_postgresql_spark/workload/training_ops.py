@@ -317,8 +317,7 @@ def q70_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("effective_to").isNull().alias("is_current")))
 
 
-_Q70_SQL = f"""
-WITH obs AS (
+_SCD2_CHANGED_CTES = f"""obs AS (
   SELECT o_custkey, o_orderdate, o_orderpriority
   FROM (SELECT *, row_number() OVER (
           PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
@@ -331,7 +330,10 @@ changed AS (
           PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
         FROM obs)
   WHERE prev IS NULL OR prev <> o_orderpriority
-)
+)"""
+
+_Q70_SQL = f"""
+WITH {_SCD2_CHANGED_CTES}
 SELECT o_custkey AS custkey,
        CAST(row_number() OVER w AS INT) AS version_n,
        o_orderpriority AS priority,
@@ -382,20 +384,7 @@ def q103_scd2_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q103_SQL = f"""
-WITH obs AS (
-  SELECT o_custkey, o_orderdate, o_orderpriority
-  FROM (SELECT *, row_number() OVER (
-          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
-        FROM orders WHERE o_custkey % {SCD2_CUST_MOD} = 0)
-  WHERE rn = 1
-),
-changed AS (
-  SELECT o_custkey, o_orderdate, o_orderpriority
-  FROM (SELECT *, lag(o_orderpriority) OVER (
-          PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
-        FROM obs)
-  WHERE prev IS NULL OR prev <> o_orderpriority
-),
+WITH {_SCD2_CHANGED_CTES},
 hist AS (
   SELECT o_custkey AS custkey,
          CAST(row_number() OVER w AS INT) AS version_n,

@@ -39,9 +39,26 @@ def _gen_events():
         # coarse 97-second grid forces duplicate timestamps (RANGE-frame
         # peers, window ties) while still crossing the epoch boundary
         ts = _T0 + dt.timedelta(seconds=97 * rng.randrange(_SPAN_S // 97))
-        value = None if rng.random() < 0.05 else round(rng.uniform(0, 100), 2)
-        rows.append((eid, ts, rng.randrange(N_USERS), rng.choice(TYPES),
-                     value, "{}"))
+        # 3% outliers above |value| ~ 3038 — the bound past which a
+        # BIGINT q*q would wrap (the q99 cast-order bug class); NULLs
+        # exercise count(q)-vs-count(*) moment consistency
+        if rng.random() < 0.05:
+            value = None
+        elif rng.random() < 0.03:
+            value = round(rng.uniform(3500, 8000), 2)
+        else:
+            value = round(rng.uniform(0, 100), 2)
+        # ids span NEGATIVE: C-style % yields -1 on negative odds, the
+        # class of split/shard bug q106's parity fix closed
+        rows.append((eid - N_EVENTS // 2, ts, rng.randrange(N_USERS),
+                     rng.choice(TYPES), value, "{}"))
+    # one crafted view→click pair 10 minutes apart, so the pre-epoch
+    # watermark pin below always has a batch-side join match regardless
+    # of how the random stream falls
+    t = _T0 + dt.timedelta(days=1)
+    rows.append((N_EVENTS, t, 0, "view", 10.0, "{}"))
+    rows.append((N_EVENTS + 1, t + dt.timedelta(minutes=10), 0, "click",
+                 5.0, "{}"))
     return rows
 
 
