@@ -509,6 +509,86 @@ FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
 """
 
 
+# --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
+
+SQ8_LEVELS = 255
+
+
+def q109_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding corpus (FAISS
+    ScalarQuantizer shape): per-DIMENSION min/max train a uniform
+    256-level grid, every component maps to a code, and the per-label
+    reconstruction error is reported in exact nano-units — the 4×
+    memory cut that decides whether a 100 TB vector corpus fits the
+    cluster's RAM at all, with the error column quantifying what the
+    compression costs (the companion to q94's recall-bearing IVF: IVF
+    prunes WHICH vectors are touched, SQ shrinks what each one costs).
+
+    Scale shape: pass 1 is a D-group min/max (map-side combinable,
+    D rows broadcast back); pass 2 assigns codes and errors in pure map
+    arithmetic and aggregates by label — the shuffle carries per-label
+    partials only. Determinism: code = floor((x−lo)·255/(hi−lo)) and
+    the dequantized value share one explicitly-parenthesized expression
+    shape in both engines (identical IEEE evaluation order), and the
+    error aggregates as BIGINT nano-units with an integer-div mean —
+    no float accumulation anywhere. Constant dimensions (hi = lo)
+    quantize to code 0 with zero error."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _spread_vectors(spark, emb)
+    lab = emb.select(F.col("vec_id").alias("id"), "label")
+    comp = vecs.select("id", F.posexplode("v").alias("pos", "x"))
+    bounds = (comp.groupBy("pos")
+              .agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    j = comp.join(F.broadcast(bounds), "pos")
+    code = (F.when(F.col("hi") > F.col("lo"),
+                   F.least(F.lit(SQ8_LEVELS),
+                           F.floor((F.col("x") - F.col("lo")) * SQ8_LEVELS
+                                   / (F.col("hi") - F.col("lo")))
+                           .cast("int")))
+            .otherwise(0))
+    q = j.withColumn("code", code)
+    deq = (F.col("lo")
+           + (F.col("code") * (F.col("hi") - F.col("lo"))) / SQ8_LEVELS)
+    err = q.select("id", F.floor(F.abs(F.col("x") - deq) * 1_000_000_000)
+                   .cast("long").alias("err_e9"))
+    return (err.join(lab, "id")
+            .groupBy("label")
+            .agg(F.countDistinct("id").alias("n_vecs"),
+                 F.count(F.lit(1)).alias("n_comps"),
+                 F.expr("sum(err_e9) div count(*)").alias("mean_err_e9"),
+                 F.max("err_e9").alias("max_err_e9")))
+
+
+_Q109_SQL = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+           FROM embeddings),
+comp AS (
+  SELECT id, label, i - 1 AS pos, v[i] AS x
+  FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+),
+bounds AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM comp GROUP BY pos),
+q AS (
+  SELECT c.id, c.label, c.x, b.lo, b.hi,
+         CASE WHEN b.hi > b.lo
+              THEN least({SQ8_LEVELS},
+                         CAST(floor((c.x - b.lo) * {SQ8_LEVELS}
+                                    / (b.hi - b.lo)) AS INT))
+              ELSE 0 END AS code
+  FROM comp c JOIN bounds b USING (pos)
+),
+err AS (
+  SELECT id, label,
+         CAST(floor(abs(x - (lo + (code * (hi - lo)) / {SQ8_LEVELS}))
+                    * 1000000000) AS BIGINT) AS err_e9
+  FROM q
+)
+SELECT label, count(DISTINCT id) AS n_vecs, count(*) AS n_comps,
+       CAST(sum(err_e9) // count(*) AS BIGINT) AS mean_err_e9,
+       CAST(max(err_e9) AS BIGINT) AS max_err_e9
+FROM err GROUP BY label
+"""
+
+
 # --- q86: cluster purity (unsupervised partitions vs labels) ---------------
 
 
@@ -578,4 +658,5 @@ QUERIES: dict[str, Query] = {
     "q86_cluster_purity": Query(q86_cluster_purity, _Q86_SQL),
     "q94_learned_ivf": Query(q94_learned_ivf, _q94_sql()),
     "q98_semantic_dedup": Query(q98_semantic_dedup, _q98_sql()),
+    "q109_sq8_quantization": Query(q109_sq8_quantization, _Q109_SQL),
 }
