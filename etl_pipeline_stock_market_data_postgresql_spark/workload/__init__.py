@@ -52,7 +52,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q102_equidepth_histogram", "q103_scd2_pit_enrichment",
     "q104_key_uniqueness", "q105_histogram_drift",
     "q106_streaming_stateful_hwm", "q107_bloom_join", "q108_twap",
-    "q109_sq8_quantization",
+    "q109_sq8_quantization", "q110_dynamic_partition_overwrite",
     # Then the 39 queries whose newest green row is r4: their rows
     # predate r5's loader/tokenizer edits (sources/tables.py,
     # functions/textstats.py), so they rotate forward per the
@@ -63,21 +63,21 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q23_dedup_exact", "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash",
     "q30_langid",
     "q31_quality_score", "q32_token_stats", "q33_fingerprint",
-    "q34_multimodal_meta", "q36_sma_over_bars", "q40_date_funcs",
+    "q36_sma_over_bars", "q40_date_funcs",
     "q41_correlated_max", "q43_array_aggregation",
     "q44_joinback_avg", "q51_lsh_verified_neardup", "q52_multiset_ops",
     "q61_dedup_clusters", "q65_salted_distinct", "q66_salted_join",
     "q70_scd2_history", "q77_funnel", "q80_hll_distinct",
-    # 17 new + 32 r4-aged leaves ONE fill slot to the cap; it goes to
+    # 18 new + 31 r4-aged leaves ONE fill slot to the cap; it goes to
     # the NTZ-sensitive q22 (single r5 row on the regenerated data).
-    # Seven r4-aged queries defer past the cap to make room for
-    # q103–q109 (new > oldest-green): q28/q29/q82 (embeddings-only),
+    # Eight r4-aged queries defer past the cap to make room for
+    # q103–q110 (new > oldest-green): q28/q29/q82 (embeddings-only),
     # q38 (part-table-only), q42 (status/priority columns of orders
     # only), q37 (returnflag/linestatus/quantity/extendedprice of
-    # lineitem only), q39 (event_type/value only) — none reads a time
-    # column or the tokenizer, so none can be affected by the r5
-    # loader/tokenizer edits their rotation guards against; all stay
-    # covered by local parity.
+    # lineitem only), q39 (event_type/value only), q34 (text→binary
+    # plumbing, no time columns, no tokenizer) — none can be affected
+    # by the r5 loader/tokenizer edits their rotation guards against;
+    # all stay covered by local parity.
     "q22_sessionization",
 )
 

@@ -205,7 +205,72 @@ GROUP BY event_type
 """
 
 
+# --- q110: dynamic partition overwrite (idempotent day backfill) ----------
+
+
+def q110_dynamic_partition_overwrite(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE of exactly ONE day partition — the idempotent
+    backfill every warehouse runs when a day's feed is re-delivered
+    (the reference re-fetches a symbol's full payload and re-loads it;
+    at 100 TB the re-load must replace its own day and MUST NOT touch
+    the other thousand). The query seeds a day-partitioned copy of
+    events, then overwrites the earliest day with corrected rows
+    (values doubled) under ``partitionOverwriteMode=dynamic``, and
+    returns the per-day rollup read back from storage.
+
+    The oracle computes the same rollup from the raw table with day-0
+    values doubled — so the hash match certifies BOTH overwrite
+    semantics at once: the target day carries the corrected values
+    (the overwrite happened), and every other day still holds its
+    original rows (static-mode clobbering, the default, would have
+    deleted them and broken the row counts). The target day derives
+    from a broadcast min — no driver-side literal.
+
+    Scale shape: both writes are one shuffle-free pass partitioned by
+    the day column (Spark's writer splits files per partition value);
+    the dynamic overwrite's commit replaces only the partitions present
+    in the incoming data — metadata work ∝ |touched partitions|, never
+    a full-table rewrite."""
+    base, _ = _scratch_base(sf_dir)
+    path = os.path.join(base, "q110_events_by_day")
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "value",
+                  F.to_date("ts").alias("day")))
+    d0 = ev.agg(F.min("day").alias("d0"))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        ev.write.partitionBy("day").mode("overwrite").parquet(path)
+        upd = (ev.crossJoin(F.broadcast(d0))
+               .filter(F.col("day") == F.col("d0"))
+               .withColumn("value", F.col("value") * 2)
+               .drop("d0"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(path)
+    val = F.col("value").cast("decimal(18,4)")
+    return (back.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(val).cast("double").alias("sum_value")))
+
+
+_Q110_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       CAST(sum(CAST(value * (CASE WHEN CAST(ts AS DATE) = b.d0
+                                   THEN 2 ELSE 1 END)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events, b
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
+    "q110_dynamic_partition_overwrite": Query(
+        q110_dynamic_partition_overwrite, _Q110_SQL),
 }

@@ -91,3 +91,47 @@ def test_q93_is_idempotent(spark, sf_dir):
     a = sorted(map(tuple, q93_zorder_pruning(spark, sf_dir).collect()))
     b = sorted(map(tuple, q93_zorder_pruning(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_dynamic_overwrite_touches_only_target_partition(spark, sf_dir, tmp_path):
+    # the q110 contract at the FILE level (per the repo rule: layout
+    # claims are proven from the files, not the plan): the dynamic-mode
+    # overwrite must replace the target day's files and leave every
+    # other partition's files byte-identical on disk
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+
+    path = str(tmp_path / "byday")
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "value", F.to_date("ts").alias("day")))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        ev.write.partitionBy("day").mode("overwrite").parquet(path)
+
+        def snap():
+            return {f: (os.path.getmtime(f), os.path.getsize(f))
+                    for f in glob.glob(os.path.join(path, "day=*/part-*"))}
+
+        before = snap()
+        d0 = ev.agg(F.min("day").alias("d0"))
+        upd = (ev.crossJoin(F.broadcast(d0))
+               .filter(F.col("day") == F.col("d0"))
+               .withColumn("value", F.col("value") * 2).drop("d0"))
+        target_dir = f"day={upd.select('day').first()[0].isoformat()}"
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd.write.partitionBy("day").mode("overwrite").parquet(path)
+        after = snap()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    untouched_before = {f: v for f, v in before.items() if target_dir not in f}
+    untouched_after = {f: v for f, v in after.items() if target_dir not in f}
+    assert untouched_before and untouched_before == untouched_after
+    # the target day WAS rewritten: its old files are gone
+    assert not any(target_dir in f and f in after for f in before)
+    assert any(target_dir in f for f in after)
