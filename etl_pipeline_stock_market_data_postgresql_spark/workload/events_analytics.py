@@ -602,10 +602,14 @@ def q99_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lhs = dev * dev
     rhs = F.lit(ZS_Z2).cast(d38) * (n.cast(d38) * ss
                                     - s.cast(d38) * s.cast(d38))
+    # coalesce keeps the flag two-valued: a NULL-valued event with a
+    # full window would otherwise yield NULL (true AND NULL), and a
+    # tri-state flag silently drops rows from NOT is_anomaly filters
     return (ev.select(
         "event_id", "user_id",
         n.alias("n_win"),
-        ((n >= ZS_MIN_N) & (lhs > rhs)).alias("is_anomaly")))
+        F.coalesce((n >= ZS_MIN_N) & (lhs > rhs),
+                   F.lit(False)).alias("is_anomaly")))
 
 
 _Q99_SQL = f"""
@@ -624,10 +628,10 @@ win AS (
                ROWS BETWEEN {ZS_WINDOW - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, CAST(n AS BIGINT) AS n_win,
-       (n >= {ZS_MIN_N}
+       coalesce(n >= {ZS_MIN_N}
         AND CAST(n * q - s AS HUGEINT) * CAST(n * q - s AS HUGEINT)
             > {ZS_Z2} * (CAST(n AS HUGEINT) * ss
-                         - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)))
+                         - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)), FALSE)
          AS is_anomaly
 FROM win
 """

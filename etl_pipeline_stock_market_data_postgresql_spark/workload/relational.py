@@ -600,7 +600,8 @@ _Q104_SQL = _key_uniqueness_sql()
 def q107_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Urgent-order revenue by return flag, answered through a
     Bloom-filter runtime pre-join reduction (operators/bloom): the
-    selective order subset builds a ~128 KB bloom bitmap (one
+    selective order subset builds a 1M-bit bloom bitmap (16384 (w,
+    bits) rows ≈ 256 KB broadcast; one
     map-side-combinable bit_or aggregate, ≤ bits/64 words shuffled),
     the bitmap broadcasts, and the lineitem side drops
     definitely-unmatched rows BEFORE the join shuffle — so the

@@ -9,6 +9,7 @@ gate, not just unit tests."""
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from contextlib import contextmanager
 
@@ -316,8 +317,19 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by modification time, so batch 1 is exactly the even-id slice
     ev.filter(~is_second).select(*cols).coalesce(1) \
         .write.mode("overwrite").parquet(path)
+    batch1 = {f for f in os.listdir(path) if f.endswith(".parquet")}
     ev.filter(is_second).select(*cols).coalesce(1) \
         .write.mode("append").parquet(path)
+    # pin the batch order explicitly: on a filesystem with coarse mtime
+    # resolution the two back-to-back writes can share a timestamp and
+    # the file-source ordering (hence the HWM result) would be
+    # nondeterministic — set strictly increasing mtimes instead of
+    # relying on write latency exceeding the fs granularity
+    now = time.time()
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            t = now - 10.0 if f in batch1 else now
+            os.utime(os.path.join(path, f), (t, t))
     schema = spark.read.parquet(path).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(path))

@@ -215,15 +215,23 @@ def test_drift_tvd_is_a_bounded_metric(spark, sf_dir):
     rows = q105_histogram_drift(spark, sf_dir).collect()
     ev = load(spark, sf_dir, "events")
     per_type = {r.event_type: r for r in rows}
+    # the query histograms only non-NULL values, so the slice totals
+    # must reconcile against the NULL-excluded per-type counts
     counts = {r.event_type: r.n for r in
-              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
-    assert set(per_type) == set(counts)
+              ev.filter(F.col("value").isNotNull())
+              .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(per_type)
     for t, r in per_type.items():
-        # slices partition the type's events
-        assert r.n_early + r.n_late == counts[t]
-        # TVD is a [0, 1] metric (micro-units)
-        assert 0 <= r.tvd_e6 <= 1_000_000
-        assert r.drifted == (r.tvd_e6 > 50_000)
+        # slices partition the type's non-NULL-valued events
+        assert r.n_early + r.n_late == counts.get(t, 0)
+        if r.tvd_e6 is not None:
+            # TVD is a [0, 1] metric (micro-units)
+            assert 0 <= r.tvd_e6 <= 1_000_000
+            assert r.drifted == (r.tvd_e6 > 50_000)
+        else:
+            # one-sided type (all events in a single half): no TVD,
+            # and the flag stays two-valued
+            assert r.drifted is False
 
 
 def test_bloom_prefilter_is_a_superset_and_actually_reduces(spark, sf_dir):
