@@ -509,6 +509,203 @@ FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
 """
 
 
+# --- q111: hierarchical SemDeDup (IVF-on-IVF coarse quantizer) ------------
+
+
+def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q98's SemDeDup with the assignment cost capped by a HIERARCHICAL
+    coarse quantizer (IVF-on-IVF, the FAISS two-level shape): the K
+    learned cells are themselves clustered into G ≈ √K super-cells, a
+    corpus vector first routes to its nearest super-cell (argmin over
+    G) and then argmins over only that super-cell's children (~K/G) —
+    per-vector flops drop from O(K) to O(G + K/G) = O(√K). With
+    K ∝ n (q98's rule, kept), total assignment flops fall from
+    O(n·K) = O(n²/250) to O(n·√K) = O(n^1.5/16) while candidate-pair
+    generation, the ε-ball rule, and the keep-lowest-id semantics are
+    byte-identical to q98's. This is the remedy BENCH.md's 100× probe
+    names for q98's 75× wall-clock row — q98 stays registered as the
+    flat-assignment exactness witness, this query is the scale path.
+
+    Hierarchy training is deterministic and oracle-mirrored: super-seed
+    centroids are the first G learned cells, one exact integer-space
+    Lloyd update over the K centroid rows (q82's contract), children
+    map to their nearest updated super-cell, and routing only considers
+    super-cells that own ≥1 child (an empty super-cell must not
+    swallow corpus vectors it has no children to offer). Every argmin
+    ties on (d2, id) struct-min; every cross-row sum is exact BIGINT;
+    sims round half-up to 6dp — the full q98 determinism contract."""
+    from ..functions.rounding import round_half_up
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _spread_vectors(spark, emb)
+    # K ∝ corpus, G ≈ √K — both derived from the broadcast 1-row count
+    nk = (vecs.agg(F.count("*").alias("n_total"))
+          .withColumn("k", F.greatest(
+              F.lit(8), F.expr(f"n_total div {SEMDEDUP_VECS_PER_CELL}")))
+          .withColumn("g", F.greatest(
+              F.lit(2), F.floor(F.sqrt("k")).cast("long"))))
+    seeds = (vecs.crossJoin(F.broadcast(nk))
+             .filter(F.col("id") < F.col("k"))
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    assigned = kmeans.assign(vecs, seeds)
+    learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
+               .localCheckpoint(eager=True))  # K rows
+    # --- coarse level: cluster the K centroids into G super-cells ---
+    cvecs = learned.select(F.col("cid").alias("id"), F.col("cv").alias("v"))
+    gseeds = (cvecs.crossJoin(F.broadcast(nk))
+              .filter(F.col("id") < F.col("g"))
+              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    gassigned = kmeans.assign(cvecs, gseeds)
+    supers = (kmeans.new_centroids(kmeans.component_sums(gassigned), gseeds)
+              .localCheckpoint(eager=True))  # G rows (cid = super id)
+    child_map = (kmeans.assign(cvecs, supers)
+                 .select(F.col("id").alias("ccid"),
+                         F.col("cid").alias("gid")))
+    # route only to super-cells that own children (an updated super can
+    # end up childless; corpus vectors must never land there)
+    supers_live = (supers.join(
+        child_map.select(F.col("gid").alias("cid")).distinct(), "cid"))
+    route = (kmeans.assign(vecs, supers_live)
+             .select("id", "v", F.col("cid").alias("gid")))
+    children = (child_map.join(
+        learned, child_map.ccid == learned.cid).select("gid", "cid", "cv"))
+    # fine assignment: argmin over the routed super-cell's ~K/G children
+    fine = (route.join(F.broadcast(children), "gid")
+            .withColumn("d2", kmeans.sqdist(F.col("v"), F.col("cv")))
+            .groupBy("id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"),
+                 F.first("v").alias("v")))
+    cells = fine.select("id", "v", F.col("m.cid").alias("cell"),
+                        vfun.norm(F.col("v")).alias("nrm"))
+    # --- identical SemDeDup tail to q98 ---
+    a = cells.select(F.col("id").alias("id_a"), "cell",
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = cells.select(F.col("id").alias("id_b"), "cell",
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim6 = round_half_up(
+        vfun.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", sim6)
+             .filter(F.col("sim") >= SEMDEDUP_SIM))
+    removed = (pairs.select(F.col("id_b").alias("id")).distinct()
+               .withColumn("removed", F.lit(True)))
+    return (cells.join(removed, "id", "left")
+            .select(F.col("id").alias("vec_id"), "cell",
+                    F.coalesce("removed", F.lit(False)).alias("removed")))
+
+
+def _hier_cells_ctes() -> str:
+    """Oracle prefix for q111: q98's learned-cells chain up to the K
+    updated centroids (c2), then the coarse level — super-seeds = first
+    G centroids, one integer-space Lloyd update over the K centroid
+    rows, child map, child-owning-super routing, and the fine argmin
+    over routed children. Ends with corpusv(neighbor_id, cell, v)."""
+    from ..operators.kmeans import Q_COMP
+
+    sq = _sqd
+    k = f"(SELECT greatest(8, count(*) // {SEMDEDUP_VECS_PER_CELL}) FROM e)"
+    g = (f"(SELECT greatest(2, CAST(floor(sqrt(greatest(8, count(*) // "
+         f"{SEMDEDUP_VECS_PER_CELL}))) AS BIGINT)) FROM e)")
+
+    def sqg(vec: str, cen: str) -> str:
+        return ("list_sum(list_transform(range(1, len({v}) + 1), "
+                "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+                .format(v=vec, c=cen))
+
+    return f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {k}),
+a1 AS (
+  SELECT e.id, min(({sq('c1')}, c1.cid)) AS m
+  FROM e CROSS JOIN c1 GROUP BY e.id
+),
+s1 AS (SELECT a1.id, m[2] AS cid, e.v FROM a1 JOIN e ON a1.id = e.id),
+m1 AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM s1, unnest(range(1, len(v) + 1)) AS u(i)
+  GROUP BY cid, i
+),
+r1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                   ORDER BY pos) AS cv
+  FROM m1 GROUP BY cid
+),
+c2 AS (
+  SELECT c1.cid, coalesce(r1.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN r1 ON c1.cid = r1.cid
+),
+gc1 AS (SELECT cid AS gid, cv AS gv FROM c2 WHERE cid < {g}),
+ga1 AS (
+  SELECT c2.cid, min(({sqg('c2.cv', 'gc1.gv')}, gc1.gid)) AS m
+  FROM c2 CROSS JOIN gc1 GROUP BY c2.cid
+),
+gs1 AS (SELECT ga1.cid, m[2] AS gid, c2.cv FROM ga1 JOIN c2 ON ga1.cid = c2.cid),
+gm1 AS (
+  SELECT gid, i - 1 AS pos,
+         CAST(sum(CAST(floor(cv[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM gs1, unnest(range(1, len(cv) + 1)) AS u(i)
+  GROUP BY gid, i
+),
+gr1 AS (
+  SELECT gid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                   ORDER BY pos) AS gv
+  FROM gm1 GROUP BY gid
+),
+gc2 AS (
+  SELECT gc1.gid, coalesce(gr1.gv, gc1.gv) AS gv
+  FROM gc1 LEFT JOIN gr1 ON gc1.gid = gr1.gid
+),
+childmap AS (
+  SELECT t.cid, t.m[2] AS gid FROM (
+    SELECT c2.cid, min(({sqg('c2.cv', 'gc2.gv')}, gc2.gid)) AS m
+    FROM c2 CROSS JOIN gc2 GROUP BY c2.cid
+  ) AS t
+),
+glive AS (
+  SELECT gc2.gid, gc2.gv
+  FROM gc2 JOIN (SELECT DISTINCT gid FROM childmap) AS lv ON gc2.gid = lv.gid
+),
+route AS (
+  SELECT t.id, t.m[2] AS gid FROM (
+    SELECT e.id, min(({sqg('e.v', 'glive.gv')}, glive.gid)) AS m
+    FROM e CROSS JOIN glive GROUP BY e.id
+  ) AS t
+),
+children AS (
+  SELECT childmap.gid, c2.cid, c2.cv
+  FROM childmap JOIN c2 ON childmap.cid = c2.cid
+),
+finea AS (
+  SELECT r.id, min(({sqg('e.v', 'ch.cv')}, ch.cid)) AS m
+  FROM route r JOIN e ON r.id = e.id JOIN children ch ON r.gid = ch.gid
+  GROUP BY r.id
+),
+corpusv AS (
+  SELECT f.id AS neighbor_id, f.m[2] AS cell, e.v
+  FROM finea f JOIN e ON f.id = e.id
+)"""
+
+
+def _q111_sql() -> str:
+    sim = round_half_up_sql(cosine_sql("a.v", "b.v"), 6)
+    return f"""
+WITH {_hier_cells_ctes()},
+pairs AS (
+  SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+  FROM corpusv a JOIN corpusv b
+    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+  WHERE {sim} >= {SEMDEDUP_SIM}
+),
+removed AS (SELECT DISTINCT id_b AS id FROM pairs)
+SELECT cv.neighbor_id AS vec_id, cv.cell,
+       (r.id IS NOT NULL) AS removed
+FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
+"""
+
+
 # --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
 
 SQ8_LEVELS = 255
@@ -659,4 +856,5 @@ QUERIES: dict[str, Query] = {
     "q94_learned_ivf": Query(q94_learned_ivf, _q94_sql()),
     "q98_semantic_dedup": Query(q98_semantic_dedup, _q98_sql()),
     "q109_sq8_quantization": Query(q109_sq8_quantization, _Q109_SQL),
+    "q111_semantic_dedup_hier": Query(q111_semantic_dedup_hier, _q111_sql()),
 }

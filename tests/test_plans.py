@@ -271,6 +271,19 @@ def test_q98_semantic_dedup_blocks_on_cells(spark, sf_dir):
     assert "rangepartitioning" not in text.lower(), text[:800]
 
 
+def test_q111_hier_semdedup_blocks_on_cells_without_flat_fanout(spark, sf_dir):
+    # same contract as q98 (broadcast centroid fanouts, equi-join pair
+    # generation, no cartesian, no global sort) — the hierarchy must
+    # not reintroduce either failure shape
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import q111_semantic_dedup_hier
+
+    df = q111_semantic_dedup_hier(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "CartesianProduct" not in text, text[:800]
+    assert "rangepartitioning" not in text.lower(), text[:800]
+
+
 def test_q99_anomaly_single_user_shuffle(spark, sf_dir):
     # all three moments (count/sum/sum-of-squares) must come from ONE
     # window pass: exactly one exchange, hash-partitioned on user_id —
