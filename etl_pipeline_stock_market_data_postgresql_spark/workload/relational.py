@@ -530,6 +530,114 @@ FROM asn GROUP BY bucket
 _Q102_SQL = _equidepth_sql()
 
 
+# --- q112: sketch-fed equi-depth histogram (q102's 100 TB variant) -------
+
+EQD_SK_ACCURACY = 10_000  # GK rank error <= n/accuracy (q95's setting)
+EQD_SK_TOL = 0.02         # certified per-bucket depth tolerance
+
+
+def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q102's equi-depth histogram with the bucket boundaries sourced
+    from the MERGEABLE quantile sketch (q95's ``percentile_approx``,
+    Greenwald-Khanna) instead of the exact interpolated percentile —
+    the swap q102's docstring promises at 100 TB, now gated: the exact
+    boundary operator materializes every value per group, while the
+    sketch is constant-size partial state that merges across
+    partitions/shards/streams.
+
+    Cross-engine gate design (q95's certification pattern): Spark's GK
+    summary and DuckDB's t-digest produce different boundary VALUES, so
+    sketch-derived edges/counts can't hash-match. Each engine instead
+    assigns buckets from its OWN sketch boundaries and certifies the
+    result in RANK space — ``within_tol`` is true iff the bucket's
+    observed depth |n_bucket/n − 1/k| ≤ tol, the invariant equi-depth
+    exists to provide. The hash-comparable columns are the bucket id,
+    the target depth, the certification bit (true on both engines while
+    both sketches honor their rank-error bounds), and the EXACT
+    boundary (q102 proved that hash-matches) carried as the
+    value-bearing witness. tol = 0.02 covers bucket-edge granularity at
+    the smallest test table (1/k ± 2·rank-error; GK at 1e-4 and
+    t-digest at ~1e-3 sit far inside).
+
+    Scale shape: one map-side-combinable sketch aggregate (the exact
+    percentile rides the same pass here ONLY as the witness column — a
+    real 100 TB run drops it), a 1-row broadcast, and q102's unchanged
+    map-only assignment + k-row aggregate. No global sort anywhere."""
+    from ..functions.rounding import round_half_up
+    k = EQD_BUCKETS
+    qs = [i / k for i in range(1, k)]
+    qcsv = ",".join(map(str, qs))
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    st = li.agg(
+        F.count("l_extendedprice").alias("n"),
+        F.expr(f"percentile(l_extendedprice, array({qcsv}))").alias("ex"),
+        F.expr(f"percentile_approx(l_extendedprice, array({qcsv}),"
+               f" {EQD_SK_ACCURACY})").alias("ap"))
+    asn = (li.crossJoin(F.broadcast(st))
+           .select(F.size(F.filter(
+               "ap", lambda b: F.col("l_extendedprice") > b))
+               .cast("int").alias("bucket")))
+    counts = asn.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    # pin all k bucket rows even if a sketch bucket lands empty
+    buckets = (st.select("n", "ex",
+                         F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                         .alias("bucket")))
+    depth = F.coalesce("n_bucket", F.lit(0)).cast("double") / F.col("n")
+    exact_edge = F.when(
+        F.col("bucket") < k - 1,
+        round_half_up(F.element_at("ex", F.col("bucket") + 1), 6))
+    return (buckets.join(counts, "bucket", "left")
+            .select("bucket",
+                    F.col("n").cast("long").alias("n"),
+                    F.lit(1.0 / k).alias("target_depth"),
+                    exact_edge.alias("exact_edge"),
+                    (F.abs(depth - 1.0 / k) <= EQD_SK_TOL)
+                    .alias("within_tol")))
+
+
+def _equidepth_sketch_sql() -> str:
+    k = EQD_BUCKETS
+    qs = [i / k for i in range(1, k)]
+    excols = ",\n         ".join(
+        f"quantile_cont(l_extendedprice, {q}) AS e{i}"
+        for i, q in enumerate(qs))
+    apcols = ",\n         ".join(
+        f"approx_quantile(l_extendedprice, {q}) AS a{i}"
+        for i, q in enumerate(qs))
+    bsum = " + ".join(
+        f"CASE WHEN l_extendedprice > a{i} THEN 1 ELSE 0 END"
+        for i in range(len(qs)))
+    edge = " ".join(
+        f"WHEN bucket = {i} THEN floor(e{i} * 1000000 + 0.5) / 1000000"
+        for i in range(len(qs)))
+    return f"""
+WITH st AS (
+  SELECT count(l_extendedprice) AS n,
+         {excols},
+         {apcols}
+  FROM lineitem
+),
+asn AS (
+  SELECT CAST(({bsum}) AS INT) AS bucket
+  FROM lineitem CROSS JOIN st
+),
+counts AS (SELECT bucket, count(*) AS n_bucket FROM asn GROUP BY bucket),
+buckets AS (
+  SELECT st.*, CAST(u.b AS INT) AS bucket
+  FROM st, unnest(range(0, {k})) AS u(b)
+)
+SELECT bucket, CAST(n AS BIGINT) AS n,
+       CAST(1.0 / {k} AS DOUBLE) AS target_depth,
+       CASE {edge} END AS exact_edge,
+       (abs(CAST(coalesce(n_bucket, 0) AS DOUBLE) / n - 1.0 / {k})
+        <= {EQD_SK_TOL}) AS within_tol
+FROM buckets LEFT JOIN counts USING (bucket)
+"""
+
+
+_Q112_SQL = _equidepth_sketch_sql()
+
+
 # --- q104: candidate-key (uniqueness) discovery --------------------------
 
 _KEY_CANDIDATES = (
@@ -657,6 +765,7 @@ QUERIES: dict[str, Query] = {
     "q52_multiset_ops": Query(q52_multiset_ops, _Q52_SQL),
     "q100_table_profile": Query(q100_table_profile, _Q100_SQL),
     "q102_equidepth_histogram": Query(q102_equidepth_histogram, _Q102_SQL),
+    "q112_equidepth_sketch": Query(q112_equidepth_sketch, _Q112_SQL),
     "q104_key_uniqueness": Query(q104_key_uniqueness, _Q104_SQL),
     "q107_bloom_join": Query(q107_bloom_join, _Q107_SQL),
 }

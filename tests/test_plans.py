@@ -351,6 +351,30 @@ def test_q102_equidepth_no_global_sort(spark, sf_dir):
     assert "BroadcastExchange" in text, text[:800]
 
 
+def test_q112_sketch_histogram_no_global_sort_and_certifies(spark, sf_dir):
+    # same plan contract as q102 (broadcast 1-row boundaries, no ntile,
+    # no range partitioning), with the sketch aggregate present and the
+    # rank-space certification true on every bucket
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+        EQD_BUCKETS, q112_equidepth_sketch)
+
+    df = q112_equidepth_sketch(spark, sf_dir)
+    text = plans.explain_str(df)
+    low = text.lower()
+    import re
+    assert not re.search(r"(?<![a-z])ntile\(", low), text[:800]
+    assert "rangepartitioning" not in low, text[:800]
+    assert "BroadcastExchange" in text, text[:800]
+    assert "approx_percentile" in low or "percentile_approx" in low, text[:800]
+    rows = df.collect()
+    assert len(rows) == EQD_BUCKETS
+    assert all(r.within_tol for r in rows), rows
+    # the exact witness edges are non-decreasing; last bucket open-ended
+    edges = [r.exact_edge for r in sorted(rows, key=lambda r: r.bucket)]
+    assert edges[-1] is None and all(e is not None for e in edges[:-1])
+    assert all(a <= b for a, b in zip(edges[:-2], edges[1:-1]))
+
+
 def test_q105_drift_shuffles_only_cells(spark, sf_dir):
     # the raw-event pass must end at the (type, slice, bin) hash
     # aggregate: bounds broadcast back (BroadcastExchange), everything
