@@ -706,6 +706,250 @@ FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
 """
 
 
+# --- q113: IVF-PQ with ADC scoring (FAISS IVFPQ shape) --------------------
+
+PQ_M = 16       # sub-spaces (64 dims -> 16 sub-vectors of 4) — the
+                # FAISS-canonical D/4 split
+PQ_SUB_D = 4
+PQ_CODES = 256  # codewords per sub-space: 16 bytes/vector, a 4x memory
+                # cut below SQ8 (q109) and 32x below raw doubles
+                # (codebook = M*CODES = 4096 rows, still a tiny broadcast)
+Q_ADC = 10**6   # LUT / exact-distance quantization (exact BIGINT sums)
+
+
+def q113_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor with asymmetric-distance
+    (ADC) scoring — the composition of q94's learned IVF cells (which
+    bound WHICH vectors a query touches) and product quantization
+    (which bounds what each touched vector COSTS): dimensions split
+    into M sub-vectors, each sub-space gets its own PQ_CODES-codeword
+    codebook (seeded from the first PQ_CODES vectors' sub-vectors, one
+    exact integer-space Lloyd update — q82's contract), every corpus
+    vector is stored as M byte codes, and a query scores candidates by
+    summing M lookup-table entries instead of touching any corpus
+    float. This is the memory layout 100 TB ANN deployments actually
+    ship (FAISS IVFPQ): 64 doubles -> 4 codes is a 128× compression of
+    the scan payload, and the per-candidate cost drops from a D-dim
+    dot product to M integer lookups.
+
+    Scale shape: codebook training and the LUT are tiny broadcasts
+    (M·CODES rows; |queries|·M·CODES rows); encoding is a broadcast
+    argmin per sub-space (shuffle ∝ corpus, carries one byte-code row
+    per (vector, sub-space)); candidate generation reuses the IVF cell
+    equi-join (≈ nprobe/K of the corpus per query); ADC scoring is a
+    map-side M-row lookup join plus a BIGINT sum — no corpus-sized
+    float traffic anywhere after encoding.
+
+    Determinism: every argmin ties on (d2, id) struct-min; LUT entries
+    and exact distances quantize to floor(d2·10⁶) BIGINT before any
+    cross-row sum, so ADC totals and rankings are exact integers in
+    both engines; ranks tiebreak on neighbor_id. ``in_exact_top3``
+    grades recall against the exact quantized-L2 top-3 (the metric PQ
+    approximates), and tests/test_similarity_quality.py pins ADC
+    recall ≥ the SQ8-reconstruction baseline on the same probes."""
+    from ..operators import kmeans
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _spread_vectors(spark, emb)
+    # --- IVF cells: q94's one-update learned centroids ---
+    seeds = (vecs.filter(F.col("id") < KMEANS_K)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    assigned = kmeans.assign(vecs, seeds)
+    learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
+               .localCheckpoint(eager=True))
+    cells = (kmeans.assign(vecs, learned)
+             .select("id", F.col("cid").alias("cell")))
+    # --- PQ codebooks: per-sub-space one-update Lloyd ---
+    mcol = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+    sub = (vecs.select("id", "v", mcol)
+           .withColumn("sv",
+                       F.expr(f"slice(v, m * {PQ_SUB_D} + 1, {PQ_SUB_D})"))
+           .drop("v"))
+    cb_seeds = (sub.filter(F.col("id") < PQ_CODES)
+                .select("m", F.col("id").alias("code"),
+                        F.col("sv").alias("cv")))
+    d0 = (sub.join(F.broadcast(cb_seeds), "m")
+          .withColumn("d2", kmeans.sqdist(F.col("sv"), F.col("cv"))))
+    asn0 = (d0.groupBy("id", "m")
+            .agg(F.min(F.struct("d2", "code")).alias("mm"),
+                 F.first("sv").alias("sv"))
+            .select("id", "m", F.col("mm.code").alias("code"), "sv"))
+    comp = asn0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+    sums = (comp.groupBy("m", "code", "pos")
+            .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
+                 .alias("s"),
+                 F.count("*").alias("n")))
+    c = F.col("s").cast("double") / (F.col("n").cast("double")
+                                     * kmeans.Q_COMP)
+    rebuilt = (sums.withColumn("c", c)
+               .groupBy("m", "code")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                    .alias("a"))
+               .select("m", "code",
+                       F.transform("a", lambda x: x["c"]).alias("cv")))
+    codebook = (cb_seeds.select("m", "code", F.col("cv").alias("cv_old"))
+                .join(rebuilt, ["m", "code"], "left")
+                .select("m", "code", F.coalesce("cv", "cv_old").alias("cv"))
+                .localCheckpoint(eager=True))  # M*CODES rows, reused 3x
+    # --- encode the corpus against the updated codebooks ---
+    codes = (sub.join(F.broadcast(codebook), "m")
+             .withColumn("d2", kmeans.sqdist(F.col("sv"), F.col("cv")))
+             .groupBy("id", "m")
+             .agg(F.min(F.struct("d2", "code")).alias("mm"))
+             .select("id", "m", F.col("mm.code").alias("code")))
+    # --- query side: probe cells + ADC lookup table ---
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    from pyspark.sql import Window
+    qc = (queries.crossJoin(F.broadcast(learned))
+          .withColumn("d2", kmeans.sqdist(F.col("v"), F.col("cv"))))
+    wq = Window.partitionBy("id").orderBy("d2", "cid")
+    probed = (qc.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= N_PROBE)
+              .select(F.col("id").alias("q_id"), F.col("cid").alias("cell")))
+    qsub = (queries.select("id", "v", mcol)
+            .withColumn("qsv",
+                        F.expr(f"slice(v, m * {PQ_SUB_D} + 1, {PQ_SUB_D})"))
+            .drop("v"))
+    lut = (qsub.join(F.broadcast(codebook), "m")
+           .select(F.col("id").alias("q_id"), "m", "code",
+                   F.floor(kmeans.sqdist(F.col("qsv"), F.col("cv")) * Q_ADC)
+                   .cast("long").alias("d2q")))
+    # --- candidates from probed cells, scored by M LUT lookups ---
+    cand = (probed.join(cells, "cell")
+            .filter(F.col("q_id") != F.col("id"))
+            .select("q_id", F.col("id").alias("neighbor_id"), "cell"))
+    adc = (cand.join(codes, cand.neighbor_id == codes.id)
+           .join(F.broadcast(lut), ["q_id", "m", "code"])
+           .groupBy("q_id", "neighbor_id", "cell")
+           .agg(F.sum("d2q").alias("adc_q")))
+    wr = Window.partitionBy("q_id").orderBy("adc_q", "neighbor_id")
+    ranked = (adc.withColumn("rank", F.row_number().over(wr).cast("int"))
+              .filter(F.col("rank") <= 3))
+    # --- exact quantized-L2 top-3 (the metric PQ approximates) ---
+    ex = (queries.select(F.col("id").alias("q_id"), F.col("v").alias("qv"))
+          .join(vecs.select(F.col("id").alias("neighbor_id"), "v"),
+                F.col("q_id") != F.col("neighbor_id"))
+          .select("q_id", "neighbor_id",
+                  F.floor(kmeans.sqdist(F.col("qv"), F.col("v")) * Q_ADC)
+                  .cast("long").alias("d2e")))
+    we = Window.partitionBy("q_id").orderBy("d2e", "neighbor_id")
+    exact = (ex.withColumn("r", F.row_number().over(we))
+             .filter(F.col("r") <= 3)
+             .select("q_id", "neighbor_id", F.lit(1).alias("in_exact_top3")))
+    return (ranked.join(F.broadcast(exact), ["q_id", "neighbor_id"], "left")
+            .select("q_id", "neighbor_id", "cell", "adc_q", "rank",
+                    F.coalesce(F.col("in_exact_top3"), F.lit(0))
+                    .alias("in_exact_top3")))
+
+
+def _q113_sql() -> str:
+    from ..operators.kmeans import Q_COMP
+
+    sq = _sqd
+
+    def sqv(a: str, b: str) -> str:
+        return ("list_sum(list_transform(range(1, len({a}) + 1), "
+                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+                .format(a=a, b=b))
+
+    sub_expr = f"list_slice(v, m * {PQ_SUB_D} + 1, (m + 1) * {PQ_SUB_D})"
+    return f"""
+WITH {_learned_cells_ctes()},
+qp AS (
+  SELECT * FROM (
+    SELECT e.id AS q_id, c2.cid AS cell,
+           CAST(row_number() OVER (
+             PARTITION BY e.id ORDER BY {sq('c2')}, c2.cid) AS INT)
+             AS cell_rank
+    FROM e CROSS JOIN c2 WHERE e.id < {N_QUERIES}
+  ) WHERE cell_rank <= {N_PROBE}
+),
+sub AS (
+  SELECT id, CAST(u.m AS INT) AS m, {sub_expr} AS sv
+  FROM e, unnest(range(0, {PQ_M})) AS u(m)
+),
+cbseed AS (
+  SELECT m, id AS code, sv AS cv FROM sub WHERE id < {PQ_CODES}
+),
+asn0 AS (
+  SELECT t.id, t.m, t.mm[2] AS code FROM (
+    SELECT sub.id, sub.m, min(({sqv('sub.sv', 'cbseed.cv')}, cbseed.code))
+           AS mm
+    FROM sub JOIN cbseed ON sub.m = cbseed.m
+    GROUP BY sub.id, sub.m
+  ) AS t
+),
+csum AS (
+  SELECT a.m, a.code, i - 1 AS pos,
+         CAST(sum(CAST(floor(s.sv[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM asn0 a JOIN sub s ON a.id = s.id AND a.m = s.m,
+       unnest(range(1, len(s.sv) + 1)) AS u(i)
+  GROUP BY a.m, a.code, i
+),
+crebuild AS (
+  SELECT m, code, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                       ORDER BY pos) AS cv
+  FROM csum GROUP BY m, code
+),
+codebook AS (
+  SELECT cbseed.m, cbseed.code, coalesce(crebuild.cv, cbseed.cv) AS cv
+  FROM cbseed LEFT JOIN crebuild
+    ON cbseed.m = crebuild.m AND cbseed.code = crebuild.code
+),
+codes AS (
+  SELECT t.id, t.m, t.mm[2] AS code FROM (
+    SELECT sub.id, sub.m, min(({sqv('sub.sv', 'codebook.cv')},
+                               codebook.code)) AS mm
+    FROM sub JOIN codebook ON sub.m = codebook.m
+    GROUP BY sub.id, sub.m
+  ) AS t
+),
+lut AS (
+  SELECT s.id AS q_id, s.m, cb.code,
+         CAST(floor({sqv('s.sv', 'cb.cv')} * {Q_ADC}) AS BIGINT) AS d2q
+  FROM sub s JOIN codebook cb ON s.m = cb.m
+  WHERE s.id < {N_QUERIES}
+),
+cand AS (
+  SELECT qp.q_id, cv.neighbor_id, cv.cell
+  FROM qp JOIN corpusv cv ON qp.cell = cv.cell
+  WHERE qp.q_id <> cv.neighbor_id
+),
+adc AS (
+  SELECT c.q_id, c.neighbor_id, c.cell,
+         CAST(sum(l.d2q) AS BIGINT) AS adc_q
+  FROM cand c
+  JOIN codes k ON c.neighbor_id = k.id
+  JOIN lut l ON l.q_id = c.q_id AND l.m = k.m AND l.code = k.code
+  GROUP BY c.q_id, c.neighbor_id, c.cell
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT q_id, neighbor_id, cell, adc_q,
+           CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY adc_q, neighbor_id) AS INT) AS rank
+    FROM adc
+  ) WHERE rank <= 3
+),
+exact AS (
+  SELECT * FROM (
+    SELECT a.id AS q_id, b.id AS neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY CAST(floor({sqv('a.v', 'b.v')} * {Q_ADC}) AS BIGINT),
+                      b.id) AS INT) AS r
+    FROM e a JOIN e b ON a.id <> b.id
+    WHERE a.id < {N_QUERIES}
+  ) WHERE r <= 3
+)
+SELECT r.q_id, r.neighbor_id, r.cell, r.adc_q, r.rank,
+       CAST(CASE WHEN x.q_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS in_exact_top3
+FROM ranked r LEFT JOIN exact x
+  ON r.q_id = x.q_id AND r.neighbor_id = x.neighbor_id
+"""
+
+
 # --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
 
 SQ8_LEVELS = 255
@@ -857,4 +1101,5 @@ QUERIES: dict[str, Query] = {
     "q98_semantic_dedup": Query(q98_semantic_dedup, _q98_sql()),
     "q109_sq8_quantization": Query(q109_sq8_quantization, _Q109_SQL),
     "q111_semantic_dedup_hier": Query(q111_semantic_dedup_hier, _q111_sql()),
+    "q113_ivfpq_adc": Query(q113_ivfpq_adc, _q113_sql()),
 }

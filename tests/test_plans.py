@@ -284,6 +284,18 @@ def test_q111_hier_semdedup_blocks_on_cells_without_flat_fanout(spark, sf_dir):
     assert "rangepartitioning" not in text.lower(), text[:800]
 
 
+def test_q113_ivfpq_broadcasts_codebook_no_corpus_product(spark, sf_dir):
+    # the codebook/LUT/exact-flag sides all broadcast; candidate
+    # generation must stay the IVF cell equi-join (no corpus-scale
+    # cartesian), and nothing range-partitions
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import q113_ivfpq_adc
+
+    df = q113_ivfpq_adc(spark, sf_dir)
+    text = plans.explain_str(df)
+    assert plans.has_broadcast_join(df), text[:800]
+    assert "rangepartitioning" not in text.lower(), text[:800]
+
+
 def test_q99_anomaly_single_user_shuffle(spark, sf_dir):
     # all three moments (count/sum/sum-of-squares) must come from ONE
     # window pass: exactly one exchange, hash-partitioned on user_id —
