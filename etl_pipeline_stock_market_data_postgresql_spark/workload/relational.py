@@ -638,6 +638,77 @@ FROM buckets LEFT JOIN counts USING (bucket)
 _Q112_SQL = _equidepth_sketch_sql()
 
 
+# --- q114: global range-partitioned sort (terasort shape) ----------------
+
+_SORT_KEYS = ("l_shipdate", "l_orderkey", "l_linenumber",
+              "l_partkey", "l_suppkey")  # 4-col suffix is the proven
+                                         # unique key (q104), so the
+                                         # total order has no ties
+
+
+def _range_sorted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-sort stage of q114, pre-checkpoint: sampled
+    range partitioning + per-partition sort + JVM-side local sequence
+    numbers. Factored out so the plan test can assert the terasort
+    shape (RangePartitioning present, no single-partition exchange on
+    the data path) before lineage truncation hides it."""
+    li = load(spark, sf_dir, "lineitem").select(*_SORT_KEYS)
+    keys = [F.col(c) for c in _SORT_KEYS]
+    n_part = spark.sparkContext.defaultParallelism
+    return (li.repartitionByRange(n_part, *keys)
+            .sortWithinPartitions(*keys)
+            .withColumn("pid", F.spark_partition_id())
+            # monotonically_increasing_id = (pid << 33) + row-seq in
+            # partition order: a JVM-side per-partition counter, so the
+            # local rank needs no window (no second exchange) and no
+            # Python
+            .withColumn("rn", F.monotonically_increasing_id()
+                        - F.shiftleft(F.col("pid").cast("long"), 33) + 1))
+
+
+def q114_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-ordered table with explicit global ranks — the terasort
+    shape, and the at-scale generalization of the reference's only read
+    query (README_duckdb.md:78-84 sorts its report output): sampled
+    range partitioning splits the key space across executors, each
+    partition sorts locally, and global ranks are per-partition
+    sequence numbers plus broadcast cumulative offsets. NO single-task
+    global sort and NO single-partition window ever touches the data —
+    the only single-partition step is the cumulative sum over the
+    |partitions|-row count table.
+
+    The sorted stage is localCheckpoint-ed for CORRECTNESS, not speed:
+    range partitioning samples its boundaries, and the offsets pass and
+    the rank pass must observe the SAME boundaries — two independent
+    recomputations could legally sample differently and skew every
+    rank. (At 100 TB the checkpoint becomes persist(DISK_ONLY) or a
+    staged write; the two-pass-over-pinned-layout structure is
+    unchanged.) Ranks are deterministic regardless of where the
+    sampled boundaries land because the sort key embeds the proven
+    unique key — the total order, and hence row_number, is unique.
+
+    Scale shape: one range shuffle + local sorts (the optimal
+    distributed sort), a |partitions|-row aggregate, a broadcast join,
+    and map-only arithmetic. Shuffle volume = data size, once."""
+    srt = _range_sorted_lineitem(spark, sf_dir).localCheckpoint(eager=True)
+    counts = srt.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w = (Window.orderBy("pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off"))
+    return (srt.join(F.broadcast(offsets), "pid")
+            .select((F.col("off") + F.col("rn")).alias("global_rank"),
+                    *_SORT_KEYS))
+
+
+_Q114_SQL = f"""
+SELECT row_number() OVER (ORDER BY {", ".join(_SORT_KEYS)}) AS global_rank,
+       {", ".join(_SORT_KEYS)}
+FROM lineitem
+"""
+
+
+
 # --- q104: candidate-key (uniqueness) discovery --------------------------
 
 _KEY_CANDIDATES = (
@@ -768,4 +839,5 @@ QUERIES: dict[str, Query] = {
     "q112_equidepth_sketch": Query(q112_equidepth_sketch, _Q112_SQL),
     "q104_key_uniqueness": Query(q104_key_uniqueness, _Q104_SQL),
     "q107_bloom_join": Query(q107_bloom_join, _Q107_SQL),
+    "q114_global_sort": Query(q114_global_sort, _Q114_SQL),
 }

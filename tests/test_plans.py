@@ -284,6 +284,32 @@ def test_q111_hier_semdedup_blocks_on_cells_without_flat_fanout(spark, sf_dir):
     assert "rangepartitioning" not in text.lower(), text[:800]
 
 
+def test_q114_global_sort_is_range_partitioned_not_single_task(spark, sf_dir):
+    # the terasort contract: the data path range-partitions and sorts
+    # per partition — it must NOT funnel the table through a single
+    # partition (no global window, no single-partition exchange) and
+    # must not need any window at all (local ranks come from the
+    # monotonic id arithmetic)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+        _range_sorted_lineitem, q114_global_sort)
+
+    srt = _range_sorted_lineitem(spark, sf_dir)
+    text = plans.explain_str(srt)
+    low = text.lower()
+    assert "rangepartitioning" in low, text[:800]
+    assert "singlepartition" not in low, text[:800]
+    assert "window" not in low, text[:800]
+    # the full query adds only the broadcast offsets join on top of the
+    # checkpointed sort; the offsets side is |partitions| rows
+    df = q114_global_sort(spark, sf_dir)
+    assert plans.has_broadcast_join(df), plans.explain_str(df)[:800]
+    # ranks are a gapless permutation of 1..n
+    n = df.count()
+    agg = df.agg(F.min("global_rank"), F.max("global_rank"),
+                 F.countDistinct("global_rank")).collect()[0]
+    assert tuple(agg) == (1, n, n), tuple(agg)
+
+
 def test_q113_ivfpq_broadcasts_codebook_no_corpus_product(spark, sf_dir):
     # the codebook/LUT/exact-flag sides all broadcast; candidate
     # generation must stay the IVF cell equi-join (no corpus-scale
