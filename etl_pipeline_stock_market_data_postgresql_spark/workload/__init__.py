@@ -40,45 +40,41 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-6 window. r5 went 50/50 green, so every query has a green
-    # driver row on the regenerated data within r4∪r5. This round:
-    # first the ten queries new in r6 (never proven) — z-order pruning,
-    # learned-IVF ANN, quantile sketch, streaming dedup, BM25, semantic
-    # dedup, z-score anomaly, table profile, bigram novelty, equi-depth
-    # histogram.
-    "q93_zorder_pruning", "q94_learned_ivf", "q95_quantile_sketch",
-    "q96_streaming_dedup", "q97_bm25_ranking", "q98_semantic_dedup",
-    "q99_anomaly_zscore", "q100_table_profile", "q101_bigram_novelty",
-    "q102_equidepth_histogram", "q103_scd2_pit_enrichment",
-    "q104_key_uniqueness", "q105_histogram_drift",
-    "q106_streaming_stateful_hwm", "q107_bloom_join", "q108_twap",
-    "q109_sq8_quantization", "q110_dynamic_partition_overwrite",
-    # Then the 39 queries whose newest green row is r4: their rows
-    # predate r5's loader/tokenizer edits (sources/tables.py,
-    # functions/textstats.py), so they rotate forward per the
-    # oldest-green-first rule in CORRECTNESS_SEEN.md.
-    "q11_pricing_summary", "q12_top_revenue_orders", "q13_region_revenue",
-    "q14_group_topn", "q15_set_ops", "q16_rollup", "q17_pivot_status",
-    "q18_distinct_agg", "q19_having_heavy_customers", "q20_asof_last_click",
-    "q23_dedup_exact", "q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash",
-    "q30_langid",
-    "q31_quality_score", "q32_token_stats", "q33_fingerprint",
-    "q36_sma_over_bars", "q40_date_funcs",
-    "q41_correlated_max", "q43_array_aggregation",
-    "q44_joinback_avg", "q51_lsh_verified_neardup", "q52_multiset_ops",
-    "q61_dedup_clusters", "q65_salted_distinct", "q66_salted_join",
-    "q70_scd2_history", "q77_funnel", "q80_hll_distinct",
-    # 18 new + 31 r4-aged leaves ONE fill slot to the cap; it goes to
-    # the NTZ-sensitive q22 (single r5 row on the regenerated data).
-    # Eight r4-aged queries defer past the cap to make room for
-    # q103–q110 (new > oldest-green): q28/q29/q82 (embeddings-only),
-    # q38 (part-table-only), q42 (status/priority columns of orders
-    # only), q37 (returnflag/linestatus/quantity/extendedprice of
-    # lineitem only), q39 (event_type/value only), q34 (text→binary
-    # plumbing, no time columns, no tokenizer) — none can be affected
-    # by the r5 loader/tokenizer edits their rotation guards against;
-    # all stay covered by local parity.
-    "q22_sessionization",
+    # round-7 window. After r6 every registered query has a green
+    # driver row on the current testdata (r4∪r5∪r6 union). This round,
+    # per the CORRECTNESS_SEEN.md rule: (1) the eight queries whose
+    # newest green row is still r4 (deferred from the r6 window);
+    "q28_ivf_topk", "q29_embedding_neardup", "q34_multimodal_meta",
+    "q37_cube", "q38_string_funcs", "q39_percentiles", "q42_unpivot",
+    "q82_kmeans_lloyd",
+    # (2) the four queries new in r7 (never proven by the driver) —
+    # hierarchical SemDeDup, sketch-fed equi-depth histogram, IVF-PQ
+    # with ADC scoring, global range-partitioned sort;
+    "q111_semantic_dedup_hier", "q112_equidepth_sketch",
+    "q113_ivfpq_adc", "q114_global_sort",
+    # (3) 38 of the 49 queries whose newest green row is r5, oldest
+    # module-order first (q45–q50, q53–q60, q62–q64, q67–q69,
+    # q71–q76, q78/q79/q81, q83–q91). q92 and q01–q10 (r5 rows) plus
+    # the 50 re-proven in r6 fall past the cap — they are the most
+    # recently proven and stay covered by local parity
+    # (tests/test_oracle_parity.py runs the identical comparison on
+    # every registered query).
+    "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
+    "q48_vwap", "q49_volatility", "q50_drawdown",
+    "q53_ema", "q54_rsi", "q55_bollinger", "q56_range_join",
+    "q57_hierarchical_rollup", "q58_stratified_split",
+    "q59_stratum_sample", "q60_embedding_centroids",
+    "q62_streaming_session_window", "q63_quality_gate",
+    "q64_sequence_packing",
+    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
+    "q71_rollup_refresh", "q72_policy_redaction",
+    "q73_streaming_stream_join", "q74_multimodal_decode",
+    "q75_bucketed_join", "q76_repetition_stats",
+    "q78_token_chunks", "q79_shuffle_shard", "q81_kmeans_step",
+    "q83_duplicate_spans", "q84_heavy_hitters", "q85_retention_cohorts",
+    "q86_cluster_purity", "q87_full_outer_reconciliation",
+    "q88_sliding_window_stats", "q89_streaming_sliding_window",
+    "q90_gapfill_locf", "q91_cdc_apply",
 )
 
 
