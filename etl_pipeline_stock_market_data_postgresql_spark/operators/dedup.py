@@ -197,13 +197,22 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     cluster-resolution step that turns near-dup PAIRS into dedup GROUPS
     (pick one canonical doc per component, drop the rest).
 
-    Min-label propagation: every node starts labeled with itself; each
-    round takes the min of its own and its neighbors' labels. Rounds
-    needed = graph diameter — for dedup graphs that is tiny (near-dup
-    clusters are dense cliques-of-cliques, diameter ≲ 5 even at corpus
-    scale), so the driver loop runs O(diameter) Spark jobs, each a
-    single equi-join + map-side-combinable grouped min, shuffle ∝ edges.
-    Nothing is ever collected; the driver sees one scalar per round.
+    Min-label propagation with POINTER DOUBLING: every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels, then shortcuts ``comp ← label(comp)`` (path
+    halving — every comp value is itself a node id, so the shortcut is
+    one |nodes|-row equi-join). Plain propagation needs diameter
+    rounds, which is fine for dense near-dup cliques but NOT for the
+    chain-shaped components a large scrambled corpus produces — the
+    100× probe hit a >25-diameter component and the round-6 cap.
+    With the shortcut the label graph's effective distance roughly
+    halves per round, so convergence is O(log diameter) Spark jobs
+    (the Hash-to-Min / large-star contraction bound, Kiveris et al.),
+    each an edge equi-join + grouped min + a labels self-join, shuffle
+    ∝ edges. Nothing is ever collected; the driver sees one scalar per
+    round. The fixpoint is unchanged: label(comp) is reachable
+    through comp, labels are monotone non-increasing, so the limit is
+    still the component-minimum id.
 
     Convergence is detected with a 1-row aggregate: labels only ever
     decrease, so sum(comp) is strictly decreasing until fixpoint —
@@ -244,10 +253,17 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                      .join(labels, "node")
                      .groupBy(F.col("u").alias("node"))
                      .agg(F.min("comp").alias("neigh_min")))
-            labels = (labels.join(neigh, "node")
-                      .select(F.col("node"),
-                              F.least(F.col("comp"),
-                                      F.col("neigh_min")).alias("comp"))
+            prop = (labels.join(neigh, "node")
+                    .select(F.col("node"),
+                            F.least(F.col("comp"),
+                                    F.col("neigh_min")).alias("comp")))
+            # path-halving shortcut: comp ← label(comp). Inner join is
+            # total (every comp value is a node id present in labels),
+            # and label(comp) ≤ comp by monotonicity.
+            lut = prop.select(F.col("node").alias("c_node"),
+                              F.col("comp").alias("c_comp"))
+            labels = (prop.join(lut, prop.comp == lut.c_node)
+                      .select("node", F.col("c_comp").alias("comp"))
                       .localCheckpoint(eager=True))
             cur = labels.agg(
                 F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
