@@ -767,12 +767,27 @@ def q113_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_seeds = (sub.filter(F.col("id") < PQ_CODES)
                 .select("m", F.col("id").alias("code"),
                         F.col("sv").alias("cv")))
-    d0 = (sub.join(F.broadcast(cb_seeds), "m")
-          .withColumn("d2", kmeans.sqdist(F.col("sv"), F.col("cv"))))
-    asn0 = (d0.groupBy("id", "m")
-            .agg(F.min(F.struct("d2", "code")).alias("mm"),
-                 F.first("sv").alias("sv"))
-            .select("id", "m", F.col("mm.code").alias("code"), "sv"))
+
+    def argmin_code(codewords: DataFrame) -> DataFrame:
+        """(id, m, code, sv): nearest codeword per sub-vector via a
+        broadcast M-row (m, sorted codeword array) table and a per-row
+        transform + array_min — the argmin never materializes the
+        |codes|-fanout rows a join+groupBy shape would (flops are the
+        same; the hash re-aggregation of n·M·CODES intermediates and
+        its two exchanges are not). array_min on (d2, code) structs is
+        the same lexicographic tie rule as min(struct(d2, code))."""
+        cb_arr = (codewords.groupBy("m")
+                  .agg(F.array_sort(F.collect_list(F.struct("code", "cv")))
+                       .alias("cb")))
+        scored = F.transform(
+            "cb", lambda x: F.struct(
+                kmeans.sqdist(F.col("sv"), x["cv"]).alias("d2"),
+                x["code"].alias("code")))
+        return (sub.join(F.broadcast(cb_arr), "m")
+                .withColumn("mm", F.array_min(scored))
+                .select("id", "m", F.col("mm.code").alias("code"), "sv"))
+
+    asn0 = argmin_code(cb_seeds)
     comp = asn0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
     sums = (comp.groupBy("m", "code", "pos")
             .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
@@ -791,11 +806,7 @@ def q113_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("m", "code", F.coalesce("cv", "cv_old").alias("cv"))
                 .localCheckpoint(eager=True))  # M*CODES rows, reused 3x
     # --- encode the corpus against the updated codebooks ---
-    codes = (sub.join(F.broadcast(codebook), "m")
-             .withColumn("d2", kmeans.sqdist(F.col("sv"), F.col("cv")))
-             .groupBy("id", "m")
-             .agg(F.min(F.struct("d2", "code")).alias("mm"))
-             .select("id", "m", F.col("mm.code").alias("code")))
+    codes = argmin_code(codebook).drop("sv")
     # --- query side: probe cells + ADC lookup table ---
     queries = vecs.filter(F.col("id") < N_QUERIES)
     from pyspark.sql import Window
