@@ -547,22 +547,29 @@ def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine gate design (q95's certification pattern): Spark's GK
     summary and DuckDB's t-digest produce different boundary VALUES, so
-    sketch-derived edges/counts can't hash-match. Each engine instead
-    assigns buckets from its OWN sketch boundaries and certifies the
-    result in RANK space — ``within_tol`` is true iff the bucket's
-    observed depth |n_bucket/n − 1/k| ≤ tol, the invariant equi-depth
-    exists to provide. The hash-comparable columns are the bucket id,
-    the target depth, the certification bit (true on both engines while
-    both sketches honor their rank-error bounds), and the EXACT
-    boundary (q102 proved that hash-matches) carried as the
-    value-bearing witness. tol = 0.02 covers bucket-edge granularity at
-    the smallest test table (1/k ± 2·rank-error; GK at 1e-4 and
-    t-digest at ~1e-3 sit far inside).
+    sketch-derived edges can't hash-match. Each engine instead
+    certifies its OWN boundaries in RANK space — bucket i's
+    ``within_tol`` is true iff its upper boundary b is a valid
+    (i+1)/k-quantile: ``frac_lt(b) ≤ q + tol AND frac_le(b) ≥ q − tol``
+    (trivially true for the last, unbounded bucket). This is the
+    guarantee sketches actually make, and — unlike certifying observed
+    bucket DEPTHS — it stays true under heavy value ties: an atom
+    carrying more than tol of mass makes |depth − 1/k| ≤ tol
+    unachievable by ANY boundary through it, while its frac_lt/frac_le
+    straddle still brackets q (the fuzz lineitem corpus, 20 distinct
+    prices over 500 rows, fails the depth rule and passes this one).
+    Hash-comparable columns: bucket id, target depth, the
+    certification bit, and the EXACT boundary (q102 proved that
+    hash-matches) as the value-bearing witness. tol = 0.02 covers
+    discrete-rank granularity at the smallest test table; the sketch
+    rank errors (1e-4 GK, ~1e-3 t-digest) sit far inside.
 
     Scale shape: one map-side-combinable sketch aggregate (the exact
-    percentile rides the same pass here ONLY as the witness column — a
-    real 100 TB run drops it), a 1-row broadcast, and q102's unchanged
-    map-only assignment + k-row aggregate. No global sort anywhere."""
+    percentile rides the same pass ONLY as the witness column — a real
+    100 TB run drops it), a (k−1)-row broadcast back over the table
+    with a conditional-count aggregate (q95's verification pass — the
+    same map-only comparison work as q102's assignment), and a k-row
+    result. No global sort anywhere."""
     from ..functions.rounding import round_half_up
     k = EQD_BUCKETS
     qs = [i / k for i in range(1, k)]
@@ -573,26 +580,34 @@ def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(l_extendedprice, array({qcsv}))").alias("ex"),
         F.expr(f"percentile_approx(l_extendedprice, array({qcsv}),"
                f" {EQD_SK_ACCURACY})").alias("ap"))
-    asn = (li.crossJoin(F.broadcast(st))
-           .select(F.size(F.filter(
-               "ap", lambda b: F.col("l_extendedprice") > b))
-               .cast("int").alias("bucket")))
-    counts = asn.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
-    # pin all k bucket rows even if a sketch bucket lands empty
+    # rank-certify each sketch boundary against the full column
+    bnd = (st.select("n", F.posexplode("ap").alias("i", "b"))
+           .select("n", "i", "b",
+                   ((F.col("i") + 1).cast("double") / k).alias("q")))
+    rk = (li.crossJoin(F.broadcast(bnd))
+          .groupBy("i", "q", "n", "b")
+          .agg(F.sum(F.when(F.col("l_extendedprice") <= F.col("b"), 1)
+                     .otherwise(0)).alias("n_le"),
+               F.sum(F.when(F.col("l_extendedprice") < F.col("b"), 1)
+                     .otherwise(0)).alias("n_lt")))
+    frac_le = F.col("n_le").cast("double") / F.col("n")
+    frac_lt = F.col("n_lt").cast("double") / F.col("n")
+    cert = rk.select(
+        F.col("i").cast("int").alias("bucket"),
+        ((frac_le >= F.col("q") - EQD_SK_TOL)
+         & (frac_lt <= F.col("q") + EQD_SK_TOL)).alias("ok"))
     buckets = (st.select("n", "ex",
                          F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
                          .alias("bucket")))
-    depth = F.coalesce("n_bucket", F.lit(0)).cast("double") / F.col("n")
     exact_edge = F.when(
         F.col("bucket") < k - 1,
         round_half_up(F.element_at("ex", F.col("bucket") + 1), 6))
-    return (buckets.join(counts, "bucket", "left")
+    return (buckets.join(cert, "bucket", "left")
             .select("bucket",
                     F.col("n").cast("long").alias("n"),
                     F.lit(1.0 / k).alias("target_depth"),
                     exact_edge.alias("exact_edge"),
-                    (F.abs(depth - 1.0 / k) <= EQD_SK_TOL)
-                    .alias("within_tol")))
+                    F.coalesce("ok", F.lit(True)).alias("within_tol")))
 
 
 def _equidepth_sketch_sql() -> str:
@@ -604,9 +619,9 @@ def _equidepth_sketch_sql() -> str:
     apcols = ",\n         ".join(
         f"approx_quantile(l_extendedprice, {q}) AS a{i}"
         for i, q in enumerate(qs))
-    bsum = " + ".join(
-        f"CASE WHEN l_extendedprice > a{i} THEN 1 ELSE 0 END"
-        for i in range(len(qs)))
+    pairs = "\n  UNION ALL ".join(
+        f"SELECT n, {i} AS i, CAST({(i + 1) / k} AS DOUBLE) AS q, a{i} AS b"
+        f" FROM st" for i in range(len(qs)))
     edge = " ".join(
         f"WHEN bucket = {i} THEN floor(e{i} * 1000000 + 0.5) / 1000000"
         for i in range(len(qs)))
@@ -617,11 +632,22 @@ WITH st AS (
          {apcols}
   FROM lineitem
 ),
-asn AS (
-  SELECT CAST(({bsum}) AS INT) AS bucket
-  FROM lineitem CROSS JOIN st
+bnd AS (
+  {pairs}
 ),
-counts AS (SELECT bucket, count(*) AS n_bucket FROM asn GROUP BY bucket),
+rk AS (
+  SELECT i, q, n, b,
+         sum(CASE WHEN l_extendedprice <= b THEN 1 ELSE 0 END) AS n_le,
+         sum(CASE WHEN l_extendedprice < b THEN 1 ELSE 0 END) AS n_lt
+  FROM lineitem CROSS JOIN bnd
+  GROUP BY i, q, n, b
+),
+cert AS (
+  SELECT CAST(i AS INT) AS bucket,
+         (CAST(n_le AS DOUBLE) / n >= q - {EQD_SK_TOL}
+          AND CAST(n_lt AS DOUBLE) / n <= q + {EQD_SK_TOL}) AS ok
+  FROM rk
+),
 buckets AS (
   SELECT st.*, CAST(u.b AS INT) AS bucket
   FROM st, unnest(range(0, {k})) AS u(b)
@@ -629,9 +655,8 @@ buckets AS (
 SELECT bucket, CAST(n AS BIGINT) AS n,
        CAST(1.0 / {k} AS DOUBLE) AS target_depth,
        CASE {edge} END AS exact_edge,
-       (abs(CAST(coalesce(n_bucket, 0) AS DOUBLE) / n - 1.0 / {k})
-        <= {EQD_SK_TOL}) AS within_tol
-FROM buckets LEFT JOIN counts USING (bucket)
+       coalesce(ok, TRUE) AS within_tol
+FROM buckets LEFT JOIN cert USING (bucket)
 """
 
 
@@ -701,8 +726,12 @@ def q114_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *_SORT_KEYS))
 
 
+# NULLS FIRST pins DuckDB to Spark's ascending default (DuckDB defaults
+# to NULLS LAST) — NULL-keyed rows would otherwise rank differently
 _Q114_SQL = f"""
-SELECT row_number() OVER (ORDER BY {", ".join(_SORT_KEYS)}) AS global_rank,
+SELECT row_number() OVER (
+         ORDER BY {", ".join(f"{k} NULLS FIRST" for k in _SORT_KEYS)})
+         AS global_rank,
        {", ".join(_SORT_KEYS)}
 FROM lineitem
 """
