@@ -215,3 +215,18 @@ def test_connected_components_long_chain(spark):
     got = dedup.connected_components(df, "id_a", "id_b").collect()
     assert {r["node"] for r in got} == set(range(13))
     assert all(r["comp"] == 0 for r in got)
+
+
+def test_connected_components_diameter_beyond_round_cap(spark):
+    # the regression the 100x probe caught: a component whose diameter
+    # far exceeds max_iter must still converge, because the
+    # path-halving shortcut makes rounds O(log diameter), not
+    # O(diameter). A 300-edge path needs ~300 plain-propagation rounds;
+    # with the shortcut it must finish inside the default 25. Ids
+    # descend so label propagation has to push the minimum the long
+    # way round.
+    chain = [(300 - i, 300 - i - 1) for i in range(300)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = dedup.connected_components(df, "id_a", "id_b").collect()
+    assert {r["node"] for r in got} == set(range(301))
+    assert all(r["comp"] == 0 for r in got)
