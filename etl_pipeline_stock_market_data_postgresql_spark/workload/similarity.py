@@ -513,63 +513,88 @@ FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
 
 
 def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q98's SemDeDup with the assignment cost capped by a HIERARCHICAL
-    coarse quantizer (IVF-on-IVF, the FAISS two-level shape): the K
-    learned cells are themselves clustered into G ≈ √K super-cells, a
-    corpus vector first routes to its nearest super-cell (argmin over
-    G) and then argmins over only that super-cell's children (~K/G) —
-    per-vector flops drop from O(K) to O(G + K/G) = O(√K). With
-    K ∝ n (q98's rule, kept), total assignment flops fall from
-    O(n·K) = O(n²/250) to O(n·√K) = O(n^1.5/16) while candidate-pair
-    generation, the ε-ball rule, and the keep-lowest-id semantics are
-    byte-identical to q98's. This is the remedy BENCH.md's 100× probe
-    names for q98's 75× wall-clock row — q98 stays registered as the
-    flat-assignment exactness witness, this query is the scale path.
+    """q98's SemDeDup with BOTH training and assignment routed through
+    a hierarchical coarse quantizer (IVF-on-IVF, the FAISS two-level
+    shape), making the whole pipeline O(n·√K) where q98 is O(n·K):
 
-    Hierarchy training is deterministic and oracle-mirrored: super-seed
-    centroids are the first G learned cells, one exact integer-space
-    Lloyd update over the K centroid rows (q82's contract), children
-    map to their nearest updated super-cell, and routing only considers
-    super-cells that own ≥1 child (an empty super-cell must not
-    swallow corpus vectors it has no children to offer). Every argmin
-    ties on (d2, id) struct-min; every cross-row sum is exact BIGINT;
-    sims round half-up to 6dp — the full q98 determinism contract."""
+    1. G ≈ √K super-centroids: seeded from the first G vectors, one
+       exact integer-space Lloyd update over the corpus — O(n·G).
+    2. Every vector routes to its nearest super-cell — O(n·G).
+    3. C ≈ K/G child seeds per super-cell (the cell's C lowest member
+       ids), one Lloyd update restricted to the cell's own members —
+       O(n·C) total across cells.
+    4. Final assignment: argmin over the routed cell's ~C children —
+       O(n·C). Total cells G·C ≈ K, preserving q98's K ∝ n rule.
+
+    The first q111 shape trained the K cells FLAT (q98's trainer) and
+    only assigned hierarchically; the 100× decomposition showed that
+    left ~97s of the 100s in the O(n·K) training argmin while the
+    hierarchical assignment cost 3.8s — so training now descends the
+    same hierarchy, which is exactly what FAISS's two-level IVF does.
+    Pair generation, the ε-ball rule, and keep-lowest-id removal stay
+    byte-identical to q98, which remains registered as the
+    flat-assignment exactness witness.
+
+    Determinism (oracle-mirrored end to end): every argmin ties on
+    (d2, id) struct-min; centroids rebuild from exact BIGINT component
+    sums (q82's contract); child seeds are the C lowest member ids via
+    a rank over (gid, id); sims round half-up to 6dp. Every routed
+    cell owns ≥1 child by construction (its first member seeds it), so
+    no vector can route to a childless cell."""
+    from pyspark.sql import Window
+
     from ..functions.rounding import round_half_up
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
     vecs = _spread_vectors(spark, emb)
-    # K ∝ corpus, G ≈ √K — both derived from the broadcast 1-row count
+    # K ∝ corpus, G ≈ √K supers, C ≈ K/G children per super — all from
+    # the broadcast 1-row count, no driver collect
     nk = (vecs.agg(F.count("*").alias("n_total"))
           .withColumn("k", F.greatest(
               F.lit(8), F.expr(f"n_total div {SEMDEDUP_VECS_PER_CELL}")))
           .withColumn("g", F.greatest(
-              F.lit(2), F.floor(F.sqrt("k")).cast("long"))))
-    seeds = (vecs.crossJoin(F.broadcast(nk))
-             .filter(F.col("id") < F.col("k"))
-             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
-    assigned = kmeans.assign(vecs, seeds)
-    learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
-               .localCheckpoint(eager=True))  # K rows
-    # --- coarse level: cluster the K centroids into G super-cells ---
-    cvecs = learned.select(F.col("cid").alias("id"), F.col("cv").alias("v"))
-    gseeds = (cvecs.crossJoin(F.broadcast(nk))
+              F.lit(2), F.floor(F.sqrt("k")).cast("long")))
+          .withColumn("c", F.greatest(F.lit(2), F.expr("k div g"))))
+    gseeds = (vecs.crossJoin(F.broadcast(nk))
               .filter(F.col("id") < F.col("g"))
               .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
-    gassigned = kmeans.assign(cvecs, gseeds)
+    gassigned = kmeans.assign(vecs, gseeds)
     supers = (kmeans.new_centroids(kmeans.component_sums(gassigned), gseeds)
-              .localCheckpoint(eager=True))  # G rows (cid = super id)
-    child_map = (kmeans.assign(cvecs, supers)
-                 .select(F.col("id").alias("ccid"),
-                         F.col("cid").alias("gid")))
-    # route only to super-cells that own children (an updated super can
-    # end up childless; corpus vectors must never land there)
-    supers_live = (supers.join(
-        child_map.select(F.col("gid").alias("cid")).distinct(), "cid"))
-    route = (kmeans.assign(vecs, supers_live)
-             .select("id", "v", F.col("cid").alias("gid")))
-    children = (child_map.join(
-        learned, child_map.ccid == learned.cid).select("gid", "cid", "cv"))
-    # fine assignment: argmin over the routed super-cell's ~K/G children
+              .localCheckpoint(eager=True))  # G rows
+    # route once; checkpoint so seeds/update/fine reuse one O(n·G) pass
+    route = (kmeans.assign(vecs, supers)
+             .select("id", "v", F.col("cid").alias("gid"))
+             .localCheckpoint(eager=True))
+    w = Window.partitionBy("gid").orderBy("id")
+    cseeds = (route.withColumn("rn", F.row_number().over(w))
+              .crossJoin(F.broadcast(nk.select("c")))
+              .filter(F.col("rn") <= F.col("c"))
+              .select("gid", F.col("id").alias("cid"),
+                      F.col("v").alias("cv")))
+    # one Lloyd update of each cell's children over the cell's members
+    casn = (route.join(F.broadcast(cseeds), "gid")
+            .withColumn("d2", kmeans.sqdist(F.col("v"), F.col("cv")))
+            .groupBy("id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"),
+                 F.first("v").alias("v"))
+            .select(F.col("m.cid").alias("cid"), "v"))
+    comp = casn.select("cid", F.posexplode("v").alias("pos", "x"))
+    sums = (comp.groupBy("cid", "pos")
+            .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
+                 .alias("s"),
+                 F.count("*").alias("n")))
+    cmean = F.col("s").cast("double") / (F.col("n").cast("double")
+                                         * kmeans.Q_COMP)
+    rebuilt = (sums.withColumn("cm", cmean)
+               .groupBy("cid")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "cm")))
+                    .alias("a"))
+               .select("cid", F.transform("a", lambda x: x["cm"]).alias("cv")))
+    children = (cseeds.select("gid", "cid", F.col("cv").alias("cv_old"))
+                .join(rebuilt, "cid", "left")
+                .select("gid", "cid",
+                        F.coalesce("cv", "cv_old").alias("cv"))
+                .localCheckpoint(eager=True))  # ≈K rows
     fine = (route.join(F.broadcast(children), "gid")
             .withColumn("d2", kmeans.sqdist(F.col("v"), F.col("cv")))
             .groupBy("id")
@@ -596,57 +621,34 @@ def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hier_cells_ctes() -> str:
-    """Oracle prefix for q111: q98's learned-cells chain up to the K
-    updated centroids (c2), then the coarse level — super-seeds = first
-    G centroids, one integer-space Lloyd update over the K centroid
-    rows, child map, child-owning-super routing, and the fine argmin
-    over routed children. Ends with corpusv(neighbor_id, cell, v)."""
+    """Oracle prefix for q111, mirroring the fully-hierarchical
+    pipeline: super-centroid training (one corpus Lloyd update from the
+    first-G seeds), routing, per-cell child seeding (C lowest member
+    ids), one member-restricted child Lloyd update, and the fine
+    argmin. Ends with corpusv(neighbor_id, cell, v)."""
     from ..operators.kmeans import Q_COMP
 
-    sq = _sqd
-    k = f"(SELECT greatest(8, count(*) // {SEMDEDUP_VECS_PER_CELL}) FROM e)"
-    g = (f"(SELECT greatest(2, CAST(floor(sqrt(greatest(8, count(*) // "
-         f"{SEMDEDUP_VECS_PER_CELL}))) AS BIGINT)) FROM e)")
+    k = f"greatest(8, (SELECT count(*) FROM e) // {SEMDEDUP_VECS_PER_CELL})"
+    g = f"greatest(2, CAST(floor(sqrt({k})) AS BIGINT))"
+    c = f"greatest(2, {k} // {g})"
 
-    def sqg(vec: str, cen: str) -> str:
+    def sq(vec: str, cen: str) -> str:
         return ("list_sum(list_transform(range(1, len({v}) + 1), "
                 "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
                 .format(v=vec, c=cen))
 
     return f"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-c1 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {k}),
-a1 AS (
-  SELECT e.id, min(({sq('c1')}, c1.cid)) AS m
-  FROM e CROSS JOIN c1 GROUP BY e.id
-),
-s1 AS (SELECT a1.id, m[2] AS cid, e.v FROM a1 JOIN e ON a1.id = e.id),
-m1 AS (
-  SELECT cid, i - 1 AS pos,
-         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
-         count(*) AS n
-  FROM s1, unnest(range(1, len(v) + 1)) AS u(i)
-  GROUP BY cid, i
-),
-r1 AS (
-  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
-                   ORDER BY pos) AS cv
-  FROM m1 GROUP BY cid
-),
-c2 AS (
-  SELECT c1.cid, coalesce(r1.cv, c1.cv) AS cv
-  FROM c1 LEFT JOIN r1 ON c1.cid = r1.cid
-),
-gc1 AS (SELECT cid AS gid, cv AS gv FROM c2 WHERE cid < {g}),
+gc1 AS (SELECT id AS gid, v AS gv FROM e WHERE id < {g}),
 ga1 AS (
-  SELECT c2.cid, min(({sqg('c2.cv', 'gc1.gv')}, gc1.gid)) AS m
-  FROM c2 CROSS JOIN gc1 GROUP BY c2.cid
+  SELECT e.id, min(({sq('e.v', 'gc1.gv')}, gc1.gid)) AS m
+  FROM e CROSS JOIN gc1 GROUP BY e.id
 ),
-gs1 AS (SELECT ga1.cid, m[2] AS gid, c2.cv FROM ga1 JOIN c2 ON ga1.cid = c2.cid),
+gs1 AS (SELECT ga1.id, m[2] AS gid, e.v FROM ga1 JOIN e ON ga1.id = e.id),
 gm1 AS (
   SELECT gid, i - 1 AS pos,
-         CAST(sum(CAST(floor(cv[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
          count(*) AS n
-  FROM gs1, unnest(range(1, len(cv) + 1)) AS u(i)
+  FROM gs1, unnest(range(1, len(v) + 1)) AS u(i)
   GROUP BY gid, i
 ),
 gr1 AS (
@@ -658,29 +660,46 @@ gc2 AS (
   SELECT gc1.gid, coalesce(gr1.gv, gc1.gv) AS gv
   FROM gc1 LEFT JOIN gr1 ON gc1.gid = gr1.gid
 ),
-childmap AS (
-  SELECT t.cid, t.m[2] AS gid FROM (
-    SELECT c2.cid, min(({sqg('c2.cv', 'gc2.gv')}, gc2.gid)) AS m
-    FROM c2 CROSS JOIN gc2 GROUP BY c2.cid
-  ) AS t
-),
-glive AS (
-  SELECT gc2.gid, gc2.gv
-  FROM gc2 JOIN (SELECT DISTINCT gid FROM childmap) AS lv ON gc2.gid = lv.gid
+routea AS (
+  SELECT e.id, min(({sq('e.v', 'gc2.gv')}, gc2.gid)) AS m
+  FROM e CROSS JOIN gc2 GROUP BY e.id
 ),
 route AS (
-  SELECT t.id, t.m[2] AS gid FROM (
-    SELECT e.id, min(({sqg('e.v', 'glive.gv')}, glive.gid)) AS m
-    FROM e CROSS JOIN glive GROUP BY e.id
+  SELECT r.id, r.m[2] AS gid, e.v FROM routea r JOIN e ON r.id = e.id
+),
+cseeds AS (
+  SELECT gid, id AS cid, v AS cv FROM (
+    SELECT gid, id, v,
+           row_number() OVER (PARTITION BY gid ORDER BY id) AS rn
+    FROM route
+  ) WHERE rn <= {c}
+),
+casn AS (
+  SELECT t.m[2] AS cid, t.v FROM (
+    SELECT r.id, min(({sq('r.v', 'cs.cv')}, cs.cid)) AS m, first(r.v) AS v
+    FROM route r JOIN cseeds cs ON r.gid = cs.gid
+    GROUP BY r.id
   ) AS t
 ),
+csum AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM casn, unnest(range(1, len(v) + 1)) AS u(i)
+  GROUP BY cid, i
+),
+crebuild AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                   ORDER BY pos) AS cv
+  FROM csum GROUP BY cid
+),
 children AS (
-  SELECT childmap.gid, c2.cid, c2.cv
-  FROM childmap JOIN c2 ON childmap.cid = c2.cid
+  SELECT cseeds.gid, cseeds.cid, coalesce(crebuild.cv, cseeds.cv) AS cv
+  FROM cseeds LEFT JOIN crebuild ON cseeds.cid = crebuild.cid
 ),
 finea AS (
-  SELECT r.id, min(({sqg('e.v', 'ch.cv')}, ch.cid)) AS m
-  FROM route r JOIN e ON r.id = e.id JOIN children ch ON r.gid = ch.gid
+  SELECT r.id, min(({sq('r.v', 'ch.cv')}, ch.cid)) AS m
+  FROM route r JOIN children ch ON r.gid = ch.gid
   GROUP BY r.id
 ),
 corpusv AS (

@@ -155,13 +155,21 @@ def test_hier_semdedup_matches_flat_blocking_semantics(spark, sf_dir):
         lowest = min(members, key=lambda r: r.vec_id)
         assert not lowest.removed, (cell, lowest)
         assert any(not r.removed for r in members), cell
-    # the coarse router is an approximation of the flat argmin, not a
-    # reshuffle: the two assignments must agree on the large majority
-    # of vectors even at this deliberately tiny G=2 hierarchy (measured
-    # 0.84-0.85 at sf0.001/sf0.01; at real K the relative routing error
-    # shrinks as cells get finer than super-cells)
-    agree = sum(1 for k in flat if flat[k].cell == hier[k].cell) / len(flat)
-    assert agree >= 0.7, agree
+    # the hierarchy trains its own cells (child seeds are per-super
+    # members, not the first-K vectors), so raw cell IDS are
+    # incomparable — what must agree is the PARTITION STRUCTURE: for a
+    # seeded pair sample, whether two vectors share a cell should
+    # usually match between the flat and hierarchical clusterings
+    # (Rand-index flavor; measured 0.82-0.84 at the deliberately tiny
+    # G=2 test hierarchy)
+    import random
+    rng = random.Random(7)
+    ids = sorted(flat)
+    pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(4000)]
+    same = sum(1 for x, y in pairs
+               if (flat[x].cell == flat[y].cell)
+               == (hier[x].cell == hier[y].cell)) / len(pairs)
+    assert same >= 0.75, same
 
 
 def test_table_profile_measures_are_consistent(spark, sf_dir):
