@@ -578,22 +578,13 @@ def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("d2", "cid")).alias("m"),
                  F.first("v").alias("v"))
             .select(F.col("m.cid").alias("cid"), "v"))
-    comp = casn.select("cid", F.posexplode("v").alias("pos", "x"))
-    sums = (comp.groupBy("cid", "pos")
-            .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
-                 .alias("s"),
-                 F.count("*").alias("n")))
-    cmean = F.col("s").cast("double") / (F.col("n").cast("double")
-                                         * kmeans.Q_COMP)
-    rebuilt = (sums.withColumn("cm", cmean)
-               .groupBy("cid")
-               .agg(F.array_sort(F.collect_list(F.struct("pos", "cm")))
-                    .alias("a"))
-               .select("cid", F.transform("a", lambda x: x["cm"]).alias("cv")))
-    children = (cseeds.select("gid", "cid", F.col("cv").alias("cv_old"))
-                .join(rebuilt, "cid", "left")
-                .select("gid", "cid",
-                        F.coalesce("cv", "cv_old").alias("cv"))
+    # casn is exactly the (cid, v) shape the kmeans helpers expect, and
+    # cseeds carries the per-cell "old" centroids — reuse the operators
+    # so the exact-integer contract lives in one place
+    upd = kmeans.new_centroids(kmeans.component_sums(casn),
+                               cseeds.select("cid", "cv"))
+    children = (cseeds.select("gid", "cid").join(upd, "cid")
+                .select("gid", "cid", "cv")
                 .localCheckpoint(eager=True))  # ≈K rows
     fine = (route.join(F.broadcast(children), "gid")
             .withColumn("d2", kmeans.sqdist(F.col("v"), F.col("cv")))
@@ -747,17 +738,20 @@ def q113_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is stored as M byte codes, and a query scores candidates by
     summing M lookup-table entries instead of touching any corpus
     float. This is the memory layout 100 TB ANN deployments actually
-    ship (FAISS IVFPQ): 64 doubles -> 4 codes is a 128× compression of
-    the scan payload, and the per-candidate cost drops from a D-dim
-    dot product to M integer lookups.
+    ship (FAISS IVFPQ): 64 doubles (512 B) -> 16 byte codes is a 32×
+    compression of the scan payload, and the per-candidate cost drops
+    from a D-dim dot product to M integer lookups.
 
     Scale shape: codebook training and the LUT are tiny broadcasts
     (M·CODES rows; |queries|·M·CODES rows); encoding is a broadcast
     argmin per sub-space (shuffle ∝ corpus, carries one byte-code row
     per (vector, sub-space)); candidate generation reuses the IVF cell
     equi-join (≈ nprobe/K of the corpus per query); ADC scoring is a
-    map-side M-row lookup join plus a BIGINT sum — no corpus-sized
-    float traffic anywhere after encoding.
+    map-side M-row lookup join plus a BIGINT sum — after encoding, the
+    QUERY path touches no corpus-sized float data. (The
+    ``in_exact_top3`` witness column does: it rescans raw vectors for
+    the exact top-3 — gate-scale recall accounting only, dropped in a
+    real 100 TB run exactly like q112's exact-percentile witness.)
 
     Determinism: every argmin ties on (d2, id) struct-min; LUT entries
     and exact distances quantize to floor(d2·10⁶) BIGINT before any

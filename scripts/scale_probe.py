@@ -16,10 +16,11 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_pipeline_stock_market_data_postgresql_spark.session import get_spark  # noqa: E402
 from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries  # noqa: E402
