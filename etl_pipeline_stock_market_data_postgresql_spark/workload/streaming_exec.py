@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # of adequately-loaded stores on a 1000-executor cluster, not tens of
 # thousands of near-empty ones) holds at 100 TB.
 STREAM_SMALL_STATE_PARTITIONS = 8
+FEED_FILES = 8  # q106's parallel per-delivery feed-write fan-out
 
 
 @contextmanager
@@ -313,12 +314,20 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sl arithmetic dropped them entirely
     is_second = F.col("event_id") % 2 != 0
     cols = ["event_id", "event_type", "ts"]
-    # two sequential single-file writes: the file source orders batches
-    # by modification time, so batch 1 is exactly the even-id slice
-    ev.filter(~is_second).select(*cols).coalesce(1) \
+    # two sequential PARALLEL writes: each delivery is FEED_FILES files
+    # (a coalesce(1) feed write was the single-threaded term of the
+    # 100× probe's q106 row — 10M rows through one writer task). The
+    # file source still replays the deliveries as exactly two
+    # micro-batches because maxFilesPerTrigger = |batch-1 files| and
+    # batch 2 is written with that same file count, so trigger 1 is
+    # precisely the older-mtime batch-1 set and trigger 2 the rest.
+    # (The HWM kernel filters a whole batch against batch-START state,
+    # so row placement across a trigger's files is immaterial.)
+    ev.filter(~is_second).select(*cols).repartition(FEED_FILES) \
         .write.mode("overwrite").parquet(path)
     batch1 = {f for f in os.listdir(path) if f.endswith(".parquet")}
-    ev.filter(is_second).select(*cols).coalesce(1) \
+    files_per_trigger = max(1, len(batch1))
+    ev.filter(is_second).select(*cols).repartition(files_per_trigger) \
         .write.mode("append").parquet(path)
     # pin the batch order explicitly: on a filesystem with coarse mtime
     # resolution the two back-to-back writes can share a timestamp and
@@ -332,7 +341,8 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(os.path.join(path, f), (t, t))
     schema = spark.read.parquet(path).schema
     stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1").parquet(path))
+              .option("maxFilesPerTrigger", str(files_per_trigger))
+              .parquet(path))
     kept = stateful_hwm_filter(stream, "event_type", "ts")
     out = _run_stream_to_memory(kept, "q106_out", "append",
                                 STREAM_SMALL_STATE_PARTITIONS)
