@@ -27,6 +27,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # thousands of near-empty ones) holds at 100 TB.
 STREAM_SMALL_STATE_PARTITIONS = 8
 FEED_FILES = 8  # q106's parallel per-delivery feed-write fan-out
+_STATE_WIDTH_BYTES = 64 * 1024 * 1024  # input size above which a
+                                       # key-per-row state (q96) keeps
+                                       # the session's full width
+
+
+def _state_width_for_input(sf_dir: str) -> int | None:
+    """Adaptive form of the sizing rule above for stages whose state is
+    one entry PER INPUT ROW (q96's PK-dedup): small inputs pay store
+    commit overhead and want few stores; large inputs are store-load
+    bound and want the session's full width (measured at 100×:
+    28.6s at 32 stores vs 55.7s at 8; at 1× the reverse, 2.1s vs
+    3.9s). Decided from file METADATA (no scan, no driver collect)."""
+    try:
+        big = (os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+               > _STATE_WIDTH_BYTES)
+    except OSError:
+        big = False
+    return None if big else STREAM_SMALL_STATE_PARTITIONS
 
 
 @contextmanager
@@ -266,7 +284,7 @@ def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .withWatermark("ts", REDELIVERY_HORIZON)
                .dropDuplicatesWithinWatermark(["event_id"]))
     return _run_stream_to_memory(deduped, "q96_out", "append",
-                                 STREAM_SMALL_STATE_PARTITIONS)
+                                 _state_width_for_input(sf_dir))
 
 
 _Q96_SQL = """
