@@ -144,7 +144,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 
 
 def verify_jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str,
-                            threshold: float) -> DataFrame:
+                            threshold: float,
+                            cache_out: list | None = None) -> DataFrame:
     """Exact Jaccard for a (small) candidate-pair set — the verification
     stage after LSH: cost is Σ_pairs (|sh(a)| + |sh(b)|), and the
     exact computation touches only candidates.
@@ -157,11 +158,23 @@ def verify_jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str,
     Σ_pairs|sh(a)|-row exploded intermediate, no second full shuffle of
     the shingle table keyed by (id, shingle), and no wide re-aggregate:
     measured at the 100× probe, the per-pair-intersection shape cut
-    q51 from 181.6s to 41.0s and q61 from 274.4s to 68.8s."""
+    q51 from 181.6s to 41.0s and q61 from 274.4s to 68.8s.
+
+    Cache lifecycle: the per-doc shingle-array table is persisted (both
+    pair sides read it) and BACKS THE RETURNED LAZY RESULT, so the
+    caller owns its lifetime (same contract as ``jaccard_pairs``;
+    bench.py/tests clearCache between queries). A caller that detaches
+    its result from this lineage (e.g. via localCheckpoint) should pass
+    ``cache_out`` — the persisted handle is appended to it for an
+    explicit ``unpersist()`` once the result is materialized (ADVICE
+    r7: without that, each invocation pins ~|docs| cache blocks for the
+    rest of a multi-query process)."""
     sets = (shingles.groupBy(id_col)
             .agg(F.array_sort(F.collect_list("shingle")).alias("shs"),
                  F.count("*").alias("n_sh"))
             .persist())
+    if cache_out is not None:
+        cache_out.append(sets)
     sa = sets.select(F.col(id_col).alias("id_a"),
                      F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a"))
     sb = sets.select(F.col(id_col).alias("id_b"),

@@ -558,6 +558,14 @@ def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     unachievable by ANY boundary through it, while its frac_lt/frac_le
     straddle still brackets q (the fuzz lineitem corpus, 20 distinct
     prices over 500 rows, fails the depth rule and passes this one).
+    Before certifying, each boundary is SNAPPED to the nearest actual
+    data value at-or-below it (fallback: the column min). Spark's GK
+    always returns a data value, so the snap is the identity there; but
+    DuckDB's t-digest may return an INTERPOLATED boundary strictly
+    inside a heavy atom's mass gap, where frac_lt == frac_le and the
+    straddle error is bounded only by the atom's mass (≫ tol on tied
+    fuzz corpora) — snapping restores the data-value rank semantics the
+    certification rule assumes, on both engines identically.
     Hash-comparable columns: bucket id, target depth, the
     certification bit, and the EXACT boundary (q102 proved that
     hash-matches) as the value-bearing witness. tol = 0.02 covers
@@ -566,9 +574,9 @@ def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combinable sketch aggregate (the exact
     percentile rides the same pass ONLY as the witness column — a real
-    100 TB run drops it), a (k−1)-row broadcast back over the table
-    with a conditional-count aggregate (q95's verification pass — the
-    same map-only comparison work as q102's assignment), and a k-row
+    100 TB run drops it), then TWO (k−1)-row-broadcast map-only passes
+    over the table (snap, then conditional-count — q95's verification
+    pass, the same comparison work as q102's assignment), and a k-row
     result. No global sort anywhere."""
     from ..functions.rounding import round_half_up
     k = EQD_BUCKETS
@@ -580,15 +588,22 @@ def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(l_extendedprice, array({qcsv}))").alias("ex"),
         F.expr(f"percentile_approx(l_extendedprice, array({qcsv}),"
                f" {EQD_SK_ACCURACY})").alias("ap"))
-    # rank-certify each sketch boundary against the full column
+    # pass 1: snap each sketch boundary to the nearest data value <= b
     bnd = (st.select("n", F.posexplode("ap").alias("i", "b"))
            .select("n", "i", "b",
                    ((F.col("i") + 1).cast("double") / k).alias("q")))
-    rk = (li.crossJoin(F.broadcast(bnd))
-          .groupBy("i", "q", "n", "b")
-          .agg(F.sum(F.when(F.col("l_extendedprice") <= F.col("b"), 1)
+    sb = (li.crossJoin(F.broadcast(bnd))
+          .groupBy("i", "q", "n")
+          .agg(F.coalesce(
+              F.max(F.when(F.col("l_extendedprice") <= F.col("b"),
+                           F.col("l_extendedprice"))),
+              F.min("l_extendedprice")).alias("sb")))
+    # pass 2: rank-certify each snapped boundary against the full column
+    rk = (li.crossJoin(F.broadcast(sb))
+          .groupBy("i", "q", "n", "sb")
+          .agg(F.sum(F.when(F.col("l_extendedprice") <= F.col("sb"), 1)
                      .otherwise(0)).alias("n_le"),
-               F.sum(F.when(F.col("l_extendedprice") < F.col("b"), 1)
+               F.sum(F.when(F.col("l_extendedprice") < F.col("sb"), 1)
                      .otherwise(0)).alias("n_lt")))
     frac_le = F.col("n_le").cast("double") / F.col("n")
     frac_lt = F.col("n_lt").cast("double") / F.col("n")
@@ -635,12 +650,20 @@ WITH st AS (
 bnd AS (
   {pairs}
 ),
-rk AS (
-  SELECT i, q, n, b,
-         sum(CASE WHEN l_extendedprice <= b THEN 1 ELSE 0 END) AS n_le,
-         sum(CASE WHEN l_extendedprice < b THEN 1 ELSE 0 END) AS n_lt
+sb AS (
+  SELECT i, q, n,
+         coalesce(max(CASE WHEN l_extendedprice <= b
+                           THEN l_extendedprice END),
+                  min(l_extendedprice)) AS sb
   FROM lineitem CROSS JOIN bnd
-  GROUP BY i, q, n, b
+  GROUP BY i, q, n
+),
+rk AS (
+  SELECT i, q, n, sb,
+         sum(CASE WHEN l_extendedprice <= sb THEN 1 ELSE 0 END) AS n_le,
+         sum(CASE WHEN l_extendedprice < sb THEN 1 ELSE 0 END) AS n_lt
+  FROM lineitem CROSS JOIN sb
+  GROUP BY i, q, n, sb
 ),
 cert AS (
   SELECT CAST(i AS INT) AS bucket,
@@ -679,7 +702,10 @@ def _range_sorted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data path) before lineage truncation hides it."""
     li = load(spark, sf_dir, "lineitem").select(*_SORT_KEYS)
     keys = [F.col(c) for c in _SORT_KEYS]
-    n_part = spark.sparkContext.defaultParallelism
+    # floor of 2: on a single-core host defaultParallelism is 1, which
+    # would degenerate the terasort shape to one partition (ranks stay
+    # correct either way — the key embeds the unique 4-column suffix)
+    n_part = max(2, spark.sparkContext.defaultParallelism)
     return (li.repartitionByRange(n_part, *keys)
             .sortWithinPartitions(*keys)
             .withColumn("pid", F.spark_partition_id())

@@ -211,8 +211,10 @@ def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
     sig = dedup.minhash_signatures(sh, "doc_id")
     cand = dedup.lsh_candidate_pairs(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+    caches: list = []
     verified = dedup.verify_jaccard_on_pairs(cand, sh, "doc_id",
-                                             LSH_VERIFY_THRESHOLD)
+                                             LSH_VERIFY_THRESHOLD,
+                                             cache_out=caches)
     # pairs are tiny relative to docs; persist so the label-propagation
     # rounds don't re-run the whole LSH pipeline every iteration
     edges = verified.select("id_a", "id_b").persist()
@@ -230,6 +232,8 @@ def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label blocks become unreachable the moment this function returns.
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    for c in caches:  # the verify stage's shingle-array cache (ADVICE r7)
+        c.unpersist()
     return out
 
 

@@ -98,7 +98,12 @@ def scale(src: str, dst: str, factor: int) -> None:
                     "  w -> struct_pack(k := hash(w || '|' || c.copy || '|' "
                     "|| doc_id), w := w))), s -> s.w), ' ') END AS text")
             elif t == "documents" and c == "n_chars":
-                sel.append("CAST(NULL AS BIGINT) AS n_chars")  # fixed below
+                # copy 0 keeps the SOURCE n_chars (so the base slice is
+                # bit-identical even if the source disagrees with
+                # length(text)); copies >= 1 are recomputed below from
+                # the scrambled text
+                sel.append("CASE WHEN c.copy = 0 THEN n_chars "
+                           "ELSE CAST(NULL AS BIGINT) END AS n_chars")
             elif t == "embeddings" and c == "embedding":
                 # per-(copy, position) sign flips: norm-preserving,
                 # distribution-preserving, decorrelates copies
@@ -114,8 +119,8 @@ def scale(src: str, dst: str, factor: int) -> None:
         q = (f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet', "
              f"(SELECT unnest(range({factor})) AS copy) AS c")
         if t == "documents":
-            q = (f"SELECT * REPLACE (CAST(length(text) AS BIGINT) "
-                 f"AS n_chars) FROM ({q})")
+            q = (f"SELECT * REPLACE (coalesce(n_chars, "
+                 f"CAST(length(text) AS BIGINT)) AS n_chars) FROM ({q})")
         conn.execute(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         n = conn.execute(
             f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
