@@ -595,6 +595,83 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+# --- q115: BPE tokenizer training (iterative pair-merge) -----------------
+
+BPE_MERGES = 64          # gate-scale vocab; production V ~ 3e4 scales the
+                         # round count linearly, nothing else changes
+BPE_CHECKPOINT_EVERY = 16
+
+
+def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 64-merge BPE vocabulary from the document corpus
+    (operators/bpe.train_bpe) and return the merge table itself —
+    (merge_rank, lhs, rhs, merged, pair_count) in training order. The
+    cross-engine hash certifies the ENTIRE training trajectory: a single
+    diverging argmax (count ties included) changes every later round.
+
+    Pre-tokenization is the repo's shared tokenizer (textstats.tokens),
+    so the learned subwords refine the same word stream q32/q78 count.
+    Scale shape: one corpus-scale map-side-combinable word-frequency
+    aggregate, then V rounds over the distinct-word table only (see
+    operators/bpe docstring for the 100 TB argument)."""
+    from ..operators import bpe
+    toked = _tokens_df(spark, sf_dir)
+    wf = (toked.select(F.explode("tk").alias("word"))
+          .groupBy("word").agg(F.count("*").alias("freq"))
+          .select(bpe.wrap_word(F.col("word")).alias("w"), "freq"))
+    merges = bpe.train_bpe(wf, BPE_MERGES,
+                           checkpoint_every=BPE_CHECKPOINT_EVERY)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long")
+
+
+def _bpe_sql(v: int) -> str:
+    """Unrolled-CTE replay of the V-round merge recursion (q82's
+    pattern). MATERIALIZED is load-bearing: w{k} and m{k} are each
+    referenced twice, and inlining would double the expression tree per
+    round. Pair extraction splits the wrapped word on the double
+    separator; the merge is the same left-to-right non-overlapping
+    ``replace`` as the Spark side (operators/bpe docstring)."""
+    u = "chr(31)"
+    ctes = [f"""w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', {u} || '\\1' || {u}, 'g') AS w,
+         count(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(translate(text,
+      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+      '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+)"""]
+    for k in range(v):
+        ctes.append(f"""p{k} AS (
+  SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS cnt
+  FROM (SELECT string_split(trim(w, {u}), {u} || {u}) AS l, freq
+        FROM w{k}),
+       unnest(range(1, len(l))) AS t(i)
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+  SELECT {k + 1} AS merge_rank, a, b, a || b AS merged,
+         CAST(cnt AS BIGINT) AS pair_count
+  FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+)""")
+        ctes.append(f"""w{k + 1} AS MATERIALIZED (
+  SELECT replace(w.w, {u} || m.a || {u} || {u} || m.b || {u},
+                 {u} || m.merged || {u}) AS w, w.freq
+  FROM w{k} w, m{k} m
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, a AS lhs, b AS rhs, merged, pair_count"
+        f" FROM m{k}" for k in range(v))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+_Q115_SQL = _bpe_sql(BPE_MERGES)
+
+
 QUERIES: dict[str, Query] = {
     "q67_tfidf_topterms": Query(q67_tfidf_topterms, _Q67_SQL),
     "q68_contamination": Query(q68_contamination, _Q68_SQL),
@@ -603,4 +680,5 @@ QUERIES: dict[str, Query] = {
     "q97_bm25_ranking": Query(q97_bm25_ranking, _Q97_SQL),
     "q101_bigram_novelty": Query(q101_bigram_novelty, _Q101_SQL),
     "q103_scd2_pit_enrichment": Query(q103_scd2_pit_enrichment, _Q103_SQL),
+    "q115_bpe_train": Query(q115_bpe_train, _Q115_SQL),
 }

@@ -70,3 +70,83 @@ def test_contamination_excludes_eval_slice(spark, sf_dir):
     for lang, r in rows.items():
         assert r["n_train"] == train_counts[lang]
         assert 0 <= r["n_contaminated"] <= r["n_train"]
+
+
+# --- q115: BPE tokenizer training ----------------------------------------
+
+
+def _py_bpe(word_freqs, n_merges):
+    """Plain-Python reference BPE (greedy left-to-right merge, argmax
+    tie-break = count DESC then lexicographic pair ASC)."""
+    from collections import Counter
+    syms = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for k in range(n_merges):
+        pc = Counter()
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k + 1, a, b, a + b, cnt))
+        for w in word_freqs:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def _train(spark, word_freqs, n_merges):
+    from etl_pipeline_stock_market_data_postgresql_spark.operators import bpe
+    wf = spark.createDataFrame(list(word_freqs.items()), "word string, freq long")
+    wf = wf.select(bpe.wrap_word(F.col("word")).alias("w"), "freq")
+    return bpe.train_bpe(wf, n_merges)
+
+
+def test_bpe_merge_determinism_under_ties(spark):
+    # (b,a) and (d,c) both have count 2 -> lexicographic min (b,a) first
+    merges = _train(spark, {"ba": 2, "dc": 2}, 2)
+    assert merges[0][1:3] == ("b", "a")
+    assert merges[1][1:3] == ("d", "c")
+    assert merges == _py_bpe({"ba": 2, "dc": 2}, 2)
+
+
+def test_bpe_greedy_left_to_right_overlap(spark):
+    # "aaaa": pair (a,a) counts 3 (overlap-free counting is NOT applied
+    # at count time), tying (a,b) at 3 — (a,a) wins lexicographically.
+    # The greedy left-to-right MERGE then yields (aa)(aa), never
+    # (aa)a a, so a later round must see the pair (aa,aa).
+    merges = _train(spark, {"aaaa": 1, "ab": 3}, 3)
+    assert merges == _py_bpe({"aaaa": 1, "ab": 3}, 3)
+    by_rank = {m[0]: m for m in merges}
+    assert by_rank[1][1:3] == ("a", "a")
+    assert by_rank[2][1:3] == ("a", "b")
+    assert ("aa", "aa") in [(m[1], m[2]) for m in merges]
+
+
+def test_bpe_matches_python_reference_on_mixed_corpus(spark):
+    corpus = {"hello": 5, "help": 3, "held": 2, "low": 7, "lower": 4,
+              "lowest": 2, "newer": 6, "wider": 1, "x1y2": 9, "aaa": 4}
+    assert _train(spark, corpus, 12) == _py_bpe(corpus, 12)
+
+
+def test_bpe_early_stop_on_fully_merged_corpus(spark):
+    # two words, enough merges to collapse both to single symbols:
+    # further rounds find no pairs and the loop must stop early
+    merges = _train(spark, {"abc": 1, "de": 1}, 10)
+    assert merges == _py_bpe({"abc": 1, "de": 1}, 10)
+    assert len(merges) == 3  # (a,b)+(ab,c) for abc, (d,e) for de
+
+
+def test_bpe_restores_shuffle_partitions_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    _train(spark, {"ab": 1}, 1)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
