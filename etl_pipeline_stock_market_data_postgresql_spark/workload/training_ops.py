@@ -595,6 +595,210 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+# --- q116: trained quality scorer (ridge via exact normal equations) -----
+
+RIDGE_LAMBDA = 1  # exact integer added to every Gram diagonal entry:
+                  # makes A = XtX + lambda*I positive definite, so the
+                  # solve survives degenerate corpora (constant or
+                  # all-zero feature columns) with det(A) > 0
+Q116_TOP_K = 5
+
+# 3x3 determinant by cofactor expansion, as ONE template instantiated
+# by BOTH engines (Python eval on the driver for the Spark path, SQL
+# text for the DuckDB oracle). Sharing the template pins the operation
+# ORDER, and IEEE-754 doubles make identically-ordered arithmetic on
+# identical inputs bit-identical across engines — the same contract
+# q69 relies on. The inputs themselves are exact BIGINT sums.
+_DET3_T = ("({a00})*(({a11})*({a22}) - ({a12})*({a21})) "
+           "- ({a01})*(({a10})*({a22}) - ({a12})*({a20})) "
+           "+ ({a02})*(({a10})*({a21}) - ({a11})*({a20}))")
+
+
+def _det3(vals: dict[str, float]) -> float:
+    return eval(_DET3_T.format(  # noqa: S307 - fixed template, no input
+        **{k: repr(v) for k, v in vals.items()}))
+
+
+def _sym3(d00, d01, d02, d11, d12, d22):
+    """Full 3x3 entry map from the symmetric upper triangle."""
+    return {"a00": d00, "a01": d01, "a02": d02,
+            "a10": d01, "a11": d11, "a12": d12,
+            "a20": d02, "a21": d12, "a22": d22}
+
+
+def _y_micro_spark(n_tok, char_sum, stop):
+    """q31's composite quality heuristic in exact micro-units — the
+    regression TARGET (the trained scorer distills the hand-weighted
+    gate into a linear model over raw counts)."""
+    avg_len = char_sum / n_tok
+    stop_ratio = stop / n_tok
+    score = (0.3 * F.least(n_tok / 60.0, F.lit(1.0))
+             + 0.4 * (1.0 - stop_ratio)
+             + 0.3 * F.least(avg_len / 5.0, F.lit(1.0)))
+    return F.floor(score * 1_000_000 + F.lit(0.5)).cast("long")
+
+
+def _q116_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x1 = token count, x2 = stopword count, y = micro-unit
+    target) for every token-ful document."""
+    toked = _tokens_df(spark, sf_dir)
+    d = toked.filter(F.size("tk") > 0)
+    n_tok = F.size("tk").cast("long")
+    char_sum = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    stop = (F.size(F.filter(F.col("tk"), lambda t: t == F.lit("the")))
+            + F.size(F.filter(F.col("tk"), lambda t: t == F.lit("a")))
+            ).cast("long")
+    return d.select("doc_id", n_tok.alias("x1"), stop.alias("x2"),
+                    _y_micro_spark(n_tok, char_sum, stop).alias("y"))
+
+
+def _q116_solve(feats: DataFrame) -> tuple[float, float, float] | None:
+    """One normal-equation aggregate pass + the driver-side 3x3 Cramer
+    solve. Returns None on an empty (token-less) corpus."""
+    lam = float(RIDGE_LAMBDA)
+    s = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y")).first()
+    if not s["n"]:
+        return None
+    n, s1, s2 = float(s["n"]), float(s["s1"]), float(s["s2"])
+    s11, s12, s22 = float(s["s11"]), float(s["s12"]), float(s["s22"])
+    sy, s1y, s2y = float(s["sy"]), float(s["s1y"]), float(s["s2y"])
+    det = _det3(_sym3(n + lam, s1, s2, s11 + lam, s12, s22 + lam))
+    # Cramer columns: replace column i of A with b = (sy, s1y, s2y)
+    w0 = _det3({"a00": sy, "a01": s1, "a02": s2,
+                "a10": s1y, "a11": s11 + lam, "a12": s12,
+                "a20": s2y, "a21": s12, "a22": s22 + lam}) / det
+    w1 = _det3({"a00": n + lam, "a01": sy, "a02": s2,
+                "a10": s1, "a11": s1y, "a12": s12,
+                "a20": s2, "a21": s2y, "a22": s22 + lam}) / det
+    w2 = _det3({"a00": n + lam, "a01": s1, "a02": sy,
+                "a10": s1, "a11": s11 + lam, "a12": s1y,
+                "a20": s2, "a21": s12, "a22": s2y}) / det
+    return (w0, w1, w2)
+
+
+def q116_trained_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-trained linear quality scorer — the Spark-shaped version
+    of the fastText/classifier quality gates real pipelines run
+    (today's q31/q63/q101 gates are hand-weighted heuristics; this one
+    LEARNS its weights). Features are exact integer counts per doc
+    (x1 = token count, x2 = stopword count); the target distills q31's
+    composite score into micro-units.
+
+    Exact distributed training: ONE map-side-combinable pass aggregates
+    the D^2 normal-equation partials (XtX, Xty) as exact BIGINT sums of
+    integer products — order-independent, so cross-engine identical —
+    then the tiny (D+1)x(D+1)=3x3 system is solved in closed form
+    (Cramer, shared-template operation order) driver-side, and the
+    weights are broadcast back as literals for a map-only scoring pass.
+    All partial sums stay below 2^53 by construction (micro-unit target
+    x token counts x corpus rows; see module tests), so the
+    BIGINT->double casts entering the solve are value-exact.
+
+    Scale shape: aggregate shuffle is D^2 longs per partition (a few
+    hundred bytes), scoring is a map — the whole thing is two passes
+    over the corpus with nothing driver-side but a 3x3 solve. Output:
+    learned weights (every row) + the top-5 docs by predicted quality."""
+    feats = _q116_feats(spark, sf_dir)
+    weights = _q116_solve(feats)
+    schema = ("doc_id bigint, n_tokens bigint, n_stop bigint,"
+              " pred_quality double, w0 double, w1 double, w2 double")
+    if weights is None:
+        return spark.createDataFrame([], schema)
+    w0, w1, w2 = weights
+    pred = (F.lit(w0) + F.lit(w1) * F.col("x1").cast("double")
+            + F.lit(w2) * F.col("x2").cast("double"))
+    return (feats
+            .select("doc_id", F.col("x1").alias("n_tokens"),
+                    F.col("x2").alias("n_stop"),
+                    round_half_up(pred / 1_000_000, 6).alias("pred_quality"),
+                    round_half_up(F.lit(w0), 6).alias("w0"),
+                    round_half_up(F.lit(w1), 6).alias("w1"),
+                    round_half_up(F.lit(w2), 6).alias("w2"))
+            .orderBy(F.desc("pred_quality"), "doc_id")
+            .limit(Q116_TOP_K))
+
+
+def _q116_sql(weights_only: bool = False) -> str:
+    """``weights_only`` returns the UNROUNDED solved weights — used by
+    tests/test_training_ops.py to bit-compare DuckDB's solve against
+    the driver-side Python solve (same template, same IEEE doubles)."""
+    lam = f"{float(RIDGE_LAMBDA)!r}"
+
+    def det3(m: dict[str, str]) -> str:
+        return _DET3_T.format(**m)
+
+    a = {"a00": f"(sd.n + {lam})", "a01": "sd.s1", "a02": "sd.s2",
+         "a10": "sd.s1", "a11": f"(sd.s11 + {lam})", "a12": "sd.s12",
+         "a20": "sd.s2", "a21": "sd.s12", "a22": f"(sd.s22 + {lam})"}
+    det = det3(a)
+    w0 = det3({**a, "a00": "sd.sy", "a10": "sd.s1y", "a20": "sd.s2y"})
+    w1 = det3({**a, "a01": "sd.sy", "a11": "sd.s1y", "a21": "sd.s2y"})
+    w2 = det3({**a, "a02": "sd.sy", "a12": "sd.s1y", "a22": "sd.s2y"})
+    return f"""
+WITH {_TOKS_CTE.strip().rstrip(',')},
+m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS x1,
+         list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS cs,
+         CAST(len(list_filter(tk, t -> t = 'the')) AS BIGINT)
+           + CAST(len(list_filter(tk, t -> t = 'a')) AS BIGINT) AS x2
+  FROM toks WHERE len(tk) > 0
+),
+f AS (
+  SELECT doc_id, x1, x2,
+         CAST(floor((0.3 * least(x1 / 60.0, 1.0)
+                     + 0.4 * (1.0 - x2 / x1)
+                     + 0.3 * least((cs / x1) / 5.0, 1.0))
+                    * 1000000 + 0.5) AS BIGINT) AS y
+  FROM m
+),
+s AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM f
+),
+sd AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+         CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y
+  FROM s
+),
+w AS (
+  SELECT ({w0}) / ({det}) AS w0,
+         ({w1}) / ({det}) AS w1,
+         ({w2}) / ({det}) AS w2
+  FROM sd
+)
+{"SELECT w0, w1, w2 FROM w" if weights_only else f'''
+SELECT doc_id, x1 AS n_tokens, x2 AS n_stop,
+       {round_half_up_sql(
+           '(w.w0 + w.w1 * CAST(x1 AS DOUBLE)'
+           ' + w.w2 * CAST(x2 AS DOUBLE)) / 1000000', 6)} AS pred_quality,
+       {round_half_up_sql('w.w0', 6)} AS w0,
+       {round_half_up_sql('w.w1', 6)} AS w1,
+       {round_half_up_sql('w.w2', 6)} AS w2
+FROM f CROSS JOIN w
+ORDER BY pred_quality DESC, doc_id
+LIMIT {Q116_TOP_K}'''}
+"""
+
+
+_Q116_SQL = _q116_sql()
+
+
 # --- q115: BPE tokenizer training (iterative pair-merge) -----------------
 
 BPE_MERGES = 64          # gate-scale vocab; production V ~ 3e4 scales the
@@ -681,4 +885,6 @@ QUERIES: dict[str, Query] = {
     "q101_bigram_novelty": Query(q101_bigram_novelty, _Q101_SQL),
     "q103_scd2_pit_enrichment": Query(q103_scd2_pit_enrichment, _Q103_SQL),
     "q115_bpe_train": Query(q115_bpe_train, _Q115_SQL),
+    "q116_trained_quality_scorer": Query(q116_trained_quality_scorer,
+                                         _Q116_SQL),
 }

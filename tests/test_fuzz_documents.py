@@ -73,6 +73,7 @@ FUZZ_DOC_QUERIES = [
     "q61_dedup_clusters", "q63_quality_gate", "q64_sequence_packing",
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
     "q76_repetition_stats", "q83_duplicate_spans", "q84_heavy_hitters",
+    "q115_bpe_train", "q116_trained_quality_scorer",
 ]
 
 

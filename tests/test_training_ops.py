@@ -150,3 +150,67 @@ def test_bpe_restores_shuffle_partitions_conf(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     _train(spark, {"ab": 1}, 1)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# --- q116: trained quality scorer (ridge via exact normal equations) ------
+
+
+def test_q116_weights_bit_identical_to_duckdb_solve(spark, sf_dir):
+    """The driver-side Python Cramer solve and DuckDB's SQL solve share
+    one formula template over exact BIGINT sums — assert the resulting
+    doubles are BIT-identical (not merely close)."""
+    import duckdb
+    import struct
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        _q116_feats, _q116_solve, _q116_sql)
+    w_py = _q116_solve(_q116_feats(spark, sf_dir))
+    assert w_py is not None
+    conn = duckdb.connect()
+    try:
+        conn.execute("CREATE VIEW documents AS SELECT * FROM "
+                     f"'{sf_dir}/documents.parquet'")
+        w_sql = conn.execute(_q116_sql(weights_only=True)).fetchone()
+    finally:
+        conn.close()
+    for a, b in zip(w_py, w_sql):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (w_py, w_sql)
+
+
+def _q116_on_corpus(spark, tmp_path, docs):
+    import os
+    from conftest import write_single_parquet
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        q116_trained_quality_scorer)
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint")
+    write_single_parquet(df, os.path.join(str(tmp_path), "documents.parquet"))
+    return q116_trained_quality_scorer(spark, str(tmp_path))
+
+
+def test_q116_empty_corpus_yields_no_rows(spark, tmp_path):
+    out = _q116_on_corpus(spark, tmp_path,
+                          [(1, "!!! ...", "en", "web", 7),
+                           (2, "", "en", "web", 0)])
+    assert out.collect() == []
+
+
+def test_q116_constant_feature_survives_via_ridge(spark, tmp_path):
+    # every doc has identical token count -> x1 is collinear with the
+    # intercept; without the ridge term det(A) would be exactly 0
+    docs = [(i, "alpha beta gamma", "en", "web", 16) for i in range(10)]
+    rows = _q116_on_corpus(spark, tmp_path, docs).collect()
+    assert len(rows) == 5
+    assert all(r["pred_quality"] is not None for r in rows)
+
+
+def test_q116_partial_sums_stay_double_exact_at_100x(spark, sf_dir):
+    """The solve casts BIGINT sums to double; document and check the
+    2^53 exactness headroom at the 100x probe scale (the docstring's
+    bound): worst entry is sum(x1*y) <= n_docs * max_tokens * 1e6."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        _q116_feats)
+    s = _q116_feats(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.max("x1").alias("mx1")).first()
+    n_100x, mx1 = s["n"] * 100 * 100, s["mx1"]  # sf0.1 ~ sf0.001*100, then 100x
+    assert n_100x * mx1 * 1_000_000 < 2**53
