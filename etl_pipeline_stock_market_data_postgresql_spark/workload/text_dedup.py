@@ -343,6 +343,128 @@ FROM per_doc
 """
 
 
+# --- q117: duplicate-span REMOVAL (the cleaned corpus q83 profiles) -------
+
+
+def remove_duplicate_spans(docs: DataFrame, n_part: int) -> DataFrame:
+    """Excise cross-document duplicated spans and emit the cleaned
+    corpus — the removal stage of Lee et al. 2021 (arXiv:2107.06499)
+    that q83 only profiles. A span is a word-SPAN_N-gram occurring in
+    ≥ 2 distinct documents; every token covered by ANY duplicated span
+    is dropped (overlapping spans merge by construction: coverage is
+    computed per token position, which is exactly the union of the
+    merged intervals), and the kept tokens are rejoined in order.
+
+    Pure JVM-side set arithmetic — no Python UDFs, nothing quadratic:
+    token positions and span positions are (doc_id, int) pairs; the
+    duplicated-span set is a hash-grouped aggregate over distinct
+    (doc, hash) pairs; coverage is one explode of SPAN_N positions per
+    duplicated span occurrence (shuffle ∝ corpus tokens worst-case);
+    removal is a hash-partitioned LEFT ANTI; reconstruction is one
+    groupBy collecting (pos, token) structs sorted JVM-side. Returns
+    (doc_id, n_tokens, n_removed, cleaned_text) for EVERY document
+    (token-less docs clean to '').
+
+    The per-position ``hashed`` gram table is persisted (two consumers:
+    the dup set and the coverage explode) and backs the returned lazy
+    result — callers own its lifetime (jaccard_pairs' contract;
+    bench.py/tests clearCache between queries)."""
+    from ..functions import textstats
+    from ..functions.hashing import hash32
+
+    toked = (docs.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+             .repartition(n_part, "doc_id"))
+    tokpos = toked.select(
+        "doc_id", F.posexplode("tk").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(textstats.word_ngrams(F.col("tk"), SPAN_N))
+        .alias("g0", "g"))
+    hashed = (grams.select("doc_id", (F.col("g0") + 1).alias("pos"),
+                           hash32(F.col("g")).alias("gh"))
+              .persist())
+    dup = (hashed.select("doc_id", "gh").distinct()
+           .groupBy("gh").agg(F.count("*").alias("_ndocs"))
+           .filter(F.col("_ndocs") >= 2).select("gh"))
+    rm = (hashed.join(dup, "gh", "left_semi")
+          .select("doc_id",
+                  F.explode(F.sequence(F.col("pos"),
+                                       F.col("pos") + (SPAN_N - 1)))
+                  .alias("pos"))
+          .distinct())
+    kept = tokpos.join(rm, ["doc_id", "pos"], "left_anti")
+    cleaned = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda x: x["tok"]), " ").alias("cleaned_text")))
+    return (toked.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+            .join(cleaned, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text")))
+
+
+def q117_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal included (see
+    ``remove_duplicate_spans``): the oracle independently reconstructs
+    every cleaned text, so the hash match certifies the emitted corpus
+    itself, not just the span counts. Idempotency (re-running on the
+    cleaned output removes nothing on this corpus) is pinned by
+    tests/test_dedup_properties.py."""
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, spark.sparkContext.defaultParallelism)
+
+
+def _q117_sql() -> str:
+    from ..functions.hashing import hash32_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         {" || ' ' || ".join(f"tk[i+{j}]" for j in range(SPAN_N))} AS g
+  FROM toks, unnest(range(1, len(tk) - {SPAN_N - 2})) AS t(i)
+  WHERE len(tk) >= {SPAN_N}
+),
+hashed AS (SELECT doc_id, pos, {hash32_sql('g')} AS gh FROM spans),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM hashed)
+  GROUP BY gh HAVING count(*) >= 2
+),
+rm AS (
+  SELECT DISTINCT h.doc_id, t.p AS pos
+  FROM hashed h JOIN dup USING (gh),
+       unnest(range(h.pos, h.pos + {SPAN_N})) AS t(p)
+),
+kept AS (
+  SELECT tokpos.* FROM tokpos ANTI JOIN rm USING (doc_id, pos)
+),
+cleaned AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       CAST(len(d.tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM toks d LEFT JOIN cleaned USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q23_dedup_exact": Query(q23_dedup_exact, _Q23_SQL),
     "q24_ngram_jaccard": Query(q24_ngram_jaccard, _Q24_SQL),
@@ -351,4 +473,5 @@ QUERIES: dict[str, Query] = {
     "q51_lsh_verified_neardup": Query(q51_lsh_verified_neardup, _lsh_verified_sql()),
     "q61_dedup_clusters": Query(q61_dedup_clusters, _dedup_clusters_sql()),
     "q83_duplicate_spans": Query(q83_duplicate_spans, _q83_sql()),
+    "q117_dedup_span_removal": Query(q117_dedup_span_removal, _q117_sql()),
 }

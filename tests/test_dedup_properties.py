@@ -230,3 +230,54 @@ def test_connected_components_diameter_beyond_round_cap(spark):
     got = dedup.connected_components(df, "id_a", "id_b").collect()
     assert {r["node"] for r in got} == set(range(301))
     assert all(r["comp"] == 0 for r in got)
+
+
+# --- q117: duplicate-span removal ----------------------------------------
+
+
+def test_span_removal_idempotent_and_consistent_with_q83(spark, sf_dir, tmp_path):
+    """(a) removal agrees with q83's profile (same dup-span coverage
+    semantics); (b) re-running removal on the cleaned corpus removes
+    nothing further (Lee et al.'s excision is a fixpoint on this
+    corpus — junction-created n-grams would have to repeat across docs
+    to break this, which the scrambled testdata never produces)."""
+    import os
+    from conftest import write_single_parquet
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.text_dedup import (
+        SPAN_N, q83_duplicate_spans, q117_dedup_span_removal)
+
+    out = q117_dedup_span_removal(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    spark.catalog.clearCache()
+    prof = {r["doc_id"]: r for r in
+            q83_duplicate_spans(spark, sf_dir).collect()}
+    spark.catalog.clearCache()
+    assert any(r["n_removed"] > 0 for r in rows.values()), \
+        "corpus has no duplicated spans; test is vacuous"
+    for doc_id, r in rows.items():
+        p = prof.get(doc_id)
+        if p is None or p["n_dup_spans"] == 0:
+            # no duplicated span -> nothing removed, text intact modulo
+            # tokenization (q83 omits docs with < SPAN_N tokens)
+            assert r["n_removed"] == 0, (doc_id, r)
+        else:
+            # every duplicated span covers >= SPAN_N tokens; coverage
+            # of n>=1 spans is >= SPAN_N and <= n_tokens
+            assert SPAN_N <= r["n_removed"] <= r["n_tokens"], (doc_id, r)
+
+    # idempotency: cleaned corpus -> removal is a no-op
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    cleaned = spark.createDataFrame(
+        [(d, r["cleaned_text"]) for d, r in rows.items()],
+        "doc_id bigint, text string")
+    round2_in = (docs.join(cleaned, "doc_id")
+                 .select("doc_id", "text", "lang", "source",
+                         F.length("text").alias("n_chars")))
+    d2 = os.path.join(str(tmp_path), "round2")
+    os.makedirs(d2, exist_ok=True)
+    write_single_parquet(round2_in, os.path.join(d2, "documents.parquet"))
+    again = q117_dedup_span_removal(spark, d2).collect()
+    spark.catalog.clearCache()
+    assert all(r["n_removed"] == 0 for r in again), \
+        [r for r in again if r["n_removed"] > 0][:5]
