@@ -268,9 +268,88 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+# --- q118: small-file compaction (bin-packing OPTIMIZE) -------------------
+
+Q118_FRAGMENT_TASKS = 16        # seeded small-file layout: every task
+                                # writes a sliver into every day
+Q118_TARGET_BYTES = 4 * 1024 * 1024
+
+
+def q118_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OPTIMIZE lifecycle under the gate (sources/compaction):
+    seed a day-partitioned events copy deliberately fragmented into
+    ~``Q118_FRAGMENT_TASKS`` files per day, bin-pack every offending
+    day toward ``Q118_TARGET_BYTES``, and return the per-day rollup
+    read back from the compacted table plus three certification bits:
+
+    - ``content_identical`` — exact row-multiset equality of the
+      compacted table vs the source rows (nothing lost, duplicated, or
+      altered by the rewrite);
+    - ``files_reduced`` — the filesystem holds strictly fewer files
+      than the fragmented seed (the operation did something);
+    - ``within_target`` — per day, the surviving file count is at most
+      ``max(1, ceil(day_bytes / target))`` (the layout contract holds;
+      the q93/q110 pattern of asserting physical claims from the
+      filesystem while the oracle pins the booleans TRUE and
+      independently recomputes the value columns from the raw table).
+
+    Scale shape: the rewrite reads, shuffles and writes ONLY offending
+    partitions ((day, bin) hash shuffle, work ∝ small-file backlog) and
+    commits through dynamic partition overwrite; the inventory is
+    driver-side metadata ∝ |partitions|. The multiset-equality
+    certificate is gate-scale proof work, not part of the production
+    operation (see sources/compaction docstring)."""
+    from ..sources import compaction
+
+    base, _ = _scratch_base(sf_dir)
+    path = os.path.join(base, "q118_events_by_day")
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "value",
+                  F.to_date("ts").alias("day")))
+    (ev.repartition(Q118_FRAGMENT_TASKS)
+     .write.partitionBy("day").mode("overwrite").parquet(path))
+    before = compaction.partition_file_stats(path, "day")
+    plan = compaction.compact_partitioned(
+        spark, path, "day", "event_id", Q118_TARGET_BYTES)
+    after = compaction.partition_file_stats(path, "day")
+
+    files_before = sum(n for n, _ in before.values())
+    files_after = sum(n for n, _ in after.values())
+    within = all(
+        after[d][0] <= max(1, -(-before[d][1] // Q118_TARGET_BYTES))
+        for d in plan)
+    untouched_ok = all(after[d] == before[d]
+                       for d in before if d not in plan)
+    back = spark.read.parquet(path)
+    content_ok = compaction.multiset_equal(back, ev)
+
+    val = F.col("value").cast("decimal(18,4)")
+    return (back.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(val).cast("double").alias("sum_value"))
+            .withColumn("content_identical", F.lit(bool(content_ok)))
+            .withColumn("files_reduced",
+                        F.lit(bool(plan) and files_after < files_before))
+            .withColumn("within_target",
+                        F.lit(bool(within and untouched_ok))))
+
+
+_Q118_SQL = """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       TRUE AS content_identical,
+       TRUE AS files_reduced,
+       TRUE AS within_target
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
     "q110_dynamic_partition_overwrite": Query(
         q110_dynamic_partition_overwrite, _Q110_SQL),
+    "q118_small_file_compaction": Query(q118_small_file_compaction,
+                                        _Q118_SQL),
 }

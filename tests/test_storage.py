@@ -135,3 +135,72 @@ def test_dynamic_overwrite_touches_only_target_partition(spark, sf_dir, tmp_path
     # the target day WAS rewritten: its old files are gone
     assert not any(target_dir in f and f in after for f in before)
     assert any(target_dir in f for f in after)
+
+
+# --- q118: small-file compaction ------------------------------------------
+
+
+def _seed_fragmented(spark, tmp_path, n_days=3, rows_per_day=400, tasks=8):
+    import os
+    from pyspark.sql import functions as F
+    path = os.path.join(str(tmp_path), "t")
+    df = (spark.range(n_days * rows_per_day)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % n_days).cast("string").alias("d"),
+                  (F.col("id") * 7 % 1000).alias("v")))
+    df.repartition(tasks).write.partitionBy("d").parquet(path)
+    return path, df
+
+
+def test_compaction_packs_reduces_and_preserves_content(spark, tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import compaction
+
+    path, df = _seed_fragmented(spark, tmp_path)
+    before = compaction.partition_file_stats(path, "d")
+    assert all(n > 1 for n, _ in before.values()), "seed not fragmented"
+    plan = compaction.compact_partitioned(spark, path, "d", "k",
+                                          target_bytes=64 * 1024 * 1024)
+    assert set(plan) == set(before) and all(b == 1 for b in plan.values())
+    after = compaction.partition_file_stats(path, "d")
+    assert all(n == 1 for n, _ in after.values())
+    assert sum(n for n, _ in after.values()) < sum(n for n, _ in before.values())
+    assert compaction.multiset_equal(spark.read.parquet(path), df)
+
+
+def test_compaction_multibin_respects_byte_target(spark, tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import compaction
+
+    path, df = _seed_fragmented(spark, tmp_path, rows_per_day=2000)
+    before = compaction.partition_file_stats(path, "d")
+    # pick a target that forces >= 2 bins for every day
+    target = max(b for _, b in before.values()) // 3 + 1
+    plan = compaction.compact_partitioned(spark, path, "d", "k", target)
+    assert plan and any(b >= 2 for b in plan.values())
+    after = compaction.partition_file_stats(path, "d")
+    for d, bins in plan.items():
+        assert 1 <= after[d][0] <= bins, (d, bins, after[d])
+    assert compaction.multiset_equal(spark.read.parquet(path), df)
+
+
+def test_compaction_skips_compliant_partitions_and_is_idempotent(spark, tmp_path):
+    import os
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import compaction
+
+    path, df = _seed_fragmented(spark, tmp_path)
+    compaction.compact_partitioned(spark, path, "d", "k", 64 * 1024 * 1024)
+    mid = compaction.partition_file_stats(path, "d")
+    mtimes = {}
+    for entry in os.listdir(path):
+        sub = os.path.join(path, entry)
+        if os.path.isdir(sub):
+            for f in os.listdir(sub):
+                mtimes[os.path.join(sub, f)] = os.path.getmtime(
+                    os.path.join(sub, f))
+    # second pass: every partition complies -> empty plan, no rewrite
+    plan2 = compaction.compact_partitioned(spark, path, "d", "k",
+                                           64 * 1024 * 1024)
+    assert plan2 == {}
+    assert compaction.partition_file_stats(path, "d") == mid
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"rewrote compliant file {f}"
+    assert compaction.multiset_equal(spark.read.parquet(path), df)
