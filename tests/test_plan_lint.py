@@ -1,0 +1,100 @@
+"""Registry-wide physical-plan lint: every registered query's returned
+plan is checked for the three scale-killer shapes, so the "no cartesian
+/ no nested-loop / no table-scale single-partition funnel ANYWHERE"
+claim is structural — any future query inherits the lint the moment it
+is registered, instead of relying on a hand-written per-query plan test
+(tests/test_plans.py still carries the deeper per-query assertions:
+broadcast presence, pushdown, range partitioning, codegen spans).
+
+Allowlists are EXPLICIT and justified inline. Two patterns are
+legitimately present at 100 TB:
+
+- ``BroadcastNestedLoopJoin`` is how Spark executes a deliberate
+  ``crossJoin(F.broadcast(tiny))`` — the build side in every
+  allowlisted query is a 1-row or K-row aggregate/codebook (bounds,
+  centroids, quantile boundaries, corpus-wide constants), never
+  corpus-scale. The lint bans the shape everywhere else because an
+  ACCIDENTAL nested-loop join (join-condition typo, missed equi-key)
+  is the classic silent O(n*m) cliff.
+- ``Exchange SinglePartition`` below a final ungrouped aggregate moves
+  only per-partition PARTIAL rows (map-side combine has already run),
+  and below a documented K-row coalesce moves K rows. The lint bans it
+  elsewhere because a single-partition exchange carrying table-scale
+  rows (the no-partition window, the global collect funnel) serializes
+  the job on one task.
+
+Queries that localCheckpoint internally (iterative/storage/streaming)
+expose only their post-checkpoint plan here; their pre-checkpoint
+shapes are asserted by their dedicated tests on the factored-out
+stages (e.g. _range_sorted_lineitem for q114).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_stock_market_data_postgresql_spark import plans
+from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries
+
+LINT_SF = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin allowlist: every entry is crossJoin(broadcast(X))
+# where X is the named tiny side (size independent of, or logarithmic in,
+# the corpus).
+BNLJ_ALLOWED = {
+    "q28_ivf_topk":           "query-vector set + cell table (K rows)",
+    "q69_domain_mix_sample":  "1-row corpus weight normalizer",
+    "q81_kmeans_step":        "K centroid rows to every vector",
+    "q86_cluster_purity":     "K centroid rows",
+    "q90_gapfill_locf":       "1-row (min_ts, max_ts) bounds",
+    "q94_learned_ivf":        "K learned-centroid rows",
+    "q97_bm25_ranking":       "1-row corpus avgdl",
+    "q98_semantic_dedup":     "K centroid rows",
+    "q100_table_profile":     "1-row table-wide stats",
+    "q102_equidepth_histogram": "k-1 quantile boundary rows",
+    "q105_histogram_drift":   "1-row per-window totals",
+    "q112_equidepth_sketch":  "k-1 sketch boundary rows (2 passes)",
+    "q113_ivfpq_adc":         "codebook / ADC lookup table rows",
+}
+
+# Exchange SinglePartition allowlist: the single partition only ever
+# receives partial-aggregate rows or a documented K-row side.
+SINGLE_PARTITION_ALLOWED = {
+    "q69_domain_mix_sample":  "final ungrouped agg (per-language partials)",
+    "q77_funnel":             "final ungrouped funnel totals",
+    "q87_full_outer_reconciliation": "1-row reconciliation verdict",
+    "q90_gapfill_locf":       "1-row bounds agg feeding the sequence",
+    "q97_bm25_ranking":       "1-row corpus avgdl agg",
+    "q100_table_profile":     "1-row table profile agg",
+    "q102_equidepth_histogram": "1-row exact-percentile agg",
+    "q104_key_uniqueness":    "1-row count-vs-distinct verdict",
+    "q105_histogram_drift":   "1-row TVD verdict agg",
+    "q112_equidepth_sketch":  "1-row sketch agg (k-1 boundaries)",
+    "q114_global_sort":       "cumulative offsets over |partitions| rows",
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_scale_killer_in_plan(spark, name):
+    q = all_queries()[name]
+    df = q.spark_fn(spark, LINT_SF)
+    try:
+        low = plans.explain_str(df).lower()
+        assert "cartesianproduct" not in low, \
+            f"{name}: CartesianProduct in plan"
+        if name not in BNLJ_ALLOWED:
+            assert "broadcastnestedloopjoin" not in low, \
+                f"{name}: unjustified BroadcastNestedLoopJoin (allowlist " \
+                f"it with a reason if the build side is provably tiny)"
+        if name not in SINGLE_PARTITION_ALLOWED:
+            assert "singlepartition" not in low, \
+                f"{name}: unjustified single-partition exchange"
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_allowlists_only_name_registered_queries():
+    names = set(all_queries())
+    assert set(BNLJ_ALLOWED) <= names, set(BNLJ_ALLOWED) - names
+    assert set(SINGLE_PARTITION_ALLOWED) <= names, \
+        set(SINGLE_PARTITION_ALLOWED) - names
