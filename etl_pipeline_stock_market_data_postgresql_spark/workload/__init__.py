@@ -40,41 +40,40 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-7 window. After r6 every registered query has a green
-    # driver row on the current testdata (r4∪r5∪r6 union). This round,
-    # per the CORRECTNESS_SEEN.md rule: (1) the eight queries whose
-    # newest green row is still r4 (deferred from the r6 window);
-    "q28_ivf_topk", "q29_embedding_neardup", "q34_multimodal_meta",
-    "q37_cube", "q38_string_funcs", "q39_percentiles", "q42_unpivot",
-    "q82_kmeans_lloyd",
-    # (2) the four queries new in r7 (never proven by the driver) —
-    # hierarchical SemDeDup, sketch-fed equi-depth histogram, IVF-PQ
-    # with ADC scoring, global range-partitioned sort;
-    "q111_semantic_dedup_hier", "q112_equidepth_sketch",
-    "q113_ivfpq_adc", "q114_global_sort",
-    # (3) 38 of the 49 queries whose newest green row is r5, oldest
-    # module-order first (q45–q50, q53–q60, q62–q64, q67–q69,
-    # q71–q76, q78/q79/q81, q83–q91). q92 and q01–q10 (r5 rows) plus
-    # the 50 re-proven in r6 fall past the cap — they are the most
-    # recently proven and stay covered by local parity
-    # (tests/test_oracle_parity.py runs the identical comparison on
-    # every registered query).
-    "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
-    "q48_vwap", "q49_volatility", "q50_drawdown",
-    "q53_ema", "q54_rsi", "q55_bollinger", "q56_range_join",
-    "q57_hierarchical_rollup", "q58_stratified_split",
-    "q59_stratum_sample", "q60_embedding_centroids",
-    "q62_streaming_session_window", "q63_quality_gate",
-    "q64_sequence_packing",
-    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
-    "q71_rollup_refresh", "q72_policy_redaction",
-    "q73_streaming_stream_join", "q74_multimodal_decode",
-    "q75_bucketed_join", "q76_repetition_stats",
-    "q78_token_chunks", "q79_shuffle_shard", "q81_kmeans_step",
-    "q83_duplicate_spans", "q84_heavy_hitters", "q85_retention_cohorts",
-    "q86_cluster_purity", "q87_full_outer_reconciliation",
-    "q88_sliding_window_stats", "q89_streaming_sliding_window",
-    "q90_gapfill_locf", "q91_cdc_apply",
+    # round-8 window. After r7 every registered query's newest green
+    # driver row is r5-or-newer (the r4 tier is empty). This round,
+    # per the CORRECTNESS_SEEN.md rule: (1)+(2) the four queries new
+    # in r8 (never proven by the driver) — BPE tokenizer training,
+    # ridge-trained quality scorer, duplicate-span removal, small-file
+    # compaction;
+    "q115_bpe_train", "q116_trained_quality_scorer",
+    "q117_dedup_span_removal", "q118_small_file_compaction",
+    # (3) the 11 queries whose newest green row is oldest (r5):
+    # q92 + q01–q10 (their r6-window deferral is documented in
+    # CORRECTNESS_SEEN.md);
+    "q92_time_range_window",
+    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
+    "q04_antijoin_new_keys", "q05_semijoin_members",
+    "q06_idempotent_merge", "q07_sma_trailing",
+    "q08_multiformat_parse", "q09_decimal_agg", "q10_quarantine_counts",
+    # then 35 of the 50-member r6 tier in module order; the trailing
+    # 15 of that tier (q33/q36/q40/q41/q43/q44/q96/q106/q108/q70/q97/
+    # q101/q103/q93/q110) plus the 50 re-proven in r7 fall past the
+    # cap — they are the most recently proven and stay covered by
+    # local parity (tests/test_oracle_parity.py runs the identical
+    # comparison on every registered query).
+    "q11_pricing_summary", "q12_top_revenue_orders", "q13_region_revenue",
+    "q14_group_topn", "q15_set_ops", "q16_rollup", "q17_pivot_status",
+    "q18_distinct_agg", "q19_having_heavy_customers", "q20_asof_last_click",
+    "q52_multiset_ops", "q100_table_profile", "q102_equidepth_histogram",
+    "q104_key_uniqueness", "q107_bloom_join", "q22_sessionization",
+    "q65_salted_distinct", "q66_salted_join", "q77_funnel",
+    "q80_hll_distinct", "q95_quantile_sketch", "q99_anomaly_zscore",
+    "q105_histogram_drift", "q23_dedup_exact", "q24_ngram_jaccard",
+    "q25_minhash_lsh", "q26_simhash", "q51_lsh_verified_neardup",
+    "q61_dedup_clusters", "q94_learned_ivf", "q98_semantic_dedup",
+    "q109_sq8_quantization", "q30_langid", "q31_quality_score",
+    "q32_token_stats",
 )
 
 
