@@ -84,6 +84,43 @@ def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str,
     return out
 
 
+def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,
+                                n_parts: int | None) -> DataFrame:
+    """Execute an APPEND-mode stream into a parquet FILE sink and read
+    the result back lazily. Append-mode outputs scale with the INPUT
+    (q96 re-emits every deduped event, q106 every kept row), so the
+    memory sink — whose rows are driver-resident — put a probe-scale
+    input's worth of data on the driver heap (BENCH.md round-6 note:
+    the q96 100× probe needed a 48g driver). The file sink is what a
+    production streaming job writes anyway; the gate reads the files
+    back and compares values identically. Complete-mode aggregations
+    (q46/q62/q89) keep the memory sink: the file sink cannot accept
+    complete mode, and their outputs are key-bounded aggregates, not
+    input-scale. Sink+checkpoint live under the per-SF scratch root
+    (storage._scratch_base) and are recreated per invocation."""
+    import shutil
+
+    from .storage import _scratch_base
+
+    spark = df.sparkSession
+    base, _ = _scratch_base(sf_dir)
+    root = os.path.join(base, f"stream_{prefix}")
+    shutil.rmtree(root, ignore_errors=True)
+    out_dir = os.path.join(root, "out")
+    with _stateful_shuffle_partitions(spark, n_parts):
+        q = (df.writeStream.outputMode("append")
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:  # zero committed files -> schema can't be inferred
+        return spark.createDataFrame([], df.schema)
+
+
 def _event_stream(spark: SparkSession, sf_dir: str):
     """THE single events stream source for q46/q62/q73/q89: batch-sniff
     the schema (ensure_session_confs already normalizes NTZ inference),
@@ -209,8 +246,8 @@ def q73_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("click_ts")
                  - F.unix_micros("view_ts")).alias("gap_us")))
 
-    return _run_stream_to_memory(joined, "q73_out", "append",
-                                 STREAM_SMALL_STATE_PARTITIONS)
+    return _run_stream_append_to_files(joined, "q73_out", sf_dir,
+                                       STREAM_SMALL_STATE_PARTITIONS)
 
 
 _Q73_SQL = f"""
@@ -283,8 +320,8 @@ def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (redelivered
                .withWatermark("ts", REDELIVERY_HORIZON)
                .dropDuplicatesWithinWatermark(["event_id"]))
-    return _run_stream_to_memory(deduped, "q96_out", "append",
-                                 _state_width_for_input(sf_dir))
+    return _run_stream_append_to_files(deduped, "q96_out", sf_dir,
+                                       _state_width_for_input(sf_dir))
 
 
 _Q96_SQL = """
@@ -362,8 +399,8 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("maxFilesPerTrigger", str(files_per_trigger))
               .parquet(path))
     kept = stateful_hwm_filter(stream, "event_type", "ts")
-    out = _run_stream_to_memory(kept, "q106_out", "append",
-                                STREAM_SMALL_STATE_PARTITIONS)
+    out = _run_stream_append_to_files(kept, "q106_out", sf_dir,
+                                      STREAM_SMALL_STATE_PARTITIONS)
     return out.select("event_id", "event_type",
                       F.unix_micros("ts").alias("tus"))
 

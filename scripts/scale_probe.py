@@ -8,6 +8,16 @@ Protocol = BENCH.md's: each measurement is the min of two warm runs
 write, cache cleared between queries so persisted intermediates can't
 leak across timings.
 
+Witness policy (round-7 verdict item 7): some queries exist as EXACT
+WITNESSES for a sketch/hierarchical scale path and are deliberately
+super-linear — q98's flat broadcast-K argmin witnesses q111, q102's
+exact interpolated percentile witnesses q112. Their cost at probe
+scale is the cliff their scale-path twin exists to avoid, so probing
+them beyond the gate SF measures scaffolding, not the engine. This
+harness therefore SKIPS witness queries on any dir whose events
+parquet is larger than the gate class unless ``--with-witnesses`` is
+given (the skip is printed, never silent).
+
 Usage:
   python scripts/scale_probe.py q111_semantic_dedup_hier q114_global_sort \
       -- /root/testdata/sf0.1 /tmp/scale10
@@ -26,13 +36,39 @@ from etl_pipeline_stock_market_data_postgresql_spark.session import get_spark  #
 from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries  # noqa: E402
 
 
+# exact witnesses of a committed scale path: probe at gate SF only
+WITNESS_QUERIES = {
+    "q98_semantic_dedup": "q111_semantic_dedup_hier",
+    "q102_equidepth_histogram": "q112_equidepth_sketch",
+}
+_GATE_CLASS_BYTES = 64 * 1024 * 1024  # anything bigger is probe-scale
+
+
+def _is_probe_scale(d: str) -> bool:
+    try:
+        return (os.path.getsize(os.path.join(d, "events.parquet"))
+                > _GATE_CLASS_BYTES)
+    except OSError:
+        return False
+
+
 def main() -> None:
-    split = sys.argv.index("--")
-    names, dirs = sys.argv[1:split], sys.argv[split + 1:]
+    args = [a for a in sys.argv[1:]]
+    with_witnesses = "--with-witnesses" in args
+    if with_witnesses:
+        args.remove("--with-witnesses")
+    split = args.index("--")
+    names, dirs = args[:split], args[split + 1:]
     queries = all_queries()
     spark = get_spark("scale-probe")
     for d in dirs:
         for name in names:
+            if (name in WITNESS_QUERIES and not with_witnesses
+                    and _is_probe_scale(d)):
+                print(json.dumps({
+                    "query": name, "dir": d, "skipped": "witness",
+                    "scale_path": WITNESS_QUERIES[name]}), flush=True)
+                continue
             fn = queries[name].spark_fn
             best = None
             for attempt in range(3):  # 1 warmup + 2 timed
