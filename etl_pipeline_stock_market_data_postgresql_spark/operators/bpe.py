@@ -56,6 +56,27 @@ def wrap_word(col: Column) -> Column:
     return F.regexp_replace(col, "(.)", f"{SEP}$1{SEP}")
 
 
+def encode_expr(col: Column, merges: list[tuple]) -> Column:
+    """Segment a separator-wrapped word (``wrap_word``) with a learned
+    merge table: apply every merge in RANK ORDER, each as one exhaustive
+    left-to-right non-overlapping ``replace`` — exactly the recursion
+    the trainer itself performs (round k applies merge k everywhere,
+    never revisiting earlier ranks), so encoding the training corpus
+    reproduces the trainer's final symbol state bit-for-bit (pinned by
+    tests/test_training_ops.py). One JVM projection, V nested
+    ``replace`` calls, no loops at execution time."""
+    out = col
+    for _, a, b, m, _cnt in merges:
+        out = F.replace(out, F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+                        F.lit(f"{SEP}{m}{SEP}"))
+    return out
+
+
+def symbol_count(col: Column) -> Column:
+    """Number of symbols in a wrapped segmentation."""
+    return F.size(F.split(F.btrim(col, F.lit(SEP)), SEP + SEP)).cast("long")
+
+
 def train_bpe(words: DataFrame, n_merges: int,
               checkpoint_every: int = 16) -> list[tuple]:
     """Learn ``n_merges`` BPE merges from a word-frequency table.

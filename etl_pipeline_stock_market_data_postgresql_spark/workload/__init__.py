@@ -42,12 +42,13 @@ class Query:
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # round-8 window. After r7 every registered query's newest green
     # driver row is r5-or-newer (the r4 tier is empty). This round,
-    # per the CORRECTNESS_SEEN.md rule: (1)+(2) the four queries new
+    # per the CORRECTNESS_SEEN.md rule: (1)+(2) the five queries new
     # in r8 (never proven by the driver) — BPE tokenizer training,
     # ridge-trained quality scorer, duplicate-span removal, small-file
-    # compaction;
+    # compaction, BPE encoding;
     "q115_bpe_train", "q116_trained_quality_scorer",
     "q117_dedup_span_removal", "q118_small_file_compaction",
+    "q119_bpe_encode",
     # (3) the 11 queries whose newest green row is oldest (r5):
     # q92 + q01–q10 (their r6-window deferral is documented in
     # CORRECTNESS_SEEN.md);
@@ -56,10 +57,10 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q04_antijoin_new_keys", "q05_semijoin_members",
     "q06_idempotent_merge", "q07_sma_trailing",
     "q08_multiformat_parse", "q09_decimal_agg", "q10_quarantine_counts",
-    # then 35 of the 50-member r6 tier in module order; the trailing
-    # 15 of that tier (q33/q36/q40/q41/q43/q44/q96/q106/q108/q70/q97/
-    # q101/q103/q93/q110) plus the 50 re-proven in r7 fall past the
-    # cap — they are the most recently proven and stay covered by
+    # then 34 of the 50-member r6 tier in module order; the trailing
+    # 16 of that tier (q32/q33/q36/q40/q41/q43/q44/q96/q106/q108/q70/
+    # q97/q101/q103/q93/q110) plus the 50 re-proven in r7 fall past
+    # the cap — they are the most recently proven and stay covered by
     # local parity (tests/test_oracle_parity.py runs the identical
     # comparison on every registered query).
     "q11_pricing_summary", "q12_top_revenue_orders", "q13_region_revenue",
@@ -73,7 +74,6 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q25_minhash_lsh", "q26_simhash", "q51_lsh_verified_neardup",
     "q61_dedup_clusters", "q94_learned_ivf", "q98_semantic_dedup",
     "q109_sq8_quantization", "q30_langid", "q31_quality_score",
-    "q32_token_stats",
 )
 
 

@@ -831,9 +831,10 @@ def q115_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         " pair_count long")
 
 
-def _bpe_sql(v: int) -> str:
-    """Unrolled-CTE replay of the V-round merge recursion (q82's
-    pattern). MATERIALIZED is load-bearing: w{k} and m{k} are each
+def _bpe_ctes(v: int) -> list[str]:
+    """Unrolled CTE chain of the V-round merge recursion (q82's
+    pattern), shared by the q115 (training) and q119 (encoding)
+    oracles. MATERIALIZED is load-bearing: w{k} and m{k} are each
     referenced twice, and inlining would double the expression tree per
     round. Pair extraction splits the wrapped word on the double
     separator; the merge is the same left-to-right non-overlapping
@@ -867,13 +868,112 @@ def _bpe_sql(v: int) -> str:
                  {u} || m.merged || {u}) AS w, w.freq
   FROM w{k} w, m{k} m
 )""")
+    return ctes
+
+
+def _bpe_sql(v: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT merge_rank, a AS lhs, b AS rhs, merged, pair_count"
         f" FROM m{k}" for k in range(v))
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_ctes(v)) + "\n" + union
 
 
 _Q115_SQL = _bpe_sql(BPE_MERGES)
+
+
+# --- q119: BPE encoding (apply the learned merge table) ------------------
+
+BPE_ENCODE_MERGES = 16  # encoding semantics are rank-order application;
+                        # a small vocab keeps the train step cheap while
+                        # gating the same apply recursion as V ~ 3e4
+
+
+def q119_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the deploy half of q115's training: learn
+    a merge table, then segment the corpus with it and return per-doc
+    subword statistics (word count, subword count, char count, 6dp
+    compression ratio). The encode itself is ONE JVM projection of V
+    nested ``replace`` calls in merge-rank order (operators/
+    bpe.encode_expr), applied to the DISTINCT-WORD table — each unique
+    word is segmented once, then per-doc stats come from a hash join of
+    the token stream back to the encoded vocabulary and one aggregate.
+
+    Scale shape: train as q115 (one corpus aggregate + V vocab-table
+    rounds); encode is map-only over the vocab; the stats pass is one
+    corpus-scale equi-join on the word (broadcast when the vocab is
+    small, plain hash join at Heaps-law scale) plus a
+    map-side-combinable per-doc aggregate. Nothing quadratic, no
+    Python."""
+    from ..operators import bpe
+    toked = _tokens_df(spark, sf_dir)
+    words = toked.select(F.explode("tk").alias("word"))
+    wf = (words.groupBy("word").agg(F.count("*").alias("freq"))
+          .select("word", bpe.wrap_word(F.col("word")).alias("w"), "freq"))
+    merges = bpe.train_bpe(wf.select("w", "freq"), BPE_ENCODE_MERGES,
+                           checkpoint_every=BPE_CHECKPOINT_EVERY)
+    enc = wf.select(
+        "word",
+        bpe.symbol_count(bpe.encode_expr(F.col("w"), merges))
+        .alias("n_sub"),
+        F.length("word").cast("long").alias("n_chr"))
+    per_doc = (toked.select("doc_id", F.explode("tk").alias("word"))
+               .join(enc, "word")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_words"),
+                    F.sum("n_sub").alias("n_subwords"),
+                    F.sum("n_chr").alias("n_chars_tok")))
+    ratio = F.col("n_subwords") / F.col("n_words")
+    return per_doc.select(
+        "doc_id", "n_words", "n_subwords", "n_chars_tok",
+        round_half_up(ratio, 6).alias("subwords_per_word"))
+
+
+def _q119_sql() -> str:
+    u = "chr(31)"
+    ctes = ",\n".join(_bpe_ctes(BPE_ENCODE_MERGES))
+    # apply merges in rank order: V nested replaces whose pattern /
+    # replacement come from scalar subqueries on the m{k} CTEs; the
+    # chr(30) sentinel makes a dry round (empty m{k}) a no-op instead
+    # of NULLing the word out
+    enc = "w0.w"
+    for k in range(BPE_ENCODE_MERGES):
+        pat = (f"(SELECT {u} || a || {u} || {u} || b || {u} FROM m{k})")
+        rep = f"(SELECT {u} || merged || {u} FROM m{k})"
+        enc = (f"replace({enc}, coalesce({pat}, chr(30)),"
+               f" coalesce({rep}, chr(30)))")
+    return f"""
+WITH {ctes},
+enc AS (
+  SELECT trim(w0.w, {u}) AS plain_w,
+         CAST(len(string_split(trim({enc}, {u}), {u} || {u})) AS BIGINT)
+           AS n_sub
+  FROM w0
+),
+ev AS (
+  SELECT replace(plain_w, {u}, '') AS word, n_sub,
+         CAST(length(replace(plain_w, {u}, '')) AS BIGINT) AS n_chr
+  FROM enc
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+stream AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_subwords,
+         sum(n_chr) AS n_chars_tok
+  FROM stream JOIN ev USING (word)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_subwords, n_chars_tok,
+       {round_half_up_sql('n_subwords / n_words', 6)} AS subwords_per_word
+FROM per_doc
+"""
+
+
+_Q119_SQL = _q119_sql()
 
 
 QUERIES: dict[str, Query] = {
@@ -887,4 +987,5 @@ QUERIES: dict[str, Query] = {
     "q115_bpe_train": Query(q115_bpe_train, _Q115_SQL),
     "q116_trained_quality_scorer": Query(q116_trained_quality_scorer,
                                          _Q116_SQL),
+    "q119_bpe_encode": Query(q119_bpe_encode, _Q119_SQL),
 }

@@ -74,7 +74,7 @@ FUZZ_DOC_QUERIES = [
     "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
     "q76_repetition_stats", "q83_duplicate_spans", "q84_heavy_hitters",
     "q115_bpe_train", "q116_trained_quality_scorer",
-    "q117_dedup_span_removal",
+    "q117_dedup_span_removal", "q119_bpe_encode",
 ]
 
 

@@ -214,3 +214,58 @@ def test_q116_partial_sums_stay_double_exact_at_100x(spark, sf_dir):
         F.count("*").alias("n"), F.max("x1").alias("mx1")).first()
     n_100x, mx1 = s["n"] * 100 * 100, s["mx1"]  # sf0.1 ~ sf0.001*100, then 100x
     assert n_100x * mx1 * 1_000_000 < 2**53
+
+
+# --- q119: BPE encoding (apply the learned merge table) -------------------
+
+
+def test_bpe_encode_reproduces_trainer_segmentation(spark):
+    """Applying merges in rank order (each exhaustively) IS the
+    trainer's own recursion — encoding the training vocabulary must
+    reproduce the trainer's final symbol state exactly."""
+    from etl_pipeline_stock_market_data_postgresql_spark.operators import bpe
+    corpus = {"hello": 5, "help": 3, "lowlow": 2, "aaaa": 4, "x1y2": 9}
+    n_merges = 8
+    # python-reference trainer final state
+    from collections import Counter
+    syms = {w: tuple(w) for w in corpus}
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in corpus.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in corpus:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    wf = spark.createDataFrame(list(corpus.items()), "word string, freq long")
+    wrapped = wf.select("word", bpe.wrap_word(F.col("word")).alias("w"), "freq")
+    merges = bpe.train_bpe(wrapped.select("w", "freq"), n_merges)
+    enc = wrapped.select(
+        "word",
+        F.split(F.btrim(bpe.encode_expr(F.col("w"), merges), F.lit(bpe.SEP)),
+                bpe.SEP + bpe.SEP).alias("segs")).collect()
+    got = {r["word"]: tuple(r["segs"]) for r in enc}
+    assert got == syms, (got, syms)
+
+
+def test_bpe_encode_symbol_count_bounds(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        q119_bpe_encode)
+    rows = q119_bpe_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every word contributes at least 1 subword and at most its chars
+        assert r["n_words"] <= r["n_subwords"] <= r["n_chars_tok"], r
+        assert r["subwords_per_word"] >= 1.0
