@@ -104,11 +104,11 @@ def _py_bpe(word_freqs, n_merges):
     return merges
 
 
-def _train(spark, word_freqs, n_merges):
+def _train(spark, word_freqs, n_merges, **kw):
     from etl_pipeline_stock_market_data_postgresql_spark.operators import bpe
     wf = spark.createDataFrame(list(word_freqs.items()), "word string, freq long")
     wf = wf.select(bpe.wrap_word(F.col("word")).alias("w"), "freq")
-    return bpe.train_bpe(wf, n_merges)
+    return bpe.train_bpe(wf, n_merges, **kw)
 
 
 def test_bpe_merge_determinism_under_ties(spark):
@@ -148,8 +148,19 @@ def test_bpe_early_stop_on_fully_merged_corpus(spark):
 
 def test_bpe_restores_shuffle_partitions_conf(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    _train(spark, {"ab": 1}, 1)
+    _train(spark, {"ab": 1}, 1, driver_vocab_threshold=0)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_bpe_distributed_loop_equals_driver_local_finalizer(spark):
+    """The two finalizers are the same recursion: force the distributed
+    loop (threshold=0) and compare against the driver-local path and
+    the plain-Python reference on a tie-heavy corpus."""
+    corpus = {"ba": 2, "dc": 2, "aaaa": 1, "ab": 3, "hello": 5,
+              "lowlow": 2, "x1y2": 9}
+    dist = _train(spark, corpus, 10, driver_vocab_threshold=0)
+    local = _train(spark, corpus, 10)  # vocab far below threshold
+    assert dist == local == _py_bpe(corpus, 10)
 
 
 # --- q116: trained quality scorer (ridge via exact normal equations) ------
