@@ -98,9 +98,26 @@ def compact_partitioned(spark: SparkSession, path: str, part_col: str,
 
 
 def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
-    """Exact row-multiset equality — the content-preservation
-    certificate (gate-scale check; a production run certifies via
-    per-partition row counts + checksums from the manifest)."""
+    """Exact row-multiset equality via two anti-semijoins — the
+    strongest content-preservation certificate; used by the unit tests
+    (four shuffles of the full table, so test-scale only)."""
     cols = sorted(a.columns)
     a, b = a.select(*cols), b.select(*cols)
     return (a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty())
+
+
+def content_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row count, commutative row-hash sum) — the content certificate
+    that survives 100 TB: one map-side-combinable aggregate, no join,
+    order-independent because + is commutative. Equal fingerprints ≡
+    equal multisets up to 64-bit hash collisions (the same certificate
+    lakehouse manifests carry as per-file checksums). Hash input is the
+    row struct over name-sorted columns, so column order is
+    insignificant; DECIMAL(38,0) sum cannot overflow at any real row
+    count."""
+    cols = sorted(df.columns)
+    row = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    r = df.agg(F.count(F.lit(1)).alias("n"),
+               F.coalesce(F.sum(row.cast("decimal(38,0)")),
+                          F.lit(0).cast("decimal(38,0)")).alias("h")).first()
+    return (int(r["n"]), int(r["h"]))

@@ -204,3 +204,22 @@ def test_compaction_skips_compliant_partitions_and_is_idempotent(spark, tmp_path
     for f, m in mtimes.items():
         assert os.path.getmtime(f) == m, f"rewrote compliant file {f}"
     assert compaction.multiset_equal(spark.read.parquet(path), df)
+
+
+def test_content_fingerprint_detects_any_change(spark):
+    from pyspark.sql import functions as F
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import compaction
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 7).alias("v"))
+    fp = compaction.content_fingerprint(df)
+    # column order insignificant, row order insignificant
+    assert fp == compaction.content_fingerprint(
+        df.select("v", "k").orderBy(F.desc("k")))
+    # a single changed cell, a dropped row, and a duplicated row all flip it
+    assert fp != compaction.content_fingerprint(
+        df.withColumn("v", F.when(F.col("k") == 500, 99).otherwise(F.col("v"))))
+    assert fp != compaction.content_fingerprint(df.filter(F.col("k") != 500))
+    assert fp != compaction.content_fingerprint(df.unionAll(df.limit(1)))
+    # empty frame fingerprints as (0, 0)
+    assert compaction.content_fingerprint(df.filter(F.lit(False))) == (0, 0)
