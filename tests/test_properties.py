@@ -63,3 +63,55 @@ def test_idempotent_append_yields_distinct_new_keys(spark, payload, dup_factor):
     # appending the delta and re-running is a no-op
     rerun = upsert.idempotent_append(good, delta, pk, time_col="date")
     assert rerun.count() == 0
+
+
+# --- BPE driver-local finalizer vs plain-Python reference ----------------
+
+
+@st.composite
+def word_freq_corpora(draw):
+    words = draw(st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=6),
+        min_size=1, max_size=12, unique=True))
+    return {w: draw(st.integers(min_value=1, max_value=9)) for w in words}
+
+
+@given(corpus=word_freq_corpora(),
+       n_merges=st.integers(min_value=1, max_value=12))
+@settings(max_examples=200, deadline=None)
+def test_bpe_driver_local_matches_reference(corpus, n_merges):
+    """The driver-local finalizer (the below-threshold gate path) must
+    match the reference greedy recursion on arbitrary corpora — the
+    tiny 'ab1' alphabet maximizes tie and overlap pressure."""
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.bpe import (
+        SEP, _train_driver_local)
+
+    rows = [{"w": "".join(f"{SEP}{c}{SEP}" for c in w), "freq": f}
+            for w, f in corpus.items()]
+    got = _train_driver_local(rows, n_merges)
+
+    # reference (same as tests/test_training_ops._py_bpe)
+    from collections import Counter
+    syms = {w: tuple(w) for w in corpus}
+    want = []
+    for k in range(n_merges):
+        pc = Counter()
+        for w, f in corpus.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((k + 1, a, b, a + b, cnt))
+        for w in corpus:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    assert got == want
