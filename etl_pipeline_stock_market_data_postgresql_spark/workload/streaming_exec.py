@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import time
-import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -62,26 +61,46 @@ def _stateful_shuffle_partitions(spark: SparkSession, n_parts: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _run_stream_to_memory(df: DataFrame, prefix: str, mode: str,
-                          n_parts: int | None) -> DataFrame:
-    """Execute ``df`` through Structured Streaming into a memory sink
-    and return the materialized result detached from the sink: the rows
-    are checkpointed into block storage and the sink's temp view is
-    dropped immediately, so a long multi-query run (gate, bench) never
-    accumulates driver-resident sink state — previously each streaming
-    query leaked its output as a session temp view for the rest of the
-    process."""
+def _stream_scratch(prefix: str, sf_dir: str) -> tuple[str, str]:
+    """(output dir, checkpoint dir) under the per-SF scratch root,
+    recreated fresh per invocation."""
+    import shutil
+
+    from .storage import _scratch_base
+
+    base, _ = _scratch_base(sf_dir)
+    root = os.path.join(base, f"stream_{prefix}")
+    shutil.rmtree(root, ignore_errors=True)
+    return os.path.join(root, "out"), os.path.join(root, "ckpt")
+
+
+def _run_stream_complete_to_files(df: DataFrame, prefix: str, sf_dir: str,
+                                  n_parts: int | None) -> DataFrame:
+    """Execute a COMPLETE-mode streaming aggregation with a
+    ``foreachBatch`` parquet sink and read the final batch back lazily.
+
+    Complete mode re-emits the FULL result every micro-batch, and the
+    result of a session/tumbling aggregation is itself input-scale
+    (sf0.1 events -> ~95k session windows; the 100x probe -> 9.5M).
+    The previous memory sink accumulated those rows driver-side and
+    then localCheckpoint-ed them through the driver single-threaded —
+    at the 100x probe the STREAM finished in ~19s while the sink path
+    hung for 10+ minutes. ``foreachBatch`` hands each batch over as a
+    real distributed DataFrame, so the write is executor-parallel and
+    nothing result-sized ever lands on the driver; each batch
+    OVERWRITES the previous output, so the surviving files are exactly
+    the final complete result."""
+    out_dir, ckpt = _stream_scratch(prefix, sf_dir)
     spark = df.sparkSession
-    name = f"{prefix}_{uuid.uuid4().hex[:10]}"
     with _stateful_shuffle_partitions(spark, n_parts):
-        q = (df.writeStream.outputMode(mode)
-             .format("memory").queryName(name)
+        q = (df.writeStream.outputMode("complete")
+             .foreachBatch(lambda bdf, _bid:
+                           bdf.write.mode("overwrite").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.processAllAvailable()
         q.stop()
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return spark.read.parquet(out_dir)
 
 
 def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,
@@ -93,25 +112,18 @@ def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,
     input's worth of data on the driver heap (BENCH.md round-6 note:
     the q96 100× probe needed a 48g driver). The file sink is what a
     production streaming job writes anyway; the gate reads the files
-    back and compares values identically. Complete-mode aggregations
-    (q46/q62/q89) keep the memory sink: the file sink cannot accept
-    complete mode, and their outputs are key-bounded aggregates, not
-    input-scale. Sink+checkpoint live under the per-SF scratch root
+    back and compares values identically. (Complete-mode aggregations
+    go through ``_run_stream_complete_to_files`` — the native file sink
+    cannot accept complete mode, so they use a foreachBatch write.)
+    Sink+checkpoint live under the per-SF scratch root
     (storage._scratch_base) and are recreated per invocation."""
-    import shutil
-
-    from .storage import _scratch_base
-
+    out_dir, ckpt = _stream_scratch(prefix, sf_dir)
     spark = df.sparkSession
-    base, _ = _scratch_base(sf_dir)
-    root = os.path.join(base, f"stream_{prefix}")
-    shutil.rmtree(root, ignore_errors=True)
-    out_dir = os.path.join(root, "out")
     with _stateful_shuffle_partitions(spark, n_parts):
         q = (df.writeStream.outputMode("append")
              .format("parquet")
              .option("path", out_dir)
-             .option("checkpointLocation", os.path.join(root, "ckpt"))
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.processAllAvailable()
         q.stop()
@@ -153,8 +165,8 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("w.start").alias("bucket_start"), "event_type",
                    "n_events", "sum_value"))
 
-    return _run_stream_to_memory(agg, "q46_out", "complete",
-                                 STREAM_SMALL_STATE_PARTITIONS)
+    return _run_stream_complete_to_files(agg, "q46_out", sf_dir,
+                                         STREAM_SMALL_STATE_PARTITIONS)
 
 
 _Q46_SQL = """
@@ -186,7 +198,7 @@ def q62_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("w.end").alias("session_end"),
                    "n_events", "sum_value"))
 
-    return _run_stream_to_memory(agg, "q62_out", "complete", None)
+    return _run_stream_complete_to_files(agg, "q62_out", sf_dir, None)
 
 
 _Q62_SQL = f"""
@@ -279,8 +291,8 @@ def q89_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("w.start").alias("window_start"), "event_type",
                    "n_events", "total_value"))
 
-    return _run_stream_to_memory(agg, "q89_out", "complete",
-                                 STREAM_SMALL_STATE_PARTITIONS)
+    return _run_stream_complete_to_files(agg, "q89_out", sf_dir,
+                                         STREAM_SMALL_STATE_PARTITIONS)
 
 
 def _q89_sql() -> str:

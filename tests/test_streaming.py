@@ -103,7 +103,7 @@ def test_dedup_within_watermark_suppresses_cross_batch_redelivery(spark, tmp_pat
 
     from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
         REDELIVERY_HORIZON, STREAM_SMALL_STATE_PARTITIONS,
-        _run_stream_to_memory)
+        _run_stream_append_to_files)
 
     base = dt.datetime(2024, 3, 1, 10, 0, 0)
     rows = [(i, base + dt.timedelta(minutes=i), i % 3, "view", float(i))
@@ -120,7 +120,7 @@ def test_dedup_within_watermark_suppresses_cross_batch_redelivery(spark, tmp_pat
               .parquet(src))
     deduped = (stream.withWatermark("ts", REDELIVERY_HORIZON)
                .dropDuplicatesWithinWatermark(["event_id"]))
-    out = _run_stream_to_memory(deduped, "t96", "append",
-                                STREAM_SMALL_STATE_PARTITIONS)
+    out = _run_stream_append_to_files(deduped, "t96", str(tmp_path),
+                                      STREAM_SMALL_STATE_PARTITIONS)
     got = sorted(r["event_id"] for r in out.collect())
     assert got == list(range(50))  # each key exactly once, dups dropped
