@@ -179,7 +179,16 @@ def verify_jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str,
                      F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a"))
     sb = sets.select(F.col(id_col).alias("id_b"),
                      F.col("shs").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    jac = (pairs.join(sa, "id_a").join(sb, "id_b")
+    # MERGE hints are load-bearing: Catalyst statically UNDERESTIMATES
+    # the post-explode shingle-array aggregate and broadcasts it — fine
+    # at gate SF, but the 100x probe's sets table is GBs and the
+    # broadcast build OOMed the default driver (found by the round-8
+    # full-registry sweep; r6/r7 probes masked it with a 48g driver).
+    # An explicit sort-merge join is the 100 TB-safe shape — no hash
+    # map on either side, graceful spill — and costs nothing
+    # measurable at gate scale. (AQE cannot demote a statically-chosen
+    # broadcast, so the hint must be static too.)
+    jac = (pairs.join(sa.hint("merge"), "id_a").join(sb.hint("merge"), "id_b")
            .withColumn("n_common",
                        F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
            .drop("sh_a", "sh_b")

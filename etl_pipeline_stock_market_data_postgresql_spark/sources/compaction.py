@@ -83,11 +83,17 @@ def compact_partitioned(spark: SparkSession, path: str, part_col: str,
                     df[part_col].cast("string") == plan_df[f"{part_col}_s"])
             .withColumn("_bin", F.pmod(F.xxhash64(key_col), F.col("bins")))
             .drop(f"{part_col}_s"))
+    from pyspark import StorageLevel
+
     total_bins = sum(plan.values())
     packed = (todo.repartition(total_bins, part_col, "_bin")
               .drop("bins", "_bin")
-              # pin rows before overwriting their own source files
-              .localCheckpoint(eager=True))
+              # pin rows before overwriting their own source files;
+              # DISK_ONLY because this checkpoint is table-sized (the
+              # whole small-file backlog) and the default level unrolls
+              # it deserialized through the heap — the q114 OOM class
+              .localCheckpoint(eager=True,
+                               storageLevel=StorageLevel.DISK_ONLY))
     old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -732,16 +732,24 @@ def q114_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     range partitioning samples its boundaries, and the offsets pass and
     the rank pass must observe the SAME boundaries — two independent
     recomputations could legally sample differently and skew every
-    rank. (At 100 TB the checkpoint becomes persist(DISK_ONLY) or a
-    staged write; the two-pass-over-pinned-layout structure is
-    unchanged.) Ranks are deterministic regardless of where the
+    rank. The checkpoint is pinned to DISK_ONLY storage: the default
+    MEMORY_AND_DISK level unrolls the whole table DESERIALIZED through
+    the heap, and the round-8 full-registry sweep OOMed there at the
+    100x probe (60M sorted rows vs the default 8g driver) — a
+    table-sized checkpoint must never compete with execution memory.
+    (At real cluster scale this becomes a staged write; the
+    two-pass-over-pinned-layout structure is unchanged.) Ranks are
+    deterministic regardless of where the
     sampled boundaries land because the sort key embeds the proven
     unique key — the total order, and hence row_number, is unique.
 
     Scale shape: one range shuffle + local sorts (the optimal
     distributed sort), a |partitions|-row aggregate, a broadcast join,
     and map-only arithmetic. Shuffle volume = data size, once."""
-    srt = _range_sorted_lineitem(spark, sf_dir).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+    srt = (_range_sorted_lineitem(spark, sf_dir)
+           .localCheckpoint(eager=True,
+                            storageLevel=StorageLevel.DISK_ONLY))
     counts = srt.groupBy("pid").agg(F.count("*").alias("cnt"))
     w = (Window.orderBy("pid")
          .rowsBetween(Window.unboundedPreceding, -1))
