@@ -82,11 +82,17 @@ FROM ivf i LEFT JOIN exact e
 
 
 def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above threshold via the
-    bucketed scale path: candidates come from a sign-bucket equi-join
-    (shuffle ∝ corpus, no corpus broadcast, no all-pairs product).
-    q28's in_exact_top3 column carries the exact recall baseline for
-    this family."""
+    """Embedding-cosine near-duplicate pairs above threshold via a
+    sign-bucket equi-join (shuffle ∝ corpus, no corpus broadcast, no
+    all-pairs product). q28's in_exact_top3 column carries the exact
+    recall baseline for this family.
+
+    Scale role: the FIXED 2^IVF_BITS bucket count bounds constants at
+    gate SFs but makes candidate pairs Σ|bucket|²/2 ∝ n²/2^bits — this
+    query is the family's gate-scale exactness WITNESS (scale_probe
+    skips it on probe dirs), and the corpus-proportional path is
+    q111's K ∝ n hierarchical cells (q98's docstring walks the
+    argument)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs(emb, "vec_id", "embedding",
                                     NEARDUP_THRESHOLD, n_bits=IVF_BITS)

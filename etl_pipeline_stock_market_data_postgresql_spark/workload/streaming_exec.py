@@ -74,6 +74,23 @@ def _stream_scratch(prefix: str, sf_dir: str) -> tuple[str, str]:
     return os.path.join(root, "out"), os.path.join(root, "ckpt")
 
 
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Unload every loaded state-store provider after a finished
+    streaming query. Providers live in a JVM-wide singleton and are
+    NOT released when their query stops (only a lazy maintenance sweep
+    eventually evicts them), so a multi-query process (gate, bench,
+    probe sweep) accumulates every stopped query's in-heap state maps —
+    the round-8 sweep OOMed on q62's 9.5M-row session state only when
+    it ran AFTER five other streaming queries, while succeeding in
+    isolation. stop() also halts the maintenance thread; Spark restarts
+    it lazily on the next stateful query."""
+    try:
+        (spark._jvm.org.apache.spark.sql.execution.streaming
+         .state.StateStore.stop())
+    except Exception:
+        pass  # internal API; a rename only costs the eager unload
+
+
 def _run_stream_complete_to_files(df: DataFrame, prefix: str, sf_dir: str,
                                   n_parts: int | None) -> DataFrame:
     """Execute a COMPLETE-mode streaming aggregation with a
@@ -100,6 +117,7 @@ def _run_stream_complete_to_files(df: DataFrame, prefix: str, sf_dir: str,
              .trigger(availableNow=True).start())
         q.processAllAvailable()
         q.stop()
+    _unload_state_stores(spark)
     return spark.read.parquet(out_dir)
 
 
@@ -127,6 +145,7 @@ def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,
              .trigger(availableNow=True).start())
         q.processAllAvailable()
         q.stop()
+    _unload_state_stores(spark)
     try:
         return spark.read.parquet(out_dir)
     except Exception:  # zero committed files -> schema can't be inferred

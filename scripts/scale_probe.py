@@ -40,6 +40,12 @@ from etl_pipeline_stock_market_data_postgresql_spark.workload import all_queries
 WITNESS_QUERIES = {
     "q98_semantic_dedup": "q111_semantic_dedup_hier",
     "q102_equidepth_histogram": "q112_equidepth_sketch",
+    # q29's FIXED 256-bucket sign blocking makes candidate pairs
+    # sum(|bucket|^2)/2 ~ n^2/256 — the gate-scale exactness witness of
+    # the embedding near-dup family; the corpus-proportional cell path
+    # (K ~ n, hierarchical training) is q111, and q28 carries the
+    # probed top-k shape (2.8s at 100x)
+    "q29_embedding_neardup": "q111_semantic_dedup_hier",
 }
 _GATE_CLASS_BYTES = 64 * 1024 * 1024  # anything bigger is probe-scale
 
