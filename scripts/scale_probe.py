@@ -21,6 +21,7 @@ given (the skip is printed, never silent).
 Usage:
   python scripts/scale_probe.py q111_semantic_dedup_hier q114_global_sort \
       -- /root/testdata/sf0.1 /tmp/scale10
+  python scripts/scale_probe.py --all -- /tmp/scale100   # whole registry
 """
 
 from __future__ import annotations
@@ -66,6 +67,8 @@ def main() -> None:
     split = args.index("--")
     names, dirs = args[:split], args[split + 1:]
     queries = all_queries()
+    if names == ["--all"]:
+        names = list(queries)
     spark = get_spark("scale-probe")
     for d in dirs:
         for name in names:
