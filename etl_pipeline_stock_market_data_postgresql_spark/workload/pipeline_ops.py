@@ -36,7 +36,11 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     band. Shuffle ∝ events, worst key ∝ hottest (type, minute) — never
     the quadratic per-type cross product a naive theta-join would run.
     Each qualifying pair surfaces exactly once (the right side keeps its
-    single true bucket)."""
+    single true bucket). Note the OUTPUT itself is quadratic in event
+    DENSITY by definition (pairs within a fixed 60 s window), so a
+    probe that multiplies density in a fixed time range (BENCH.md
+    round-8 sweep: 46.9s at 100x) measures output growth, not a plan
+    defect — shuffle stays ∝ events + output."""
     ev = (load(spark, sf_dir, "events")
           .select("event_id", "event_type",
                   F.unix_micros("ts").alias("us")))
