@@ -140,7 +140,16 @@ def train_bpe(words: DataFrame, n_merges: int,
     driver-finalize shape (q116's normal-equation solve does the same)
     — and above it the distributed loop runs as before. Both paths are
     the identical greedy recursion with the identical tie-break;
-    tests pin them equal on shared corpora."""
+    tests pin them equal on shared corpora.
+
+    SESSION-WIDE SIDE EFFECT (distributed path only): the merge loop
+    narrows ``spark.sql.shuffle.partitions`` to the vocab-sized loop
+    width for the duration of all V rounds (restored in a ``finally``).
+    Spark has no per-query shuffle-width override, so any query running
+    CONCURRENTLY on the same SparkSession during training inherits the
+    narrowed width. Callers that interleave corpus-scale work with
+    training should run training on a dedicated ``spark.newSession()``
+    (configs are session-scoped; the JVM and cluster are shared)."""
     wf = words.select("w", "freq").localCheckpoint(eager=True)
     # size the LOOP table's partitioning to the vocab, not the corpus:
     # the word-frequency aggregate upstream inherits corpus-scale

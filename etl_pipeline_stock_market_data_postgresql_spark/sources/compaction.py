@@ -34,22 +34,39 @@ from __future__ import annotations
 
 import math
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+#: Hive's directory name for the NULL partition. Its rows cannot be
+#: matched by a ``cast(part_col as string)`` equi-join (NULL never
+#: equals), so compaction skips it rather than silently reporting work
+#: it did not do; callers that partition on a nullable column should
+#: coalesce the key before writing.
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
 def partition_file_stats(path: str, part_col: str) -> dict[str, tuple[int, int]]:
-    """{partition value (dir-encoded string): (n_files, total_bytes)}
-    for a one-level ``part_col=value`` parquet layout."""
+    """{partition value (UNESCAPED string): (n_files, total_bytes)} for a
+    one-level ``part_col=value`` parquet layout. Hive percent-escapes
+    special characters (space, ':', '%', ...) in directory names;
+    unquoting here keeps the values joinable against the DataFrame's own
+    ``cast(part_col as string)`` — the raw dir token would silently
+    never match. The NULL partition dir is skipped (see
+    HIVE_NULL_PARTITION)."""
     stats: dict[str, tuple[int, int]] = {}
     prefix = f"{part_col}="
     for entry in sorted(os.listdir(path)):
         sub = os.path.join(path, entry)
         if not (entry.startswith(prefix) and os.path.isdir(sub)):
             continue
+        raw = entry[len(prefix):]
+        if raw == HIVE_NULL_PARTITION:
+            continue
         files = [os.path.join(sub, f) for f in os.listdir(sub)
                  if f.endswith(".parquet") and not f.startswith(("_", "."))]
-        stats[entry[len(prefix):]] = (
+        stats[urllib.parse.unquote(raw)] = (
             len(files), sum(os.path.getsize(f) for f in files))
     return stats
 

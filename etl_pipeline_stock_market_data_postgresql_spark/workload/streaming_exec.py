@@ -118,7 +118,13 @@ def _run_stream_complete_to_files(df: DataFrame, prefix: str, sf_dir: str,
         q.processAllAvailable()
         q.stop()
     _unload_state_stores(spark)
-    return spark.read.parquet(out_dir)
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        # zero committed batches (empty source + fresh checkpoint):
+        # foreachBatch never ran, so out_dir was never created — same
+        # guard the append-mode twin below applies
+        return spark.createDataFrame([], df.schema)
 
 
 def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,

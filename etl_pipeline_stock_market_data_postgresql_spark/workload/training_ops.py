@@ -962,8 +962,9 @@ toks AS (
 ),
 stream AS (SELECT doc_id, unnest(tk) AS word FROM toks),
 per_doc AS (
-  SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_subwords,
-         sum(n_chr) AS n_chars_tok
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         CAST(sum(n_chr) AS BIGINT) AS n_chars_tok
   FROM stream JOIN ev USING (word)
   GROUP BY doc_id
 )

@@ -67,8 +67,13 @@ def main() -> None:
     split = args.index("--")
     names, dirs = args[:split], args[split + 1:]
     queries = all_queries()
-    if names == ["--all"]:
+    if "--all" in names:
+        if len(names) > 1:
+            sys.exit("--all cannot be combined with explicit query names")
         names = list(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; see workload.all_queries()")
     spark = get_spark("scale-probe")
     for d in dirs:
         for name in names:

@@ -56,6 +56,124 @@ def _normalize_rows(cols, rows):
     return _normalize_rows_impl(cols, rows)
 
 
+# ---------------------------------------------------------------------------
+# Engine-type portability: the driver's gate hashes both results THROUGH
+# PANDAS, whose dtype conversion is engine-specific. DuckDB HUGEINT (the
+# default result of sum(BIGINT)) becomes float64, so an uncast oracle sum
+# hashes as "140.0" against Spark's "140" and the gate goes red even though
+# raw values match — exactly how q119 escaped the r8 local harness (which
+# deliberately compares raw collect()/fetchall() values). Pin the repo
+# convention instead: every OUTPUT column of both engines must be a
+# pandas-portable primitive, and the per-column kinds must agree.
+# ---------------------------------------------------------------------------
+
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def _duck_kind(type_str: str) -> str:
+    t = type_str.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT"  # rejected outright below
+    if t in _DUCK_INT:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return f"other:{t}"
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return f"other:{dt.simpleString()}"
+
+
+def _assert_type_portable(name, conn, oracle_sql, spark_schema):
+    """Bind (not execute) the oracle and compare output types, by column
+    name, against the Spark result schema after mapping both to pandas
+    dtype kinds. Rejects the two divergence classes pandas mediation
+    introduces: HUGEINT (int128 -> float64) and DECIMAL (float64 in
+    DuckDB's .df() vs object Decimal in Spark's toPandas) — output
+    columns must be cast to BIGINT/DOUBLE before leaving the query."""
+    rel = conn.sql(oracle_sql)
+    duck = {c: _duck_kind(str(t)) for c, t in zip(rel.columns, rel.types)}
+    spark = {f.name: _spark_kind(f.dataType) for f in spark_schema.fields}
+    problems = []
+    for col, dk in duck.items():
+        if dk == "HUGEINT":
+            problems.append(
+                f"oracle column {col!r} is HUGEINT (uncast sum?) — pandas "
+                f"renders it float64; CAST(... AS BIGINT) in the oracle")
+        elif dk == "decimal":
+            problems.append(
+                f"oracle column {col!r} is DECIMAL — DuckDB .df() gives "
+                f"float64 while Spark toPandas gives object Decimal; cast "
+                f"the output to DOUBLE (or BIGINT) in BOTH engines")
+    for col in set(duck) & set(spark):
+        dk, sk = duck[col], spark[col]
+        if dk in ("HUGEINT", "decimal") or sk == "decimal":
+            continue  # already reported above / symmetric decimal rule
+        if dk != sk:
+            problems.append(
+                f"column {col!r}: oracle kind {dk} vs spark kind {sk} — "
+                f"pandas dtypes diverge, the gate hash will differ even "
+                f"on equal values")
+    for col, sk in spark.items():
+        if sk == "decimal":
+            problems.append(
+                f"spark column {col!r} is DecimalType — toPandas gives "
+                f"object Decimal vs the oracle's float64; cast to double "
+                f"at the output")
+    assert not problems, f"{name}: non-portable output types: " + \
+        "; ".join(problems)
+
+
+def test_all_oracles_bind_to_portable_types(sf_dir):
+    """Bind-time sweep (no Spark, no execution): every declared oracle's
+    output columns must be pandas-portable primitives. This is the fast
+    gate for the q119 class — an uncast sum() binds as HUGEINT and fails
+    here in milliseconds rather than at the driver's correctness gate."""
+    conn = _duckdb_conn(sf_dir)
+    try:
+        bad = []
+        for name, q in sorted(QUERIES.items()):
+            if q.oracle is None:
+                continue
+            rel = conn.sql(q.oracle)
+            for c, t in zip(rel.columns, rel.types):
+                k = _duck_kind(str(t))
+                if k in ("HUGEINT", "decimal") or k.startswith("other:"):
+                    bad.append((name, c, str(t)))
+        assert not bad, (
+            "oracle output columns with non-portable types (cast to "
+            f"BIGINT/DOUBLE at the output): {bad}")
+    finally:
+        conn.close()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     _compare(spark, sf_dir, name)
@@ -100,6 +218,7 @@ def _compare(spark, sf_dir, name):
     assert q.oracle is not None, f"{name}: no oracle SQL declared"
     conn = _duckdb_conn(sf_dir)
     try:
+        _assert_type_portable(name, conn, q.oracle, sdf.schema)
         res = conn.execute(q.oracle)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()

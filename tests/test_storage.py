@@ -206,6 +206,42 @@ def test_compaction_skips_compliant_partitions_and_is_idempotent(spark, tmp_path
     assert compaction.multiset_equal(spark.read.parquet(path), df)
 
 
+def test_compaction_handles_hive_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values Hive percent-escapes in directory names (spaces,
+    ':', '%') must still be matched by the compaction join — the raw dir
+    token would silently never equal cast(part_col as string). NULL
+    partitions are skipped by contract (NULL never equi-joins), so they
+    must not appear in the plan at all."""
+    import os
+    from pyspark.sql import functions as F
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import compaction
+
+    path = os.path.join(str(tmp_path), "esc")
+    vals = ["a b", "x:y", "p%q", None]
+    df = (spark.range(400)
+          .select(F.col("id").alias("k"),
+                  F.element_at(F.array(*[F.lit(v) for v in vals]),
+                               (F.col("id") % 4 + 1).cast("int")).alias("d"),
+                  (F.col("id") * 7 % 1000).alias("v")))
+    df.repartition(6).write.partitionBy("d").parquet(path)
+
+    before = compaction.partition_file_stats(path, "d")
+    # dir names were escaped on disk, but stats report the REAL values
+    assert set(before) == {"a b", "x:y", "p%q"}
+    assert compaction.HIVE_NULL_PARTITION not in before
+    assert all(n > 1 for n, _ in before.values()), "seed not fragmented"
+
+    plan = compaction.compact_partitioned(spark, path, "d", "k",
+                                          target_bytes=64 * 1024 * 1024)
+    # every escaped partition was actually compacted — the executed plan
+    # is truthful, not reporting work the join never matched
+    assert set(plan) == {"a b", "x:y", "p%q"}
+    after = compaction.partition_file_stats(path, "d")
+    assert all(n == 1 for n, _ in after.values())
+    # null-partition rows untouched, full content preserved
+    assert compaction.multiset_equal(spark.read.parquet(path), df)
+
+
 def test_content_fingerprint_detects_any_change(spark):
     from pyspark.sql import functions as F
     from etl_pipeline_stock_market_data_postgresql_spark.sources import compaction

@@ -1,6 +1,7 @@
 """Z-order layout verification — from the parquet footers, not the plan
-(writer-side ordering claims are proven by reading files back; see the
-partitionBy gotcha in .claude/skills/verify/SKILL.md).
+(writer-side ordering claims are proven by reading files back, because
+partitionBy re-buckets rows by directory and can silently destroy any
+within-file ordering the plan claimed to produce).
 
 The measurable claim: after z-ordering on (a, b), the average per-file
 min/max width of BOTH columns is a small fraction of the domain,
