@@ -19,11 +19,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Spark's bundled beyond-heap state-store backend. The default heap
+#: provider (HDFSBackedStateStoreProvider) is fastest at every probed
+#: scale (BENCH.md: q62 100x in 6.3s vs 21.5s) but holds all streaming
+#: state in executor memory; a real deployment flips to RocksDB once
+#: per-executor state approaches heap size — state then lives off-heap
+#: on local disk and no longer competes with execution memory.
+ROCKSDB_STATE_PROVIDER = ("org.apache.spark.sql.execution.streaming"
+                          ".state.RocksDBStateStoreProvider")
+
+_STATE_STORE_CHOICES = {
+    "": None, "default": None, "heap": None, "hdfs": None,
+    "rocksdb": ROCKSDB_STATE_PROVIDER,
+}
+
+
+def state_store_provider_class() -> str | None:
+    """Resolve ``SPARK_GRAFT_STATE_STORE`` (default/heap/hdfs/rocksdb)
+    to a provider class, or None for Spark's default heap provider."""
+    choice = os.environ.get("SPARK_GRAFT_STATE_STORE", "").strip().lower()
+    if choice not in _STATE_STORE_CHOICES:
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_STORE={choice!r}: expected one of "
+            f"{sorted(_STATE_STORE_CHOICES)}")
+    return _STATE_STORE_CHOICES[choice]
+
+
 def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
               cpus: int | None = None) -> SparkSession:
-    """Build (or fetch) the session. ``SPARK_GRAFT_CPUS`` overrides core count."""
+    """Build (or fetch) the session. ``SPARK_GRAFT_CPUS`` overrides core
+    count; ``SPARK_GRAFT_STATE_STORE=rocksdb`` selects the beyond-heap
+    streaming state backend (providerClass is a runtime conf read at
+    each streaming query's start, so it also applies to an already-built
+    session)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    provider = state_store_provider_class()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -40,6 +71,15 @@ def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
         # reader rejects; read as long and convert in sources.tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if provider is not None:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", provider)
     spark = builder.getOrCreate()
+    if provider is not None:
+        # getOrCreate may have returned an existing session whose builder
+        # confs were ignored; providerClass is runtime-settable and read
+        # at streaming-query start, so set it on the live conf too
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       provider)
     spark.sparkContext.setLogLevel("WARN")
     return spark
