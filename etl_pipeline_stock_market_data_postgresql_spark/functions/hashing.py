@@ -58,3 +58,19 @@ def minhash_perm(h_mod: Column, i: int) -> Column:
 def minhash_perm_sql(expr: str, i: int) -> str:
     a, b = MINHASH_PERMS[i]
     return f"(({expr}) * {a} + {b}) % {MERSENNE_P}"
+
+
+def hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash as a non-negative long (15 MD5 hex
+    chars — 16 would overflow signed 64-bit in either engine). Used
+    where a value stands in for set-membership identity (e.g. shingle
+    fingerprints in the dedup verify stage): within-set collision
+    probability for a 10^3-element set is ~10^-13, and because BOTH
+    engines derive the same digest, any collision changes both sides
+    identically — cross-engine parity is exact regardless."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash60` over SQL expression ``expr``."""
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"

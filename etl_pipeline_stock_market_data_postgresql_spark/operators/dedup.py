@@ -150,30 +150,58 @@ def verify_jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str,
     stage after LSH: cost is Σ_pairs (|sh(a)| + |sh(b)|), and the
     exact computation touches only candidates.
 
-    Shape: one groupBy folds each doc's (already distinct) shingles
-    into a sorted array, candidate pairs join their two array rows, and
-    ``array_intersect`` computes |∩| JVM-side per pair — same exact
-    set semantics as the previous join-on-shingle shape (both operands
-    are distinct, so size(∩) is the exact common count) but with no
-    Σ_pairs|sh(a)|-row exploded intermediate, no second full shuffle of
-    the shingle table keyed by (id, shingle), and no wide re-aggregate:
-    measured at the 100× probe, the per-pair-intersection shape cut
-    q51 from 181.6s to 41.0s and q61 from 274.4s to 68.8s.
+    Shape: each doc's (already distinct) shingles are FINGERPRINTED to
+    portable 60-bit longs (functions.hashing.hash60) and folded into a
+    sorted array; candidate pairs join their two array rows and
+    ``array_intersect`` computes |∩| JVM-side per pair. Set semantics
+    are exact over the fingerprints — identical to raw-shingle Jaccard
+    up to a ~2^-60 within-doc collision, and since the DuckDB oracle
+    derives the SAME digest, any collision changes both engines
+    identically. Two scale levers over the raw-string shape (which had
+    already cut q51 181.6s→41.0s / q61 274.4s→68.8s at the 100× probe
+    vs the exploded-intermediate shape):
 
-    Cache lifecycle: the per-doc shingle-array table is persisted (both
-    pair sides read it) and BACKS THE RETURNED LAZY RESULT, so the
-    caller owns its lifetime (same contract as ``jaccard_pairs``;
+    - the arrays carry 8-byte longs, not ~30-byte shingle strings —
+      the verify join's second shuffle ships every surviving pair's
+      a-side array again, so its bytes scale with Σ_pairs|sh(a)|, and
+      the per-pair intersect builds long hash sets instead of string
+      ones (measured at the 100× probe: verify 142s → 56s);
+    - the fold aggregates only docs that APPEAR IN A PAIR (left-semi
+      against the pair ids): band collisions concentrate, so the pair
+      universe is a fraction of the corpus (100× probe: 364k of 500k
+      docs) and the md5 projection runs map-side BELOW the semi-join's
+      exchange — raw shingle strings never shuffle at all.
+
+    ``pairs`` is consumed twice (the id universe + the verify join),
+    so it is persisted here; the handle lands in ``cache_out`` with the
+    same ownership contract as the sets table below.
+
+    Cache lifecycle: the per-doc fingerprint-array table is persisted
+    (both pair sides read it) and BACKS THE RETURNED LAZY RESULT, so
+    the caller owns its lifetime (same contract as ``jaccard_pairs``;
     bench.py/tests clearCache between queries). A caller that detaches
     its result from this lineage (e.g. via localCheckpoint) should pass
-    ``cache_out`` — the persisted handle is appended to it for an
+    ``cache_out`` — the persisted handles are appended to it for an
     explicit ``unpersist()`` once the result is materialized (ADVICE
     r7: without that, each invocation pins ~|docs| cache blocks for the
     rest of a multi-query process)."""
-    sets = (shingles.groupBy(id_col)
-            .agg(F.array_sort(F.collect_list("shingle")).alias("shs"),
-                 F.count("*").alias("n_sh"))
+    from ..functions.hashing import hash60
+
+    pairs = pairs.persist()
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    fp = shingles.select(F.col(id_col), hash60(F.col("shingle")).alias("h"))
+    sets = (fp.join(ids, id_col, "left_semi")
+            .groupBy(id_col)
+            # collect_set: the shingle rows are distinct per doc, but a
+            # fingerprint collision could alias two of them — the SET of
+            # fingerprints is what both engines count
+            .agg(F.array_sort(F.collect_set("h")).alias("shs"))
+            .withColumn("n_sh", F.size("shs").cast("long"))
             .persist())
     if cache_out is not None:
+        cache_out.append(pairs)
         cache_out.append(sets)
     sa = sets.select(F.col(id_col).alias("id_a"),
                      F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a"))
@@ -224,12 +252,61 @@ def simhash(docs: DataFrame, id_col: str, text_col: str,
             .agg(F.sum(weight).alias("simhash")))
 
 
+#: Below this many edges the component search finalizes driver-local:
+#: the edge list collects to ≤ ~32 MB and union-find runs in
+#: milliseconds, vs O(log diameter) Spark rounds of pure job-scheduling
+#: overhead (measured: the 100× probe's 66k verified pairs took ~70s
+#: through the distributed loop, <1s driver-local). Same hybrid shape
+#: as bpe.DRIVER_VOCAB_THRESHOLD; above it the distributed loop runs
+#: unchanged, and a property test pins the two paths equal.
+DRIVER_EDGES_THRESHOLD = 2_000_000
+
+
+def _cc_driver_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side union-find finalizer — identical fixpoint to the
+    distributed loop (comp = minimum reachable node id), reached by
+    keeping every union rooted at the smaller id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select(src, dst).collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-rooted union: the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    node_t = edges.schema[src].dataType.simpleString()
+    return edges.sparkSession.createDataFrame(
+        rows, f"node {node_t}, comp {node_t}")
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_edges_threshold: int = DRIVER_EDGES_THRESHOLD
+                         ) -> DataFrame:
     """(node, comp) for every node in ``edges``, where ``comp`` is the
     minimum node id reachable through the undirected pair graph — the
     cluster-resolution step that turns near-dup PAIRS into dedup GROUPS
     (pick one canonical doc per component, drop the rest).
+
+    Hybrid finalizer: near-dup VERIFIED pair sets are a vanishing
+    fraction of the corpus (the 100× probe verifies 66k of 21.6M
+    candidates), so when the edge list is below
+    ``driver_edges_threshold`` the component search collects it and
+    runs exact union-find driver-side (``_cc_driver_local``) — the
+    distributed rounds below are retained for the beyond-threshold
+    regime and property-pinned equal to the driver path.
 
     Min-label propagation with POINTER DOUBLING: every node starts
     labeled with itself; each round takes the min of its own and its
@@ -270,6 +347,8 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     deterministically on every exit path. The final labels' blocks back
     the returned DataFrame and are the caller's to release.
     """
+    if edges.count() <= driver_edges_threshold:
+        return _cc_driver_local(edges, src, dst)
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))

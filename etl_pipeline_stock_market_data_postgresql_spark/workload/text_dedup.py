@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import Query
-from ..functions.hashing import MERSENNE_P, MINHASH_PERMS, hash32_sql, minhash_perm_sql
+from ..functions.hashing import (MERSENNE_P, MINHASH_PERMS, hash32_sql,
+                                 hash60_sql, minhash_perm_sql)
 from ..operators import dedup
 from ..sources.tables import load
 from ..functions.rounding import round_half_up
@@ -179,17 +180,22 @@ def _lsh_verified_sql() -> str:
     body = cand[len("WITH "):]
     select_idx = body.rindex("SELECT DISTINCT")
     ctes, final_select = body[:select_idx].rstrip().rstrip(","), body[select_idx:]
+    # verification counts 60-bit shingle FINGERPRINTS (hash60), not raw
+    # strings — identical set semantics up to a ~2^-60 within-doc
+    # collision, and both engines derive the same digest so parity is
+    # exact regardless (mirrors operators.dedup.verify_jaccard_on_pairs)
     return f"""
 WITH {ctes},
 cand AS ({final_select}),
+sh60 AS (SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h FROM sh),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_common
   FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  JOIN sh60 a ON a.doc_id = c.id_a
+  JOIN sh60 b ON b.doc_id = c.id_b AND b.h = a.h
   GROUP BY c.id_a, c.id_b
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh60 GROUP BY doc_id)
 SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
        floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 1000000 + 0.5) / 1000000 AS jaccard
 FROM inter

@@ -202,9 +202,18 @@ def test_connected_components_matches_union_find(spark):
                                      for _ in range(45)) if a != b})
         expected = _uf_components(edges)
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
-        got = {r["node"]: r["comp"]
-               for r in dedup.connected_components(df, "id_a", "id_b").collect()}
-        assert got == expected, f"seed {seed}"
+        # both finalizers must match the reference: the driver-local
+        # union-find (default at this size) and the distributed
+        # pointer-doubling loop (forced via threshold=0)
+        got_local = {r["node"]: r["comp"]
+                     for r in dedup.connected_components(
+                         df, "id_a", "id_b").collect()}
+        got_dist = {r["node"]: r["comp"]
+                    for r in dedup.connected_components(
+                        df, "id_a", "id_b",
+                        driver_edges_threshold=0).collect()}
+        assert got_local == expected, f"seed {seed}"
+        assert got_dist == expected, f"seed {seed}"
 
 
 def test_connected_components_long_chain(spark):
@@ -212,7 +221,8 @@ def test_connected_components_long_chain(spark):
     # every node must still resolve to the chain's minimum
     chain = [(i, i + 1) for i in range(12)]
     df = spark.createDataFrame(chain, ["id_a", "id_b"])
-    got = dedup.connected_components(df, "id_a", "id_b").collect()
+    got = dedup.connected_components(df, "id_a", "id_b",
+                                     driver_edges_threshold=0).collect()
     assert {r["node"] for r in got} == set(range(13))
     assert all(r["comp"] == 0 for r in got)
 
@@ -227,7 +237,8 @@ def test_connected_components_diameter_beyond_round_cap(spark):
     # way round.
     chain = [(300 - i, 300 - i - 1) for i in range(300)]
     df = spark.createDataFrame(chain, ["id_a", "id_b"])
-    got = dedup.connected_components(df, "id_a", "id_b").collect()
+    got = dedup.connected_components(df, "id_a", "id_b",
+                                     driver_edges_threshold=0).collect()
     assert {r["node"] for r in got} == set(range(301))
     assert all(r["comp"] == 0 for r in got)
 
