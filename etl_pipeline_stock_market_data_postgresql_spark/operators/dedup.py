@@ -119,13 +119,13 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        bands: int = 4, rows_per_band: int = 3) -> DataFrame:
-    """Banded LSH: docs agreeing on all rows of ≥1 band become candidate
-    pairs. The band join key is (band_id, concatenated band signature) —
-    equi-join, shuffle proportional to docs × bands."""
-    # the band table self-joins: persist so signatures compute once
-    signatures = signatures.persist()
+def band_table(signatures: DataFrame, id_col: str,
+               bands: int = 4, rows_per_band: int = 3) -> DataFrame:
+    """(id, band_id, band_key) from a signature table with columns
+    m0..m{bands*rows_per_band-1} — the LSH bucketing projection, shared
+    by batch pairing (``lsh_candidate_pairs``) and the incremental index
+    path (``operators.incremental_dedup``): deriving bands from the
+    stored signatures is a cheap column projection, never a re-shingle."""
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"m{b * rows_per_band + r}").cast("string")
@@ -136,6 +136,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     all_bands = band_rows[0]
     for br in band_rows[1:]:
         all_bands = all_bands.unionByName(br)
+    return all_bands
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        bands: int = 4, rows_per_band: int = 3) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of ≥1 band become candidate
+    pairs. The band join key is (band_id, concatenated band signature) —
+    equi-join, shuffle proportional to docs × bands."""
+    # the band table self-joins: persist so signatures compute once
+    signatures = signatures.persist()
+    all_bands = band_table(signatures, id_col, bands, rows_per_band)
     a = all_bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     b = all_bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     return (a.join(b, ["band_id", "band_key"])
@@ -203,19 +214,45 @@ def verify_jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str,
     if cache_out is not None:
         cache_out.append(pairs)
         cache_out.append(sets)
-    sa = sets.select(F.col(id_col).alias("id_a"),
-                     F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"),
-                     F.col("shs").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    # MERGE hints are load-bearing: Catalyst statically UNDERESTIMATES
-    # the post-explode shingle-array aggregate and broadcasts it — fine
-    # at gate SF, but the 100x probe's sets table is GBs and the
-    # broadcast build OOMed the default driver (found by the round-8
-    # full-registry sweep; r6/r7 probes masked it with a 48g driver).
-    # An explicit sort-merge join is the 100 TB-safe shape — no hash
-    # map on either side, graceful spill — and costs nothing
-    # measurable at gate scale. (AQE cannot demote a statically-chosen
-    # broadcast, so the hint must be static too.)
+    return jaccard_on_set_tables(pairs, sets, sets, id_col, threshold)
+
+
+def fingerprint_sets(shingles: DataFrame, id_col: str) -> DataFrame:
+    """(id, shs: sorted array of 60-bit shingle fingerprints, n_sh) —
+    the per-doc set representation the verify stage intersects. The md5
+    projection runs below the aggregate's exchange, so raw shingle
+    strings never shuffle; collect_set guards the ~2^-60 within-doc
+    fingerprint collision (the SET of fingerprints is what both
+    engines count)."""
+    from ..functions.hashing import hash60
+
+    fp = shingles.select(F.col(id_col), hash60(F.col("shingle")).alias("h"))
+    return (fp.groupBy(id_col)
+            .agg(F.array_sort(F.collect_set("h")).alias("shs"))
+            .withColumn("n_sh", F.size("shs").cast("long")))
+
+
+def jaccard_on_set_tables(pairs: DataFrame, sets_a: DataFrame,
+                          sets_b: DataFrame, id_col: str,
+                          threshold: float) -> DataFrame:
+    """Exact fingerprint-set Jaccard for candidate pairs against
+    prebuilt set tables (``fingerprint_sets`` shape: id, shs, n_sh).
+    ``sets_a`` serves the id_a side, ``sets_b`` the id_b side — the two
+    differ in the incremental path (delta vs stored index).
+
+    MERGE hints are load-bearing: Catalyst statically UNDERESTIMATES
+    the post-explode shingle-array aggregate and broadcasts it — fine
+    at gate SF, but the 100x probe's sets table is GBs and the
+    broadcast build OOMed the default driver (found by the round-8
+    full-registry sweep; r6/r7 probes masked it with a 48g driver).
+    An explicit sort-merge join is the 100 TB-safe shape — no hash
+    map on either side, graceful spill — and costs nothing
+    measurable at gate scale. (AQE cannot demote a statically-chosen
+    broadcast, so the hint must be static too.)"""
+    sa = sets_a.select(F.col(id_col).alias("id_a"),
+                       F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sets_b.select(F.col(id_col).alias("id_b"),
+                       F.col("shs").alias("sh_b"), F.col("n_sh").alias("n_b"))
     jac = (pairs.join(sa.hint("merge"), "id_a").join(sb.hint("merge"), "id_b")
            .withColumn("n_common",
                        F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))

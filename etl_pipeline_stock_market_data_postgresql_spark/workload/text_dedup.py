@@ -268,6 +268,147 @@ FROM comp GROUP BY comp
 """
 
 
+def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup against a persisted MinHash signature
+    index (operators/incremental_dedup.py) — the reference's
+    conflict-ignoring idempotent-append (`ON CONFLICT DO NOTHING`,
+    main_parallel.py:285) lifted to near-duplicate space. Fixture: the
+    first 2/3 of documents (by id) are batch-deduped into the index;
+    the last 1/3 arrives as the delta and is deduped incrementally —
+    corpus text is never re-shingled. Output: one verdict per delta doc
+    (kept iff it is its near-dup component's minimum id over
+    corpus ∪ delta). The oracle recomputes the whole thing as a batch
+    over kept-corpus ∪ delta; equality holds because a deduped corpus
+    is internally pair-free, so the union's edges are exactly the
+    delta-delta ∪ delta-corpus edges the incremental path derives."""
+    from ..operators import incremental_dedup as inc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    b = (2 * max_id) // 3
+    corpus0 = docs.filter(F.col("doc_id") <= b)
+    delta = docs.filter(F.col("doc_id") > b)
+
+    # batch-dedup the initial corpus into a pair-free kept set
+    sh0 = dedup.shingle_table(corpus0, "doc_id", "text", n=3)
+    sig0 = dedup.minhash_signatures(sh0, "doc_id")
+    cand0 = dedup.lsh_candidate_pairs(sig0, "doc_id", LSH_BANDS, LSH_ROWS)
+    ver0 = dedup.verify_jaccard_on_pairs(cand0, sh0, "doc_id",
+                                         LSH_VERIFY_THRESHOLD)
+    comp0 = dedup.connected_components(
+        ver0.select("id_a", "id_b").persist(), "id_a", "id_b")
+    dropped0 = (comp0.filter(F.col("comp") != F.col("node"))
+                .select(F.col("node").alias("doc_id")))
+    kept0 = corpus0.join(dropped0, "doc_id", "left_anti")
+    index = inc.build_minhash_index(kept0, "doc_id", "text")
+
+    verdicts, _new_rows = inc.incremental_neardup(
+        index, delta, "doc_id", "text", LSH_VERIFY_THRESHOLD,
+        bands=LSH_BANDS, rows_per_band=LSH_ROWS)
+    return verdicts.select("doc_id", "kept", "canonical_id")
+
+
+def _neardup_edges_sql(src: str, p: str) -> str:
+    """CTE chain (to splice into a WITH) over doc source CTE ``src``
+    (columns doc_id, text) defining ``{p}edges`` — the LSH-verified
+    near-dup pairs at LSH_VERIFY_THRESHOLD. Mirrors the Spark pipeline
+    shingle → minhash → bands → candidates → fingerprint verify."""
+    k = LSH_BANDS * LSH_ROWS
+    mins = ",\n         ".join(
+        f"min({minhash_perm_sql('hm', i)}) AS m{i}" for i in range(k))
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {bb} AS band_id, "
+        + " || '_' || ".join(f"CAST(m{bb * LSH_ROWS + r} AS VARCHAR)"
+                             for r in range(LSH_ROWS))
+        + f" AS band_key FROM {p}sig"
+        for bb in range(LSH_BANDS))
+    return f"""
+{p}toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM {src}
+),
+{p}sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - 1)]) AS shingle
+  FROM {p}toks WHERE len(tk) >= 3
+),
+{p}hm AS (SELECT doc_id, {hash32_sql('shingle')} % {MERSENNE_P} AS hm FROM {p}sh),
+{p}sig AS MATERIALIZED (SELECT doc_id, {mins} FROM {p}hm GROUP BY doc_id),
+{p}bands AS (
+  {band_selects}
+),
+{p}cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {p}bands a
+  JOIN {p}bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+),
+{p}sh60 AS MATERIALIZED (SELECT DISTINCT doc_id, {hash60_sql('shingle')} AS h FROM {p}sh),
+{p}inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM {p}cand c
+  JOIN {p}sh60 a ON a.doc_id = c.id_a
+  JOIN {p}sh60 b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b
+),
+{p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM {p}sh60 GROUP BY doc_id),
+{p}edges AS (
+  SELECT id_a, id_b
+  FROM {p}inter
+  JOIN {p}sizes sa ON sa.doc_id = id_a
+  JOIN {p}sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {LSH_VERIFY_THRESHOLD}
+)"""
+
+
+def _closure_sql(p: str) -> str:
+    """Transitive closure of ``{p}edges`` into ``{p}comp`` (node -> min
+    reachable id) — the q61 oracle's recursive shape, prefixed."""
+    return f"""
+{p}sym AS (
+  SELECT id_a AS u, id_b AS w FROM {p}edges
+  UNION
+  SELECT id_b, id_a FROM {p}edges
+),
+{p}reach AS (
+  SELECT DISTINCT u AS node, u AS m FROM {p}sym
+  UNION
+  SELECT r.node, e.w FROM {p}reach r JOIN {p}sym e ON e.u = r.m
+),
+{p}comp AS (SELECT node, min(m) AS comp FROM {p}reach GROUP BY node)"""
+
+
+def _q120_sql() -> str:
+    return f"""
+WITH RECURSIVE
+bnd AS (SELECT CAST(floor(2 * max(doc_id) / 3) AS BIGINT) AS b
+        FROM documents),
+corpus0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+            WHERE doc_id <= (SELECT b FROM bnd)),
+{_neardup_edges_sql('corpus0', 'c_')},
+{_closure_sql('c_')},
+kept0 AS MATERIALIZED (
+  SELECT doc_id FROM corpus0
+  WHERE doc_id NOT IN (SELECT node FROM c_comp WHERE comp <> node)
+),
+uni AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN kept0 USING (doc_id)
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id > (SELECT b FROM bnd)
+),
+{_neardup_edges_sql('uni', 'u_')},
+{_closure_sql('u_')},
+delta AS (SELECT doc_id FROM documents WHERE doc_id > (SELECT b FROM bnd))
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) = d.doc_id AS kept,
+       coalesce(c.comp, d.doc_id) AS canonical_id
+FROM delta d LEFT JOIN u_comp c ON c.node = d.doc_id
+"""
+
+
 SPAN_N = 6  # span width (word n-gram) for duplicate-span profiling
 
 
@@ -478,6 +619,7 @@ QUERIES: dict[str, Query] = {
     "q26_simhash": Query(q26_simhash, _Q26_SQL),
     "q51_lsh_verified_neardup": Query(q51_lsh_verified_neardup, _lsh_verified_sql()),
     "q61_dedup_clusters": Query(q61_dedup_clusters, _dedup_clusters_sql()),
+    "q120_incremental_dedup": Query(q120_incremental_dedup, _q120_sql()),
     "q83_duplicate_spans": Query(q83_duplicate_spans, _q83_sql()),
     "q117_dedup_span_removal": Query(q117_dedup_span_removal, _q117_sql()),
 }
