@@ -77,6 +77,12 @@ def main() -> None:
         # one run's blocks can't pile up into memory pressure that
         # poisons later queries' timings (untimed: between queries)
         if i % 10 == 9:
+            # drop the py4j proxies first: ContextCleaner only frees
+            # checkpoint/broadcast blocks whose JVM-side RDDs have no
+            # live reference, and those references are held from Python
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)

@@ -148,3 +148,61 @@ def neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
     return (pairs.withColumn("sim", _sim("vec_a", "vec_b", "nrm_a", "nrm_b"))
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim"))
+
+
+def pq_argmin_codes(sub: DataFrame, codewords: DataFrame,
+                    sub_d: int) -> DataFrame:
+    """(id, m, code, sv): nearest codeword per PQ sub-vector via an
+    Arrow-vectorized numpy kernel (mapInPandas).
+
+    The pure-JVM expression shape (broadcast codeword-array column +
+    per-row ``transform`` into 256 structs + ``array_min``) allocates
+    |rows|·M·CODES short-lived structs — measured 82M allocations and
+    ~10-15s per encode pass at the 10x probe, which made q113 the
+    registry's heaviest row. The same argmin as a batched numpy
+    computation is a (rows × sub_d) · (sub_d × CODES) distance matrix
+    per Arrow batch: allocation-free inner loop, ~10x faster, still
+    fully distributed (the kernel runs per partition; the codebook is
+    M·CODES rows ≈ a few KB, collected once and shipped in the task
+    closure).
+
+    BIT-IDENTICAL to the JVM/DuckDB fold semantics, which is what lets
+    the oracle stay unchanged: d2 accumulates per dimension in index
+    order (``acc += d*d`` — plain IEEE doubles, no FMA, no pairwise
+    re-association), reproducing kmeans.sqdist's left-to-right fold
+    exactly; ties pick the smallest code because rows are argmin'd over
+    codewords sorted by code and numpy returns the first minimum —
+    the same rule as ``array_min`` over (d2, code) structs."""
+    import numpy as np
+    import pandas as pd
+
+    grouped: dict[int, list] = {}
+    for r in codewords.select("m", "code", "cv").collect():
+        grouped.setdefault(int(r["m"]), []).append((int(r["code"]), r["cv"]))
+    by_m: dict[int, tuple] = {}
+    for m_val, lst in grouped.items():
+        lst.sort(key=lambda t: t[0])
+        codes = np.array([c for c, _ in lst], dtype=np.int64)
+        cmat = np.array([list(v) for _, v in lst], dtype=np.float64)
+        by_m[m_val] = (codes, cmat)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mvals = pdf["m"].to_numpy()
+            sv_stack = np.stack(pdf["sv"].to_numpy())
+            code_out = np.empty(len(pdf), dtype=np.int64)
+            for m_val in np.unique(mvals):
+                mask = mvals == m_val
+                codes, cmat = by_m[int(m_val)]
+                x = sv_stack[mask]
+                acc = np.zeros((x.shape[0], cmat.shape[0]))
+                for i in range(sub_d):
+                    d = x[:, i, None] - cmat[None, :, i]
+                    acc += d * d
+                code_out[mask] = codes[acc.argmin(axis=1)]
+            yield pd.DataFrame({"id": pdf["id"], "m": pdf["m"],
+                                "code": code_out, "sv": pdf["sv"]})
+
+    return sub.mapInPandas(kernel, "id long, m int, code long, sv array<double>")

@@ -767,8 +767,14 @@ def q113_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates), and tests/test_similarity_quality.py pins ADC
     recall ≥ the SQ8-reconstruction baseline on the same probes."""
     from ..operators import kmeans
+    from ..operators.similarity import pq_argmin_codes
     emb = load(spark, sf_dir, "embeddings")
-    vecs = _spread_vectors(spark, emb)
+    # the vector table fans into six consumers (cells assign ×2, PQ
+    # sub-vectors, queries, LUT, exact witness) — without a persist each
+    # re-runs the scan + repartition lineage, which multiplied the whole
+    # query's cost ~3x at the 10x probe (caller owns cache lifetime;
+    # bench/probe clearCache between queries)
+    vecs = _spread_vectors(spark, emb).persist()
     # --- IVF cells: q94's one-update learned centroids ---
     seeds = (vecs.filter(F.col("id") < KMEANS_K)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
@@ -779,32 +785,26 @@ def q113_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("id", F.col("cid").alias("cell")))
     # --- PQ codebooks: per-sub-space one-update Lloyd ---
     mcol = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+    # three consumers (codebook train, corpus encode, seed collect);
+    # the explode+slice pipeline runs once into cache
     sub = (vecs.select("id", "v", mcol)
            .withColumn("sv",
                        F.expr(f"slice(v, m * {PQ_SUB_D} + 1, {PQ_SUB_D})"))
-           .drop("v"))
+           .drop("v")
+           .persist())
     cb_seeds = (sub.filter(F.col("id") < PQ_CODES)
                 .select("m", F.col("id").alias("code"),
                         F.col("sv").alias("cv")))
 
     def argmin_code(codewords: DataFrame) -> DataFrame:
-        """(id, m, code, sv): nearest codeword per sub-vector via a
-        broadcast M-row (m, sorted codeword array) table and a per-row
-        transform + array_min — the argmin never materializes the
-        |codes|-fanout rows a join+groupBy shape would (flops are the
-        same; the hash re-aggregation of n·M·CODES intermediates and
-        its two exchanges are not). array_min on (d2, code) structs is
-        the same lexicographic tie rule as min(struct(d2, code))."""
-        cb_arr = (codewords.groupBy("m")
-                  .agg(F.array_sort(F.collect_list(F.struct("code", "cv")))
-                       .alias("cb")))
-        scored = F.transform(
-            "cb", lambda x: F.struct(
-                kmeans.sqdist(F.col("sv"), x["cv"]).alias("d2"),
-                x["code"].alias("code")))
-        return (sub.join(F.broadcast(cb_arr), "m")
-                .withColumn("mm", F.array_min(scored))
-                .select("id", "m", F.col("mm.code").alias("code"), "sv"))
+        """(id, m, code, sv): nearest codeword per sub-vector — the
+        Arrow-vectorized numpy kernel (operators.similarity.
+        pq_argmin_codes), bit-identical to the former JVM
+        transform+array_min shape (same left-to-right d2 fold, same
+        (d2, code) tie rule) but allocation-free in the inner loop;
+        the JVM shape allocated |rows|·M·CODES short-lived structs and
+        dominated the probe-scale cost."""
+        return pq_argmin_codes(sub, codewords, PQ_SUB_D)
 
     asn0 = argmin_code(cb_seeds)
     comp = asn0.select("m", "code", F.posexplode("sv").alias("pos", "x"))

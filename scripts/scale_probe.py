@@ -59,11 +59,48 @@ def _is_probe_scale(d: str) -> bool:
         return False
 
 
+def _cleanup_between_queries(spark) -> None:
+    """Deterministic inter-query state reset. Long-JVM sweeps pollute
+    per-query numbers (round-8: q113 43.8s in-sweep vs 14.2s isolated)
+    because three things outlive a finished query: cached plans
+    (clearCache), streaming state-store providers (unloaded by the
+    streaming helpers themselves), and localCheckpoint/broadcast blocks
+    whose cleanup is ASYNC — ContextCleaner frees them only after the
+    JVM-side RDD is garbage-collected, which needs the Python-side
+    reference dropped first. gc.collect() drops the py4j proxies,
+    System.gc() lets ContextCleaner see the dead references."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
+def _run_isolated(name: str, d: str, with_witnesses: bool) -> None:
+    """Fresh-JVM-per-query mode: run one (query, dir) in a subprocess —
+    the contention-free number, at ~8s JVM startup per query."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), name, "--", d]
+    if with_witnesses:
+        cmd.insert(2, "--with-witnesses")
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    out = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not out:
+        print(json.dumps({"query": name, "dir": d, "error":
+                          (proc.stderr or "no output")[-400:]}), flush=True)
+        return
+    print(out[-1], flush=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     with_witnesses = "--with-witnesses" in args
     if with_witnesses:
         args.remove("--with-witnesses")
+    isolate = "--isolate" in args
+    if isolate:
+        args.remove("--isolate")
     split = args.index("--")
     names, dirs = args[:split], args[split + 1:]
     queries = all_queries()
@@ -74,6 +111,11 @@ def main() -> None:
     unknown = [n for n in names if n not in queries]
     if unknown:
         sys.exit(f"unknown queries: {unknown}; see workload.all_queries()")
+    if isolate:
+        for d in dirs:
+            for name in names:
+                _run_isolated(name, d, with_witnesses)
+        return
     spark = get_spark("scale-probe")
     for d in dirs:
         for name in names:
@@ -91,8 +133,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if attempt > 0:
                     best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+                _cleanup_between_queries(spark)
             print(json.dumps({"query": name, "dir": d,
                               "sec": round(best, 2)}), flush=True)
 
