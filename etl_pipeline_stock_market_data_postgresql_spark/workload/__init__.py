@@ -40,40 +40,43 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-8 window. After r7 every registered query's newest green
-    # driver row is r5-or-newer (the r4 tier is empty). This round,
-    # per the CORRECTNESS_SEEN.md rule: (1)+(2) the five queries new
-    # in r8 (never proven by the driver) — BPE tokenizer training,
-    # ridge-trained quality scorer, duplicate-span removal, small-file
-    # compaction, BPE encoding;
-    "q115_bpe_train", "q116_trained_quality_scorer",
-    "q117_dedup_span_removal", "q118_small_file_compaction",
+    # round-9 window, per the CORRECTNESS_SEEN.md rule.
+    # (1) the one red row from r8: q119 failed on an oracle HUGEINT
+    # typing defect (judge-verified; fixed this round) — slot 1;
     "q119_bpe_encode",
-    # (3) the 11 queries whose newest green row is oldest (r5):
-    # q92 + q01–q10 (their r6-window deferral is documented in
-    # CORRECTNESS_SEEN.md);
-    "q92_time_range_window",
-    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
-    "q04_antijoin_new_keys", "q05_semijoin_members",
-    "q06_idempotent_merge", "q07_sma_trailing",
-    "q08_multiformat_parse", "q09_decimal_agg", "q10_quarantine_counts",
-    # then 34 of the 50-member r6 tier in module order; the trailing
-    # 16 of that tier (q32/q33/q36/q40/q41/q43/q44/q96/q106/q108/q70/
-    # q97/q101/q103/q93/q110) plus the 50 re-proven in r7 fall past
-    # the cap — they are the most recently proven and stay covered by
-    # local parity (tests/test_oracle_parity.py runs the identical
+    # (2) new this round: incremental corpus dedup against a persisted
+    # signature index, and DSIR hashed-n-gram importance weights;
+    "q120_incremental_dedup", "q121_dsir_weights",
+    # (2b) outputs/oracles CHANGED this round: q51/q61's verification
+    # moved to 60-bit shingle fingerprints (values verified identical
+    # at gate SF, but the r8 green rows prove the OLD oracle pair);
+    "q51_lsh_verified_neardup", "q61_dedup_clusters",
+    # (3) the 16 r6-tier deferrals (newest green row is r6);
+    "q32_token_stats", "q33_fingerprint", "q36_sma_over_bars",
+    "q40_date_funcs", "q41_correlated_max", "q43_array_aggregation",
+    "q44_joinback_avg", "q70_scd2_history", "q93_zorder_pruning",
+    "q96_streaming_dedup", "q97_bm25_ranking", "q101_bigram_novelty",
+    "q103_scd2_pit_enrichment", "q106_streaming_stateful_hwm",
+    "q108_twap", "q110_dynamic_partition_overwrite",
+    # (4) the oldest-r7 tier in module order fills the remaining 29
+    # slots (q113 also carries this round's Arrow-kernel rework). The
+    # trailing 21 of the r7 tier (q48–q50, q53–q60, q64, q67–q69,
+    # q71/q72, q75, q78/q79, q91) and the 49 r8-proven queries fall
+    # past the cap — most recently proven, still covered by local
+    # parity (tests/test_oracle_parity.py runs the identical
     # comparison on every registered query).
-    "q11_pricing_summary", "q12_top_revenue_orders", "q13_region_revenue",
-    "q14_group_topn", "q15_set_ops", "q16_rollup", "q17_pivot_status",
-    "q18_distinct_agg", "q19_having_heavy_customers", "q20_asof_last_click",
-    "q52_multiset_ops", "q100_table_profile", "q102_equidepth_histogram",
-    "q104_key_uniqueness", "q107_bloom_join", "q22_sessionization",
-    "q65_salted_distinct", "q66_salted_join", "q77_funnel",
-    "q80_hll_distinct", "q95_quantile_sketch", "q99_anomaly_zscore",
-    "q105_histogram_drift", "q23_dedup_exact", "q24_ngram_jaccard",
-    "q25_minhash_lsh", "q26_simhash", "q51_lsh_verified_neardup",
-    "q61_dedup_clusters", "q94_learned_ivf", "q98_semantic_dedup",
-    "q109_sq8_quantization", "q30_langid", "q31_quality_score",
+    "q87_full_outer_reconciliation", "q112_equidepth_sketch",
+    "q114_global_sort", "q85_retention_cohorts",
+    "q88_sliding_window_stats", "q90_gapfill_locf",
+    "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
+    "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
+    "q111_semantic_dedup_hier", "q113_ivfpq_adc", "q63_quality_gate",
+    "q76_repetition_stats", "q84_heavy_hitters", "q34_multimodal_meta",
+    "q74_multimodal_decode", "q37_cube", "q38_string_funcs",
+    "q39_percentiles", "q42_unpivot", "q45_window_suite",
+    "q46_streaming_tumbling", "q62_streaming_session_window",
+    "q73_streaming_stream_join", "q89_streaming_sliding_window",
+    "q47_sql_exists",
 )
 
 

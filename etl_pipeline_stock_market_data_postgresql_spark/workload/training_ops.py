@@ -977,6 +977,128 @@ FROM per_doc
 _Q119_SQL = _q119_sql()
 
 
+# --- q121: DSIR hashed-n-gram importance weights --------------------------
+
+DSIR_BUCKETS = 4096        # hashed feature space (B)
+DSIR_TARGET_SOURCE = "src0"  # the "curated" target distribution
+
+
+def q121_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): estimate per-document importance weights
+    log(p_target(d)/p_raw(d)) under hashed-n-gram bag models and flag
+    the docs a target-matched training mix would select. The target
+    distribution is a curated slice (here: ``source = 'src0'``); the
+    raw distribution is the whole corpus.
+
+    Features are unigrams ∪ bigrams hashed into ``DSIR_BUCKETS``
+    buckets (the paper's hashed generative model). Per-bucket
+    log-ratios use Laplace smoothing over the bucket space and are
+    quantized to integer micro-units BEFORE the per-doc sum (exact
+    BIGINT addition — shuffle-order-independent; the module docstring's
+    q67/q97 argument covers why a last-ulp libm ln divergence inside
+    the quantization cannot flip results). ``selected`` is the exact
+    integer comparison weight_q > 0 (doc looks more target- than
+    raw-like).
+
+    Scale shape: features leave the tokenizer as (doc_id, bucket int)
+    pairs — text never shuffles; bucket count tables are map-side
+    combinable aggregates bounded by B, broadcast back for scoring; the
+    per-doc sum re-joins on the bucket hash (shuffle ∝ distinct
+    (doc, bucket), nothing quadratic, no corpus broadcast). Zero-token
+    docs surface with n_feats = 0 and weight 0, never dropped."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toked = docs.select("doc_id", "source",
+                        textstats.tokens(F.col("text")).alias("tk"))
+    grams = F.concat(F.col("tk"), textstats.word_ngrams(F.col("tk"), 2))
+    feats = (toked.select("doc_id", "source", F.explode(grams).alias("g"))
+             .select("doc_id", "source",
+                     (hash32(F.col("g")) % DSIR_BUCKETS).alias("bucket")))
+    docfeat = (feats.groupBy("doc_id", "source", "bucket")
+               .agg(F.count("*").alias("cnt"))
+               .persist())  # feeds raw counts, target counts, scoring
+    raw = docfeat.groupBy("bucket").agg(F.sum("cnt").alias("c_r"))
+    tgt = (docfeat.filter(F.col("source") == DSIR_TARGET_SOURCE)
+           .groupBy("bucket").agg(F.sum("cnt").alias("c_t")))
+    totals = (docfeat.agg(
+        F.sum("cnt").alias("n_r"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET_SOURCE,
+                     F.col("cnt")).otherwise(F.lit(0))).alias("n_t")))
+    lr = (raw.join(tgt, "bucket", "left")
+          .crossJoin(F.broadcast(totals))
+          .select("bucket", F.floor(
+              (F.log((F.coalesce("c_t", F.lit(0)) + F.lit(1.0))
+                     / (F.col("n_t") + F.lit(float(DSIR_BUCKETS))))
+               - F.log((F.col("c_r") + F.lit(1.0))
+                       / (F.col("n_r") + F.lit(float(DSIR_BUCKETS)))))
+              * 1_000_000).cast("long").alias("lr_q")))
+    scored = (docfeat.join(F.broadcast(lr), "bucket")
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").alias("n_feats"),
+                   F.sum(F.col("cnt") * F.col("lr_q")).alias("w_q")))
+    return (docs.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0).cast("long"))
+                    .alias("n_feats"),
+                    (F.coalesce("w_q", F.lit(0).cast("long"))
+                     .cast("double") / 1_000_000).alias("weight"),
+                    (F.coalesce("w_q", F.lit(0).cast("long")) > 0)
+                    .alias("selected")))
+
+
+_Q121_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         {hash32_sql('g')} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source,
+               unnest(list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS g
+        FROM toks)
+),
+docfeat AS (
+  SELECT doc_id, source, bucket, count(*) AS cnt
+  FROM feats GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_r
+        FROM docfeat GROUP BY bucket),
+tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t
+        FROM docfeat WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket),
+totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_r,
+         CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                       THEN cnt ELSE 0 END) AS BIGINT) AS n_t
+  FROM docfeat
+),
+lr AS (
+  SELECT bucket,
+         CAST(floor(
+           (ln((coalesce(c_t, 0) + 1.0) / (n_t + {DSIR_BUCKETS}.0))
+            - ln((c_r + 1.0) / (n_r + {DSIR_BUCKETS}.0)))
+           * 1000000) AS BIGINT) AS lr_q
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         CAST(sum(cnt * lr_q) AS BIGINT) AS w_q
+  FROM docfeat JOIN lr USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_feats, 0) AS n_feats,
+       CAST(coalesce(w_q, 0) AS DOUBLE) / 1000000 AS weight,
+       coalesce(w_q, 0) > 0 AS selected
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q67_tfidf_topterms": Query(q67_tfidf_topterms, _Q67_SQL),
     "q68_contamination": Query(q68_contamination, _Q68_SQL),
@@ -989,4 +1111,5 @@ QUERIES: dict[str, Query] = {
     "q116_trained_quality_scorer": Query(q116_trained_quality_scorer,
                                          _Q116_SQL),
     "q119_bpe_encode": Query(q119_bpe_encode, _Q119_SQL),
+    "q121_dsir_weights": Query(q121_dsir_weights, _Q121_SQL),
 }

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "q105_histogram_drift":   "1-row per-window totals",
     "q112_equidepth_sketch":  "k-1 sketch boundary rows (2 passes)",
     "q113_ivfpq_adc":         "codebook / ADC lookup table rows",
+    "q121_dsir_weights":      "1-row corpus/target feature totals",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever
@@ -71,6 +72,7 @@ SINGLE_PARTITION_ALLOWED = {
     "q105_histogram_drift":   "1-row TVD verdict agg",
     "q112_equidepth_sketch":  "1-row sketch agg (k-1 boundaries)",
     "q114_global_sort":       "cumulative offsets over |partitions| rows",
+    "q121_dsir_weights":      "1-row corpus/target totals agg",
 }
 
 

@@ -280,3 +280,27 @@ def test_bpe_encode_symbol_count_bounds(spark, sf_dir):
         # every word contributes at least 1 subword and at most its chars
         assert r["n_words"] <= r["n_subwords"] <= r["n_chars_tok"], r
         assert r["subwords_per_word"] >= 1.0
+
+
+def test_dsir_weights_semantics(spark, sf_dir):
+    """DSIR importance weights: target-source docs must skew positive
+    (they ARE the target distribution), weights are finite and exact
+    micro-unit multiples, and every doc gets a row."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        DSIR_TARGET_SOURCE, q121_dsir_weights)
+
+    docs = load(spark, sf_dir, "documents")
+    out = q121_dsir_weights(spark, sf_dir)
+    joined = out.join(docs.select("doc_id", "source"), "doc_id").collect()
+    assert len(joined) == docs.count()
+    tgt = [r for r in joined if r["source"] == DSIR_TARGET_SOURCE]
+    oth = [r for r in joined if r["source"] != DSIR_TARGET_SOURCE]
+    assert tgt and oth
+    mean_t = sum(r["weight"] for r in tgt) / len(tgt)
+    mean_o = sum(r["weight"] for r in oth) / len(oth)
+    # the target slice must look more target-like than the rest
+    assert mean_t > mean_o
+    # selected == (weight > 0) exactly (integer comparison upstream)
+    for r in joined:
+        assert r["selected"] == (r["weight"] > 0)
