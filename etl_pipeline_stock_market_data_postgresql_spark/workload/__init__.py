@@ -47,6 +47,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # (2) new this round: incremental corpus dedup against a persisted
     # signature index, and DSIR hashed-n-gram importance weights;
     "q120_incremental_dedup", "q121_dsir_weights",
+    "q122_streaming_incremental_dedup",
     # (2b) outputs/oracles CHANGED this round: q51/q61's verification
     # moved to 60-bit shingle fingerprints (values verified identical
     # at gate SF, but the r8 green rows prove the OLD oracle pair);
@@ -58,9 +59,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q96_streaming_dedup", "q97_bm25_ranking", "q101_bigram_novelty",
     "q103_scd2_pit_enrichment", "q106_streaming_stateful_hwm",
     "q108_twap", "q110_dynamic_partition_overwrite",
-    # (4) the oldest-r7 tier in module order fills the remaining 29
+    # (4) the oldest-r7 tier in module order fills the remaining 28
     # slots (q113 also carries this round's Arrow-kernel rework). The
-    # trailing 21 of the r7 tier (q48–q50, q53–q60, q64, q67–q69,
+    # trailing 22 of the r7 tier (q47–q50, q53–q60, q64, q67–q69,
     # q71/q72, q75, q78/q79, q91) and the 49 r8-proven queries fall
     # past the cap — most recently proven, still covered by local
     # parity (tests/test_oracle_parity.py runs the identical
@@ -76,7 +77,6 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q39_percentiles", "q42_unpivot", "q45_window_suite",
     "q46_streaming_tumbling", "q62_streaming_session_window",
     "q73_streaming_stream_join", "q89_streaming_sliding_window",
-    "q47_sql_exists",
 )
 
 

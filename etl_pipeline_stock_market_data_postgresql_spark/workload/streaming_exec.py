@@ -457,6 +457,170 @@ WHERE sl = 1 AND (m IS NULL OR tus > m)
 """
 
 
+def q122_streaming_incremental_dedup(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Near-dup dedup of a DOCUMENT STREAM against a persisted MinHash
+    signature index — q120's incremental operator driven by Structured
+    Streaming, with the cross-batch state being the ON-DISK index
+    itself (the lakehouse-native shape: a 100 TB ingest pipeline keeps
+    its dedup state in a table, not in executor memory, so any worker
+    can restart and the state outlives the job).
+
+    Fixture: the first 2/3 of documents (by id) batch-dedup into the
+    index; the last 1/3 arrives as TWO micro-batches (file source,
+    maxFilesPerTrigger=1, mtime-pinned order — q106's determinism
+    recipe). Each ``foreachBatch``: load the index table, run
+    ``incremental_neardup``, MATERIALIZE verdicts + new index rows
+    (localCheckpoint — the append below must not race the lazy read of
+    the same directory), append both. Batch 2 therefore dedups against
+    index ∪ kept(batch 1): sequential semantics, which near-dup
+    REQUIRES (dropping a batch-1 doc removes its edges — a full batch
+    recompute over everything would link through dropped docs; the
+    oracle chains two per-batch recomputes instead, each over
+    kept-so-far ∪ batch).
+
+    Scale shape: per batch, everything is q120's (delta-proportional
+    text work, columnar index scan); the stream adds only the
+    foreachBatch commit. Batch-count-agnostic; two batches are the
+    gate-sized stand-in for a day's thousands."""
+    from ..operators import dedup
+    from ..operators import incremental_dedup as inc
+    from ..sources.tables import load
+    from .storage import _scratch_base
+    from .text_dedup import LSH_BANDS, LSH_ROWS, LSH_VERIFY_THRESHOLD
+
+    base, _ = _scratch_base(sf_dir)
+    feed = os.path.join(base, "q122_feed")
+    index_path = os.path.join(base, "q122_index")
+    out_dir = os.path.join(base, "q122_out")
+    ckpt = os.path.join(base, "q122_ckpt")
+    import shutil
+    for d in (feed, index_path, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    b = (2 * max_id) // 3
+    mid = (b + max_id) // 2
+    corpus0 = docs.filter(F.col("doc_id") <= b)
+
+    # batch-dedup the initial corpus -> pair-free index (q120's fixture)
+    sh0 = dedup.shingle_table(corpus0, "doc_id", "text", n=3)
+    sig0 = dedup.minhash_signatures(sh0, "doc_id")
+    cand0 = dedup.lsh_candidate_pairs(sig0, "doc_id", LSH_BANDS, LSH_ROWS)
+    ver0 = dedup.verify_jaccard_on_pairs(cand0, sh0, "doc_id",
+                                         LSH_VERIFY_THRESHOLD)
+    comp0 = dedup.connected_components(
+        ver0.select("id_a", "id_b").persist(), "id_a", "id_b")
+    dropped0 = (comp0.filter(F.col("comp") != F.col("node"))
+                .select(F.col("node").alias("doc_id")))
+    kept0 = corpus0.join(dropped0, "doc_id", "left_anti")
+    inc.build_minhash_index(kept0, "doc_id", "text",
+                            bands=LSH_BANDS, rows_per_band=LSH_ROWS) \
+        .write.mode("overwrite").parquet(index_path)
+
+    # the delta arrives as two mtime-ordered micro-batch files
+    d1 = docs.filter((F.col("doc_id") > b) & (F.col("doc_id") <= mid))
+    d2 = docs.filter(F.col("doc_id") > mid)
+    d1.coalesce(1).write.mode("overwrite").parquet(feed)
+    first = {f for f in os.listdir(feed) if f.endswith(".parquet")}
+    d2.coalesce(1).write.mode("append").parquet(feed)
+    now = time.time()
+    for f in os.listdir(feed):
+        if f.endswith(".parquet"):
+            t = now - 10.0 if f in first else now
+            os.utime(os.path.join(feed, f), (t, t))
+
+    def _process(bdf: DataFrame, _bid: int) -> None:
+        sess = bdf.sparkSession
+        index = sess.read.parquet(index_path)
+        caches: list = []
+        verdicts, new_rows = inc.incremental_neardup(
+            index, bdf, "doc_id", "text", LSH_VERIFY_THRESHOLD,
+            bands=LSH_BANDS, rows_per_band=LSH_ROWS, cache_out=caches)
+        # detach from the lazy index read BEFORE appending to it
+        v = verdicts.localCheckpoint(eager=True)
+        nr = new_rows.localCheckpoint(eager=True)
+        v.write.mode("append").parquet(out_dir)
+        nr.write.mode("append").parquet(index_path)
+        for c in caches:
+            c.unpersist()
+
+    schema = spark.read.parquet(feed).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(feed))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    _unload_state_stores(spark)
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "doc_id",
+        F.when(F.col("doc_id") <= mid, F.lit(1)).otherwise(F.lit(2))
+        .cast("int").alias("batch"),
+        "kept", "canonical_id")
+
+
+def _q122_sql() -> str:
+    from .text_dedup import _closure_sql, _neardup_edges_sql
+
+    return f"""
+WITH RECURSIVE
+bnd AS (SELECT CAST(floor(2 * max(doc_id) / 3) AS BIGINT) AS b,
+               CAST(floor((floor(2 * max(doc_id) / 3) + max(doc_id)) / 2)
+                    AS BIGINT) AS mid
+        FROM documents),
+corpus0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+            WHERE doc_id <= (SELECT b FROM bnd)),
+{_neardup_edges_sql('corpus0', 'c_')},
+{_closure_sql('c_')},
+kept0 AS MATERIALIZED (
+  SELECT doc_id FROM corpus0
+  WHERE doc_id NOT IN (SELECT node FROM c_comp WHERE comp <> node)
+),
+b1 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id > (SELECT b FROM bnd)
+         AND doc_id <= (SELECT mid FROM bnd)),
+uni1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN kept0 USING (doc_id)
+  UNION ALL
+  SELECT doc_id, text FROM b1
+),
+{_neardup_edges_sql('uni1', 'u_')},
+{_closure_sql('u_')},
+v1 AS MATERIALIZED (
+  SELECT d.doc_id,
+         coalesce(c.comp, d.doc_id) = d.doc_id AS kept,
+         coalesce(c.comp, d.doc_id) AS canonical_id
+  FROM b1 d LEFT JOIN u_comp c ON c.node = d.doc_id
+),
+b2 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id > (SELECT mid FROM bnd)),
+uni2 AS MATERIALIZED (
+  SELECT doc_id, text FROM uni1
+  JOIN (SELECT doc_id AS k FROM kept0
+        UNION ALL
+        SELECT doc_id FROM v1 WHERE kept) ON doc_id = k
+  UNION ALL
+  SELECT doc_id, text FROM b2
+),
+{_neardup_edges_sql('uni2', 'w_')},
+{_closure_sql('w_')},
+v2 AS (
+  SELECT d.doc_id,
+         coalesce(c.comp, d.doc_id) = d.doc_id AS kept,
+         coalesce(c.comp, d.doc_id) AS canonical_id
+  FROM b2 d LEFT JOIN w_comp c ON c.node = d.doc_id
+)
+SELECT doc_id, CAST(1 AS INT) AS batch, kept, canonical_id FROM v1
+UNION ALL
+SELECT doc_id, CAST(2 AS INT) AS batch, kept, canonical_id FROM v2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
     "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
@@ -464,6 +628,8 @@ QUERIES: dict[str, Query] = {
     "q89_streaming_sliding_window": Query(q89_streaming_sliding_window,
                                           _q89_sql()),
     "q96_streaming_dedup": Query(q96_streaming_dedup, _Q96_SQL),
+    "q122_streaming_incremental_dedup": Query(
+        q122_streaming_incremental_dedup, _q122_sql()),
     "q106_streaming_stateful_hwm": Query(q106_streaming_stateful_hwm,
                                          _Q106_SQL),
 }

@@ -300,7 +300,11 @@ def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped0 = (comp0.filter(F.col("comp") != F.col("node"))
                 .select(F.col("node").alias("doc_id")))
     kept0 = corpus0.join(dropped0, "doc_id", "left_anti")
-    index = inc.build_minhash_index(kept0, "doc_id", "text")
+    # the operator reads the index three times (id-bound check, band
+    # projection, fingerprint arrays) — cheap columnar scans when the
+    # index is a stored table, but this fixture DERIVES it in-query, so
+    # persist to avoid re-shingling the kept corpus per consumer
+    index = inc.build_minhash_index(kept0, "doc_id", "text").persist()
 
     verdicts, _new_rows = inc.incremental_neardup(
         index, delta, "doc_id", "text", LSH_VERIFY_THRESHOLD,
