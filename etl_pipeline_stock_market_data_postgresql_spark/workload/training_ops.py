@@ -898,16 +898,27 @@ def q119_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word is segmented once, then per-doc stats come from a hash join of
     the token stream back to the encoded vocabulary and one aggregate.
 
-    Scale shape: train as q115 (one corpus aggregate + V vocab-table
-    rounds); encode is map-only over the vocab; the stats pass is one
-    corpus-scale equi-join on the word (broadcast when the vocab is
-    small, plain hash join at Heaps-law scale) plus a
-    map-side-combinable per-doc aggregate. Nothing quadratic, no
+    Scale shape: ONE corpus explode pass builds (doc, word) occurrence
+    counts with a map-side combiner; the trainer's word frequencies
+    re-aggregate that table (not the corpus), encode is map-only over
+    the vocab, and the stats pass joins the (doc, word) table — rows ∝
+    distinct pairs, never the token stream — to the encoded vocab
+    (broadcast when small, plain hash join at Heaps-law scale) with
+    occurrence counts as exact BIGINT weights. Nothing quadratic, no
     Python."""
     from ..operators import bpe
     toked = _tokens_df(spark, sf_dir)
-    words = toked.select(F.explode("tk").alias("word"))
-    wf = (words.groupBy("word").agg(F.count("*").alias("freq"))
+    # ONE corpus explode pass: (doc, word) occurrence counts with a
+    # map-side combiner. Everything downstream — the trainer's word
+    # frequencies AND the per-doc stats join — runs over this table,
+    # whose row count is distinct (doc, word) pairs, not the token
+    # stream (the r8 shape exploded the corpus twice and shuffled every
+    # token occurrence into the stats join; at the 100x probe that was
+    # most of q119's 69s)
+    dw = (toked.select("doc_id", F.explode("tk").alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+          .persist())
+    wf = (dw.groupBy("word").agg(F.sum("c").alias("freq"))
           .select("word", bpe.wrap_word(F.col("word")).alias("w"), "freq"))
     merges = bpe.train_bpe(wf.select("w", "freq"), BPE_ENCODE_MERGES,
                            checkpoint_every=BPE_CHECKPOINT_EVERY)
@@ -916,12 +927,11 @@ def q119_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.symbol_count(bpe.encode_expr(F.col("w"), merges))
         .alias("n_sub"),
         F.length("word").cast("long").alias("n_chr"))
-    per_doc = (toked.select("doc_id", F.explode("tk").alias("word"))
-               .join(enc, "word")
+    per_doc = (dw.join(enc, "word")
                .groupBy("doc_id")
-               .agg(F.count("*").alias("n_words"),
-                    F.sum("n_sub").alias("n_subwords"),
-                    F.sum("n_chr").alias("n_chars_tok")))
+               .agg(F.sum("c").alias("n_words"),
+                    F.sum(F.col("c") * F.col("n_sub")).alias("n_subwords"),
+                    F.sum(F.col("c") * F.col("n_chr")).alias("n_chars_tok")))
     ratio = F.col("n_subwords") / F.col("n_words")
     return per_doc.select(
         "doc_id", "n_words", "n_subwords", "n_chars_tok",
