@@ -54,17 +54,21 @@ DEFAULT_ROWS_PER_BAND = 3
 def build_minhash_index(docs: DataFrame, id_col: str, text_col: str,
                         n: int = 3,
                         bands: int = DEFAULT_BANDS,
-                        rows_per_band: int = DEFAULT_ROWS_PER_BAND
-                        ) -> DataFrame:
+                        rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+                        cache_out: list | None = None) -> DataFrame:
     """One index row per doc: (id, m0..m{K-1}, shs, n_sh). The shingle
-    pipeline runs once and feeds both aggregations; both are grouped on
-    the id, so the second reuses the first's partitioning."""
+    pipeline runs once (persisted) and feeds both aggregations; both
+    are grouped on the id, so the second reuses the first's
+    partitioning. The persist backs the returned lazy result — caller
+    owns its lifetime; pass ``cache_out`` to receive the handle for an
+    explicit unpersist once the index is materialized (the
+    verify_jaccard_on_pairs contract)."""
     sh = dedup.shingle_table(docs, id_col, text_col, n=n).persist()
+    if cache_out is not None:
+        cache_out.append(sh)
     sig = dedup.minhash_signatures(sh, id_col, k=bands * rows_per_band)
     sets = dedup.fingerprint_sets(sh, id_col)
-    out = sig.join(sets, id_col)
-    # the persist backs the returned lazy result; caller owns lifetime
-    return out
+    return sig.join(sets, id_col)
 
 
 def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
@@ -98,7 +102,8 @@ def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
     verified edges (hybrid driver-local under
     ``dedup.DRIVER_EDGES_THRESHOLD``)."""
     delta_index = build_minhash_index(delta_docs, id_col, text_col, n,
-                                      bands, rows_per_band).persist()
+                                      bands, rows_per_band,
+                                      cache_out=cache_out).persist()
     if cache_out is not None:
         cache_out.append(delta_index)
 
