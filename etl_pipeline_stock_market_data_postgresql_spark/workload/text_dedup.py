@@ -268,6 +268,85 @@ FROM comp GROUP BY comp
 """
 
 
+def q123_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (the q61
+    pipeline) keep their LONGEST member, not an arbitrary min-id — the
+    policy production dedup jobs actually apply (keep the most complete
+    copy of a page/document; cf. the keep-one-representative step of
+    Lee et al.'s dedup pipeline). Ranking is exact-integer
+    (n_chars DESC, doc_id ASC) so the per-cluster argmax is
+    engine-portable — no float score can tie-break differently across
+    engines. Cluster membership joins back to the documents table as a
+    plain equi-join (members can be a large fraction of a 100 TB
+    corpus, so the membership side is NOT broadcast); the argmax is one
+    map-side-combinable MAX of a (n_chars, -doc_id) struct per
+    cluster."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    cand = dedup.lsh_candidate_pairs(sig, "doc_id", LSH_BANDS, LSH_ROWS)
+    caches: list = []
+    verified = dedup.verify_jaccard_on_pairs(cand, sh, "doc_id",
+                                             LSH_VERIFY_THRESHOLD,
+                                             cache_out=caches)
+    edges = verified.select("id_a", "id_b").persist()
+    comp = dedup.connected_components(edges, "id_a", "id_b")
+    scored = (docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+              .join(comp, F.col("doc_id") == F.col("node"))
+              .select("comp", "doc_id", "n_chars"))
+    best = F.max(F.struct(F.col("n_chars").alias("nc"),
+                          (-F.col("doc_id")).alias("neg_id"))).alias("b")
+    out = (scored.groupBy("comp")
+           .agg(F.count("*").alias("n_members"), best)
+           .select(F.col("comp").alias("cluster_id"),
+                   F.col("n_members"),
+                   (-F.col("b.neg_id")).alias("canonical_doc"),
+                   F.col("b.nc").alias("canonical_n_chars")))
+    # same lineage-detach rationale as q61: the summary is ~|clusters|
+    # rows; checkpointing frees every label-round block on return
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def _canonical_selection_sql() -> str:
+    verified = _lsh_verified_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({verified}) v
+),
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u AS node, u AS m FROM edges
+  UNION
+  SELECT r.node, e.w FROM reach r JOIN edges e ON e.u = r.m
+),
+comp AS (SELECT node, min(m) AS comp FROM reach GROUP BY node),
+scored AS (
+  SELECT c.comp, c.node, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT comp, node, n_chars,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY n_chars DESC, node ASC) AS rk,
+         count(*) OVER (PARTITION BY comp) AS n_members
+  FROM scored
+)
+SELECT CAST(comp AS BIGINT) AS cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(node AS BIGINT) AS canonical_doc,
+       n_chars AS canonical_n_chars
+FROM ranked WHERE rk = 1
+"""
+
+
 def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup against a persisted MinHash signature
     index (operators/incremental_dedup.py) — the reference's
@@ -623,6 +702,8 @@ QUERIES: dict[str, Query] = {
     "q26_simhash": Query(q26_simhash, _Q26_SQL),
     "q51_lsh_verified_neardup": Query(q51_lsh_verified_neardup, _lsh_verified_sql()),
     "q61_dedup_clusters": Query(q61_dedup_clusters, _dedup_clusters_sql()),
+    "q123_canonical_selection": Query(q123_canonical_selection,
+                                      _canonical_selection_sql()),
     "q120_incremental_dedup": Query(q120_incremental_dedup, _q120_sql()),
     "q83_duplicate_spans": Query(q83_duplicate_spans, _q83_sql()),
     "q117_dedup_span_removal": Query(q117_dedup_span_removal, _q117_sql()),

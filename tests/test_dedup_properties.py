@@ -292,3 +292,34 @@ def test_span_removal_idempotent_and_consistent_with_q83(spark, sf_dir, tmp_path
     spark.catalog.clearCache()
     assert all(r["n_removed"] == 0 for r in again), \
         [r for r in again if r["n_removed"] > 0][:5]
+
+
+def test_canonical_selection_consistent_with_q61(spark, sf_dir):
+    """q123 and q61 resolve the SAME clusters (same keep_id/cluster_id
+    set, same sizes); q123's canonical is the member with the greatest
+    n_chars (lowest doc_id on ties) within q61's member list — i.e.
+    canonical selection only changes WHICH representative survives,
+    never the partition of docs into clusters."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.text_dedup import (
+        q61_dedup_clusters, q123_canonical_selection)
+
+    clusters = {r["keep_id"]: r for r in
+                q61_dedup_clusters(spark, sf_dir).collect()}
+    spark.catalog.clearCache()
+    canon = {r["cluster_id"]: r for r in
+             q123_canonical_selection(spark, sf_dir).collect()}
+    spark.catalog.clearCache()
+    assert clusters.keys() == canon.keys()
+    assert any(r["n_members"] > 1 for r in canon.values()), \
+        "corpus has no multi-member clusters; test is vacuous"
+    n_chars = {r["doc_id"]: r["n_chars"] for r in
+               load(spark, sf_dir, "documents")
+               .select("doc_id", "n_chars").collect()}
+    for cid, c in canon.items():
+        q61_row = clusters[cid]
+        members = [int(x) for x in q61_row["members"].split(",")]
+        assert c["n_members"] == q61_row["n_members"] == len(members)
+        best = max(members, key=lambda d: (n_chars[d], -d))
+        assert c["canonical_doc"] == best, (cid, c, members)
+        assert c["canonical_n_chars"] == n_chars[best]
