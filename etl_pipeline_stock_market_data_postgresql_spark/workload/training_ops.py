@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from . import Query
 from ..functions import textstats
 from ..operators.asof import asof_join_union
-from ..functions.hashing import hash32, hash32_sql
+from ..functions.hashing import hash32, hash32_sql, hash60, hash60_sql
 from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load
 
@@ -1109,6 +1109,146 @@ FROM documents d LEFT JOIN scored USING (doc_id)
 """
 
 
+# --- q124: n-gram LM perplexity filter ----------------------------------
+
+LM_TRAIN_SOURCES = ("src0", "src1", "src2", "src3")  # "curated" slice
+LM_Q = 1_000_000           # micro-unit quantization of per-bigram log-probs
+LM_KEEP_Q = -3_450_000     # keep iff avg log-prob >= -3.45 (micro-units)
+
+
+def q124_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020 use a KenLM
+    5-gram; this is the same pipeline stage with a Laplace-smoothed
+    bigram LM trained on a curated source slice): score every document
+    by its average per-bigram log-probability under the reference LM
+    and keep the docs above a threshold — the perplexity gate that
+    separates fluent text from boilerplate/noise at corpus scale.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), trained on
+    ``LM_TRAIN_SOURCES``; c(w1·) is w1's non-final-position count and V
+    the train vocabulary size. Exactness follows the q121 recipe: each
+    DISTINCT corpus bigram's log-prob is quantized to integer
+    micro-units ONCE, the per-doc total is an exact BIGINT sum of
+    (occurrences x lp_q), and ``kept`` is the integer comparison
+    ll_q >= n_bigrams * LM_KEEP_Q — no float accumulates across rows,
+    so shuffle order cannot flip any output.
+
+    Scale shape: text leaves the tokenizer as per-doc (bigram-hash,
+    count) rows — bigram and context strings are 60-bit-fingerprinted
+    BELOW the first exchange (the q51/q120 identity trick: both
+    engines derive the same digest, so a collision changes both sides
+    identically and parity stays exact) and pre-aggregated BEFORE any
+    join, so every shuffle and join key is an 8-byte long, never a
+    string; LM count tables are map-side-combinable aggs bounded by
+    train vocabulary (Heaps' law), joined to the distinct-bigram table
+    by plain equi-joins (never a corpus broadcast: at 100 TB the
+    bigram table outgrows any broadcast threshold); V is a 1-row
+    broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toked = (docs.select("doc_id", "source",
+                         textstats.tokens(F.col("text")).alias("tk"))
+             .persist())  # feeds the bigram stream and the train vocab
+    docbi = (toked.select("doc_id", "source",
+                          F.explode(textstats.word_ngrams(F.col("tk"), 2))
+                          .alias("g"))
+             .select("doc_id", "source",
+                     hash60(F.col("g")).alias("gh"),
+                     hash60(F.split("g", " ")[0]).alias("w1h"))
+             .groupBy("doc_id", "source", "gh", "w1h")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .persist())  # feeds train counts, distinct bigrams, scoring
+    train = docbi.filter(F.col("source").isin(*LM_TRAIN_SOURCES))
+    c12 = train.groupBy("gh").agg(F.sum("cnt").alias("c12"))
+    c1 = train.groupBy("w1h").agg(F.sum("cnt").alias("c1"))
+    vocab = (toked.filter(F.col("source").isin(*LM_TRAIN_SOURCES))
+             .select(F.explode("tk").alias("w"))
+             .agg(F.countDistinct(hash60(F.col("w"))).alias("v")))
+    lp = (docbi.select("gh", "w1h").distinct()
+          .join(c12, "gh", "left")
+          .join(c1, "w1h", "left")
+          .crossJoin(F.broadcast(vocab))
+          .select("gh", "w1h", F.floor(F.log(
+              (F.coalesce("c12", F.lit(0)) + F.lit(1.0))
+              / (F.coalesce("c1", F.lit(0)) + F.col("v").cast("double")))
+              * LM_Q).cast("long").alias("lp_q")))
+    scored = (docbi.join(lp, ["gh", "w1h"])
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").alias("n_bigrams"),
+                   F.sum(F.col("cnt") * F.col("lp_q")).alias("ll_q")))
+    n_c = F.coalesce("n_bigrams", F.lit(0).cast("long"))
+    out = (docs.select("doc_id", "source")
+           .join(scored, "doc_id", "left")
+           .select(
+               "doc_id", "source", n_c.alias("n_bigrams"),
+               F.when(n_c > 0,
+                      (F.col("ll_q").cast("double") / F.lit(float(LM_Q)))
+                      / F.col("n_bigrams"))
+               .otherwise(F.lit(0.0)).alias("avg_logprob"),
+               F.when(n_c > 0,
+                      F.col("ll_q") >= F.col("n_bigrams") * F.lit(LM_KEEP_Q))
+               .otherwise(F.lit(False)).alias("kept")))
+    docbi.unpersist()
+    toked.unpersist()
+    return out
+
+
+_LM_SRC_LIST = ", ".join(f"'{s}'" for s in LM_TRAIN_SOURCES)
+
+_Q124_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+docbi AS MATERIALIZED (
+  SELECT doc_id, source,
+         {hash60_sql('g')} AS gh,
+         {hash60_sql("split_part(g, ' ', 1)")} AS w1h,
+         count(*) AS cnt
+  FROM (SELECT doc_id, source,
+               unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS g
+        FROM toks)
+  GROUP BY 1, 2, 3, 4
+),
+train AS MATERIALIZED (
+  SELECT gh, w1h, cnt FROM docbi WHERE source IN ({_LM_SRC_LIST})
+),
+c12 AS (SELECT gh, CAST(sum(cnt) AS BIGINT) AS c12 FROM train GROUP BY gh),
+c1 AS (SELECT w1h, CAST(sum(cnt) AS BIGINT) AS c1 FROM train GROUP BY w1h),
+vocab AS (
+  SELECT CAST(count(DISTINCT {hash60_sql('w')}) AS BIGINT) AS v
+  FROM (SELECT unnest(tk) AS w FROM toks
+        WHERE source IN ({_LM_SRC_LIST}))
+),
+lp AS (
+  SELECT db.gh, db.w1h,
+         CAST(floor(ln((coalesce(c12.c12, 0) + 1.0)
+                       / (coalesce(c1.c1, 0) + CAST(v.v AS DOUBLE)))
+                    * {LM_Q}) AS BIGINT) AS lp_q
+  FROM (SELECT DISTINCT gh, w1h FROM docbi) db
+  LEFT JOIN c12 USING (gh)
+  LEFT JOIN c1 USING (w1h)
+  CROSS JOIN vocab v
+),
+scored AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(cnt * lp_q) AS BIGINT) AS ll_q
+  FROM docbi JOIN lp USING (gh, w1h) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN (CAST(ll_q AS DOUBLE) / {LM_Q}.0) / n_bigrams
+            ELSE 0.0 END AS avg_logprob,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN ll_q >= n_bigrams * ({LM_KEEP_Q})
+            ELSE FALSE END AS kept
+FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q67_tfidf_topterms": Query(q67_tfidf_topterms, _Q67_SQL),
     "q68_contamination": Query(q68_contamination, _Q68_SQL),
@@ -1122,4 +1262,5 @@ QUERIES: dict[str, Query] = {
                                          _Q116_SQL),
     "q119_bpe_encode": Query(q119_bpe_encode, _Q119_SQL),
     "q121_dsir_weights": Query(q121_dsir_weights, _Q121_SQL),
+    "q124_lm_perplexity": Query(q124_lm_perplexity, _Q124_SQL),
 }

@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "q112_equidepth_sketch":  "k-1 sketch boundary rows (2 passes)",
     "q113_ivfpq_adc":         "codebook / ADC lookup table rows",
     "q121_dsir_weights":      "1-row corpus/target feature totals",
+    "q124_lm_perplexity":     "1-row train vocabulary size (V)",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever
@@ -73,6 +74,7 @@ SINGLE_PARTITION_ALLOWED = {
     "q112_equidepth_sketch":  "1-row sketch agg (k-1 boundaries)",
     "q114_global_sort":       "cumulative offsets over |partitions| rows",
     "q121_dsir_weights":      "1-row corpus/target totals agg",
+    "q124_lm_perplexity":     "1-row train vocabulary-size agg",
 }
 
 

@@ -304,3 +304,82 @@ def test_dsir_weights_semantics(spark, sf_dir):
     # selected == (weight > 0) exactly (integer comparison upstream)
     for r in joined:
         assert r["selected"] == (r["weight"] > 0)
+
+
+def test_lm_perplexity_semantics(spark, sf_dir, tmp_path):
+    """q124 LM filter: every doc gets a row; n_bigrams matches the
+    tokenizer; kept is consistent with the avg-logprob threshold; and
+    on a handcrafted corpus, a doc made of train-frequent bigrams
+    outscores a doc of out-of-vocabulary gibberish, with the scores
+    matching an independent Python reference of the same
+    Laplace-smoothed bigram LM."""
+    import math
+    import os
+
+    from conftest import write_single_parquet
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        LM_KEEP_Q, LM_Q, LM_TRAIN_SOURCES, q124_lm_perplexity)
+
+    docs = load(spark, sf_dir, "documents")
+    out = {r["doc_id"]: r for r in q124_lm_perplexity(spark, sf_dir).collect()}
+    spark.catalog.clearCache()
+    assert len(out) == docs.count()
+    thresh = LM_KEEP_Q / LM_Q
+    for r in out.values():
+        if r["n_bigrams"] == 0:
+            assert r["avg_logprob"] == 0.0 and r["kept"] is False
+        elif r["kept"]:
+            assert r["avg_logprob"] >= thresh - 1e-9
+        else:
+            assert r["avg_logprob"] <= thresh + 1e-9
+
+    # handcrafted corpus: train slice establishes "the cat" etc. as
+    # frequent; doc 100 repeats train bigrams, doc 101 is pure OOV
+    train_text = "the cat sat on the mat and the cat ran"
+    rows = [(i, train_text, "en", LM_TRAIN_SOURCES[0], len(train_text))
+            for i in range(4)]
+    rows += [(100, "the cat sat on the mat", "en", "srcX", 22),
+             (101, "zq xv wk jj qqq zzz", "en", "srcX", 19)]
+    d = os.path.join(str(tmp_path), "lmcorpus")
+    os.makedirs(d, exist_ok=True)
+    write_single_parquet(
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"),
+        os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in q124_lm_perplexity(spark, d).collect()}
+    spark.catalog.clearCache()
+    assert got[100]["avg_logprob"] > got[101]["avg_logprob"]
+    # (no kept assertion here: with a 7-word train vocab, Laplace gives
+    # any OOV bigram p = 1/V ≈ 0.14 > the threshold — the gate only
+    # separates on realistic vocabulary sizes; kept-consistency is
+    # checked exactly against the reference below)
+
+    # independent Python reference (same Laplace LM, same quantization)
+    def toks(t):
+        import re
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def bigrams(t):
+        tk = toks(t)
+        return [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    c12, c1, vocab = {}, {}, set()
+    for _, text, *_ in rows[:4]:
+        for g in bigrams(text):
+            w1, w2 = g.split(" ")
+            c12[g] = c12.get(g, 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+            vocab.update((w1, w2))
+    V = len(vocab)
+    for doc_id, text, *_ in rows[4:]:
+        ll_q = 0
+        n = 0
+        for g in bigrams(text):
+            w1 = g.split(" ")[0]
+            p = (c12.get(g, 0) + 1.0) / (c1.get(w1, 0) + float(V))
+            ll_q += math.floor(math.log(p) * LM_Q)
+            n += 1
+        expect = (ll_q / LM_Q) / n
+        assert abs(got[doc_id]["avg_logprob"] - expect) < 1e-9, doc_id
+        assert got[doc_id]["kept"] == (ll_q >= n * LM_KEEP_Q), doc_id
