@@ -60,11 +60,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q96_streaming_dedup", "q97_bm25_ranking", "q101_bigram_novelty",
     "q103_scd2_pit_enrichment", "q106_streaming_stateful_hwm",
     "q108_twap", "q110_dynamic_partition_overwrite",
-    # (4) the oldest-r7 tier in module order fills the remaining 28
+    # (4) the oldest-r7 tier in module order fills the remaining 26
     # slots (q113 also carries this round's Arrow-kernel rework). The
-    # trailing 22 of the r7 tier (q47–q50, q53–q60, q64, q67–q69,
-    # q71/q72, q75, q78/q79, q91) and the 49 r8-proven queries fall
-    # past the cap — most recently proven, still covered by local
+    # trailing 24 of the r7 tier (q47–q50, q53–q60, q64, q67–q69,
+    # q71/q72/q73, q75, q78/q79, q89, q91) and the 49 r8-proven
+    # queries fall past the cap — most recently proven, still covered by local
     # parity (tests/test_oracle_parity.py runs the identical
     # comparison on every registered query).
     "q87_full_outer_reconciliation", "q112_equidepth_sketch",
