@@ -206,3 +206,62 @@ def pq_argmin_codes(sub: DataFrame, codewords: DataFrame,
                                 "code": code_out, "sv": pdf["sv"]})
 
     return sub.mapInPandas(kernel, "id long, m int, code long, sv array<double>")
+
+
+COV_SCALE = 1_000_000  # integer micro-units per embedding element
+
+
+def covariance_partials(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-Arrow-batch partial X^T X, column sums, and row count for an
+    EXACT integer covariance over embedding dimensions (mapInPandas).
+
+    Output rows ``(i, j, v)``, all int64:
+      - ``i >= 0, j >= i``: partial sum of ``q_i * q_j`` (upper
+        triangle incl. the variance diagonal)
+      - ``i >= 0, j = -1``: partial sum of ``q_i``
+      - ``i = -1, j = -1``: partial row count
+
+    Exactness: elements are quantized to integer micro-units with the
+    same IEEE double ops the DuckDB oracle applies (widen float32 to
+    double — exact — then ``* COV_SCALE + 0.5`` and ``floor``), so both
+    engines see identical integers; every sum after that is integer
+    arithmetic, where accumulation order cannot matter. The int64
+    matmul is exact (no FP): with |q| <= ~1e7 and Arrow's default 10k
+    rows/batch the per-batch partials stay far below 2^63, and the
+    GLOBAL sums go through DECIMAL(38,0) downstream, so corpus scale
+    never touches int64 again.
+
+    Scale design: a d^2-sized aggregate is the shape where pure JVM
+    expressions fail twice over — a posexplode self-join shuffles
+    n * d^2 rows, and a d*(d+1)/2-column aggregate defeats whole-stage
+    codegen. The kernel reduces each Arrow batch to d*(d+1)/2 + d + 1
+    partial rows, so the shuffle carries #batches * O(d^2) KB-sized
+    partials regardless of corpus size — a tree-reduce in DataFrame
+    clothing, the same partial-aggregation contract as map-side
+    combine."""
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim, k=0)
+    iu_i, iu_j = iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(x * float(COV_SCALE) + 0.5).astype(np.int64)
+            c = q.T @ q                       # exact int64 matmul
+            s = q.sum(axis=0, dtype=np.int64)
+            d_idx = np.arange(dim, dtype=np.int32)
+            yield pd.DataFrame({
+                "i": np.concatenate([iu_i, d_idx,
+                                     np.array([-1], dtype=np.int32)]),
+                "j": np.concatenate([iu_j,
+                                     np.full(dim, -1, dtype=np.int32),
+                                     np.array([-1], dtype=np.int32)]),
+                "v": np.concatenate([c[iu_i, iu_j], s,
+                                     np.array([len(pdf)], dtype=np.int64)]),
+            })
+
+    return emb.mapInPandas(kernel, "i int, j int, v long")

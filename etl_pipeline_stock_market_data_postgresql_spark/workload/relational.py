@@ -883,6 +883,86 @@ GROUP BY l_returnflag
 """
 
 
+# --- q125: blocked fuzzy join (edit-distance record linkage) -------------
+
+LINK_MAX_DIST = 3
+
+
+def q125_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocked edit-distance record linkage over part names — the
+    fuzzy-join primitive of entity resolution / catalog dedup: emit
+    every pair of DISTINCT names that share a token and sit within
+    Levenshtein distance ≤ 3, with each name's part count attached.
+
+    Scale design (the reason this survives 100 TB): edit distance is
+    quadratic in candidate pairs, so the operator never compares rows —
+    it compares DISTINCT VALUES. The only corpus-scale pass is a
+    map-side-combinable ``groupBy(name).count()``; everything after
+    runs on the distinct-name table, whose size is Heaps-bounded by
+    the name vocabulary, not the corpus (the q115/q119/q124
+    distinct-unit argument). Candidates come from an inverted token
+    index (q24's blocking shape — a production deployment on
+    open-vocabulary names would add q24's ``max_df`` stop-token cap to
+    bound the hottest posting list; the fixed catalog vocabulary here
+    keeps every list bounded by construction), verification is one
+    JVM ``levenshtein`` per candidate, and the count join-back
+    broadcasts the bounded name table. The distance is an exact
+    integer, so the cross-engine hash cannot wobble.
+
+    Reference parity: the reference has no fuzzy matching — this is a
+    beyond-reference operator (BASELINE.json north star) from the
+    record-linkage literature (Fellegi-Sunter blocking + edit-distance
+    verify)."""
+    parts = load(spark, sf_dir, "part")
+    # names is consumed 4x (token index twice, both count join-backs);
+    # checkpointing the vocab-bounded aggregate pins the corpus-scale
+    # groupBy to ONE scan (the q113 multi-consumer fan-out lesson)
+    names = (parts.groupBy(F.col("p_name").alias("name"))
+             .agg(F.count(F.lit(1)).alias("n_parts"))
+             .localCheckpoint(eager=True))
+    tok = names.select("name", F.explode(F.split("name", " ")).alias("t"))
+    a, b = tok.alias("a"), tok.alias("b")
+    cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.name") < F.col("b.name")))
+            .select(F.col("a.name").alias("name_a"),
+                    F.col("b.name").alias("name_b"))
+            .distinct())
+    pairs = (cand
+             .withColumn("lev_dist",
+                         F.levenshtein("name_a", "name_b").cast("long"))
+             .filter(F.col("lev_dist") <= LINK_MAX_DIST))
+    na = names.select(F.col("name").alias("name_a"),
+                      F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("name").alias("name_b"),
+                      F.col("n_parts").alias("n_parts_b"))
+    return (pairs.join(F.broadcast(na), "name_a")
+            .join(F.broadcast(nb), "name_b")
+            .select("name_a", "name_b", "lev_dist",
+                    "n_parts_a", "n_parts_b"))
+
+
+_Q125_SQL = f"""
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY p_name
+),
+tok AS (SELECT name, unnest(string_split(name, ' ')) AS t FROM names),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM tok a JOIN tok b ON a.t = b.t AND a.name < b.name
+),
+pairs AS (
+  SELECT name_a, name_b,
+         CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist
+  FROM cand WHERE levenshtein(name_a, name_b) <= {LINK_MAX_DIST}
+)
+SELECT p.name_a, p.name_b, p.lev_dist,
+       na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+FROM pairs p
+JOIN names na ON na.name = p.name_a
+JOIN names nb ON nb.name = p.name_b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q11_pricing_summary": Query(q11_pricing_summary, _Q11_SQL),
     "q12_top_revenue_orders": Query(q12_top_revenue_orders, _Q12_SQL),
@@ -902,5 +982,6 @@ QUERIES: dict[str, Query] = {
     "q112_equidepth_sketch": Query(q112_equidepth_sketch, _Q112_SQL),
     "q104_key_uniqueness": Query(q104_key_uniqueness, _Q104_SQL),
     "q107_bloom_join": Query(q107_bloom_join, _Q107_SQL),
+    "q125_fuzzy_linkage": Query(q125_fuzzy_linkage, _Q125_SQL),
     "q114_global_sort": Query(q114_global_sort, _Q114_SQL),
 }

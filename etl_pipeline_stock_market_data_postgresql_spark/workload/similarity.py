@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import Query
 from ..functions import vectors as vfun
-from ..functions.rounding import round_half_up_sql
+from ..functions.rounding import round_half_up, round_half_up_sql
 from ..functions.vectors import cosine_sql, sign_bucket_sql
 from ..operators import similarity
 from ..sources.tables import load
@@ -1121,6 +1121,106 @@ FROM best
 """
 
 
+# --- q126: exact embedding covariance (top cross-dim pairs) ---------------
+
+COV_DIM = 64
+COV_TOPK = 20
+
+
+def q126_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-covarying embedding dimension pairs, from an EXACT
+    integer covariance matrix — the feature-diagnostics / whitening-prep
+    stage of an embedding pipeline (correlated dims mean wasted ANN
+    bytes; PCA/OPQ rotations start from exactly this matrix).
+
+    Plan: one corpus pass through the Arrow-batched partial-X^T X
+    kernel (operators/similarity.covariance_partials) reduces each
+    batch to O(d^2) int64 partial rows; a single groupBy sums them as
+    DECIMAL(38,0) — so the shuffle carries #batches * d^2 tiny rows and
+    the corpus is touched exactly once, at any scale. The centered
+    numerator n*C_ij - S_i*S_j is computed in DECIMAL(38,0) (exact;
+    |num| < 1e33 even at 1e10 rows), ranking happens in that exact
+    integer space (no float can flip ranks), and the descale to a
+    readable double covariance happens once at the end with identical
+    IEEE ops on both engines (the q60 contract).
+
+    The count row joins via crossJoin(broadcast(1-row)) — the
+    plan-lint-allowlisted bounded-broadcast shape (q105's bounds row).
+    """
+    # single-row-group testdata would serialize the kernel on one core;
+    # spread to full parallelism first (the corpus-side contract every
+    # embedding operator in this module applies)
+    emb = (load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+           .transform(lambda d: similarity._spread(d, "vec_id"))
+           .select("embedding"))
+    parts = similarity.covariance_partials(emb, "embedding", COV_DIM)
+    # O(d^2) rows consumed 4x (C, S_a, S_b, n) — checkpoint so the
+    # corpus-scale kernel pass runs ONCE (q113 fan-out lesson)
+    agg = (parts.groupBy("i", "j")
+           .agg(F.sum(F.col("v").cast("decimal(20,0)")).alias("s"))
+           .localCheckpoint(eager=True))
+    c = (agg.filter((F.col("i") >= 0) & (F.col("j") > F.col("i")))
+         .select("i", "j", F.col("s").alias("c")))
+    sm = agg.filter((F.col("i") >= 0) & (F.col("j") == -1))
+    sa = sm.select(F.col("i").alias("i"), F.col("s").alias("s_a"))
+    sb = sm.select(F.col("i").alias("j"), F.col("s").alias("s_b"))
+    nrow = (agg.filter(F.col("i") == -1)
+            .select(F.col("s").alias("n")))
+    num = (c.join(F.broadcast(sa), "i")
+           .join(F.broadcast(sb), "j")
+           .crossJoin(F.broadcast(nrow))
+           .select(F.col("i"), F.col("j"),
+                   (F.col("n") * F.col("c")
+                    - F.col("s_a") * F.col("s_b")).alias("cov_num"),
+                   F.col("n")))
+    denom = (F.col("n").cast("double") * F.col("n").cast("double")
+             * F.lit(float(similarity.COV_SCALE) ** 2))
+    return (num
+            .orderBy(F.abs(F.col("cov_num")).desc(), "i", "j")
+            .limit(COV_TOPK)
+            .select(F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
+                    round_half_up(F.col("cov_num").cast("double") / denom,
+                                  9).alias("cov")))
+
+
+_Q126_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xr AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS ev
+  FROM e
+),
+x AS (
+  SELECT vec_id, i,
+         CAST(floor(ev * {similarity.COV_SCALE}.0 + 0.5) AS BIGINT) AS qv
+  FROM xr
+),
+nrow AS (SELECT count(*) AS n FROM e),
+s AS (SELECT i, sum(CAST(qv AS HUGEINT)) AS si FROM x GROUP BY i),
+c AS (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.qv AS HUGEINT) * b.qv) AS cij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY a.i, b.i
+),
+num AS (
+  SELECT c.i, c.j,
+         CAST(nrow.n AS HUGEINT) * c.cij - sa.si * sb.si AS cov_num,
+         nrow.n AS n
+  FROM c
+  JOIN s sa ON sa.i = c.i
+  JOIN s sb ON sb.i = c.j
+  CROSS JOIN nrow
+)
+SELECT CAST(i AS INTEGER) AS dim_i, CAST(j AS INTEGER) AS dim_j,
+       {round_half_up_sql(
+           'CAST(cov_num AS DOUBLE) / '
+           f'(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {float(1_000_000) ** 2!r})',
+           9)} AS cov
+FROM num
+ORDER BY abs(cov_num) DESC, i, j
+LIMIT {COV_TOPK}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q28_ivf_topk": Query(q28_ivf_topk, _Q28_SQL),
     "q29_embedding_neardup": Query(q29_embedding_neardup, _Q29_SQL),
@@ -1132,4 +1232,5 @@ QUERIES: dict[str, Query] = {
     "q109_sq8_quantization": Query(q109_sq8_quantization, _Q109_SQL),
     "q111_semantic_dedup_hier": Query(q111_semantic_dedup_hier, _q111_sql()),
     "q113_ivfpq_adc": Query(q113_ivfpq_adc, _q113_sql()),
+    "q126_embedding_covariance": Query(q126_embedding_covariance, _Q126_SQL),
 }

@@ -350,6 +350,66 @@ GROUP BY CAST(ts AS DATE)
 """
 
 
+# --- q127: schema-evolution read (mergeSchema across batch generations) ---
+
+Q127_SPLIT = "1998-01-01"   # orders before this shipped WITHOUT o_orderstatus
+Q127_LEGACY = "(legacy)"    # label applied to null-filled pre-migration rows
+
+
+def q127_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table across a schema migration — the lakehouse fact of
+    life every long-lived 100 TB dataset hits: old batches were written
+    before a column existed, new batches carry it, and ONE read must
+    see the union schema with the missing column null-filled.
+
+    The query materializes both generations (orders < {split} without
+    ``o_orderstatus``; >= {split} with it), reads them back in a single
+    ``mergeSchema`` scan, labels the null-filled legacy rows, and rolls
+    up order count + exact DECIMAL revenue per status — so the result
+    certifies BOTH directions of the union: legacy rows surface under
+    the label (schema widened, nulls filled), and current rows keep
+    their real status (no column clobbering).
+
+    Scale note: ``mergeSchema`` discovers the union by reading EVERY
+    file footer up front — fine per-migration, wrong as a steady-state
+    default at 1e6 files. The production pattern this query's shape
+    feeds is: run discovery once per migration, pin the unioned schema
+    in the catalog, and have daily reads pass it explicitly
+    (``spark.read.schema(...)``) so the footer sweep never recurs.
+
+    Reference parity: the reference evolves its PostgreSQL schema with
+    ALTER TABLE (schema.sql); this is the file-based equivalent where
+    history cannot be rewritten in place."""
+    base, _ = _scratch_base(sf_dir)
+    legacy_dir = os.path.join(base, "evolve_legacy")
+    current_dir = os.path.join(base, "evolve_current")
+    orders = load(spark, sf_dir, "orders")
+    split = F.to_timestamp(F.lit(Q127_SPLIT))
+    (orders.filter(F.col("o_orderdate") < split)
+     .select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.mode("overwrite").parquet(legacy_dir))
+    (orders.filter(F.col("o_orderdate") >= split)
+     .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+     .write.mode("overwrite").parquet(current_dir))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(legacy_dir, current_dir))
+    status = F.coalesce(F.col("o_orderstatus"), F.lit(Q127_LEGACY))
+    rev = F.col("o_totalprice").cast("decimal(18,2)")
+    return (merged.groupBy(status.alias("status"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+_Q127_SQL = f"""
+SELECT CASE WHEN o_orderdate < TIMESTAMP '{Q127_SPLIT}'
+            THEN '{Q127_LEGACY}' ELSE o_orderstatus END AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -357,4 +417,5 @@ QUERIES: dict[str, Query] = {
         q110_dynamic_partition_overwrite, _Q110_SQL),
     "q118_small_file_compaction": Query(q118_small_file_compaction,
                                         _Q118_SQL),
+    "q127_schema_evolution": Query(q127_schema_evolution, _Q127_SQL),
 }

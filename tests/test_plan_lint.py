@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "q113_ivfpq_adc":         "codebook / ADC lookup table rows",
     "q121_dsir_weights":      "1-row corpus/target feature totals",
     "q124_lm_perplexity":     "1-row train vocabulary size (V)",
+    "q126_embedding_covariance": "1-row exact corpus count",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever
