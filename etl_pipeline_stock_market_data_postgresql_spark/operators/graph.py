@@ -1,0 +1,80 @@
+"""Iterative graph centrality: exact integer PageRank.
+
+PageRank is the link-quality signal large-scale corpus curation
+actually uses (Common Crawl's host-level ranks gate what gets crawled
+and kept; Gopher/CCNet-style pipelines consume URL/host quality
+priors), and it is the canonical iterate-over-a-distributed-graph
+workload: every iteration is one join (ranks -> out-edges) and one
+map-side-combinable aggregate (contributions -> new ranks), shuffle
+cost ~ |edges| per round.
+
+Exactness contract (cross-engine, the repo-wide integer playbook):
+ranks live in integer micro-units (1.0 == 1_000_000). The damping
+multiply and per-out-degree split happen in ONE integer floor-division
+``(r * DAMP_NUM) div (DAMP_DEN * outdeg)`` — both engines floor
+identically on non-negative BIGINTs — and the teleport term is the
+integer constant ``TELEPORT = (DAMP_DEN - DAMP_NUM) * SCALE / DAMP_DEN``.
+No float touches the state, so V iterations stay bit-identical to the
+unrolled-CTE oracle at any parallelism.
+
+Scale design:
+- The rank state is one long per node; each iteration's lineage is cut
+  with a DISK_ONLY ``localCheckpoint`` (node-table-sized state must
+  never unroll through the heap — the q114 lesson).
+- Contributions aggregate BEFORE the rank update join (map-side
+  combine on dst), so the per-round shuffle is |edges| once, not
+  |edges| x consumers.
+- Dangling nodes (outdeg 0) would leak mass; callers dealing with
+  directed graphs must either add both directions (undirected
+  semantics, what q128 does) or pre-drop danglers. The operator
+  asserts nothing and documents the contract instead of scanning for
+  violations (a full outdeg==0 check would cost an extra pass per
+  call; tests pin the behavior).
+
+Reference parity: the reference has no graph operators — this is a
+beyond-reference capability (BASELINE.json north star) alongside
+``dedup.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+RANK_SCALE = 1_000_000   # micro-units of rank mass per node at init
+DAMP_NUM, DAMP_DEN = 17, 20          # damping d = 0.85 as a ratio
+TELEPORT = (DAMP_DEN - DAMP_NUM) * RANK_SCALE // DAMP_DEN  # (1-d)*SCALE
+
+
+def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
+    """(node, rank_micro) after ``iters`` exact-integer PageRank rounds
+    over the directed edge list (src long, dst long). Every node that
+    appears as a src must have its in-edges present too (see module
+    docstring on danglers); rank mass initializes to RANK_SCALE per
+    node."""
+    src, dst = "src", "dst"
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ed = (edges.join(outdeg, src)
+          .select(src, dst, "deg")
+          .localCheckpoint(eager=True,
+                           storageLevel=StorageLevel.DISK_ONLY))
+    r = (nodes.select("node",
+                      F.lit(RANK_SCALE).cast("long").alias("rank_micro"))
+         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
+    for _ in range(iters):
+        contrib = (ed.join(r, ed[src] == r["node"])
+                   .select(F.col(dst).alias("node"),
+                           F.expr(f"(rank_micro * {DAMP_NUM}L) div "
+                                  f"({DAMP_DEN}L * deg)").alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = (nodes.join(summed, "node", "left")
+             .select("node",
+                     (F.lit(TELEPORT).cast("long")
+                      + F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                      ).alias("rank_micro"))
+             .localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.DISK_ONLY))
+    return r

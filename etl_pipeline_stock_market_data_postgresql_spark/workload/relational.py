@@ -883,6 +883,96 @@ GROUP BY l_returnflag
 """
 
 
+# --- q128: exact integer PageRank over the trade graph --------------------
+
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 entities by PageRank over the undirected customer↔supplier
+    trade graph — the link-quality signal corpus curation uses at scale
+    (Common Crawl host ranks gate crawl/keep decisions) run as the
+    canonical distributed-graph iteration: derive edges from the fact
+    tables once, then V rounds of join + map-side-combinable aggregate
+    over the aggregated graph (operators/graph.pagerank_exact).
+
+    Scale shape: the corpus-scale stage is the ONE orders⨝lineitem pass
+    that derives distinct (customer, supplier) trade edges — everything
+    after runs on the aggregated edge list, shuffle ∝ |edges| per round,
+    rank state one long per node, lineage cut per round (DISK_ONLY).
+    Exactness: ranks in integer micro-units, damping+split as a single
+    BIGINT floor division, teleport an integer constant — V rounds stay
+    bit-identical to the unrolled-CTE oracle, so the driver hash
+    certifies the whole trajectory (the q115/q82 iterative contract).
+    Nodes are namespaced into one id space (cust*2 / supp*2+1) so every
+    shuffle key is a plain long."""
+    from ..operators import graph
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") * 2).alias("c"),
+                   (F.col("l_suppkey") * 2 + 1).alias("s"))
+           .distinct())
+    edges = (und.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .union(und.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst"))))
+    r = graph.pagerank_exact(edges, PR_ITERS)
+    ranked = r.orderBy(F.col("rank_micro").desc(), "node").limit(PR_TOPK)
+    return ranked.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+         .otherwise(F.lit("supplier")).alias("node_type"),
+        F.expr("node div 2").cast("long").alias("node_id"),
+        "rank_micro")
+
+
+def _pagerank_sql() -> str:
+    from ..operators.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, TELEPORT
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+s{k} AS (
+  SELECT ed.dst AS node,
+         CAST(sum(({prev}.r * {DAMP_NUM}) // ({DAMP_DEN} * ed.deg))
+              AS BIGINT) AS s
+  FROM ed JOIN {prev} ON {prev}.node = ed.src GROUP BY ed.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT n.node, CAST({TELEPORT} + COALESCE(s{k}.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{k} ON s{k}.node = n.node
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM und
+  UNION ALL
+  SELECT s AS src, c AS dst FROM und
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+outdeg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+),
+ed AS MATERIALIZED (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d ON d.src = e.src
+),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({RANK_SCALE} AS BIGINT) AS r FROM nodes
+),{",".join(iters)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       CAST(node // 2 AS BIGINT) AS node_id,
+       r AS rank_micro
+FROM {prev}
+ORDER BY rank_micro DESC, node
+LIMIT {PR_TOPK}
+"""
+
+
 # --- q125: blocked fuzzy join (edit-distance record linkage) -------------
 
 LINK_MAX_DIST = 3
@@ -983,5 +1073,6 @@ QUERIES: dict[str, Query] = {
     "q104_key_uniqueness": Query(q104_key_uniqueness, _Q104_SQL),
     "q107_bloom_join": Query(q107_bloom_join, _Q107_SQL),
     "q125_fuzzy_linkage": Query(q125_fuzzy_linkage, _Q125_SQL),
+    "q128_pagerank": Query(q128_pagerank, _pagerank_sql()),
     "q114_global_sort": Query(q114_global_sort, _Q114_SQL),
 }

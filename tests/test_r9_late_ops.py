@@ -1,4 +1,4 @@
-"""Semantic invariants for the late round-9 operators (q125-q127) —
+"""Semantic invariants for the late round-9 operators (q125-q128) —
 properties that must hold on ANY input, complementing the differential
 oracle in test_oracle_parity.py (which proves Spark == DuckDB; these
 prove both engines compute the *right kind* of answer).
@@ -129,3 +129,49 @@ def test_schema_evolution_merged_read_carries_union_schema(spark, sf_dir):
     n_legacy = (load(spark, sf_dir, "orders")
                 .filter(F.col("o_orderdate") < split).count())
     assert legacy_nulls == n_legacy
+
+
+# --- q128: exact integer PageRank -----------------------------------------
+
+def _pagerank_ref(edges, iters):
+    """Driver-side reference of the exact-integer PageRank recurrence."""
+    from collections import defaultdict
+
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.graph import (
+        DAMP_DEN, DAMP_NUM, RANK_SCALE, TELEPORT)
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    nodes = {n for e in edges for n in e}
+    r = {n: RANK_SCALE for n in nodes}
+    for _ in range(iters):
+        acc = defaultdict(int)
+        for u, v in edges:
+            acc[v] += (r[u] * DAMP_NUM) // (DAMP_DEN * outdeg[u])
+        r = {n: TELEPORT + acc.get(n, 0) for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_on_handcrafted_graph(spark):
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.graph import pagerank_exact
+    # undirected triangle 1-2-3 plus a pendant 4 attached to 1: degrees
+    # differ, so the split and teleport terms are all exercised
+    und = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {r.node: r.rank_micro
+               for r in pagerank_exact(df, iters).collect()}
+        assert got == _pagerank_ref(edges, iters)
+
+
+def test_pagerank_query_shape(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.graph import TELEPORT
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import (
+        PR_TOPK, q128_pagerank)
+    rows = q128_pagerank(spark, sf_dir).collect()
+    assert len(rows) == PR_TOPK
+    assert all(r.node_type in ("customer", "supplier") for r in rows)
+    ranks = [r.rank_micro for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank_micro >= TELEPORT for r in rows)
