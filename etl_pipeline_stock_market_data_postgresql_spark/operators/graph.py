@@ -53,11 +53,21 @@ def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
     docstring on danglers); rank mass initializes to RANK_SCALE per
     node."""
     src, dst = "src", "dst"
+    # the edge list fans out to three consumers (nodes x2 via the
+    # union, outdeg, ed) — without a cut, the caller's whole edge
+    # derivation re-runs per consumer (the q113/q120 fan-out lesson)
+    edges = edges.localCheckpoint(eager=True,
+                                  storageLevel=StorageLevel.DISK_ONLY)
+    # nodes is re-read every iteration's rank-update join: cut it too
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.DISK_ONLY))
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    ed = (edges.join(outdeg, src)
+    # outdeg is node-sized — same broadcast-cliff reasoning as the
+    # per-round joins below: pin the shuffle join
+    ed = (edges.join(outdeg.hint("merge"), src)
           .select(src, dst, "deg")
           .localCheckpoint(eager=True,
                            storageLevel=StorageLevel.DISK_ONLY))
@@ -65,12 +75,21 @@ def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
                       F.lit(RANK_SCALE).cast("long").alias("rank_micro"))
          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
     for _ in range(iters):
-        contrib = (ed.join(r, ed[src] == r["node"])
+        # both per-round joins are node-table-sized on at least one
+        # side; pin them to shuffle joins (merge hint) — Catalyst's
+        # static estimator sees a small checkpointed rank table and
+        # broadcasts it, which works at test SF but is a driver-memory
+        # cliff once nodes outgrow the broadcast budget (the 100x probe
+        # showed a 512 MB broadcast-exchange; a web-scale host graph is
+        # orders beyond that). Shuffle-on-node is the scale-correct
+        # plan: both sides hash-partition on the key, no table is
+        # materialized whole anywhere.
+        contrib = (ed.join(r.hint("merge"), ed[src] == r["node"])
                    .select(F.col(dst).alias("node"),
                            F.expr(f"(rank_micro * {DAMP_NUM}L) div "
                                   f"({DAMP_DEN}L * deg)").alias("c")))
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        r = (nodes.join(summed, "node", "left")
+        r = (nodes.join(summed.hint("merge"), "node", "left")
              .select("node",
                      (F.lit(TELEPORT).cast("long")
                       + F.coalesce(F.col("s"), F.lit(0).cast("long"))

@@ -614,6 +614,73 @@ WHERE l.op IS NULL OR l.op <> 'D'
 """
 
 
+# --- q129: 2-D Pareto frontier (skyline) ----------------------------------
+
+PARETO_SCALE = 1000  # quality axis quantized to permille levels
+
+
+def q129_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/length Pareto frontier (2-D skyline) of the corpus: the
+    (alpha-ratio level, max document length) points not dominated on
+    both axes — the diagnostic curation uses to set per-quality length
+    caps ("how much length mass does each quality level uniquely
+    contribute?"). A point dominates another iff its quality level is
+    >= AND its length is >= with one strict; survivors are the maximal
+    staircase.
+
+    Scale shape: the skyline problem is quadratic by definition
+    (dominance is a theta-self-join), but quantizing the quality axis
+    to PARETO_SCALE integer levels makes it one map-side-combinable
+    groupBy over a <=1001-key space (one corpus pass, shuffle bounded
+    by levels x partitions) followed by a running-max window over the
+    <=1001 aggregated rows — the single unpartitioned window is
+    level-bounded, never corpus-bounded (lint-allowlisted). The 2-D
+    sort-and-scan identity replaces the quadratic dominance join: after
+    sorting levels descending, a level survives iff its max length
+    strictly exceeds every higher level's max.
+
+    Exactness: alpha_pm = (alpha_chars * 1000) div n_chars in integer
+    floor division (both engines floor identically on non-negative
+    integers); all outputs are BIGINT counts/maxima — no float anywhere.
+    Zero-length docs are excluded definitionally (the ratio is
+    undefined); the testdata has none, and the oracle filters
+    identically either way."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    lvl = (docs.select(
+               (alpha.cast("long") * PARETO_SCALE)
+               .alias("a1000"), "n_chars")
+           .select(F.expr("a1000 div n_chars").alias("alpha_pm"), "n_chars")
+           .groupBy("alpha_pm")
+           .agg(F.max("n_chars").alias("max_chars"),
+                F.count("*").alias("n_docs")))
+    above = Window.orderBy(F.col("alpha_pm").desc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (lvl.withColumn("best_above", F.max("max_chars").over(above))
+            .filter(F.col("best_above").isNull()
+                    | (F.col("max_chars") > F.col("best_above")))
+            .select("alpha_pm", "max_chars", "n_docs"))
+
+
+_Q129_SQL = f"""
+WITH lv AS (
+  SELECT (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+          * {PARETO_SCALE}) // n_chars AS alpha_pm,
+         max(n_chars) AS max_chars,
+         count(*) AS n_docs
+  FROM documents WHERE n_chars > 0
+  GROUP BY 1
+)
+SELECT alpha_pm, max_chars, n_docs
+FROM (SELECT *,
+             max(max_chars) OVER (ORDER BY alpha_pm DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS best_above
+      FROM lv)
+WHERE best_above IS NULL OR max_chars > best_above
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q56_range_join": Query(q56_range_join, _Q56_SQL),
     "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
@@ -626,4 +693,5 @@ QUERIES: dict[str, Query] = {
     "q78_token_chunks": Query(q78_token_chunks, _Q78_SQL),
     "q79_shuffle_shard": Query(q79_shuffle_shard, _Q79_SQL),
     "q91_cdc_apply": Query(q91_cdc_apply, _Q91_SQL),
+    "q129_pareto_frontier": Query(q129_pareto_frontier, _Q129_SQL),
 }

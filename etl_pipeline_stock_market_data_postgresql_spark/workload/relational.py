@@ -907,13 +907,23 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the whole trajectory (the q115/q82 iterative contract).
     Nodes are namespaced into one id space (cust*2 / supp*2+1) so every
     shuffle key is a plain long."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators import graph
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    und = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+    # merge hint: fact-to-fact join — Catalyst's static estimate of the
+    # 2-column orders projection falls under the broadcast threshold at
+    # probe scale and built a 512 MB driver-side hash table (15M rows);
+    # at 100 TB the orders side is nowhere near broadcastable.
+    # DISK_ONLY cut: the union below consumes und TWICE — uncut, the
+    # whole join+distinct would run once per direction.
+    und = (orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
            .select((F.col("o_custkey") * 2).alias("c"),
                    (F.col("l_suppkey") * 2 + 1).alias("s"))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=True,
+                            storageLevel=StorageLevel.DISK_ONLY))
     edges = (und.select(F.col("c").alias("src"), F.col("s").alias("dst"))
              .union(und.select(F.col("s").alias("src"),
                                F.col("c").alias("dst"))))

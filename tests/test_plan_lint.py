@@ -76,6 +76,7 @@ SINGLE_PARTITION_ALLOWED = {
     "q114_global_sort":       "cumulative offsets over |partitions| rows",
     "q121_dsir_weights":      "1-row corpus/target totals agg",
     "q124_lm_perplexity":     "1-row train vocabulary-size agg",
+    "q129_pareto_frontier":   "running-max window over <=1001 level rows",
 }
 
 
