@@ -993,30 +993,12 @@ DSIR_BUCKETS = 4096        # hashed feature space (B)
 DSIR_TARGET_SOURCE = "src0"  # the "curated" target distribution
 
 
-def q121_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
-    arXiv:2302.03169): estimate per-document importance weights
-    log(p_target(d)/p_raw(d)) under hashed-n-gram bag models and flag
-    the docs a target-matched training mix would select. The target
-    distribution is a curated slice (here: ``source = 'src0'``); the
-    raw distribution is the whole corpus.
-
-    Features are unigrams ∪ bigrams hashed into ``DSIR_BUCKETS``
-    buckets (the paper's hashed generative model). Per-bucket
-    log-ratios use Laplace smoothing over the bucket space and are
-    quantized to integer micro-units BEFORE the per-doc sum (exact
-    BIGINT addition — shuffle-order-independent; the module docstring's
-    q67/q97 argument covers why a last-ulp libm ln divergence inside
-    the quantization cannot flip results). ``selected`` is the exact
-    integer comparison weight_q > 0 (doc looks more target- than
-    raw-like).
-
-    Scale shape: features leave the tokenizer as (doc_id, bucket int)
-    pairs — text never shuffles; bucket count tables are map-side
-    combinable aggregates bounded by B, broadcast back for scoring; the
-    per-doc sum re-joins on the bucket hash (shuffle ∝ distinct
-    (doc, bucket), nothing quadratic, no corpus broadcast). Zero-token
-    docs surface with n_feats = 0 and weight 0, never dropped."""
+def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR score builder for q121 (weights) and q130
+    (resampling): one row per document with ``source``, ``n_chars``,
+    ``n_feats`` and the exact integer micro-unit importance weight
+    ``w_q`` (zero-token docs surface with n_feats = 0 and w_q = 0).
+    See :func:`q121_dsir_weights` for semantics and the scale shape."""
     docs = load(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toked = docs.select("doc_id", "source",
@@ -1047,19 +1029,49 @@ def q121_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("doc_id")
               .agg(F.sum("cnt").alias("n_feats"),
                    F.sum(F.col("cnt") * F.col("lr_q")).alias("w_q")))
-    return (docs.select("doc_id")
+    return (docs.select("doc_id", "source", "n_chars")
             .join(scored, "doc_id", "left")
-            .select("doc_id",
+            .select("doc_id", "source", "n_chars",
                     F.coalesce("n_feats", F.lit(0).cast("long"))
                     .alias("n_feats"),
-                    (F.coalesce("w_q", F.lit(0).cast("long"))
-                     .cast("double") / 1_000_000).alias("weight"),
-                    (F.coalesce("w_q", F.lit(0).cast("long")) > 0)
-                    .alias("selected")))
+                    F.coalesce("w_q", F.lit(0).cast("long")).alias("w_q")))
 
 
-_Q121_SQL = f"""
-WITH toks AS (
+def q121_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): estimate per-document importance weights
+    log(p_target(d)/p_raw(d)) under hashed-n-gram bag models and flag
+    the docs a target-matched training mix would select. The target
+    distribution is a curated slice (here: ``source = 'src0'``); the
+    raw distribution is the whole corpus.
+
+    Features are unigrams ∪ bigrams hashed into ``DSIR_BUCKETS``
+    buckets (the paper's hashed generative model). Per-bucket
+    log-ratios use Laplace smoothing over the bucket space and are
+    quantized to integer micro-units BEFORE the per-doc sum (exact
+    BIGINT addition — shuffle-order-independent; the module docstring's
+    q67/q97 argument covers why a last-ulp libm ln divergence inside
+    the quantization cannot flip results). ``selected`` is the exact
+    integer comparison weight_q > 0 (doc looks more target- than
+    raw-like).
+
+    Scale shape: features leave the tokenizer as (doc_id, bucket int)
+    pairs — text never shuffles; bucket count tables are map-side
+    combinable aggregates bounded by B, broadcast back for scoring; the
+    per-doc sum re-joins on the bucket hash (shuffle ∝ distinct
+    (doc, bucket), nothing quadratic, no corpus broadcast). Zero-token
+    docs surface with n_feats = 0 and weight 0, never dropped."""
+    return (_dsir_doc_scores(spark, sf_dir)
+            .select("doc_id", "n_feats",
+                    (F.col("w_q").cast("double") / 1_000_000)
+                    .alias("weight"),
+                    (F.col("w_q") > 0).alias("selected")))
+
+
+# shared DSIR CTE chain (ends at ``scored``: doc_id, n_feats, w_q) —
+# used by both q121 and q130. docfeat is MATERIALIZED: four CTE
+# references, and DuckDB inlines plain CTEs per reference.
+_DSIR_CTES = f"""toks AS (
   SELECT doc_id, source,
          list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
                      x -> x <> '') AS tk
@@ -1073,7 +1085,7 @@ feats AS (
                  [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS g
         FROM toks)
 ),
-docfeat AS (
+docfeat AS MATERIALIZED (
   SELECT doc_id, source, bucket, count(*) AS cnt
   FROM feats GROUP BY 1, 2, 3
 ),
@@ -1100,12 +1112,107 @@ scored AS (
          CAST(sum(cnt * lr_q) AS BIGINT) AS w_q
   FROM docfeat JOIN lr USING (bucket)
   GROUP BY doc_id
-)
+)"""
+
+_Q121_SQL = f"""
+WITH {_DSIR_CTES}
 SELECT d.doc_id,
        coalesce(n_feats, 0) AS n_feats,
        CAST(coalesce(w_q, 0) AS DOUBLE) / 1000000 AS weight,
        coalesce(w_q, 0) > 0 AS selected
 FROM documents d LEFT JOIN scored USING (doc_id)
+"""
+
+
+# --- q130: DSIR importance RESAMPLING (the second half of the paper) -----
+
+RS_SHIFT = 200_000_000  # per-feature |log-ratio| bound, micro-units
+RS_CENTER_PM = 500      # keep-probability at the corpus mean, permille
+
+
+def q130_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling stage: q121 computes importance weights; this
+    query actually DRAWS the target-matched subcorpus and reports the
+    per-source mix shift. Selection is a deterministic hash-Bernoulli
+    gate — keep a doc iff hash(doc_id) mod 1000 < p — with keep
+    probability a piecewise-linear squash (the logistic's mid-segment)
+    of the doc's per-feature importance, centered on the corpus mean:
+    mean-importance docs keep at RS_CENTER_PM permille, each milli-ln
+    of per-feature log-ratio above/below shifts p by one permille,
+    clamped to [0, 1000]. Deterministic ≡ reproducible shards and
+    incremental re-runs (the paper's Gumbel top-k needs a global sort;
+    this is the streaming-friendly variant at the same mix shift).
+
+    Exactness: every floor division runs on NON-NEGATIVE operands —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so portability requires shifting first: the per-feature average
+    adds ``n_feats * RS_SHIFT`` (RS_SHIFT bounds |lr_q| with 4x margin:
+    Laplace-smoothed |log-ratio| < ln of any conceivable corpus mass
+    ~ 44e6 micro) before dividing, and the clamp happens in pure
+    comparison space (no division after subtraction). svk <= 4e5, so
+    the mean's BIGINT sum holds to ~2e13 docs — document-scale safe.
+
+    Scale shape: one corpus-scale DSIR scoring pass (shared builder
+    with q121 — the shape argument lives on that docstring), a 1-row
+    global mean aggregate broadcast back (allowlisted), then a pure
+    per-row map and a final groupBy on |sources| keys. Zero-feature
+    docs can't be scored: they surface in n_docs with p = 0 (dropped),
+    excluded from the mean."""
+    d = _dsir_doc_scores(spark, sf_dir)
+    # per-feature average importance in milli-ln units, shifted
+    # non-negative before each floor division (see docstring)
+    d = d.withColumn("svk", F.expr(
+        f"CASE WHEN n_feats > 0 THEN "
+        f"((w_q + n_feats * {RS_SHIFT}L) div n_feats) div 1000 END"))
+    m = (d.filter(F.col("svk").isNotNull())
+         .agg(F.expr("sum(svk) div count(*)").alias("mean_svk")))
+    p_pm = (F.when(F.col("svk").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.lit(1000).cast("long"),
+                        F.col("svk") - F.col("mean_svk")
+                        + F.lit(RS_CENTER_PM)))))
+    h = hash32(F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))) % 1000
+    return (d.crossJoin(F.broadcast(m))
+            .withColumn("kept", h < p_pm)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.sum(F.when(F.col("kept"), F.col("n_chars"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias("kept_chars")))
+
+
+_Q130_SQL = f"""
+WITH {_DSIR_CTES},
+base AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         coalesce(n_feats, 0) AS n_feats, coalesce(w_q, 0) AS w_q
+  FROM documents d LEFT JOIN scored USING (doc_id)
+),
+sv AS (
+  SELECT *, CASE WHEN n_feats > 0
+                 THEN ((w_q + n_feats * {RS_SHIFT}) // n_feats) // 1000
+            END AS svk
+  FROM base
+),
+m AS (
+  SELECT CAST(sum(svk) AS BIGINT) // count(*) AS mean_svk
+  FROM sv WHERE svk IS NOT NULL
+),
+p AS (
+  SELECT source, n_chars,
+         CASE WHEN svk IS NULL THEN 0
+              ELSE greatest(0, least(1000,
+                            svk - mean_svk + {RS_CENTER_PM})) END AS p_pm,
+         {hash32_sql("'rs:' || CAST(doc_id AS VARCHAR)")} % 1000 AS h
+  FROM sv CROSS JOIN m
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN h < p_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN h < p_pm THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM p GROUP BY source
 """
 
 
@@ -1262,5 +1369,6 @@ QUERIES: dict[str, Query] = {
                                          _Q116_SQL),
     "q119_bpe_encode": Query(q119_bpe_encode, _Q119_SQL),
     "q121_dsir_weights": Query(q121_dsir_weights, _Q121_SQL),
+    "q130_importance_resample": Query(q130_importance_resample, _Q130_SQL),
     "q124_lm_perplexity": Query(q124_lm_perplexity, _Q124_SQL),
 }

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "q121_dsir_weights":      "1-row corpus/target feature totals",
     "q124_lm_perplexity":     "1-row train vocabulary size (V)",
     "q126_embedding_covariance": "1-row exact corpus count",
+    "q130_importance_resample": "1-row corpus-mean importance + q121's totals",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever
@@ -77,6 +78,7 @@ SINGLE_PARTITION_ALLOWED = {
     "q121_dsir_weights":      "1-row corpus/target totals agg",
     "q124_lm_perplexity":     "1-row train vocabulary-size agg",
     "q129_pareto_frontier":   "running-max window over <=1001 level rows",
+    "q130_importance_resample": "1-row corpus-mean agg (+q121's totals agg)",
 }
 
 

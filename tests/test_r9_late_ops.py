@@ -175,3 +175,52 @@ def test_pagerank_query_shape(spark, sf_dir):
     ranks = [r.rank_micro for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r.rank_micro >= TELEPORT for r in rows)
+
+
+# --- q129: Pareto frontier -------------------------------------------------
+
+def test_pareto_frontier_is_exactly_the_nondominated_set(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import (
+        PARETO_SCALE, q129_pareto_frontier)
+    got = {(r.alpha_pm, r.max_chars): r.n_docs
+           for r in q129_pareto_frontier(spark, sf_dir).collect()}
+    # brute-force reference: quantized levels, O(L^2) dominance check
+    docs = load(spark, sf_dir, "documents") \
+        .filter(F.col("n_chars") > 0) \
+        .selectExpr(
+            f"(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS LONG)"
+            f" * {PARETO_SCALE}) div n_chars AS pm", "n_chars").collect()
+    from collections import Counter, defaultdict
+    ymax: dict = defaultdict(int)
+    cnt: Counter = Counter()
+    for r in docs:
+        ymax[r.pm] = max(ymax[r.pm], r.n_chars)
+        cnt[r.pm] += 1
+    ref = {(pm, y): cnt[pm] for pm, y in ymax.items()
+           if not any(pm2 > pm and y2 >= y for pm2, y2 in ymax.items())}
+    assert got == ref
+    # staircase shape: strictly increasing quality => strictly
+    # decreasing max length across the frontier
+    pts = sorted(got)
+    assert all(a[1] > b[1] for a, b in zip(pts, pts[1:]))
+
+
+# --- q130: DSIR importance resampling --------------------------------------
+
+def test_importance_resample_shifts_mix_toward_target(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.training_ops import (
+        DSIR_TARGET_SOURCE, q130_importance_resample)
+    rows = q130_importance_resample(spark, sf_dir).collect()
+    by_src = {r.source: r for r in rows}
+    docs = load(spark, sf_dir, "documents")
+    # full accounting: every corpus doc appears in exactly one source row
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(0 <= r.n_kept <= r.n_docs for r in rows)
+    assert all(r.kept_chars >= 0 for r in rows)
+    # the point of the operator: the target slice keeps a higher
+    # fraction than the non-target aggregate (it IS the distribution
+    # the weights are matched to)
+    tgt = by_src[DSIR_TARGET_SOURCE]
+    others_kept = sum(r.n_kept for r in rows) - tgt.n_kept
+    others_docs = sum(r.n_docs for r in rows) - tgt.n_docs
+    assert tgt.n_kept * others_docs > others_kept * tgt.n_docs
