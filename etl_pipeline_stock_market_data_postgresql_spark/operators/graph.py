@@ -34,6 +34,13 @@ Scale design:
 Reference parity: the reference has no graph operators — this is a
 beyond-reference capability (BASELINE.json north star) alongside
 ``dedup.connected_components``.
+
+``kcore_peel`` shares the playbook: degree-threshold peeling is the
+other workhorse graph-quality signal (spam/mirror farms live in
+low-core shells; k-core membership is a classic crawl-frontier and
+link-spam feature), and each peel round is the same shuffle shape —
+one map-side-combinable degree aggregate plus semi-joins keyed on the
+node id, all integers end to end.
 """
 
 from __future__ import annotations
@@ -97,3 +104,38 @@ def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
              .localCheckpoint(eager=True,
                               storageLevel=StorageLevel.DISK_ONLY))
     return r
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """(node, deg) of the nodes still carrying edges after ``rounds``
+    degree-threshold peel iterations over the directed edge list
+    (src long, dst long): each round drops every node whose current
+    out-degree is < k, then removes all edges touching a dropped node.
+    For an undirected graph stored with both directions, out-degree is
+    THE degree and the peel is the textbook k-core recurrence.
+
+    Bounded-round semantics (not the fixpoint): ``deg`` is recomputed
+    on the final edge set, so a node the NEXT round would peel still
+    appears — exactly what the unrolled-CTE oracle computes, so the
+    driver hash certifies the whole trajectory. Callers wanting the
+    true k-core iterate until the surviving-node count stops changing.
+
+    Scale shape per round: one map-side-combinable degree aggregate
+    (shuffle ∝ |edges|, combine on src) and two semi-joins against the
+    node-sized survivor set — pinned to shuffle joins (merge hint) for
+    the same broadcast-cliff reason as pagerank_exact; lineage cut per
+    round with a DISK_ONLY localCheckpoint."""
+    src, dst = "src", "dst"
+    ed = edges.localCheckpoint(eager=True,
+                               storageLevel=StorageLevel.DISK_ONLY)
+    for _ in range(rounds):
+        alive = (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+                 .filter(F.col("deg") >= k)
+                 .select(src))
+        ed = (ed.join(alive.hint("merge"), src, "left_semi")
+              .join(alive.withColumnRenamed(src, dst).hint("merge"),
+                    dst, "left_semi")
+              .localCheckpoint(eager=True,
+                               storageLevel=StorageLevel.DISK_ONLY))
+    return (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col(src).alias("node"), "deg"))

@@ -883,10 +883,49 @@ GROUP BY l_returnflag
 """
 
 
-# --- q128: exact integer PageRank over the trade graph --------------------
+# --- q128/q131: graph analytics over the trade graph ----------------------
 
 PR_ITERS = 3
 PR_TOPK = 20
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (src, dst) edge list of the undirected customer↔supplier
+    trade graph, both directions present. Nodes are namespaced into one
+    long id space (cust*2 / supp*2+1) so every shuffle key is a plain
+    long. The ONE corpus-scale stage of every graph query: an
+    orders⨝lineitem pass reduced to distinct pairs.
+
+    merge hint: fact-to-fact join — Catalyst's static estimate of the
+    2-column orders projection falls under the broadcast threshold at
+    probe scale and built a 512 MB driver-side hash table (15M rows);
+    at 100 TB the orders side is nowhere near broadcastable.
+    DISK_ONLY cut: the union consumes und TWICE — uncut, the whole
+    join+distinct would run once per direction."""
+    from pyspark.storagelevel import StorageLevel
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    und = (orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") * 2).alias("c"),
+                   (F.col("l_suppkey") * 2 + 1).alias("s"))
+           .distinct()
+           .localCheckpoint(eager=True,
+                            storageLevel=StorageLevel.DISK_ONLY))
+    return (und.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+            .union(und.select(F.col("s").alias("src"),
+                              F.col("c").alias("dst"))))
+
+
+_TRADE_CTES = """und AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM und
+  UNION ALL
+  SELECT s AS src, c AS dst FROM und
+)"""
 
 
 def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,29 +944,10 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT floor division, teleport an integer constant — V rounds stay
     bit-identical to the unrolled-CTE oracle, so the driver hash
     certifies the whole trajectory (the q115/q82 iterative contract).
-    Nodes are namespaced into one id space (cust*2 / supp*2+1) so every
-    shuffle key is a plain long."""
-    from pyspark.storagelevel import StorageLevel
-
+    Node namespacing and the edge-derivation plan notes live on
+    :func:`_trade_edges`."""
     from ..operators import graph
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # merge hint: fact-to-fact join — Catalyst's static estimate of the
-    # 2-column orders projection falls under the broadcast threshold at
-    # probe scale and built a 512 MB driver-side hash table (15M rows);
-    # at 100 TB the orders side is nowhere near broadcastable.
-    # DISK_ONLY cut: the union below consumes und TWICE — uncut, the
-    # whole join+distinct would run once per direction.
-    und = (orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
-           .select((F.col("o_custkey") * 2).alias("c"),
-                   (F.col("l_suppkey") * 2 + 1).alias("s"))
-           .distinct()
-           .localCheckpoint(eager=True,
-                            storageLevel=StorageLevel.DISK_ONLY))
-    edges = (und.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-             .union(und.select(F.col("s").alias("src"),
-                               F.col("c").alias("dst"))))
-    r = graph.pagerank_exact(edges, PR_ITERS)
+    r = graph.pagerank_exact(_trade_edges(spark, sf_dir), PR_ITERS)
     ranked = r.orderBy(F.col("rank_micro").desc(), "node").limit(PR_TOPK)
     return ranked.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -954,15 +974,7 @@ r{k} AS MATERIALIZED (
 )""")
         prev = f"r{k}"
     return f"""
-WITH und AS MATERIALIZED (
-  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
-edges AS MATERIALIZED (
-  SELECT c AS src, s AS dst FROM und
-  UNION ALL
-  SELECT s AS src, c AS dst FROM und
-),
+WITH {_TRADE_CTES},
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
 outdeg AS MATERIALIZED (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
@@ -980,6 +992,62 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
 FROM {prev}
 ORDER BY rank_micro DESC, node
 LIMIT {PR_TOPK}
+"""
+
+
+KCORE_K = 8
+KCORE_ROUNDS = 3
+
+
+def q131_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel of the trade graph: drop nodes with degree < 8 for
+    three rounds, then summarize the surviving core per node type —
+    the link-spam / crawl-frontier shell signal (low-core shells are
+    where mirror farms and isolated spam live; Gopher-style curation
+    consumes core membership as a host-quality prior). Same shared
+    edge derivation as q128 (:func:`_trade_edges`); the peel recurrence
+    and its per-round shuffle shape live on
+    ``operators/graph.kcore_peel``.
+
+    Exactness: degrees are exact integer counts and the peel is a pure
+    threshold — the V-round trajectory is bit-identical to the
+    unrolled-CTE oracle. Output is one row per node type (n_nodes,
+    sum of surviving degrees, max degree) — bounded at any scale."""
+    from ..operators import graph
+    core = graph.kcore_peel(_trade_edges(spark, sf_dir),
+                            KCORE_K, KCORE_ROUNDS)
+    return (core.groupBy(
+                F.when(F.col("node") % 2 == 0, F.lit("customer"))
+                 .otherwise(F.lit("supplier")).alias("node_type"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.sum("deg").alias("sum_deg"),
+                 F.max("deg").alias("max_deg")))
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src IN (SELECT node FROM a{i})
+    AND e.dst IN (SELECT node FROM a{i})
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH {_TRADE_CTES},
+e0 AS MATERIALIZED (SELECT src, dst FROM edges),{",".join(rounds)},
+core AS (SELECT src AS node, count(*) AS deg FROM {prev} GROUP BY src)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       count(*) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS sum_deg,
+       max(deg) AS max_deg
+FROM core GROUP BY 1
 """
 
 
@@ -1084,5 +1152,6 @@ QUERIES: dict[str, Query] = {
     "q107_bloom_join": Query(q107_bloom_join, _Q107_SQL),
     "q125_fuzzy_linkage": Query(q125_fuzzy_linkage, _Q125_SQL),
     "q128_pagerank": Query(q128_pagerank, _pagerank_sql()),
+    "q131_kcore": Query(q131_kcore, _kcore_sql()),
     "q114_global_sort": Query(q114_global_sort, _Q114_SQL),
 }

@@ -224,3 +224,42 @@ def test_importance_resample_shifts_mix_toward_target(spark, sf_dir):
     others_kept = sum(r.n_kept for r in rows) - tgt.n_kept
     others_docs = sum(r.n_docs for r in rows) - tgt.n_docs
     assert tgt.n_kept * others_docs > others_kept * tgt.n_docs
+
+
+# --- q131: k-core peel -------------------------------------------------------
+
+def _kcore_ref(edges, k, rounds):
+    from collections import Counter
+    e = list(edges)
+    for _ in range(rounds):
+        deg = Counter(s for s, _ in e)
+        alive = {n for n, d in deg.items() if d >= k}
+        e = [(s, d) for s, d in e if s in alive and d in alive]
+    return dict(Counter(s for s, _ in e))
+
+
+def test_kcore_cascade_matches_reference_on_path_graph(spark):
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.graph import kcore_peel
+    # path 1-2-3-4-5-6: k=2 peels both endpoints each round — a pure
+    # cascade (each round creates the next round's victims)
+    und = [(i, i + 1) for i in range(1, 6)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2, 3):
+        got = {r.node: r.deg for r in kcore_peel(df, 2, rounds).collect()}
+        assert got == _kcore_ref(edges, 2, rounds), rounds
+    # round 3 has peeled everything (6-node path dies in 3 rounds of
+    # endpoint removal)
+    assert kcore_peel(df, 2, 3).count() == 0
+
+
+def test_kcore_query_shape(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import q131_kcore
+    rows = q131_kcore(spark, sf_dir).collect()
+    by = {r.node_type: r for r in rows}
+    assert set(by) <= {"customer", "supplier"}
+    # both directions of every surviving edge are present, so the two
+    # node types' degree sums are equal (bipartite double counting)
+    if len(by) == 2:
+        assert by["customer"].sum_deg == by["supplier"].sum_deg
+    assert all(r.max_deg <= r.sum_deg for r in rows)
