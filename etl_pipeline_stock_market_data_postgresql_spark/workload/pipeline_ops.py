@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import Query
+from ..functions import textstats
 from ..functions.hashing import hash32, hash32_sql
 from ..functions.rounding import round_half_up, round_half_up_sql
 from ..sources.tables import load
@@ -681,6 +682,74 @@ WHERE best_above IS NULL OR max_chars > best_above
 """
 
 
+# --- q132: per-domain token-budget prefix fill -----------------------------
+
+TB_BUDGET = 800  # per-source token budget
+
+
+def q132_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a training mix to EXACT per-domain token budgets: order
+    each source's docs by a content hash (reproducible, rerun- and
+    growth-stable — the q59 argument) and keep the maximal prefix whose
+    running token sum stays within the budget. This is the step that
+    turns "mixture weights" into an actual N-token dataset: q69 decides
+    the proportions, this query cuts the deterministic prefix that
+    realizes them. Output is the per-source fill summary (bounded by
+    |sources| at any scale).
+
+    Scale shape: one tokenize pass (map-only), then a per-source window
+    cumsum — shuffle ∝ docs keyed on source, one sort per domain. A
+    pathologically skewed domain (one source = the whole corpus) turns
+    that sort into a single straggler task; the escape hatch is q114's
+    terasort shape (sample range boundaries on the hash, per-shard
+    partial sums + broadcast offsets), not a different algorithm — at
+    the 20-source testdata and any realistically sharded corpus the
+    plain window IS the right plan.
+
+    Exactness: token counts and cumulative sums are BIGINTs; the window
+    order (hash, doc_id) is total, so every prefix — and therefore the
+    budget cut — is bit-identical cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tok"),
+        hash32(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+        .alias("h"))
+    w = (Window.partitionBy("source").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = d.withColumn("cum", F.sum("n_tok").over(w))
+    kept = F.col("cum") <= TB_BUDGET
+    return (filled.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_tok"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .alias("tokens_kept")))
+
+
+_Q132_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         {hash32_sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+c AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN cum <= {TB_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN cum <= {TB_BUDGET} THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM c GROUP BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q56_range_join": Query(q56_range_join, _Q56_SQL),
     "q57_hierarchical_rollup": Query(q57_hierarchical_rollup, _Q57_SQL),
@@ -694,4 +763,5 @@ QUERIES: dict[str, Query] = {
     "q79_shuffle_shard": Query(q79_shuffle_shard, _Q79_SQL),
     "q91_cdc_apply": Query(q91_cdc_apply, _Q91_SQL),
     "q129_pareto_frontier": Query(q129_pareto_frontier, _Q129_SQL),
+    "q132_token_budget_fill": Query(q132_token_budget_fill, _Q132_SQL),
 }

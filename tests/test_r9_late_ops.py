@@ -263,3 +263,34 @@ def test_kcore_query_shape(spark, sf_dir):
     if len(by) == 2:
         assert by["customer"].sum_deg == by["supplier"].sum_deg
     assert all(r.max_deg <= r.sum_deg for r in rows)
+
+
+# --- q132: token-budget prefix fill -----------------------------------------
+
+def test_token_budget_fill_invariants(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.functions import textstats
+    from etl_pipeline_stock_market_data_postgresql_spark.functions.hashing import hash32
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.pipeline_ops import (
+        TB_BUDGET, q132_token_budget_fill)
+    rows = q132_token_budget_fill(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(0 <= r.tokens_kept <= TB_BUDGET for r in rows)
+    assert all(0 <= r.n_kept <= r.n_docs for r in rows)
+    # maximality: the prefix can't be extended — recompute each source's
+    # hash-ordered doc list on the driver and check the (n_kept+1)-th
+    # doc would blow the budget
+    d = docs.select(
+        "doc_id", "source",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tok"),
+        hash32(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+        .alias("h")).collect()
+    from collections import defaultdict
+    per_src = defaultdict(list)
+    for r in d:
+        per_src[r.source].append((r.h, r.doc_id, r.n_tok))
+    for r in rows:
+        toks = [t for _, _, t in sorted(per_src[r.source])]
+        assert sum(toks[:r.n_kept]) == r.tokens_kept
+        if r.n_kept < r.n_docs:
+            assert r.tokens_kept + toks[r.n_kept] > TB_BUDGET
