@@ -75,6 +75,15 @@ FUZZ_DOC_QUERIES = [
     "q76_repetition_stats", "q83_duplicate_spans", "q84_heavy_hitters",
     "q115_bpe_train", "q116_trained_quality_scorer",
     "q117_dedup_span_removal", "q119_bpe_encode",
+    # round-9 late additions. q121/q130: the fuzz corpus has no 'src0',
+    # so the DSIR target slice is empty — the Laplace-smoothed model
+    # degrades gracefully (uniform target) and stays well-defined on
+    # both engines, which is exactly the robustness worth fuzzing.
+    # q124 is deliberately absent: an EMPTY LM train slice (no src0-3
+    # here) makes P(w2|w1) = 1/(0+V=0) undefined by construction.
+    "q121_dsir_weights", "q123_canonical_selection",
+    "q129_pareto_frontier", "q130_importance_resample",
+    "q132_token_budget_fill",
 ]
 
 

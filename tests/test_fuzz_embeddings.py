@@ -63,6 +63,7 @@ FUZZ_EMB_QUERIES = [
     "q82_kmeans_lloyd", "q86_cluster_purity", "q94_learned_ivf",
     "q98_semantic_dedup", "q109_sq8_quantization",
     "q111_semantic_dedup_hier", "q113_ivfpq_adc",
+    "q126_embedding_covariance",
 ]
 
 
