@@ -128,14 +128,19 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     src, dst = "src", "dst"
     ed = edges.localCheckpoint(eager=True,
                                storageLevel=StorageLevel.DISK_ONLY)
-    for _ in range(rounds):
+    for i in range(rounds):
         alive = (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
                  .filter(F.col("deg") >= k)
                  .select(src))
         ed = (ed.join(alive.hint("merge"), src, "left_semi")
               .join(alive.withColumnRenamed(src, dst).hint("merge"),
-                    dst, "left_semi")
-              .localCheckpoint(eager=True,
-                               storageLevel=StorageLevel.DISK_ONLY))
+                    dst, "left_semi"))
+        if i < rounds - 1:
+            # cut lineage BETWEEN rounds only: the final round's edge
+            # set feeds exactly one consumer (the degree aggregate
+            # below), so a last checkpoint would pay a full |edges|
+            # disk write+read for nothing
+            ed = ed.localCheckpoint(eager=True,
+                                    storageLevel=StorageLevel.DISK_ONLY)
     return (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
             .select(F.col(src).alias("node"), "deg"))
