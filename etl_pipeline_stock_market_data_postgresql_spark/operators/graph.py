@@ -81,7 +81,7 @@ def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
     r = (nodes.select("node",
                       F.lit(RANK_SCALE).cast("long").alias("rank_micro"))
          .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
-    for _ in range(iters):
+    for i in range(iters):
         # both per-round joins are node-table-sized on at least one
         # side; pin them to shuffle joins (merge hint) — Catalyst's
         # static estimator sees a small checkpointed rank table and
@@ -100,9 +100,13 @@ def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
              .select("node",
                      (F.lit(TELEPORT).cast("long")
                       + F.coalesce(F.col("s"), F.lit(0).cast("long"))
-                      ).alias("rank_micro"))
-             .localCheckpoint(eager=True,
-                              storageLevel=StorageLevel.DISK_ONLY))
+                      ).alias("rank_micro")))
+        if i < iters - 1:
+            # cut lineage BETWEEN iterations only — the final rank
+            # table feeds one consumer (the caller's next op), so a
+            # last checkpoint would pay a node-table write for nothing
+            r = r.localCheckpoint(eager=True,
+                                  storageLevel=StorageLevel.DISK_ONLY)
     return r
 
 
@@ -117,8 +121,8 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     Bounded-round semantics (not the fixpoint): ``deg`` is recomputed
     on the final edge set, so a node the NEXT round would peel still
     appears — exactly what the unrolled-CTE oracle computes, so the
-    driver hash certifies the whole trajectory. Callers wanting the
-    true k-core iterate until the surviving-node count stops changing.
+    driver hash certifies the whole trajectory. For the true k-core
+    use :func:`kcore_fixpoint`.
 
     Scale shape per round: one map-side-combinable degree aggregate
     (shuffle ∝ |edges|, combine on src) and two semi-joins against the
@@ -142,5 +146,40 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             # disk write+read for nothing
             ed = ed.localCheckpoint(eager=True,
                                     storageLevel=StorageLevel.DISK_ONLY)
+    return (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col(src).alias("node"), "deg"))
+
+
+def kcore_fixpoint(edges: DataFrame, k: int,
+                   max_rounds: int = 100) -> DataFrame:
+    """(node, deg) of the TRUE k-core: peel until the surviving-node
+    count stops changing (each pass runs one :func:`kcore_peel` round
+    and pays one driver-side count as the convergence check — the
+    standard driver-coordinated fixpoint, same shape as the dedup
+    connected-components loop). ``max_rounds`` bounds pathological
+    chains (a path graph peels one layer per round); the peel count
+    needed is at most the graph's degeneracy ordering depth, tiny for
+    real-world graphs.
+
+    Not oracle-gated: the round count is data-dependent, which an
+    unrolled-CTE oracle cannot express — unit tests pin it against a
+    driver-side reference instead (the documented weaker-check class)."""
+    src, dst = "src", "dst"
+    ed = edges.localCheckpoint(eager=True,
+                               storageLevel=StorageLevel.DISK_ONLY)
+    n_prev = ed.select(src).distinct().count()
+    for _ in range(max_rounds):
+        alive = (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+                 .filter(F.col("deg") >= k)
+                 .select(src))
+        ed = (ed.join(alive.hint("merge"), src, "left_semi")
+              .join(alive.withColumnRenamed(src, dst).hint("merge"),
+                    dst, "left_semi")
+              .localCheckpoint(eager=True,
+                               storageLevel=StorageLevel.DISK_ONLY))
+        n = ed.select(src).distinct().count()
+        if n == n_prev:
+            break
+        n_prev = n
     return (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
             .select(F.col(src).alias("node"), "deg"))

@@ -294,3 +294,16 @@ def test_token_budget_fill_invariants(spark, sf_dir):
         assert sum(toks[:r.n_kept]) == r.tokens_kept
         if r.n_kept < r.n_docs:
             assert r.tokens_kept + toks[r.n_kept] > TB_BUDGET
+
+
+def test_kcore_fixpoint_reaches_the_true_core(spark):
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.graph import kcore_fixpoint
+    # triangle 1-2-3 with a pendant path 3-4-5: the 2-core is exactly
+    # the triangle, reached only after the cascade peels 5 then 4
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in kcore_fixpoint(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k above the max degree: everything peels, empty core
+    assert kcore_fixpoint(df, 5).count() == 0
