@@ -51,7 +51,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q124_lm_perplexity", "q125_fuzzy_linkage",
     "q126_embedding_covariance", "q127_schema_evolution",
     "q128_pagerank", "q129_pareto_frontier", "q130_importance_resample",
-    "q131_kcore", "q132_token_budget_fill",
+    "q131_kcore", "q132_token_budget_fill", "q133_jsonl_roundtrip",
     # (2b) outputs/oracles CHANGED this round: q51/q61's verification
     # moved to 60-bit shingle fingerprints (values verified identical
     # at gate SF, but the r8 green rows prove the OLD oracle pair);
@@ -76,12 +76,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
     "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
     "q111_semantic_dedup_hier", "q113_ivfpq_adc", "q63_quality_gate",
-    "q76_repetition_stats", "q84_heavy_hitters", "q34_multimodal_meta",
-    # q74_multimodal_decode, q37_cube, q38_string_funcs,
-    # q39_percentiles, q42_unpivot, q45_window_suite,
+    "q76_repetition_stats", "q84_heavy_hitters",
+    # q34_multimodal_meta, q74_multimodal_decode, q37_cube,
+    # q38_string_funcs, q39_percentiles, q42_unpivot, q45_window_suite,
     # q46_streaming_tumbling, q62_streaming_session_window,
     # q89_streaming_sliding_window and q73_streaming_stream_join were
-    # the 19th-28th r7-tier slots; the late additions q123-q132
+    # the 18th-28th r7-tier slots; the late additions q123-q133
     # displace them past the 50-cap — they join the r10 rotation with
     # the other 21 r7-tier deferrals.
 )

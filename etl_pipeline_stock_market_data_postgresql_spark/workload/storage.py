@@ -410,6 +410,67 @@ GROUP BY 1
 """
 
 
+# --- q133: JSONL round-trip (the LLM-pipeline interchange format) ----------
+
+JSONL_SHARDS = 8
+
+
+def q133_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the corpus as sharded JSON Lines — the interchange
+    format every LLM data pipeline exports/ingests — read it back, and
+    certify content survival per source: doc/char counts plus an
+    order-independent content certificate (sum of 60-bit text+id
+    fingerprints — commutative, so shard order and parallelism can't
+    move it; the q118 certificate pattern). The oracle computes the
+    same summary from the ORIGINAL table, so a green row proves the
+    writer→reader loop lost or altered nothing — including the unicode
+    escaping round-trip, which is where JSON writers actually break.
+
+    Scale shape: one write (shuffle ∝ docs into JSONL_SHARDS per the
+    repartition; a real export keys shards on split/domain), one
+    schema-PINNED read back (``.schema(...)`` — never inference, which
+    at 100 TB would pay a full extra pass over the text just to guess
+    what the catalog already knows), one map-side-combinable groupBy.
+    n_chars survives as data (not recomputed), so a writer that
+    mangled text would be caught by the certificate, not masked by
+    recomputation."""
+    from ..functions.hashing import hash60
+
+    docs = load(spark, sf_dir, "documents")
+    base, _ = _scratch_base(sf_dir)
+    path = os.path.join(base, "q133_docs_jsonl")
+    (docs.repartition(JSONL_SHARDS)
+         .write.mode("overwrite").json(path))
+    back = spark.read.schema(docs.schema).json(path)
+    cert = hash60(F.concat_ws("\x1f", F.col("doc_id").cast("string"),
+                              F.col("text")))
+    # sum 60-bit fingerprints through DECIMAL(38,0) (no row-count
+    # overflow bound), then fold back to BIGINT with mod 2^62 — both
+    # engines floor-mod identically on non-negative values, and the
+    # parity harness (rightly) rejects DECIMAL output columns
+    cert_sum = ((F.sum(cert.cast("decimal(38,0)"))
+                 % F.lit(_CERT_MOD).cast("decimal(38,0)"))
+                .cast("long"))
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 cert_sum.alias("content_cert")))
+
+
+_CERT_MOD = 1 << 62
+
+
+def _q133_sql() -> str:
+    from ..functions.hashing import hash60_sql
+    cert = hash60_sql("CAST(doc_id AS VARCHAR) || chr(31) || text")
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({cert}) % {_CERT_MOD} AS BIGINT) AS content_cert
+FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -418,4 +479,5 @@ QUERIES: dict[str, Query] = {
     "q118_small_file_compaction": Query(q118_small_file_compaction,
                                         _Q118_SQL),
     "q127_schema_evolution": Query(q127_schema_evolution, _Q127_SQL),
+    "q133_jsonl_roundtrip": Query(q133_jsonl_roundtrip, _q133_sql()),
 }

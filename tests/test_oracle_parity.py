@@ -189,9 +189,10 @@ import os as _os
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
     # displaced from the r9 evidence window by the late additions
-    # q123-q132 (newest driver row r7; local sf0.01 evidence instead):
-    "q37_cube", "q38_string_funcs", "q39_percentiles", "q42_unpivot",
-    "q89_streaming_sliding_window", "q91_cdc_apply",
+    # q123-q133 (newest driver row r7; local sf0.01 evidence instead):
+    "q34_multimodal_meta", "q37_cube", "q38_string_funcs",
+    "q39_percentiles", "q42_unpivot", "q89_streaming_sliding_window",
+    "q91_cdc_apply",
     # (q74_multimodal_decode was already below)
     "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
     "q48_vwap", "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
