@@ -383,6 +383,16 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     dereferenced checkpoint RDD blocks). The edge cache is freed
     deterministically on every exit path. The final labels' blocks back
     the returned DataFrame and are the caller's to release.
+
+    Caller contract: PERSIST ``edges`` before calling. The finalizer
+    choice pays an unconditional ``edges.count()``, and the edge list
+    is then consumed again by whichever path runs (collect driver-side,
+    or the sym/labels derivation) — an unpersisted caller re-runs its
+    entire verify pipeline once per consumer. Every in-repo caller
+    persists; the count is deliberately NOT wrapped in an internal
+    persist here because the driver-local path would then cache the
+    edge list twice (caller's handle + ours) with no way to release the
+    caller's.
     """
     if edges.count() <= driver_edges_threshold:
         return _cc_driver_local(edges, src, dst)

@@ -152,22 +152,37 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
 
 def kcore_fixpoint(edges: DataFrame, k: int,
                    max_rounds: int = 100) -> DataFrame:
-    """(node, deg) of the TRUE k-core: peel until the surviving-node
+    """(node, deg) of the TRUE k-core: peel until the surviving EDGE
     count stops changing (each pass runs one :func:`kcore_peel` round
     and pays one driver-side count as the convergence check — the
     standard driver-coordinated fixpoint, same shape as the dedup
-    connected-components loop). ``max_rounds`` bounds pathological
-    chains (a path graph peels one layer per round); the peel count
-    needed is at most the graph's degeneracy ordering depth, tiny for
-    real-world graphs.
+    connected-components loop). The witness is the edge count, not the
+    node count: on a directed graph with sink-only dst nodes the edge
+    set can shrink in a round while the distinct-src count stays
+    constant, so a node-count witness could terminate before the true
+    core — and edges.count() is the cheaper scan anyway (no distinct
+    shuffle). An unchanged edge count is sound on any edge list: the
+    peel only ever removes edges, so equal counts mean the alive filter
+    kept every src and dropped nothing, i.e. the next round would be
+    identical. ``max_rounds`` bounds pathological chains (a path graph
+    peels one layer per round); the peel count needed is at most the
+    graph's degeneracy ordering depth, tiny for real-world graphs.
 
-    Not oracle-gated: the round count is data-dependent, which an
-    unrolled-CTE oracle cannot express — unit tests pin it against a
-    driver-side reference instead (the documented weaker-check class)."""
+    Returns ``(core_df, rounds_used)`` where ``rounds_used`` counts the
+    peel passes executed INCLUDING the final no-op pass that proved the
+    fixpoint — callers certifying convergence-within-R compare
+    ``rounds_used <= R``.
+
+    Not oracle-gated directly: the round count is data-dependent, which
+    an unrolled-CTE oracle cannot express — q136 gates it anyway by
+    certifying ``rounds_used`` against a statically-unrolled bound, and
+    unit tests pin it against a driver-side reference (the documented
+    weaker-check class)."""
     src, dst = "src", "dst"
     ed = edges.localCheckpoint(eager=True,
                                storageLevel=StorageLevel.DISK_ONLY)
-    n_prev = ed.select(src).distinct().count()
+    n_prev = ed.count()
+    rounds_used = 0
     for _ in range(max_rounds):
         alive = (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
                  .filter(F.col("deg") >= k)
@@ -177,9 +192,11 @@ def kcore_fixpoint(edges: DataFrame, k: int,
                     dst, "left_semi")
               .localCheckpoint(eager=True,
                                storageLevel=StorageLevel.DISK_ONLY))
-        n = ed.select(src).distinct().count()
+        rounds_used += 1
+        n = ed.count()
         if n == n_prev:
             break
         n_prev = n
-    return (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    core = (ed.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
             .select(F.col(src).alias("node"), "deg"))
+    return core, rounds_used

@@ -228,8 +228,11 @@ def covariance_partials(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
     arithmetic, where accumulation order cannot matter. The int64
     matmul is exact (no FP): with |q| <= ~1e7 and Arrow's default 10k
     rows/batch the per-batch partials stay far below 2^63, and the
-    GLOBAL sums go through DECIMAL(38,0) downstream, so corpus scale
-    never touches int64 again.
+    GLOBAL sums go through exact DECIMAL downstream, so corpus scale
+    never touches int64 again. The |q| bound is not assumed: each batch
+    asserts ``rows * max(|q|)^2 < 2^63`` (exact Python-int arithmetic)
+    and raises instead of silently wrapping when larger-magnitude
+    embeddings or a raised maxRecordsPerBatch violate it.
 
     Scale design: a d^2-sized aggregate is the shape where pure JVM
     expressions fail twice over — a posexplode self-join shuffles
@@ -251,6 +254,13 @@ def covariance_partials(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = np.floor(x * float(COV_SCALE) + 0.5).astype(np.int64)
+            qmax = int(np.abs(q).max()) if q.size else 0
+            if len(pdf) * qmax * qmax >= 2 ** 63:
+                raise OverflowError(
+                    f"covariance_partials: batch of {len(pdf)} rows with "
+                    f"max|q|={qmax} would wrap int64 partials; lower "
+                    f"spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    f"rescale the embeddings")
             c = q.T @ q                       # exact int64 matmul
             s = q.sum(axis=0, dtype=np.int64)
             d_idx = np.arange(dim, dtype=np.int32)

@@ -1135,14 +1135,18 @@ def q126_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one corpus pass through the Arrow-batched partial-X^T X
     kernel (operators/similarity.covariance_partials) reduces each
-    batch to O(d^2) int64 partial rows; a single groupBy sums them as
-    DECIMAL(38,0) — so the shuffle carries #batches * d^2 tiny rows and
-    the corpus is touched exactly once, at any scale. The centered
-    numerator n*C_ij - S_i*S_j is computed in DECIMAL(38,0) (exact;
-    |num| < 1e33 even at 1e10 rows), ranking happens in that exact
-    integer space (no float can flip ranks), and the descale to a
-    readable double covariance happens once at the end with identical
-    IEEE ops on both engines (the q60 contract).
+    batch to O(d^2) int64 partial rows; a single groupBy sums them in
+    exact decimal space — partials cast to DECIMAL(20,0), whose sum
+    Spark widens to DECIMAL(30,0): with |q| <= 1e7 each row contributes
+    |q_i*q_j| <= 1e14, so the sum stays exact to ~1e16 rows, far beyond
+    any corpus — so the shuffle carries
+    #batches * d^2 tiny rows and the corpus is touched exactly once, at
+    any scale. The centered numerator n*C_ij - S_i*S_j multiplies two
+    DECIMAL(30,0)s, landing in Spark's capped DECIMAL(38,0) (exact
+    while |num| < 1e38; |num| < 1e33 even at 1e10 rows), ranking
+    happens in that exact integer space (no float can flip ranks), and
+    the descale to a readable double covariance happens once at the end
+    with identical IEEE ops on both engines (the q60 contract).
 
     The count row joins via crossJoin(broadcast(1-row)) — the
     plan-lint-allowlisted bounded-broadcast shape (q105's bounds row).

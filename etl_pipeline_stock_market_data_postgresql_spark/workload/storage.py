@@ -442,8 +442,13 @@ def q133_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs.repartition(JSONL_SHARDS)
          .write.mode("overwrite").json(path))
     back = spark.read.schema(docs.schema).json(path)
+    # coalesce text to '' on BOTH engines: concat_ws skips NULL args
+    # while the oracle's || null-propagates (and its sum() would skip
+    # the NULL hash), so without the coalesce a NULL-text row diverges
+    # cross-engine — and Spark's JSON writer omits null fields, which a
+    # recomputed cert would silently mask
     cert = hash60(F.concat_ws("\x1f", F.col("doc_id").cast("string"),
-                              F.col("text")))
+                              F.coalesce(F.col("text"), F.lit(""))))
     # sum 60-bit fingerprints through DECIMAL(38,0) (no row-count
     # overflow bound), then fold back to BIGINT with mod 2^62 — both
     # engines floor-mod identically on non-negative values, and the
@@ -462,7 +467,8 @@ _CERT_MOD = 1 << 62
 
 def _q133_sql() -> str:
     from ..functions.hashing import hash60_sql
-    cert = hash60_sql("CAST(doc_id AS VARCHAR) || chr(31) || text")
+    cert = hash60_sql(
+        "CAST(doc_id AS VARCHAR) || chr(31) || coalesce(text, '')")
     return f"""
 SELECT source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,

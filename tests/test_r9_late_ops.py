@@ -303,7 +303,27 @@ def test_kcore_fixpoint_reaches_the_true_core(spark):
     und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
     edges = und + [(b, a) for a, b in und]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.deg for r in kcore_fixpoint(df, 2).collect()}
+    core, rounds = kcore_fixpoint(df, 2)
+    got = {r.node: r.deg for r in core.collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+    # peel 5, peel 4, then the no-op pass that proves the fixpoint
+    assert rounds == 3
     # k above the max degree: everything peels, empty core
-    assert kcore_fixpoint(df, 5).count() == 0
+    empty, _ = kcore_fixpoint(df, 5)
+    assert empty.count() == 0
+
+
+def test_kcore_fixpoint_edge_count_witness_on_directed_sinks(spark):
+    """The ADVICE-flagged case: a DIRECTED edge list where round 1
+    removes edges (those pointing at the peeled sink) while the
+    distinct-src count stays constant — srcs 1 and 2 both survive round
+    1 with k=2 (out-degree 2 each) but lose their edges into sink 3, so
+    a node-count witness would declare convergence with {1, 2} at
+    degree 1 < k. The edge-count witness sees 4 -> 2 -> 0 and peels to
+    the true (empty) core."""
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.graph import kcore_fixpoint
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 1), (2, 3)],
+                               "src long, dst long")
+    core, rounds = kcore_fixpoint(df, 2)
+    assert core.count() == 0
+    assert rounds == 3  # drop 3's edges, empty out, prove the fixpoint
