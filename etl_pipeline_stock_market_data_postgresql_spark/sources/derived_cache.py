@@ -1,0 +1,115 @@
+"""Fingerprint-invalidated derived-table cache (materialized views).
+
+Several queries share an expensive derived table: the trade-graph edge
+list (q128 PageRank, q131/q136 k-core both pay the same orders⨝lineitem
+distinct-pair pass), and the dedup signature index (q120/q122's fixture
+batch-dedups the same two-thirds of the corpus). A production pipeline
+materializes these once and refreshes on input change — this module is
+that primitive: ``cached_parquet`` returns the stored parquet when its
+recorded input fingerprint still matches, and (re)builds otherwise.
+
+Invalidation is by INPUT fingerprint, not output content: the
+fingerprint hashes the source files' (relative path, size, mtime_ns)
+triples plus a caller-supplied params string (derivation constants +
+a version token bumped on logic change). A content hash would need a
+full pass over the inputs — exactly the pass the cache exists to avoid;
+file-stat invalidation is the standard lakehouse refresh trigger
+(a changed upstream commit touches files). On a real cluster the same
+contract reads the table format's snapshot/commit id instead of mtimes.
+
+Publication is atomic-ish: build into a pid-suffixed temp dir next to
+the target, write the fingerprint INSIDE it, then rename over the
+target — a reader never observes a half-written cache. Two same-user
+same-SF processes racing the build both produce identical content (the
+derivations are deterministic), so last-rename-wins is safe; distinct
+users/SFs never share a path (sources/scratch.scratch_base).
+
+Reference parity: the reference delegates derived state to PostgreSQL
+tables it refreshes by re-INSERT (main_parallel.py's re-fetch +
+idempotent load); this is the Spark-native equivalent with explicit
+staleness tracking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FP_NAME = "_INPUT_FINGERPRINT"
+
+
+def file_fingerprint(paths: list[str] | tuple[str, ...],
+                     params: str = "") -> str:
+    """Hex digest over the (relpath, size, mtime_ns) of every file under
+    ``paths`` (each a file or directory, walked recursively, sorted so
+    listing order can't move the digest) plus ``params``. Missing paths
+    fingerprint as absent — building from them would fail anyway."""
+    h = hashlib.sha256()
+    h.update(params.encode())
+    for root in paths:
+        h.update(b"\x00" + os.path.basename(os.path.normpath(root)).encode())
+        if os.path.isfile(root):
+            st = os.stat(root)
+            h.update(f"|.|{st.st_size}|{st.st_mtime_ns}".encode())
+            continue
+        if not os.path.isdir(root):
+            h.update(b"|missing")
+            continue
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, root),
+                                st.st_size, st.st_mtime_ns))
+        for rel, size, mtime in sorted(entries):
+            h.update(f"|{rel}|{size}|{mtime}".encode())
+    return h.hexdigest()
+
+
+def table_fingerprint(sf_dir: str, tables: tuple[str, ...],
+                      params: str = "") -> str:
+    """Fingerprint of testdata tables by name — the common case."""
+    return file_fingerprint(
+        [os.path.join(sf_dir, f"{t}.parquet") for t in tables], params)
+
+
+def _stored_fingerprint(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _FP_NAME), encoding="ascii") as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def cached_parquet(spark: SparkSession, path: str, fingerprint: str,
+                   build: Callable[[], DataFrame]) -> DataFrame:
+    """Return ``spark.read.parquet(path)``, (re)building it from
+    ``build()`` first unless the stored fingerprint matches. The
+    returned scan is lazy and re-readable — multi-consumer plans read
+    the compact materialized table per consumer instead of re-deriving
+    (the persist-vs-reread tradeoff tips to reread once the state is
+    columnar on disk)."""
+    if _stored_fingerprint(path) != fingerprint:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build().write.mode("overwrite").parquet(tmp)
+        # the fingerprint lands INSIDE tmp before publication, and its
+        # underscore prefix keeps Spark's file index from reading it
+        with open(os.path.join(tmp, _FP_NAME), "w", encoding="ascii") as f:
+            f.write(fingerprint)
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # a concurrent builder published between our rmtree and
+            # rename; both builds are deterministic over the same
+            # fingerprinted inputs, so theirs is as good as ours
+            if _stored_fingerprint(path) != fingerprint:
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)

@@ -893,25 +893,41 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (src, dst) edge list of the undirected customer↔supplier
     trade graph, both directions present. Nodes are namespaced into one
     long id space (cust*2 / supp*2+1) so every shuffle key is a plain
-    long. The ONE corpus-scale stage of every graph query: an
-    orders⨝lineitem pass reduced to distinct pairs.
+    long. The ONE corpus-scale stage of every graph query — an
+    orders⨝lineitem pass reduced to distinct pairs — is MATERIALIZED
+    once per (SF, input state) through the fingerprint-invalidated
+    derived-table cache (sources/derived_cache): q128, q131 and q136
+    each consumed the same ~100s derivation at the 100× probe before
+    the cache; now the second-and-later graph queries read the compact
+    pair parquet instead of re-deriving, and a changed orders/lineitem
+    input rebuilds it (tests/test_derived_cache.py). The union reads
+    the cached parquet twice — two cheap columnar scans, replacing the
+    former DISK_ONLY checkpoint.
 
     merge hint: fact-to-fact join — Catalyst's static estimate of the
     2-column orders projection falls under the broadcast threshold at
     probe scale and built a 512 MB driver-side hash table (15M rows);
-    at 100 TB the orders side is nowhere near broadcastable.
-    DISK_ONLY cut: the union consumes und TWICE — uncut, the whole
-    join+distinct would run once per direction."""
-    from pyspark.storagelevel import StorageLevel
+    at 100 TB the orders side is nowhere near broadcastable."""
+    import os
 
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    und = (orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
-           .select((F.col("o_custkey") * 2).alias("c"),
-                   (F.col("l_suppkey") * 2 + 1).alias("s"))
-           .distinct()
-           .localCheckpoint(eager=True,
-                            storageLevel=StorageLevel.DISK_ONLY))
+    from ..sources.derived_cache import cached_parquet, table_fingerprint
+    from .storage import _scratch_base
+
+    def build() -> DataFrame:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey")
+        return (orders.join(li.hint("merge"),
+                            orders.o_orderkey == li.l_orderkey)
+                .select((F.col("o_custkey") * 2).alias("c"),
+                        (F.col("l_suppkey") * 2 + 1).alias("s"))
+                .distinct())
+
+    base, _ = _scratch_base(sf_dir)
+    fp = table_fingerprint(sf_dir, ("orders", "lineitem"),
+                           params="trade_und_v1")
+    und = cached_parquet(spark, os.path.join(base, "trade_und"), fp, build)
     return (und.select(F.col("c").alias("src"), F.col("s").alias("dst"))
             .union(und.select(F.col("s").alias("src"),
                               F.col("c").alias("dst"))))

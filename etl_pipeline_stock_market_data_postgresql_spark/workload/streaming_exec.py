@@ -483,11 +483,11 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     text work, columnar index scan); the stream adds only the
     foreachBatch commit. Batch-count-agnostic; two batches are the
     gate-sized stand-in for a day's thousands."""
-    from ..operators import dedup
     from ..operators import incremental_dedup as inc
     from ..sources.tables import load
     from .storage import _scratch_base
-    from .text_dedup import LSH_BANDS, LSH_ROWS, LSH_VERIFY_THRESHOLD
+    from .text_dedup import (LSH_BANDS, LSH_ROWS, LSH_VERIFY_THRESHOLD,
+                             corpus0_signature_index)
 
     base, _ = _scratch_base(sf_dir)
     feed = os.path.join(base, "q122_feed")
@@ -499,25 +499,14 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
         shutil.rmtree(d, ignore_errors=True)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    b = (2 * max_id) // 3
-    mid = (b + max_id) // 2
-    corpus0 = docs.filter(F.col("doc_id") <= b)
+    _index, b, cache_path = corpus0_signature_index(spark, sf_dir)
+    mid = (b + docs.agg(F.max("doc_id")).first()[0]) // 2
 
-    # batch-dedup the initial corpus -> pair-free index (q120's fixture)
-    sh0 = dedup.shingle_table(corpus0, "doc_id", "text", n=3)
-    sig0 = dedup.minhash_signatures(sh0, "doc_id")
-    cand0 = dedup.lsh_candidate_pairs(sig0, "doc_id", LSH_BANDS, LSH_ROWS)
-    ver0 = dedup.verify_jaccard_on_pairs(cand0, sh0, "doc_id",
-                                         LSH_VERIFY_THRESHOLD)
-    comp0 = dedup.connected_components(
-        ver0.select("id_a", "id_b").persist(), "id_a", "id_b")
-    dropped0 = (comp0.filter(F.col("comp") != F.col("node"))
-                .select(F.col("node").alias("doc_id")))
-    kept0 = corpus0.join(dropped0, "doc_id", "left_anti")
-    inc.build_minhash_index(kept0, "doc_id", "text",
-                            bands=LSH_BANDS, rows_per_band=LSH_ROWS) \
-        .write.mode("overwrite").parquet(index_path)
+    # the stream MUTATES its index table (appends per batch), so it
+    # works on a file copy of the materialized index, never the shared
+    # cache itself
+    shutil.copytree(cache_path, index_path,
+                    ignore=shutil.ignore_patterns("_INPUT_FINGERPRINT"))
 
     # the delta arrives as two mtime-ordered micro-batch files
     d1 = docs.filter((F.col("doc_id") > b) & (F.col("doc_id") <= mid))
