@@ -110,6 +110,77 @@ def pagerank_exact(edges: DataFrame, iters: int) -> DataFrame:
     return r
 
 
+def pagerank_with_residuals(edges: DataFrame,
+                            iters: int) -> tuple[DataFrame, DataFrame]:
+    """:func:`pagerank_exact` plus the convergence trajectory: returns
+    ``(ranks, residuals)`` where ``residuals`` has one row per
+    iteration — (iter, max_abs_delta, sum_abs_delta, n_changed), the
+    per-round rank movement in exact micro-units. max|Δ| is the L∞
+    residual convergence monitoring actually thresholds on ("stop when
+    no rank moved more than ε"); sumΔ/n_changed give the L1 and
+    support views of the same trajectory. A production curation
+    pipeline gates on rank STABILITY, not a fixed round count — this is
+    the measurement that decides when the fixed-V contract (q128) is
+    enough.
+
+    Exactness: deltas subtract two exact-integer rank states, so every
+    residual is an exact BIGINT and the whole trajectory is
+    bit-identical to the unrolled-CTE oracle (q135 gates all three
+    columns per round).
+
+    Scale shape: identical per-round cost to pagerank_exact plus one
+    node-sized join per round for the delta (merge-hinted — same
+    broadcast-cliff reasoning as the rank-update join) reduced to a
+    1-row aggregate; the residual table is ``iters`` rows total. Every
+    round's rank state is lineage-cut (unlike pagerank_exact's
+    between-rounds-only cut, each state here has two consumers: the
+    residual aggregate and the next round)."""
+    src, dst = "src", "dst"
+    edges = edges.localCheckpoint(eager=True,
+                                  storageLevel=StorageLevel.DISK_ONLY)
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True,
+                              storageLevel=StorageLevel.DISK_ONLY))
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ed = (edges.join(outdeg.hint("merge"), src)
+          .select(src, dst, "deg")
+          .localCheckpoint(eager=True,
+                           storageLevel=StorageLevel.DISK_ONLY))
+    r = (nodes.select("node",
+                      F.lit(RANK_SCALE).cast("long").alias("rank_micro"))
+         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY))
+    res_parts = []
+    for i in range(iters):
+        contrib = (ed.join(r.hint("merge"), ed[src] == r["node"])
+                   .select(F.col(dst).alias("node"),
+                           F.expr(f"(rank_micro * {DAMP_NUM}L) div "
+                                  f"({DAMP_DEN}L * deg)").alias("c")))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r_new = (nodes.join(summed.hint("merge"), "node", "left")
+                 .select("node",
+                         (F.lit(TELEPORT).cast("long")
+                          + F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                          ).alias("rank_micro"))
+                 .localCheckpoint(eager=True,
+                                  storageLevel=StorageLevel.DISK_ONLY))
+        d = (r.select("node", F.col("rank_micro").alias("prev"))
+             .join(r_new.hint("merge"), "node")
+             .select((F.col("rank_micro") - F.col("prev")).alias("d")))
+        res_parts.append(d.agg(
+            F.max(F.abs(F.col("d"))).alias("max_abs_delta"),
+            F.sum(F.abs(F.col("d"))).alias("sum_abs_delta"),
+            F.count(F.when(F.col("d") != 0, 1)).alias("n_changed"))
+            .select(F.lit(i + 1).cast("int").alias("iter"),
+                    "max_abs_delta", "sum_abs_delta", "n_changed"))
+        r = r_new
+    residuals = res_parts[0]
+    for part in res_parts[1:]:
+        residuals = residuals.unionByName(part)
+    return r, residuals
+
+
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """(node, deg) of the nodes still carrying edges after ``rounds``
     degree-threshold peel iterations over the directed edge list

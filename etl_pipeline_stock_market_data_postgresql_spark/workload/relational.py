@@ -972,7 +972,10 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_micro")
 
 
-def _pagerank_sql() -> str:
+def _pagerank_ctes() -> tuple[str, str]:
+    """The shared unrolled-PageRank WITH body (trade graph -> r0..rV)
+    and the final iteration's CTE name — spliced by both the q128 and
+    q135 oracles so the two certify the same trajectory."""
     from ..operators.graph import DAMP_DEN, DAMP_NUM, RANK_SCALE, TELEPORT
     iters = []
     prev = "r0"
@@ -989,8 +992,7 @@ r{k} AS MATERIALIZED (
   FROM nodes n LEFT JOIN s{k} ON s{k}.node = n.node
 )""")
         prev = f"r{k}"
-    return f"""
-WITH {_TRADE_CTES},
+    body = f"""{_TRADE_CTES},
 nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
 outdeg AS MATERIALIZED (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
@@ -1000,14 +1002,59 @@ ed AS MATERIALIZED (
 ),
 r0 AS MATERIALIZED (
   SELECT node, CAST({RANK_SCALE} AS BIGINT) AS r FROM nodes
-),{",".join(iters)}
+),{",".join(iters)}"""
+    return body, prev
+
+
+def _pagerank_sql() -> str:
+    body, last = _pagerank_ctes()
+    return f"""
+WITH {body}
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          AS node_type,
        CAST(node // 2 AS BIGINT) AS node_id,
        r AS rank_micro
-FROM {prev}
+FROM {last}
 ORDER BY rank_micro DESC, node
 LIMIT {PR_TOPK}
+"""
+
+
+def q135_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank convergence residuals over the trade graph: one row per
+    iteration with the exact-integer L∞ / L1 / support view of how much
+    rank mass still moves — (iter, max_abs_delta, sum_abs_delta,
+    n_changed). This is the measurement a production curation pipeline
+    gates on instead of a fixed round count (q128's fixed-V contract is
+    justified exactly when this trajectory has flattened), and it turns
+    "did PageRank converge" into a driver-certified result: the oracle
+    unrolls the same rounds (shared CTE body, :func:`_pagerank_ctes`)
+    and recomputes every residual, so a green row certifies the whole
+    trajectory in both engines bit-for-bit.
+
+    Scale shape: pagerank_exact's per-round cost plus one merge-hinted
+    node-sized join per round collapsed to a 1-row aggregate; output is
+    PR_ITERS rows. Plan notes live on
+    ``operators/graph.pagerank_with_residuals``."""
+    from ..operators import graph
+    _r, residuals = graph.pagerank_with_residuals(
+        _trade_edges(spark, sf_dir), PR_ITERS)
+    return residuals
+
+
+def _q135_sql() -> str:
+    body, _last = _pagerank_ctes()
+    rounds = []
+    for k in range(1, PR_ITERS + 1):
+        rounds.append(f"""
+SELECT {k} AS iter,
+       max(abs(b.r - a.r)) AS max_abs_delta,
+       CAST(sum(abs(b.r - a.r)) AS BIGINT) AS sum_abs_delta,
+       CAST(count(CASE WHEN b.r <> a.r THEN 1 END) AS BIGINT) AS n_changed
+FROM r{k - 1} a JOIN r{k} b ON a.node = b.node""")
+    return f"""
+WITH {body}
+{" UNION ALL ".join(rounds)}
 """
 
 
@@ -1063,6 +1110,80 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
        count(*) AS n_nodes,
        CAST(sum(deg) AS BIGINT) AS sum_deg,
        max(deg) AS max_deg
+FROM core GROUP BY 1
+"""
+
+
+KCORE_FIX_K = 10
+KCORE_FIX_BOUND = 5  # unrolled-oracle peel rounds; measured fixpoint
+                     # depth is 1 effective round at every SF and probe
+                     # decade (dense trade graph), so the bound carries
+                     # 5x margin against regenerated data
+
+
+def q136_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE k-core (peel to fixpoint, k=10) with driver-certified
+    convergence — closing r9's honest gap where only the bounded-round
+    trajectory (q131) was oracle-gated and the fixpoint operator had
+    unit tests alone. The query runs ``graph.kcore_fixpoint`` (edge-
+    count-witnessed, data-dependent round count) and certifies
+    ``converged_within_bound``: TRUE iff the fixpoint was PROVEN within
+    KCORE_FIX_BOUND effective peel rounds. The oracle unrolls exactly
+    KCORE_FIX_BOUND rounds and emits literal TRUE — sound because
+    peeling is monotone, so once the edge set is stable every further
+    unrolled round is the identity and the bounded CTE equals the
+    fixpoint; if regenerated data ever needed more rounds, Spark's
+    FALSE flag turns the row red instead of silently gating a
+    non-converged core.
+
+    Scale shape: per-round cost identical to q131's peel (merge-hinted
+    semi-joins, map-side degree combine, DISK_ONLY cuts) plus one
+    driver-side edge count per round as the fixpoint witness; the edge
+    list comes from the materialized trade-graph cache, so the
+    corpus-scale derivation is paid once per input state, not per
+    query."""
+    from ..operators import graph
+    core, rounds_used = graph.kcore_fixpoint(
+        _trade_edges(spark, sf_dir), KCORE_FIX_K,
+        max_rounds=KCORE_FIX_BOUND + 3)
+    # rounds_used includes the final no-op proof round: the state is
+    # fixed after rounds_used - 1 effective peels, so the R-round
+    # unrolled oracle equals the fixpoint iff rounds_used - 1 <= R
+    converged = (rounds_used - 1) <= KCORE_FIX_BOUND
+    return (core.groupBy(
+                F.when(F.col("node") % 2 == 0, F.lit("customer"))
+                 .otherwise(F.lit("supplier")).alias("node_type"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.sum("deg").alias("sum_deg"),
+                 F.max("deg").alias("max_deg"))
+            .withColumn("converged_within_bound", F.lit(bool(converged))))
+
+
+def _kcore_fix_sql() -> str:
+    rounds = []
+    prev = "f0"
+    for i in range(1, KCORE_FIX_BOUND + 1):
+        rounds.append(f"""
+fa{i} AS MATERIALIZED (
+  SELECT src AS node FROM {prev} GROUP BY src
+  HAVING count(*) >= {KCORE_FIX_K}
+),
+f{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src IN (SELECT node FROM fa{i})
+    AND e.dst IN (SELECT node FROM fa{i})
+)""")
+        prev = f"f{i}"
+    return f"""
+WITH {_TRADE_CTES},
+f0 AS MATERIALIZED (SELECT src, dst FROM edges),{",".join(rounds)},
+core AS (SELECT src AS node, count(*) AS deg FROM {prev} GROUP BY src)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       count(*) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS sum_deg,
+       max(deg) AS max_deg,
+       TRUE AS converged_within_bound
 FROM core GROUP BY 1
 """
 
@@ -1169,5 +1290,8 @@ QUERIES: dict[str, Query] = {
     "q125_fuzzy_linkage": Query(q125_fuzzy_linkage, _Q125_SQL),
     "q128_pagerank": Query(q128_pagerank, _pagerank_sql()),
     "q131_kcore": Query(q131_kcore, _kcore_sql()),
+    "q135_pagerank_convergence": Query(q135_pagerank_convergence,
+                                       _q135_sql()),
+    "q136_kcore_converged": Query(q136_kcore_converged, _kcore_fix_sql()),
     "q114_global_sort": Query(q114_global_sort, _Q114_SQL),
 }

@@ -980,6 +980,238 @@ FROM ranked r LEFT JOIN exact x
 """
 
 
+# --- q134: incremental ANN index maintenance ------------------------------
+
+
+def q134_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — q120's persisted-state
+    pattern applied to the ANN side (the r9 verdict's gap: the dedup
+    path dedups deltas against a stored index, but q113 re-trains and
+    re-encodes the whole corpus per run). The persisted state is the
+    full FAISS-style index for the BASE corpus (first 2/3 of vectors by
+    id), materialized once per input state through the derived-table
+    cache (sources/derived_cache): learned IVF centroids (q94's
+    one-update Lloyd, trained on base), per-sub-space PQ codebooks
+    (q113's train, over base), and the postings table (id, cell, m,
+    code — M bytes of codes per vector, the layout 100 TB ANN
+    deployments ship). A new ingest batch (the last 1/3) is then
+    assigned and encoded against the FROZEN model — centroids and
+    codebooks are never retrained, base vectors are never touched — and
+    the result is the updated index's postings histogram per (cell, m):
+    base/delta vector counts plus exact integer code checksums
+    (Σcode, Σcode²), which certify every vector's cell routing AND its
+    M byte codes in both engines.
+
+    Correctness anchor (the q120 equivalence shape): encoding is
+    per-vector given the model, and the model is a pure function of the
+    base corpus — so incremental-encode(delta) ∪ stored-postings(base)
+    is row-identical to the oracle's full re-encode of corpus ∪ delta
+    with base-trained parameters. Frozen-model maintenance is also what
+    production vector stores do between periodic re-trains (FAISS
+    add()); drift is handled by rebuilding, which here is exactly a
+    cache invalidation (embeddings change -> fingerprint moves).
+
+    Scale shape: steady-state cost ∝ delta (broadcast-K argmin for
+    cells, Arrow-batched codebook argmin for codes — the q113 kernel);
+    the base side is one columnar scan of the compact postings parquet
+    (cell/m/code longs, no vectors). The summary groupBy carries
+    ≤ K·M·|codes| bounded rows. Only the first run after an embeddings
+    change pays the base train+encode."""
+    import os
+
+    from ..operators import kmeans
+    from ..operators.similarity import pq_argmin_codes
+    from ..sources.derived_cache import cached_parquet, table_fingerprint
+    from .storage import _scratch_base
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    fp = table_fingerprint(
+        sf_dir, ("embeddings",),
+        params=f"ivfpq_idx_v1_K{KMEANS_K}_M{PQ_M}_C{PQ_CODES}_b{b}")
+
+    vecs = _spread_vectors(spark, emb).persist()
+    base_vecs = vecs.filter(F.col("id") <= b)
+    mcol = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+
+    def subvecs(df: DataFrame) -> DataFrame:
+        return (df.select("id", "v", mcol)
+                .withColumn("sv", F.expr(
+                    f"slice(v, m * {PQ_SUB_D} + 1, {PQ_SUB_D})"))
+                .drop("v"))
+
+    def build_centroids() -> DataFrame:
+        seeds = (base_vecs.filter(F.col("id") < KMEANS_K)
+                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+        assigned = kmeans.assign(base_vecs, seeds)
+        return kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
+
+    centroids = cached_parquet(
+        spark, os.path.join(scratch, "ann_centroids"), fp, build_centroids)
+
+    caches: list[DataFrame] = []
+
+    def build_codebook() -> DataFrame:
+        sub_b = subvecs(base_vecs).persist()  # 2 consumers: seeds + asn0
+        caches.append(sub_b)
+        cb_seeds = (sub_b.filter(F.col("id") < PQ_CODES)
+                    .select("m", F.col("id").alias("code"),
+                            F.col("sv").alias("cv")))
+        asn0 = pq_argmin_codes(sub_b, cb_seeds, PQ_SUB_D)
+        comp = asn0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        sums = (comp.groupBy("m", "code", "pos")
+                .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
+                     .alias("s"),
+                     F.count("*").alias("n")))
+        c = F.col("s").cast("double") / (F.col("n").cast("double")
+                                         * kmeans.Q_COMP)
+        rebuilt = (sums.withColumn("c", c)
+                   .groupBy("m", "code")
+                   .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                        .alias("a"))
+                   .select("m", "code",
+                           F.transform("a", lambda x: x["c"]).alias("cv")))
+        return (cb_seeds.select("m", "code", F.col("cv").alias("cv_old"))
+                .join(rebuilt, ["m", "code"], "left")
+                .select("m", "code", F.coalesce("cv", "cv_old").alias("cv")))
+
+    codebook = cached_parquet(
+        spark, os.path.join(scratch, "ann_codebook"), fp, build_codebook)
+
+    def build_postings() -> DataFrame:
+        cells_b = (kmeans.assign(base_vecs, centroids)
+                   .select("id", F.col("cid").alias("cell")))
+        codes_b = (pq_argmin_codes(subvecs(base_vecs), codebook, PQ_SUB_D)
+                   .select("id", "m", "code"))
+        # id-keyed fact-fact join: merge hint for the same static-
+        # misestimate reason as the graph queries
+        return codes_b.join(cells_b.hint("merge"), "id")
+
+    postings = cached_parquet(
+        spark, os.path.join(scratch, "ann_postings"), fp, build_postings)
+    for cdf in caches:
+        cdf.unpersist()
+
+    # --- the incremental path: frozen-model encode of the delta only ---
+    delta_vecs = vecs.filter(F.col("id") > b)
+    cells_d = (kmeans.assign(delta_vecs, centroids)
+               .select("id", F.col("cid").alias("cell")))
+    codes_d = (pq_argmin_codes(subvecs(delta_vecs), codebook, PQ_SUB_D)
+               .select("id", "m", "code"))
+    post_d = codes_d.join(cells_d.hint("merge"), "id")
+
+    allp = (postings.select("cell", "m", "code",
+                            F.lit(0).alias("is_delta"))
+            .unionByName(post_d.select("cell", "m", "code",
+                                       F.lit(1).alias("is_delta"))))
+    return (allp.groupBy("cell", "m")
+            .agg(F.count(F.when(F.col("is_delta") == 0, 1)).alias("n_base"),
+                 F.count(F.when(F.col("is_delta") == 1, 1)).alias("n_delta"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum")))
+
+
+def _q134_sql() -> str:
+    from ..operators.kmeans import Q_COMP
+
+    def sqv(a: str, b: str) -> str:
+        return ("list_sum(list_transform(range(1, len({a}) + 1), "
+                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+                .format(a=a, b=b))
+
+    sub_expr = f"list_slice(v, m * {PQ_SUB_D} + 1, (m + 1) * {PQ_SUB_D})"
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+bnd AS (SELECT 2 * max(id) // 3 AS b FROM e),
+bse AS MATERIALIZED (SELECT id, v FROM e WHERE id <= (SELECT b FROM bnd)),
+c1 AS (SELECT id AS cid, v AS cv FROM bse WHERE id < {KMEANS_K}),
+a1 AS (
+  SELECT bse.id, min(({sqv('bse.v', 'c1.cv')}, c1.cid)) AS mm
+  FROM bse CROSS JOIN c1 GROUP BY bse.id
+),
+s1 AS (SELECT a1.id, mm[2] AS cid, bse.v FROM a1 JOIN bse ON a1.id = bse.id),
+m1 AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(sum(CAST(floor(v[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM s1, unnest(range(1, len(v) + 1)) AS u(i)
+  GROUP BY cid, i
+),
+r1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                   ORDER BY pos) AS cv
+  FROM m1 GROUP BY cid
+),
+c2 AS MATERIALIZED (
+  SELECT c1.cid, coalesce(r1.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN r1 ON c1.cid = r1.cid
+),
+subb AS MATERIALIZED (
+  SELECT id, CAST(u.m AS INT) AS m, {sub_expr} AS sv
+  FROM bse, unnest(range(0, {PQ_M})) AS u(m)
+),
+cbseed AS MATERIALIZED (
+  SELECT m, id AS code, sv AS cv FROM subb WHERE id < {PQ_CODES}
+),
+asn0 AS (
+  SELECT t.id, t.m, t.mm[2] AS code FROM (
+    SELECT subb.id, subb.m, min(({sqv('subb.sv', 'cbseed.cv')},
+                                 cbseed.code)) AS mm
+    FROM subb JOIN cbseed ON subb.m = cbseed.m
+    GROUP BY subb.id, subb.m
+  ) AS t
+),
+csum AS (
+  SELECT a.m, a.code, i - 1 AS pos,
+         CAST(sum(CAST(floor(s.sv[i] * {Q_COMP}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM asn0 a JOIN subb s ON a.id = s.id AND a.m = s.m,
+       unnest(range(1, len(s.sv) + 1)) AS u(i)
+  GROUP BY a.m, a.code, i
+),
+crebuild AS (
+  SELECT m, code, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {Q_COMP})
+                       ORDER BY pos) AS cv
+  FROM csum GROUP BY m, code
+),
+codebook AS MATERIALIZED (
+  SELECT cbseed.m, cbseed.code, coalesce(crebuild.cv, cbseed.cv) AS cv
+  FROM cbseed LEFT JOIN crebuild
+    ON cbseed.m = crebuild.m AND cbseed.code = crebuild.code
+),
+suba AS MATERIALIZED (
+  SELECT id, CAST(u.m AS INT) AS m, {sub_expr} AS sv
+  FROM e, unnest(range(0, {PQ_M})) AS u(m)
+),
+codes AS (
+  SELECT t.id, t.m, t.mm[2] AS code FROM (
+    SELECT suba.id, suba.m, min(({sqv('suba.sv', 'codebook.cv')},
+                                 codebook.code)) AS mm
+    FROM suba JOIN codebook ON suba.m = codebook.m
+    GROUP BY suba.id, suba.m
+  ) AS t
+),
+cells AS (
+  SELECT e.id, min(({sqv('e.v', 'c2.cv')}, c2.cid)) AS mm
+  FROM e CROSS JOIN c2 GROUP BY e.id
+),
+post AS (
+  SELECT cl.mm[2] AS cell, k.m, k.code, k.id
+  FROM codes k JOIN cells cl ON k.id = cl.id
+)
+SELECT cell, m,
+       CAST(count(CASE WHEN id <= (SELECT b FROM bnd) THEN 1 END)
+            AS BIGINT) AS n_base,
+       CAST(count(CASE WHEN id > (SELECT b FROM bnd) THEN 1 END)
+            AS BIGINT) AS n_delta,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum
+FROM post GROUP BY cell, m
+"""
+
+
 # --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
 
 SQ8_LEVELS = 255
@@ -1237,4 +1469,5 @@ QUERIES: dict[str, Query] = {
     "q111_semantic_dedup_hier": Query(q111_semantic_dedup_hier, _q111_sql()),
     "q113_ivfpq_adc": Query(q113_ivfpq_adc, _q113_sql()),
     "q126_embedding_covariance": Query(q126_embedding_covariance, _Q126_SQL),
+    "q134_incremental_ann": Query(q134_incremental_ann, _q134_sql()),
 }

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "q124_lm_perplexity":     "1-row train vocabulary size (V)",
     "q126_embedding_covariance": "1-row exact corpus count",
     "q130_importance_resample": "1-row corpus-mean importance + q121's totals",
+    "q134_incremental_ann":   "K centroid rows to every (base|delta) vector",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever
@@ -79,6 +80,9 @@ SINGLE_PARTITION_ALLOWED = {
     "q124_lm_perplexity":     "1-row train vocabulary-size agg",
     "q129_pareto_frontier":   "running-max window over <=1001 level rows",
     "q130_importance_resample": "1-row corpus-mean agg (+q121's totals agg)",
+    "q135_pagerank_convergence": "per-iteration 1-row residual aggs "
+                                 "(map-side partials only reach the "
+                                 "single partition)",
 }
 
 
