@@ -241,8 +241,9 @@ def kcore_fixpoint(edges: DataFrame, k: int,
 
     Returns ``(core_df, rounds_used)`` where ``rounds_used`` counts the
     peel passes executed INCLUDING the final no-op pass that proved the
-    fixpoint — callers certifying convergence-within-R compare
-    ``rounds_used <= R``.
+    fixpoint — the state is fixed after ``rounds_used - 1`` effective
+    peels, so callers certifying convergence-within-R compare
+    ``rounds_used - 1 <= R`` (as q136 does, relational.py).
 
     Not oracle-gated directly: the round count is data-dependent, which
     an unrolled-CTE oracle cannot express — q136 gates it anyway by

@@ -102,14 +102,27 @@ def cached_parquet(spark: SparkSession, path: str, fingerprint: str,
         # underscore prefix keeps Spark's file index from reading it
         with open(os.path.join(tmp, _FP_NAME), "w", encoding="ascii") as f:
             f.write(fingerprint)
-        shutil.rmtree(path, ignore_errors=True)
+        # publish by renaming the LIVE directory aside first (not
+        # rmtree-then-rename): a concurrent reader mid-scan on the old
+        # state keeps a consistent directory to finish against instead
+        # of observing a half-deleted one; the missing-dir window is a
+        # single rename pair. (Readers that LIST after the swap see
+        # only the new state — parquet dirs are immutable once
+        # published.) The stale copy is removed after the swap.
+        old = f"{path}.old-{os.getpid()}"
+        shutil.rmtree(old, ignore_errors=True)
+        try:
+            os.replace(path, old)
+        except FileNotFoundError:
+            pass  # first build: nothing to move aside
         try:
             os.replace(tmp, path)
         except OSError:
-            # a concurrent builder published between our rmtree and
-            # rename; both builds are deterministic over the same
+            # a concurrent builder published between our rename-aside
+            # and rename; both builds are deterministic over the same
             # fingerprinted inputs, so theirs is as good as ours
             if _stored_fingerprint(path) != fingerprint:
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(path)

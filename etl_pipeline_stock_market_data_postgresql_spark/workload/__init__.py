@@ -40,50 +40,35 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-9 window, per the CORRECTNESS_SEEN.md rule.
-    # (1) the one red row from r8: q119 failed on an oracle HUGEINT
-    # typing defect (judge-verified; fixed this round) — slot 1;
-    "q119_bpe_encode",
-    # (2) new this round: incremental corpus dedup against a persisted
-    # signature index, and DSIR hashed-n-gram importance weights;
-    "q120_incremental_dedup", "q121_dsir_weights",
-    "q122_streaming_incremental_dedup", "q123_canonical_selection",
-    "q124_lm_perplexity", "q125_fuzzy_linkage",
-    "q126_embedding_covariance", "q127_schema_evolution",
-    "q128_pagerank", "q129_pareto_frontier", "q130_importance_resample",
-    "q131_kcore", "q132_token_budget_fill", "q133_jsonl_roundtrip",
-    # (2b) outputs/oracles CHANGED this round: q51/q61's verification
-    # moved to 60-bit shingle fingerprints (values verified identical
-    # at gate SF, but the r8 green rows prove the OLD oracle pair);
-    "q51_lsh_verified_neardup", "q61_dedup_clusters",
-    # (3) the 16 r6-tier deferrals (newest green row is r6);
-    "q32_token_stats", "q33_fingerprint", "q36_sma_over_bars",
-    "q40_date_funcs", "q41_correlated_max", "q43_array_aggregation",
-    "q44_joinback_avg", "q70_scd2_history", "q93_zorder_pruning",
-    "q96_streaming_dedup", "q97_bm25_ranking", "q101_bigram_novelty",
-    "q103_scd2_pit_enrichment", "q106_streaming_stateful_hwm",
-    "q108_twap", "q110_dynamic_partition_overwrite",
-    # (4) the oldest-r7 tier in module order fills the remaining 26
-    # slots (q113 also carries this round's Arrow-kernel rework). The
-    # trailing 24 of the r7 tier (q47–q50, q53–q60, q64, q67–q69,
-    # q71/q72/q73, q75, q78/q79, q89, q91) and the 49 r8-proven
-    # queries fall past the cap — most recently proven, still covered by local
+    # round-11 window, per the CORRECTNESS_SEEN.md rule.
+    # (1) driver-unproven: q134/q135/q136 landed in the r10 snapshot
+    # commit after the r9 window was derived and have NO driver row yet
+    # (local oracle parity green; judge-verified in the r10 verdict);
+    "q134_incremental_ann", "q135_pagerank_convergence",
+    "q136_kcore_converged",
+    # (2) the 33 r7-tier deferrals named in CORRECTNESS_SEEN.md — the
+    # r10 round never rotated the window (the r9 window ran twice), so
+    # their planned r10 refresh slipped to this round;
+    "q34_multimodal_meta", "q37_cube", "q38_string_funcs",
+    "q39_percentiles", "q42_unpivot", "q45_window_suite",
+    "q46_streaming_tumbling", "q47_sql_exists", "q48_vwap",
+    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
+    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
+    "q58_stratified_split", "q59_stratum_sample",
+    "q60_embedding_centroids", "q62_streaming_session_window",
+    "q64_sequence_packing", "q67_tfidf_topterms", "q68_contamination",
+    "q69_domain_mix_sample", "q71_rollup_refresh",
+    "q72_policy_redaction", "q73_streaming_stream_join",
+    "q74_multimodal_decode", "q75_bucketed_join", "q78_token_chunks",
+    "q79_shuffle_shard", "q89_streaming_sliding_window", "q91_cdc_apply",
+    # (3) oldest-r8 fill in module order to the 50-cap (q92, then
+    # q01–q13). The rest of the r8 tier and every r10-proven query
+    # fall past the cap — most recently proven, still covered by local
     # parity (tests/test_oracle_parity.py runs the identical
     # comparison on every registered query).
-    "q87_full_outer_reconciliation", "q112_equidepth_sketch",
-    "q114_global_sort", "q85_retention_cohorts",
-    "q88_sliding_window_stats", "q90_gapfill_locf",
-    "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
-    "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
-    "q111_semantic_dedup_hier", "q113_ivfpq_adc", "q63_quality_gate",
-    "q76_repetition_stats", "q84_heavy_hitters",
-    # q34_multimodal_meta, q74_multimodal_decode, q37_cube,
-    # q38_string_funcs, q39_percentiles, q42_unpivot, q45_window_suite,
-    # q46_streaming_tumbling, q62_streaming_session_window,
-    # q89_streaming_sliding_window and q73_streaming_stream_join were
-    # the 18th-28th r7-tier slots; the late additions q123-q133
-    # displace them past the 50-cap — they join the r10 rotation with
-    # the other 21 r7-tier deferrals.
+    "q92_time_range_window",
+    # q01–q13 fill slots 38–50 implicitly (reference_parity /
+    # relational lead the module registration order).
 )
 
 

@@ -1032,6 +1032,9 @@ def q134_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, ("embeddings",),
         params=f"ivfpq_idx_v1_K{KMEANS_K}_M{PQ_M}_C{PQ_CODES}_b{b}")
 
+    # multi-consumer (base build on a cold cache + delta assign/encode);
+    # q113's convention: caller owns cache lifetime — bench/probe
+    # clearCache between queries
     vecs = _spread_vectors(spark, emb).persist()
     base_vecs = vecs.filter(F.col("id") <= b)
     mcol = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
