@@ -120,6 +120,59 @@ def compact_partitioned(spark: SparkSession, path: str, part_col: str,
     return plan
 
 
+def flat_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of an UNPARTITIONED parquet directory
+    (underscore/dot-prefixed metadata files excluded, as Spark's file
+    index excludes them)."""
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def compact_flat(spark: SparkSession, path: str,
+                 target_bytes: int) -> tuple[int, int]:
+    """Bin-pack an UNPARTITIONED parquet directory in place — the
+    maintenance pass for the repo's append-only incremental stores
+    (q120/q122's MinHash signature index, q137's ANN postings store):
+    each incremental batch lands as its own small file(s), so the store
+    accretes exactly the backlog ``compact_partitioned`` handles for
+    hive layouts, minus the partition dimension.
+
+    Rewrites the whole directory into ``max(1, ceil(bytes/target))``
+    files when the current file count exceeds that, via a temp
+    directory + :func:`derived_cache.publish_dir` (atomic rename-aside
+    swap — a concurrent reader mid-scan keeps a consistent directory).
+    Underscore-prefixed metadata files (e.g. the derived cache's
+    ``_INPUT_FINGERPRINT``) are carried over unchanged: compaction
+    changes layout, never content or cache validity. No-op (and no
+    read) when the layout already complies. Returns
+    ``(n_files_before, n_files_after)``.
+
+    Scale shape: the inventory is driver-side metadata ∝ |files| (a
+    manifest read on a real lakehouse); the rewrite is one columnar
+    scan + one round-robin repartition write of the store — work
+    ∝ store size, amortized across the thousands of appends that built
+    the backlog. Stores partitioned for pruning use
+    :func:`compact_partitioned` instead, which touches only offending
+    partitions."""
+    import shutil
+
+    from .derived_cache import publish_dir
+
+    n_before, n_bytes = flat_file_stats(path)
+    bins = max(1, math.ceil(n_bytes / target_bytes))
+    if n_before <= bins:
+        return n_before, n_before
+    tmp = f"{path}.compact-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).repartition(bins).write.parquet(tmp)
+    for f in os.listdir(path):
+        if f.startswith("_") and os.path.isfile(os.path.join(path, f)):
+            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+    publish_dir(tmp, path)
+    return n_before, flat_file_stats(path)[0]
+
+
 def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     """Exact row-multiset equality via two anti-semijoins — the
     strongest content-preservation certificate; used by the unit tests

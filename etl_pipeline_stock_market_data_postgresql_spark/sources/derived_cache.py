@@ -102,21 +102,8 @@ def cached_parquet(spark: SparkSession, path: str, fingerprint: str,
         # underscore prefix keeps Spark's file index from reading it
         with open(os.path.join(tmp, _FP_NAME), "w", encoding="ascii") as f:
             f.write(fingerprint)
-        # publish by renaming the LIVE directory aside first (not
-        # rmtree-then-rename): a concurrent reader mid-scan on the old
-        # state keeps a consistent directory to finish against instead
-        # of observing a half-deleted one; the missing-dir window is a
-        # single rename pair. (Readers that LIST after the swap see
-        # only the new state — parquet dirs are immutable once
-        # published.) The stale copy is removed after the swap.
-        old = f"{path}.old-{os.getpid()}"
-        shutil.rmtree(old, ignore_errors=True)
         try:
-            os.replace(path, old)
-        except FileNotFoundError:
-            pass  # first build: nothing to move aside
-        try:
-            os.replace(tmp, path)
+            publish_dir(tmp, path)
         except OSError:
             # a concurrent builder published between our rename-aside
             # and rename; both builds are deterministic over the same
@@ -124,5 +111,32 @@ def cached_parquet(spark: SparkSession, path: str, fingerprint: str,
             if _stored_fingerprint(path) != fingerprint:
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def publish_dir(tmp: str, path: str) -> None:
+    """Atomically publish directory ``tmp`` as ``path`` by renaming the
+    LIVE directory aside first (not rmtree-then-rename): a concurrent
+    reader mid-scan on the old state keeps a consistent directory to
+    finish against instead of observing a half-deleted one; the
+    missing-dir window is a single rename pair. (Readers that LIST
+    after the swap see only the new state — parquet dirs are immutable
+    once published.) The stale copy is removed after the swap. On a
+    real lakehouse this is the metastore pointer swap."""
+    old = f"{path}.old-{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.replace(path, old)
+    except FileNotFoundError:
+        pass  # first build: nothing to move aside
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        # restore the live state we moved aside (unless a concurrent
+        # publisher already put a new one at path — their build wins)
+        if os.path.exists(old) and not os.path.exists(path):
+            os.replace(old, path)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)

@@ -46,6 +46,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # (local oracle parity green; judge-verified in the r10 verdict);
     "q134_incremental_ann", "q135_pagerank_convergence",
     "q136_kcore_converged",
+    # (1b) new this round: the q134 index update COMMITTED to the
+    # cell-partitioned postings store (HWM appends + compaction);
+    "q137_ann_index_writeback",
+    # (1c) output changed this round: q133 gained the n_null_text
+    # disambiguator column (r10 ADVICE) — its r10 green row proves the
+    # OLD output shape;
+    "q133_jsonl_roundtrip",
     # (2) the 33 r7-tier deferrals named in CORRECTNESS_SEEN.md — the
     # r10 round never rotated the window (the r9 window ran twice), so
     # their planned r10 refresh slipped to this round;

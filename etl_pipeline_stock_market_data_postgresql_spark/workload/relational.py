@@ -1142,14 +1142,27 @@ def q136_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     list comes from the materialized trade-graph cache, so the
     corpus-scale derivation is paid once per input state, not per
     query."""
+    return _kcore_converged_summary(_trade_edges(spark, sf_dir),
+                                    KCORE_FIX_K, KCORE_FIX_BOUND)
+
+
+def _kcore_converged_summary(edges: DataFrame, k: int,
+                             bound: int) -> DataFrame:
+    """q136's gating logic over an arbitrary edge list — split out so
+    the tripwire is directly testable on handcrafted graphs (a graph
+    needing more than ``bound`` effective peels MUST come back with
+    ``converged_within_bound=false``, turning the driver row red
+    instead of silently gating a non-converged core)."""
     from ..operators import graph
-    core, rounds_used = graph.kcore_fixpoint(
-        _trade_edges(spark, sf_dir), KCORE_FIX_K,
-        max_rounds=KCORE_FIX_BOUND + 3)
+    core, rounds_used = graph.kcore_fixpoint(edges, k,
+                                             max_rounds=bound + 3)
     # rounds_used includes the final no-op proof round: the state is
     # fixed after rounds_used - 1 effective peels, so the R-round
-    # unrolled oracle equals the fixpoint iff rounds_used - 1 <= R
-    converged = (rounds_used - 1) <= KCORE_FIX_BOUND
+    # unrolled oracle equals the fixpoint iff rounds_used - 1 <= R.
+    # If the max_rounds cap was hit WITHOUT proving the fixpoint,
+    # rounds_used == bound + 3 > bound + 1, so the flag is false then
+    # too — the cap cannot masquerade as convergence.
+    converged = (rounds_used - 1) <= bound
     return (core.groupBy(
                 F.when(F.col("node") % 2 == 0, F.lit("customer"))
                  .otherwise(F.lit("supplier")).alias("node_type"))

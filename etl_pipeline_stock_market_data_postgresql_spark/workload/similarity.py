@@ -980,7 +980,108 @@ FROM ranked r LEFT JOIN exact x
 """
 
 
-# --- q134: incremental ANN index maintenance ------------------------------
+# --- q134/q137: incremental ANN index maintenance -------------------------
+
+
+def _ivfpq_model_fp(sf_dir: str, b: int) -> str:
+    """Fingerprint of the frozen base-corpus IVF-PQ model (embeddings
+    state + every training parameter) — shared by q134 and q137 so the
+    two queries reuse ONE materialized model per input state."""
+    from ..sources.derived_cache import table_fingerprint
+    return table_fingerprint(
+        sf_dir, ("embeddings",),
+        params=f"ivfpq_idx_v1_K{KMEANS_K}_M{PQ_M}_C{PQ_CODES}_b{b}")
+
+
+def _ivfpq_subvecs(df: DataFrame) -> DataFrame:
+    """(id, m, sv): every vector split into PQ_M contiguous sub-vectors."""
+    mcol = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+    return (df.select("id", "v", mcol)
+            .withColumn("sv", F.expr(
+                f"slice(v, m * {PQ_SUB_D} + 1, {PQ_SUB_D})"))
+            .drop("v"))
+
+
+def _ivfpq_encode(vec_df: DataFrame, centroids: DataFrame,
+                  codebook: DataFrame) -> DataFrame:
+    """FROZEN-model encode: assign each vector to its IVF cell
+    (broadcast-K argmin) and PQ-encode its sub-vectors (Arrow-batched
+    codebook argmin) — (id, m, code, cell), M rows per vector. Pure
+    per-vector function of the model: this is what makes incremental
+    maintenance ≡ full re-encode (the q120 equivalence shape)."""
+    from ..operators import kmeans
+    from ..operators.similarity import pq_argmin_codes
+    cells = (kmeans.assign(vec_df, centroids)
+             .select("id", F.col("cid").alias("cell")))
+    codes = (pq_argmin_codes(_ivfpq_subvecs(vec_df), codebook, PQ_SUB_D)
+             .select("id", "m", "code"))
+    # id-keyed fact-fact join: merge hint for the same static-
+    # misestimate reason as the graph queries
+    return codes.join(cells.hint("merge"), "id")
+
+
+def _ivfpq_base_index(spark: SparkSession, sf_dir: str, vecs: DataFrame,
+                      b: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, base postings) for vectors with id <= b,
+    each materialized once per embeddings state through the
+    fingerprint-invalidated derived-table cache. Training: q94's
+    one-update Lloyd for the IVF centroids, q113's per-sub-space
+    codebook rebuild — both over the BASE corpus only."""
+    import os
+
+    from ..operators import kmeans
+    from ..operators.similarity import pq_argmin_codes
+    from ..sources.derived_cache import cached_parquet
+    from .storage import _scratch_base
+
+    scratch, _ = _scratch_base(sf_dir)
+    fp = _ivfpq_model_fp(sf_dir, b)
+    base_vecs = vecs.filter(F.col("id") <= b)
+
+    def build_centroids() -> DataFrame:
+        seeds = (base_vecs.filter(F.col("id") < KMEANS_K)
+                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+        assigned = kmeans.assign(base_vecs, seeds)
+        return kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
+
+    centroids = cached_parquet(
+        spark, os.path.join(scratch, "ann_centroids"), fp, build_centroids)
+
+    caches: list[DataFrame] = []
+
+    def build_codebook() -> DataFrame:
+        sub_b = _ivfpq_subvecs(base_vecs).persist()  # 2 consumers
+        caches.append(sub_b)
+        cb_seeds = (sub_b.filter(F.col("id") < PQ_CODES)
+                    .select("m", F.col("id").alias("code"),
+                            F.col("sv").alias("cv")))
+        asn0 = pq_argmin_codes(sub_b, cb_seeds, PQ_SUB_D)
+        comp = asn0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
+        sums = (comp.groupBy("m", "code", "pos")
+                .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
+                     .alias("s"),
+                     F.count("*").alias("n")))
+        c = F.col("s").cast("double") / (F.col("n").cast("double")
+                                         * kmeans.Q_COMP)
+        rebuilt = (sums.withColumn("c", c)
+                   .groupBy("m", "code")
+                   .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                        .alias("a"))
+                   .select("m", "code",
+                           F.transform("a", lambda x: x["c"]).alias("cv")))
+        return (cb_seeds.select("m", "code", F.col("cv").alias("cv_old"))
+                .join(rebuilt, ["m", "code"], "left")
+                .select("m", "code", F.coalesce("cv", "cv_old").alias("cv")))
+
+    codebook = cached_parquet(
+        spark, os.path.join(scratch, "ann_codebook"), fp, build_codebook)
+
+    postings = cached_parquet(
+        spark, os.path.join(scratch, "ann_postings"), fp,
+        lambda: _ivfpq_encode(base_vecs, centroids, codebook))
+    for cdf in caches:
+        cdf.unpersist()
+    return centroids, codebook, postings
 
 
 def q134_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,94 +1117,23 @@ def q134_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base side is one columnar scan of the compact postings parquet
     (cell/m/code longs, no vectors). The summary groupBy carries
     ≤ K·M·|codes| bounded rows. Only the first run after an embeddings
-    change pays the base train+encode."""
-    import os
-
-    from ..operators import kmeans
-    from ..operators.similarity import pq_argmin_codes
-    from ..sources.derived_cache import cached_parquet, table_fingerprint
-    from .storage import _scratch_base
-
+    change pays the base train+encode. The companion q137 APPENDS the
+    delta postings to a stored index table (write-back + compaction);
+    this query measures the per-run frozen-model delta-encode rate."""
     emb = load(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0]
     b = (2 * max_id) // 3
-    scratch, _ = _scratch_base(sf_dir)
-    fp = table_fingerprint(
-        sf_dir, ("embeddings",),
-        params=f"ivfpq_idx_v1_K{KMEANS_K}_M{PQ_M}_C{PQ_CODES}_b{b}")
 
     # multi-consumer (base build on a cold cache + delta assign/encode);
     # q113's convention: caller owns cache lifetime — bench/probe
     # clearCache between queries
     vecs = _spread_vectors(spark, emb).persist()
-    base_vecs = vecs.filter(F.col("id") <= b)
-    mcol = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
-
-    def subvecs(df: DataFrame) -> DataFrame:
-        return (df.select("id", "v", mcol)
-                .withColumn("sv", F.expr(
-                    f"slice(v, m * {PQ_SUB_D} + 1, {PQ_SUB_D})"))
-                .drop("v"))
-
-    def build_centroids() -> DataFrame:
-        seeds = (base_vecs.filter(F.col("id") < KMEANS_K)
-                 .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
-        assigned = kmeans.assign(base_vecs, seeds)
-        return kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
-
-    centroids = cached_parquet(
-        spark, os.path.join(scratch, "ann_centroids"), fp, build_centroids)
-
-    caches: list[DataFrame] = []
-
-    def build_codebook() -> DataFrame:
-        sub_b = subvecs(base_vecs).persist()  # 2 consumers: seeds + asn0
-        caches.append(sub_b)
-        cb_seeds = (sub_b.filter(F.col("id") < PQ_CODES)
-                    .select("m", F.col("id").alias("code"),
-                            F.col("sv").alias("cv")))
-        asn0 = pq_argmin_codes(sub_b, cb_seeds, PQ_SUB_D)
-        comp = asn0.select("m", "code", F.posexplode("sv").alias("pos", "x"))
-        sums = (comp.groupBy("m", "code", "pos")
-                .agg(F.sum(F.floor(F.col("x") * kmeans.Q_COMP).cast("long"))
-                     .alias("s"),
-                     F.count("*").alias("n")))
-        c = F.col("s").cast("double") / (F.col("n").cast("double")
-                                         * kmeans.Q_COMP)
-        rebuilt = (sums.withColumn("c", c)
-                   .groupBy("m", "code")
-                   .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                        .alias("a"))
-                   .select("m", "code",
-                           F.transform("a", lambda x: x["c"]).alias("cv")))
-        return (cb_seeds.select("m", "code", F.col("cv").alias("cv_old"))
-                .join(rebuilt, ["m", "code"], "left")
-                .select("m", "code", F.coalesce("cv", "cv_old").alias("cv")))
-
-    codebook = cached_parquet(
-        spark, os.path.join(scratch, "ann_codebook"), fp, build_codebook)
-
-    def build_postings() -> DataFrame:
-        cells_b = (kmeans.assign(base_vecs, centroids)
-                   .select("id", F.col("cid").alias("cell")))
-        codes_b = (pq_argmin_codes(subvecs(base_vecs), codebook, PQ_SUB_D)
-                   .select("id", "m", "code"))
-        # id-keyed fact-fact join: merge hint for the same static-
-        # misestimate reason as the graph queries
-        return codes_b.join(cells_b.hint("merge"), "id")
-
-    postings = cached_parquet(
-        spark, os.path.join(scratch, "ann_postings"), fp, build_postings)
-    for cdf in caches:
-        cdf.unpersist()
+    centroids, codebook, postings = _ivfpq_base_index(
+        spark, sf_dir, vecs, b)
 
     # --- the incremental path: frozen-model encode of the delta only ---
-    delta_vecs = vecs.filter(F.col("id") > b)
-    cells_d = (kmeans.assign(delta_vecs, centroids)
-               .select("id", F.col("cid").alias("cell")))
-    codes_d = (pq_argmin_codes(subvecs(delta_vecs), codebook, PQ_SUB_D)
-               .select("id", "m", "code"))
-    post_d = codes_d.join(cells_d.hint("merge"), "id")
+    post_d = _ivfpq_encode(vecs.filter(F.col("id") > b),
+                           centroids, codebook)
 
     allp = (postings.select("cell", "m", "code",
                             F.lit(0).alias("is_delta"))
@@ -1116,7 +1146,13 @@ def q134_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("code") * F.col("code")).alias("code_sq_sum")))
 
 
-def _q134_sql() -> str:
+def _ivfpq_full_encode_ctes() -> str:
+    """The shared DuckDB WITH body for the q134/q137 oracles: full
+    re-encode of the whole corpus with BASE-trained parameters, ending
+    in ``post`` (cell, m, code, id) — equal to incremental maintenance
+    because encoding is a pure per-vector function of the frozen model
+    (q134 docstring). ``bnd`` carries both the base boundary ``b`` and
+    ``mx`` (max id) so q137 can derive its second batch boundary."""
     from ..operators.kmeans import Q_COMP
 
     def sqv(a: str, b: str) -> str:
@@ -1126,8 +1162,8 @@ def _q134_sql() -> str:
 
     sub_expr = f"list_slice(v, m * {PQ_SUB_D} + 1, (m + 1) * {PQ_SUB_D})"
     return f"""
-WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-bnd AS (SELECT 2 * max(id) // 3 AS b FROM e),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+bnd AS (SELECT 2 * max(id) // 3 AS b, max(id) AS mx FROM e),
 bse AS MATERIALIZED (SELECT id, v FROM e WHERE id <= (SELECT b FROM bnd)),
 c1 AS (SELECT id AS cid, v AS cv FROM bse WHERE id < {KMEANS_K}),
 a1 AS (
@@ -1203,7 +1239,12 @@ cells AS (
 post AS (
   SELECT cl.mm[2] AS cell, k.m, k.code, k.id
   FROM codes k JOIN cells cl ON k.id = cl.id
-)
+)"""
+
+
+def _q134_sql() -> str:
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
 SELECT cell, m,
        CAST(count(CASE WHEN id <= (SELECT b FROM bnd) THEN 1 END)
             AS BIGINT) AS n_base,
@@ -1211,6 +1252,111 @@ SELECT cell, m,
             AS BIGINT) AS n_delta,
        CAST(sum(code) AS BIGINT) AS code_sum,
        CAST(sum(code * code) AS BIGINT) AS code_sq_sum
+FROM post GROUP BY cell, m
+"""
+
+
+#: compaction contract for the q137 postings store (bytes per file per
+#: cell partition) — small enough that the gate-SF chain (base + two
+#: appends) actually violates it and the compaction pass runs for real
+ANN_STORE_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def q137_ann_index_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION half of q134: commit the incremental ANN updates
+    to the stored index instead of only histogramming them. The
+    postings store is a cell-partitioned parquet table (the layout that
+    makes cell-routed probes partition-pruned scans); maintenance is
+    the reference's high-water-mark incremental load (A1/F2,
+    SURVEY §2.9) applied to the vector index — two ingest batches
+    arrive, and each one (a) reads MAX(id) from the STORE itself as its
+    high-water mark, (b) frozen-model encodes only ids above it
+    (:func:`_ivfpq_encode`, never retraining, never touching base
+    vectors), and (c) appends the new postings. Appends accrete small
+    files, so the chain ends with the q118 maintenance pass
+    (sources/compaction.compact_partitioned) over the store — layout
+    changes, content never does. The whole chain is fingerprint-gated
+    (embeddings state + model params): re-runs are idempotent reads of
+    the committed store, crashes before the fingerprint lands rebuild
+    from the base.
+
+    The gated output reads ONLY the store: per (cell, m) counts split
+    by batch provenance plus exact integer code- and id-checksums. The
+    oracle re-encodes the whole corpus from scratch with base-trained
+    parameters (shared CTE body with q134), so a green row certifies
+    the store's full content — base ∪ append#1 ∪ append#2, encoded
+    against the frozen model, surviving two HWM increments AND the
+    compaction rewrite (induction: batch 2 was encoded against the
+    store as left by batch 1).
+
+    Scale shape: steady state per batch is cost ∝ delta (q134's
+    argmin kernels) + one metadata HWM read; compaction work ∝ the
+    small-file backlog per offending cell partition, not table size.
+    q134 measures the per-run delta-encode rate; this query certifies
+    the committed state (warm runs are one pruned columnar scan of the
+    store — the read path a deployed index serves probes from)."""
+    import os
+
+    from ..sources.compaction import compact_partitioned
+    from ..sources.derived_cache import _FP_NAME, _stored_fingerprint
+    from .storage import _scratch_base
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2  # second batch boundary (arrival split)
+    scratch, _ = _scratch_base(sf_dir)
+    store = os.path.join(scratch, "ann_store")
+    store_fp = _ivfpq_model_fp(sf_dir, b) + f"_chain_v1_b2{b2}"
+
+    if _stored_fingerprint(store) != store_fp:
+        import shutil
+        shutil.rmtree(store, ignore_errors=True)
+        # multi-consumer on the cold path (base build + two encodes);
+        # q113's convention: caller owns cache lifetime
+        vecs = _spread_vectors(spark, emb).persist()
+        centroids, codebook, postings = _ivfpq_base_index(
+            spark, sf_dir, vecs, b)
+        (postings.select("id", "m", "code", "cell")
+         .write.partitionBy("cell").parquet(store))
+        for bound in (b2, None):
+            hwm = spark.read.parquet(store).agg(F.max("id")).first()[0]
+            batch = vecs.filter(F.col("id") > hwm)
+            if bound is not None:
+                batch = batch.filter(F.col("id") <= bound)
+            (_ivfpq_encode(batch, centroids, codebook)
+             .select("id", "m", "code", "cell")
+             .write.mode("append").partitionBy("cell").parquet(store))
+        compact_partitioned(spark, store, "cell", "id",
+                            ANN_STORE_TARGET_BYTES)
+        with open(os.path.join(store, _FP_NAME), "w",
+                  encoding="ascii") as f:
+            f.write(store_fp)
+
+    st = spark.read.parquet(store)
+    return (st.groupBy(F.col("cell").cast("long").alias("cell"), "m")
+            .agg(F.count(F.when(F.col("id") <= b, 1)).alias("n_base"),
+                 F.count(F.when((F.col("id") > b) & (F.col("id") <= b2), 1))
+                 .alias("n_delta1"),
+                 F.count(F.when(F.col("id") > b2, 1)).alias("n_delta2"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum")))
+
+
+def _q137_sql() -> str:
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+SELECT cell, m,
+       CAST(count(CASE WHEN id <= (SELECT b FROM bnd) THEN 1 END)
+            AS BIGINT) AS n_base,
+       CAST(count(CASE WHEN id > (SELECT b FROM bnd)
+                        AND id <= {b2} THEN 1 END) AS BIGINT) AS n_delta1,
+       CAST(count(CASE WHEN id > {b2} THEN 1 END) AS BIGINT) AS n_delta2,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
 FROM post GROUP BY cell, m
 """
 
@@ -1473,4 +1619,6 @@ QUERIES: dict[str, Query] = {
     "q113_ivfpq_adc": Query(q113_ivfpq_adc, _q113_sql()),
     "q126_embedding_covariance": Query(q126_embedding_covariance, _Q126_SQL),
     "q134_incremental_ann": Query(q134_incremental_ann, _q134_sql()),
+    "q137_ann_index_writeback": Query(q137_ann_index_writeback,
+                                      _q137_sql()),
 }

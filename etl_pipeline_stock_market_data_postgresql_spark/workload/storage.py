@@ -459,7 +459,15 @@ def q133_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars"),
-                 cert_sum.alias("content_cert")))
+                 cert_sum.alias("content_cert"),
+                 # the coalesce makes NULL and '' hash identically, so
+                 # a round-trip corruption flipping one into the other
+                 # would be invisible to the certificate alone — this
+                 # count disambiguates (r10 ADVICE): Spark's JSON
+                 # writer omits null fields, and the pinned-schema
+                 # read must surface them as NULLs again, not ''
+                 F.count(F.when(F.col("text").isNull(), 1))
+                 .alias("n_null_text")))
 
 
 _CERT_MOD = 1 << 62
@@ -472,7 +480,9 @@ def _q133_sql() -> str:
     return f"""
 SELECT source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-       CAST(sum({cert}) % {_CERT_MOD} AS BIGINT) AS content_cert
+       CAST(sum({cert}) % {_CERT_MOD} AS BIGINT) AS content_cert,
+       CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
+         AS n_null_text
 FROM documents GROUP BY source
 """
 

@@ -545,6 +545,13 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     q.processAllAvailable()
     q.stop()
     _unload_state_stores(spark)
+    # maintenance pass: each micro-batch appended its kept rows as its
+    # own small file(s), so the index accretes exactly the backlog the
+    # q118/q137 compaction contract exists for — bin-pack it before the
+    # index serves its next consumer (content unchanged; the q122
+    # output read below comes from out_dir and is unaffected)
+    from ..sources.compaction import compact_flat
+    compact_flat(spark, index_path, target_bytes=64 * 1024 * 1024)
     out = spark.read.parquet(out_dir)
     return out.select(
         "doc_id",
