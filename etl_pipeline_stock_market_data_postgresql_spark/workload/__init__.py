@@ -47,8 +47,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q134_incremental_ann", "q135_pagerank_convergence",
     "q136_kcore_converged",
     # (1b) new this round: the q134 index update COMMITTED to the
-    # cell-partitioned postings store (HWM appends + compaction);
-    "q137_ann_index_writeback",
+    # cell-partitioned postings store (HWM appends + compaction), and
+    # the partition-pruned ADC serving read against that store;
+    "q137_ann_index_writeback", "q138_ann_store_probe",
     # (1c) output changed this round: q133 gained the n_null_text
     # disambiguator column (r10 ADVICE) — its r10 green row proves the
     # OLD output shape;

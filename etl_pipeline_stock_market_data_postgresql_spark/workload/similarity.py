@@ -1262,39 +1262,14 @@ FROM post GROUP BY cell, m
 ANN_STORE_TARGET_BYTES = 32 * 1024 * 1024
 
 
-def q137_ann_index_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION half of q134: commit the incremental ANN updates
-    to the stored index instead of only histogramming them. The
-    postings store is a cell-partitioned parquet table (the layout that
-    makes cell-routed probes partition-pruned scans); maintenance is
-    the reference's high-water-mark incremental load (A1/F2,
-    SURVEY §2.9) applied to the vector index — two ingest batches
-    arrive, and each one (a) reads MAX(id) from the STORE itself as its
-    high-water mark, (b) frozen-model encodes only ids above it
-    (:func:`_ivfpq_encode`, never retraining, never touching base
-    vectors), and (c) appends the new postings. Appends accrete small
-    files, so the chain ends with the q118 maintenance pass
-    (sources/compaction.compact_partitioned) over the store — layout
-    changes, content never does. The whole chain is fingerprint-gated
-    (embeddings state + model params): re-runs are idempotent reads of
-    the committed store, crashes before the fingerprint lands rebuild
-    from the base.
-
-    The gated output reads ONLY the store: per (cell, m) counts split
-    by batch provenance plus exact integer code- and id-checksums. The
-    oracle re-encodes the whole corpus from scratch with base-trained
-    parameters (shared CTE body with q134), so a green row certifies
-    the store's full content — base ∪ append#1 ∪ append#2, encoded
-    against the frozen model, surviving two HWM increments AND the
-    compaction rewrite (induction: batch 2 was encoded against the
-    store as left by batch 1).
-
-    Scale shape: steady state per batch is cost ∝ delta (q134's
-    argmin kernels) + one metadata HWM read; compaction work ∝ the
-    small-file backlog per offending cell partition, not table size.
-    q134 measures the per-run delta-encode rate; this query certifies
-    the committed state (warm runs are one pruned columnar scan of the
-    store — the read path a deployed index serves probes from)."""
+def _ann_store_materialized(spark: SparkSession,
+                            sf_dir: str) -> tuple[str, int, int]:
+    """The committed cell-partitioned postings store shared by q137
+    (state certification) and q138 (serving read): base postings +
+    two HWM-driven frozen-model appends + the bin-packing compaction
+    pass, all fingerprint-gated so re-runs are idempotent and a crash
+    before the fingerprint lands rebuilds from the base. Returns
+    ``(store_path, base_boundary, second_batch_boundary)``."""
     import os
 
     from ..sources.compaction import compact_partitioned
@@ -1332,7 +1307,43 @@ def q137_ann_index_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(store, _FP_NAME), "w",
                   encoding="ascii") as f:
             f.write(store_fp)
+    return store, b, b2
 
+
+def q137_ann_index_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION half of q134: commit the incremental ANN updates
+    to the stored index instead of only histogramming them. The
+    postings store is a cell-partitioned parquet table (the layout that
+    makes cell-routed probes partition-pruned scans); maintenance is
+    the reference's high-water-mark incremental load (A1/F2,
+    SURVEY §2.9) applied to the vector index — two ingest batches
+    arrive, and each one (a) reads MAX(id) from the STORE itself as its
+    high-water mark, (b) frozen-model encodes only ids above it
+    (:func:`_ivfpq_encode`, never retraining, never touching base
+    vectors), and (c) appends the new postings. Appends accrete small
+    files, so the chain ends with the q118 maintenance pass
+    (sources/compaction.compact_partitioned) over the store — layout
+    changes, content never does. The whole chain is fingerprint-gated
+    (embeddings state + model params): re-runs are idempotent reads of
+    the committed store, crashes before the fingerprint lands rebuild
+    from the base.
+
+    The gated output reads ONLY the store: per (cell, m) counts split
+    by batch provenance plus exact integer code- and id-checksums. The
+    oracle re-encodes the whole corpus from scratch with base-trained
+    parameters (shared CTE body with q134), so a green row certifies
+    the store's full content — base ∪ append#1 ∪ append#2, encoded
+    against the frozen model, surviving two HWM increments AND the
+    compaction rewrite (induction: batch 2 was encoded against the
+    store as left by batch 1).
+
+    Scale shape: steady state per batch is cost ∝ delta (q134's
+    argmin kernels) + one metadata HWM read; compaction work ∝ the
+    small-file backlog per offending cell partition, not table size.
+    q134 measures the per-run delta-encode rate; this query certifies
+    the committed state (warm runs are one pruned columnar scan of the
+    store — the read path a deployed index serves probes from)."""
+    store, b, b2 = _ann_store_materialized(spark, sf_dir)
     st = spark.read.parquet(store)
     return (st.groupBy(F.col("cell").cast("long").alias("cell"), "m")
             .agg(F.count(F.when(F.col("id") <= b, 1)).alias("n_base"),
@@ -1358,6 +1369,118 @@ SELECT cell, m,
        CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
        CAST(sum(id) AS BIGINT) AS id_sum
 FROM post GROUP BY cell, m
+"""
+
+
+ANN_TOPK = 3  # neighbors returned per probe query
+
+
+def q138_ann_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING read against the committed postings store — what the
+    whole q134/q137 maintenance chain exists to make cheap: IVF-PQ ADC
+    top-k (q113's scoring) answered FROM the cell-partitioned store
+    with PARTITION PRUNING doing the candidate bounding. Each query
+    ranks the frozen centroids exactly, keeps its N_PROBE nearest
+    cells, and the probed cell set (≤ min(K, |queries|·nprobe), a
+    driver-side bounded collect) is pushed into the store scan as a
+    partition filter — the scan never opens the other cells'
+    directories, which at 100 TB is the difference between reading
+    nprobe/K of the index and reading all of it. Candidates are scored
+    by M broadcast-LUT lookups per vector (no corpus float is ever
+    touched on the query path; the store carries only byte codes).
+
+    The oracle re-derives the postings via the shared full-encode body
+    (frozen base-trained model) and runs the same probe/LUT/rank
+    pipeline in SQL, so a green row certifies the served neighbors —
+    including that the store content the pruned scan actually read
+    (base ∪ two appends, post-compaction) is the right index state.
+
+    Scale shape: centroid ranking is |queries|×K broadcast rows; the
+    LUT is |queries|·M·CODES broadcast rows; the pruned scan reads only
+    probed cell partitions; scoring is one map-side lookup join +
+    a (q_id, neighbor) aggregate bounded by the probed postings;
+    output is |queries|·k rows. Determinism: exact-integer ADC sums,
+    rank ties on neighbor_id, probe ties on (d2, cid) — the q113
+    contract."""
+    from pyspark.sql import Window
+
+    from ..operators import kmeans
+
+    store, b, _b2 = _ann_store_materialized(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    # multi-consumer (queries + cold-path model build); q113's
+    # convention: caller owns cache lifetime — bench/probe clearCache
+    vecs = _spread_vectors(spark, emb).persist()
+    centroids, codebook, _ = _ivfpq_base_index(spark, sf_dir, vecs, b)
+
+    queries = vecs.filter(F.col("id") < N_QUERIES)
+    qc = (queries.crossJoin(F.broadcast(centroids))
+          .withColumn("d2", kmeans.sqdist(F.col("v"), F.col("cv"))))
+    wq = Window.partitionBy("id").orderBy("d2", "cid")
+    probed = (qc.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= N_PROBE)
+              .select(F.col("id").alias("q_id"),
+                      F.col("cid").cast("int").alias("cell")))
+    # bounded driver-side collect (≤ K values) so the probed set lands
+    # in the scan as a PartitionFilter, not a post-scan join filter
+    cells = sorted({r.cell for r in probed.select("cell")
+                   .distinct().collect()})
+    st = spark.read.parquet(store).filter(F.col("cell").isin(cells))
+
+    lut = (_ivfpq_subvecs(queries).join(F.broadcast(codebook), "m")
+           .select(F.col("id").alias("q_id"), "m", "code",
+                   F.floor(kmeans.sqdist(F.col("sv"), F.col("cv")) * Q_ADC)
+                   .cast("long").alias("d2q")))
+    adc = (st.join(F.broadcast(probed), "cell")
+           .filter(F.col("q_id") != F.col("id"))
+           .join(F.broadcast(lut), ["q_id", "m", "code"])
+           .groupBy("q_id", "id", "cell")
+           .agg(F.sum("d2q").alias("adc_q")))
+    wr = Window.partitionBy("q_id").orderBy("adc_q", "id")
+    return (adc.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rank") <= ANN_TOPK)
+            .select("q_id", F.col("id").alias("neighbor_id"),
+                    F.col("cell").cast("long").alias("cell"),
+                    "adc_q", "rank"))
+
+
+def _q138_sql() -> str:
+    def sqv(a: str, b: str) -> str:
+        return ("list_sum(list_transform(range(1, len({a}) + 1), "
+                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+                .format(a=a, b=b))
+
+    return f"""
+WITH {_ivfpq_full_encode_ctes()},
+qp AS (
+  SELECT * FROM (
+    SELECT e.id AS q_id, c2.cid AS cell,
+           CAST(row_number() OVER (
+             PARTITION BY e.id
+             ORDER BY {sqv('e.v', 'c2.cv')}, c2.cid) AS INT) AS cell_rank
+    FROM e CROSS JOIN c2 WHERE e.id < {N_QUERIES}
+  ) WHERE cell_rank <= {N_PROBE}
+),
+lut AS (
+  SELECT s.id AS q_id, s.m, cb.code,
+         CAST(floor({sqv('s.sv', 'cb.cv')} * {Q_ADC}) AS BIGINT) AS d2q
+  FROM suba s JOIN codebook cb ON s.m = cb.m
+  WHERE s.id < {N_QUERIES}
+),
+adc AS (
+  SELECT qp.q_id, p.id AS neighbor_id, p.cell,
+         CAST(sum(l.d2q) AS BIGINT) AS adc_q
+  FROM qp JOIN post p ON qp.cell = p.cell
+  JOIN lut l ON l.q_id = qp.q_id AND l.m = p.m AND l.code = p.code
+  WHERE qp.q_id <> p.id
+  GROUP BY qp.q_id, p.id, p.cell
+)
+SELECT q_id, neighbor_id, CAST(cell AS BIGINT) AS cell, adc_q, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_q, neighbor_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= {ANN_TOPK}
 """
 
 
@@ -1621,4 +1744,5 @@ QUERIES: dict[str, Query] = {
     "q134_incremental_ann": Query(q134_incremental_ann, _q134_sql()),
     "q137_ann_index_writeback": Query(q137_ann_index_writeback,
                                       _q137_sql()),
+    "q138_ann_store_probe": Query(q138_ann_store_probe, _q138_sql()),
 }

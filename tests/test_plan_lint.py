@@ -60,6 +60,8 @@ BNLJ_ALLOWED = {
     "q126_embedding_covariance": "1-row exact corpus count",
     "q130_importance_resample": "1-row corpus-mean importance + q121's totals",
     "q134_incremental_ann":   "K centroid rows to every (base|delta) vector",
+    "q138_ann_store_probe":   "K centroid rows crossed to the Q query "
+                              "vectors (probe ranking)",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever

@@ -247,3 +247,35 @@ def test_q122_index_store_ends_compacted(spark, sf_dir):
     n, nbytes = flat_file_stats(os.path.join(base, "q122_index"))
     import math
     assert n == max(1, math.ceil(nbytes / (64 * 1024 * 1024)))
+
+
+# --- q138: partition-pruned serving read -----------------------------------
+
+def test_q138_scan_is_partition_pruned_and_ranks_are_sound(spark, sf_dir):
+    import re
+
+    from etl_pipeline_stock_market_data_postgresql_spark.plans.inspect import explain_str
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        ANN_TOPK, N_QUERIES, q138_ann_store_probe)
+    df = q138_ann_store_probe(spark, sf_dir)
+    try:
+        text = explain_str(df)
+        # the probed cell set must reach the store scan as a partition
+        # filter (pruned directory listing), not a post-scan predicate
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+        assert m, "store scan must carry PartitionFilters"
+        assert "cell" in m.group(1) and m.group(1).strip(), m.group(0)
+        rows = df.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append(r)
+        assert set(by_q) == set(range(N_QUERIES))
+        for q, rs in by_q.items():
+            assert len(rs) <= ANN_TOPK
+            assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+            # rank order == (adc_q, neighbor_id) order, self excluded
+            ordered = sorted(rs, key=lambda r: (r.adc_q, r.neighbor_id))
+            assert [r.rank for r in ordered] == list(range(1, len(rs) + 1))
+            assert all(r.neighbor_id != q for r in rs)
+    finally:
+        spark.catalog.clearCache()
