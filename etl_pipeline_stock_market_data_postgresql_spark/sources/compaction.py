@@ -173,6 +173,61 @@ def compact_flat(spark: SparkSession, path: str,
     return n_before, flat_file_stats(path)[0]
 
 
+def delete_where_partitioned(spark: SparkSession, path: str, part_col: str,
+                             condition) -> dict[str, int]:
+    """Row-level DELETE on a one-level hive-partitioned parquet table —
+    the purge operation every 100 TB corpus eventually owes (quality
+    retractions, takedowns, right-to-be-forgotten): remove every row
+    matching ``condition``, rewriting ONLY the partitions that contain
+    victims (dynamic partition overwrite, q110's proven mechanism);
+    untouched partitions keep their files byte-identical. A partition
+    whose rows are ALL victims cannot be replaced by the overwrite
+    (nothing is written for it), so its directory is removed explicitly
+    — without this the delete would silently resurrect it.
+
+    Returns {partition value: rows deleted} (empty when nothing
+    matched). Work ∝ victims' partitions, not table size; the victim
+    census is one column-pruned scan reduced to |partitions| rows.
+
+    The in-flight survivors are pinned with a DISK_ONLY
+    ``localCheckpoint`` before overwriting their own source files (the
+    q118/q114 self-overwrite + heap lesson). At 100 TB this becomes a
+    staged write + metastore swap; the touched-partition plan is
+    unchanged."""
+    import shutil
+    import urllib.parse
+
+    from pyspark import StorageLevel
+
+    df = spark.read.parquet(path)
+    per_part = {r["p"]: r["n"] for r in
+                (df.filter(condition)
+                 .groupBy(F.col(part_col).cast("string").alias("p"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect())}
+    if not per_part:
+        return per_part
+    touched = list(per_part)
+    remaining = (df.filter(F.col(part_col).cast("string").isin(touched))
+                 .filter(~condition)
+                 .localCheckpoint(eager=True,
+                                  storageLevel=StorageLevel.DISK_ONLY))
+    survivors = {r["p"] for r in
+                 (remaining.select(F.col(part_col).cast("string").alias("p"))
+                  .distinct().collect())}
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (remaining.write.partitionBy(part_col).mode("overwrite")
+         .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    for p in set(touched) - survivors:  # all-victim partitions
+        shutil.rmtree(os.path.join(
+            path, f"{part_col}={urllib.parse.quote(p, safe='')}"),
+            ignore_errors=True)
+    return per_part
+
+
 def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     """Exact row-multiset equality via two anti-semijoins — the
     strongest content-preservation certificate; used by the unit tests

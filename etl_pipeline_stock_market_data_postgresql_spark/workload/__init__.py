@@ -47,9 +47,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q134_incremental_ann", "q135_pagerank_convergence",
     "q136_kcore_converged",
     # (1b) new this round: the q134 index update COMMITTED to the
-    # cell-partitioned postings store (HWM appends + compaction), and
-    # the partition-pruned ADC serving read against that store;
+    # cell-partitioned postings store (HWM appends + compaction), the
+    # partition-pruned ADC serving read against that store, and the
+    # touched-partition row-level DELETE (purge/GC) on it;
     "q137_ann_index_writeback", "q138_ann_store_probe",
+    "q139_ann_store_delete",
     # (1c) output changed this round: q133 gained the n_null_text
     # disambiguator column (r10 ADVICE) — its r10 green row proves the
     # OLD output shape;

@@ -1484,6 +1484,77 @@ FROM (
 """
 
 
+#: every id ≡ 0 (mod this) is purged by q139 — victims deliberately
+#: SPREAD across all cells (the hard case: every partition is touched)
+ANN_GC_MOD = 7
+
+
+def q139_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the committed postings store — the purge a
+    100 TB vector corpus eventually owes (quality retractions,
+    contaminated-document takedowns, right-to-be-forgotten), run as
+    `sources.compaction.delete_where_partitioned`: victims are censused
+    in one column-pruned scan, and ONLY partitions containing victims
+    are rewritten (dynamic partition overwrite; an all-victim partition
+    is removed outright rather than resurrected). The victim set here
+    (id ≡ 0 mod {ANN_GC_MOD}) is deliberately spread across every cell
+    — the worst case for partition pruning — so these rows price the
+    full-rewrite bound; clustered purges (a domain, a crawl snapshot)
+    touch proportionally fewer partitions with the same plan.
+
+    The delete runs on its OWN fingerprint-chained copy of the store
+    (``ann_store_gc``), never the shared ``ann_store`` — q137/q138's
+    certificates stay valid, and the copy doubles as the
+    staged-write/backup discipline a production DELETE uses anyway.
+    The chain is idempotent: re-runs see the fingerprint and just read.
+
+    The gated output summarizes the SURVIVING store per (cell, m) with
+    exact integer code/id checksums; the oracle full-encodes the corpus
+    with base-trained params and applies the same predicate, so a green
+    row certifies the delete removed EXACTLY the victims — no
+    over-delete, no survivor corruption, across base and both appended
+    batches."""
+    import os
+    import shutil
+
+    from ..sources.compaction import delete_where_partitioned
+    from ..sources.derived_cache import _FP_NAME, _stored_fingerprint
+    from .storage import _scratch_base
+
+    store, _b, _b2 = _ann_store_materialized(spark, sf_dir)
+    scratch, _ = _scratch_base(sf_dir)
+    gc_store = os.path.join(scratch, "ann_store_gc")
+    fp = _stored_fingerprint(store) + f"_gc_v1_mod{ANN_GC_MOD}"
+    if _stored_fingerprint(gc_store) != fp:
+        shutil.rmtree(gc_store, ignore_errors=True)
+        shutil.copytree(store, gc_store,
+                        ignore=shutil.ignore_patterns(_FP_NAME))
+        delete_where_partitioned(spark, gc_store, "cell",
+                                 F.col("id") % ANN_GC_MOD == 0)
+        with open(os.path.join(gc_store, _FP_NAME), "w",
+                  encoding="ascii") as f:
+            f.write(fp)
+    st = spark.read.parquet(gc_store)
+    return (st.groupBy(F.col("cell").cast("long").alias("cell"), "m")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum")))
+
+
+def _q139_sql() -> str:
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+SELECT cell, m,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM post WHERE id % {ANN_GC_MOD} <> 0
+GROUP BY cell, m
+"""
+
+
 # --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
 
 SQ8_LEVELS = 255
@@ -1745,4 +1816,5 @@ QUERIES: dict[str, Query] = {
     "q137_ann_index_writeback": Query(q137_ann_index_writeback,
                                       _q137_sql()),
     "q138_ann_store_probe": Query(q138_ann_store_probe, _q138_sql()),
+    "q139_ann_store_delete": Query(q139_ann_store_delete, _q139_sql()),
 }

@@ -279,3 +279,73 @@ def test_q138_scan_is_partition_pruned_and_ranks_are_sound(spark, sf_dir):
             assert all(r.neighbor_id != q for r in rs)
     finally:
         spark.catalog.clearCache()
+
+
+# --- q139: row-level delete on the partitioned store ------------------------
+
+def test_delete_where_partitioned_semantics(spark, tmp_path):
+    """Victims removed exactly; untouched partitions byte-untouched;
+    an all-victim partition's directory is removed, not resurrected."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.compaction import (
+        delete_where_partitioned)
+    path = str(tmp_path / "ptable")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 4).alias("k"))
+    df.write.partitionBy("k").parquet(path)
+    # victims: everything in k=3, plus id%10==0 rows elsewhere; k=1
+    # has victims only where id%10==0... make k=2 victim-free:
+    cond = (F.col("k") == 3) | ((F.col("id") % 10 == 0) & (F.col("k") == 0))
+    before_k2 = {f: os.stat(os.path.join(path, "k=2", f)).st_mtime_ns
+                 for f in os.listdir(os.path.join(path, "k=2"))
+                 if f.endswith(".parquet")}
+    deleted = delete_where_partitioned(spark, path, "k", cond)
+    # ids with k==3: 100 of them; k==0 and id%10==0: ids 0,20,..,380 -> 20... wait id%4==0 and id%10==0 -> id%20==0 -> 20 rows
+    assert deleted == {"3": 100, "0": 20}
+    back = spark.read.parquet(path)
+    assert back.filter(cond).count() == 0
+    assert back.count() == 400 - 120
+    assert not os.path.isdir(os.path.join(path, "k=3"))
+    after_k2 = {f: os.stat(os.path.join(path, "k=2", f)).st_mtime_ns
+                for f in os.listdir(os.path.join(path, "k=2"))
+                if f.endswith(".parquet")}
+    assert after_k2 == before_k2
+    # no victims -> no-op
+    assert delete_where_partitioned(spark, path, "k", cond) == {}
+
+
+def test_q139_leaves_the_shared_store_untouched(spark, sf_dir, q137_store):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        q139_ann_store_delete)
+    before = {}
+    for root, _dirs, files in os.walk(q137_store):
+        for f in files:
+            p = os.path.join(root, f)
+            before[p] = os.stat(p).st_mtime_ns
+    q139_ann_store_delete(spark, sf_dir).collect()
+    after = {}
+    for root, _dirs, files in os.walk(q137_store):
+        for f in files:
+            p = os.path.join(root, f)
+            after[p] = os.stat(p).st_mtime_ns
+    assert after == before
+
+
+def test_q139_gc_store_is_exactly_the_survivor_multiset(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        ANN_GC_MOD, _ivfpq_base_index, q139_ann_store_delete)
+    q139_ann_store_delete(spark, sf_dir).collect()
+    scratch, _ = _scratch_base(sf_dir)
+    gc = os.path.join(scratch, "ann_store_gc")
+    emb = load(spark, sf_dir, "embeddings")
+    b = (2 * emb.agg(F.max("vec_id")).first()[0]) // 3
+    vecs = _spread_vectors(spark, emb).persist()
+    try:
+        centroids, codebook, _ = _ivfpq_base_index(spark, sf_dir, vecs, b)
+        want = (_ivfpq_encode(vecs.filter(F.col("id") % ANN_GC_MOD != 0),
+                              centroids, codebook)
+                .select("id", "m", "code", F.col("cell").cast("int")))
+        got = (spark.read.parquet(gc)
+               .select("id", "m", "code", F.col("cell").cast("int")))
+        assert multiset_equal(got, want)
+    finally:
+        vecs.unpersist()
