@@ -51,7 +51,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # partition-pruned ADC serving read against that store, and the
     # touched-partition row-level DELETE (purge/GC) on it;
     "q137_ann_index_writeback", "q138_ann_store_probe",
-    "q139_ann_store_delete",
+    "q139_ann_store_delete", "q140_streaming_ann_ingest",
     # (1c) output changed this round: q133 gained the n_null_text
     # disambiguator column (r10 ADVICE) — its r10 green row proves the
     # OLD output shape;

@@ -617,6 +617,117 @@ SELECT doc_id, CAST(2 AS INT) AS batch, kept, canonical_id FROM v2
 """
 
 
+def q140_streaming_ann_ingest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ANN index maintenance from a VECTOR STREAM — q137's frozen-model
+    encode driven by Structured Streaming, q122's lakehouse shape for
+    the ANN side: new embeddings arrive as micro-batches, each batch is
+    assigned + PQ-encoded against the frozen base-trained model read
+    from the materialized cache (never retrained, base vectors never
+    touched), and the postings land in an on-disk store the next batch
+    — or a restarted worker — simply appends to. Cross-batch state is
+    the store, not executor memory. The stream closes with the
+    compact_flat maintenance pass (each micro-batch appended its own
+    small files — the q118 backlog again).
+
+    Fixture: the base model comes from the shared derived cache
+    (q134/q137's); the last 1/3 of vectors arrive as TWO mtime-ordered
+    micro-batches split at q137's second-batch boundary, so the
+    streamed store must end exactly at the state q137's batch chain
+    commits. The oracle full-encodes the corpus with base-trained
+    params and summarizes the same id range per (batch, cell) — a
+    green row certifies every streamed vector's cell routing and code
+    checksums, through the stream, the appends, AND the compaction.
+
+    Scale shape: per batch, q134's delta-encode cost (broadcast-K
+    argmin + Arrow codebook argmin ∝ batch) plus one append;
+    compaction ∝ the accreted backlog. Batch-count-agnostic."""
+    import shutil
+
+    from ..sources.compaction import compact_flat
+    from ..sources.tables import load
+    from .similarity import (_ivfpq_base_index, _ivfpq_encode,
+                             _spread_vectors)
+    from .storage import _scratch_base
+
+    base_dir, _ = _scratch_base(sf_dir)
+    feed = os.path.join(base_dir, "q140_feed")
+    store = os.path.join(base_dir, "q140_store")
+    ckpt = os.path.join(base_dir, "q140_ckpt")
+    for d in (feed, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2
+    vecs = _spread_vectors(spark, emb).persist()
+    # ensure the frozen model is materialized; capture its cache paths
+    # (foreachBatch re-reads them — state comes from disk, not closures)
+    _ivfpq_base_index(spark, sf_dir, vecs, b)
+    centroids_path = os.path.join(base_dir, "ann_centroids")
+    codebook_path = os.path.join(base_dir, "ann_codebook")
+    vecs.unpersist()  # the stream side re-reads per batch
+
+    d1 = emb.filter((F.col("vec_id") > b) & (F.col("vec_id") <= b2))
+    d2 = emb.filter(F.col("vec_id") > b2)
+    d1.coalesce(1).write.mode("overwrite").parquet(feed)
+    first = {f for f in os.listdir(feed) if f.endswith(".parquet")}
+    d2.coalesce(1).write.mode("append").parquet(feed)
+    now = time.time()
+    for f in os.listdir(feed):
+        if f.endswith(".parquet"):
+            t = now - 10.0 if f in first else now
+            os.utime(os.path.join(feed, f), (t, t))
+
+    def _process(bdf: DataFrame, _bid: int) -> None:
+        sess = bdf.sparkSession
+        bvecs = _spread_vectors(sess, bdf)
+        post = _ivfpq_encode(bvecs,
+                             sess.read.parquet(centroids_path),
+                             sess.read.parquet(codebook_path))
+        (post.select("id", "m", "code", "cell")
+         .localCheckpoint(eager=True)
+         .write.mode("append").parquet(store))
+
+    schema = spark.read.parquet(feed).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(feed))
+    q = (stream.writeStream.foreachBatch(_process)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    _unload_state_stores(spark)
+    compact_flat(spark, store, target_bytes=64 * 1024 * 1024)
+    st = spark.read.parquet(store)
+    return (st.groupBy(
+                F.when(F.col("id") <= b2, F.lit(1)).otherwise(F.lit(2))
+                .cast("int").alias("batch"),
+                F.col("cell").cast("long").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum")))
+
+
+def _q140_sql() -> str:
+    from .similarity import _ivfpq_full_encode_ctes
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+SELECT CAST(CASE WHEN id <= {b2} THEN 1 ELSE 2 END AS INT) AS batch,
+       cell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM post WHERE id > (SELECT b FROM bnd)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q46_streaming_tumbling": Query(q46_streaming_tumbling, _Q46_SQL),
     "q62_streaming_session_window": Query(q62_streaming_session_window, _Q62_SQL),
@@ -628,4 +739,6 @@ QUERIES: dict[str, Query] = {
         q122_streaming_incremental_dedup, _q122_sql()),
     "q106_streaming_stateful_hwm": Query(q106_streaming_stateful_hwm,
                                          _Q106_SQL),
+    "q140_streaming_ann_ingest": Query(q140_streaming_ann_ingest,
+                                       _q140_sql()),
 }

@@ -349,3 +349,29 @@ def test_q139_gc_store_is_exactly_the_survivor_multiset(spark, sf_dir):
         assert multiset_equal(got, want)
     finally:
         vecs.unpersist()
+
+
+# --- q140: streaming ANN ingest ----------------------------------------------
+
+def test_q140_streamed_store_equals_batch_chain_deltas(
+        spark, sf_dir, q137_store):
+    """The stream must commit EXACTLY the postings q137's batch chain
+    commits for the same delta ids (both encode against the same frozen
+    model) — streaming is a delivery mechanism, not a different
+    operator."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
+        q140_streaming_ann_ingest)
+    q140_streaming_ann_ingest(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    b = (2 * emb.agg(F.max("vec_id")).first()[0]) // 3
+    base, _ = _scratch_base(sf_dir)
+    streamed = (spark.read.parquet(os.path.join(base, "q140_store"))
+                .select("id", "m", "code", F.col("cell").cast("int")))
+    chain = (spark.read.parquet(q137_store)
+             .filter(F.col("id") > b)
+             .select("id", "m", "code", F.col("cell").cast("int")))
+    assert multiset_equal(streamed, chain)
+    # maintenance pass ran: the streamed store is bin-packed flat
+    import math
+    n, nbytes = flat_file_stats(os.path.join(base, "q140_store"))
+    assert n == max(1, math.ceil(nbytes / (64 * 1024 * 1024)))
