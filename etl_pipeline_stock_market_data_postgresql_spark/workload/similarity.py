@@ -1555,6 +1555,113 @@ GROUP BY cell, m
 """
 
 
+def q141_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the postings store — the ingest chain replayed
+    through a MANIFEST-VERSIONED store (sources/versioned_store: the
+    Delta/Iceberg core in miniature): v1 commits the base postings,
+    v2/v3 append the two frozen-model delta batches, v4 is a
+    COMPACTION REWRITE (new bin-packed files in a new manifest; the
+    old files — and so v1–v3 — stay readable until vacuum). The gated
+    output reads EVERY version through its manifest and summarizes it;
+    the oracle recomputes each snapshot's content from the frozen-model
+    full encode by id range, so a green row certifies all four
+    snapshots at once — including that the compaction rewrite changed
+    LAYOUT and nothing else (v4's row must equal v3's except the
+    version label).
+
+    This is the property a plain directory store (q137) cannot give:
+    there, compaction destroys history; here every retained reader is
+    isolated from appends AND rewrites because nothing a manifest
+    references is ever mutated. Vacuum (retention GC) is exercised by
+    the invariant tests, not the gated chain, so the four versions
+    stay readable for the oracle.
+
+    Scale shape: the chain is q137's (cost ∝ delta per commit,
+    compaction ∝ backlog); each snapshot summary is one columnar scan
+    of that version's files; manifests are driver-side file lists
+    (manifest trees with file stats at real scale — same contract)."""
+    import os
+    import shutil
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint
+    from .storage import _scratch_base
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "ann_store_versioned")
+    fp = _ivfpq_model_fp(sf_dir, b) + f"_snap_v1_b2{b2}"
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        shutil.rmtree(root, ignore_errors=True)
+        # multi-consumer cold path; q113's clearCache convention
+        vecs = _spread_vectors(spark, emb).persist()
+        centroids, codebook, postings = _ivfpq_base_index(
+            spark, sf_dir, vecs, b)
+        cols = ("id", "m", "code", "cell")
+        vstore.commit_append(spark, root, postings.select(*cols))
+        d1 = vecs.filter((F.col("id") > b) & (F.col("id") <= b2))
+        vstore.commit_append(
+            spark, root,
+            _ivfpq_encode(d1, centroids, codebook).select(*cols))
+        d2 = vecs.filter(F.col("id") > b2)
+        vstore.commit_append(
+            spark, root,
+            _ivfpq_encode(d2, centroids, codebook).select(*cols))
+        # compaction as a SNAPSHOT: new bin-packed files (the q118
+        # byte-derived target), old versions untouched
+        import math
+        v3_bytes = sum(
+            os.path.getsize(os.path.join(root, "data", f))
+            for f in vstore.read_manifest(root, 3)["files"])
+        bins = max(1, math.ceil(v3_bytes / ANN_STORE_TARGET_BYTES))
+        vstore.commit_rewrite(
+            spark, root,
+            vstore.read_version(spark, root, 3).repartition(bins))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "code_sum", "code_sq_sum", "id_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q141_sql() -> str:
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+
+    def snap(v: int, pred: str) -> str:
+        return f"""
+SELECT CAST({v} AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM post WHERE {pred}"""
+
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+{snap(1, "id <= (SELECT b FROM bnd)")}
+UNION ALL {snap(2, f"id <= {b2}")}
+UNION ALL {snap(3, "TRUE")}
+UNION ALL {snap(4, "TRUE")}
+"""
+
+
 # --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
 
 SQ8_LEVELS = 255
@@ -1817,4 +1924,6 @@ QUERIES: dict[str, Query] = {
                                       _q137_sql()),
     "q138_ann_store_probe": Query(q138_ann_store_probe, _q138_sql()),
     "q139_ann_store_delete": Query(q139_ann_store_delete, _q139_sql()),
+    "q141_ann_store_snapshot": Query(q141_ann_store_snapshot,
+                                     _q141_sql()),
 }

@@ -85,6 +85,8 @@ SINGLE_PARTITION_ALLOWED = {
     "q135_pagerank_convergence": "per-iteration 1-row residual aggs "
                                  "(map-side partials only reach the "
                                  "single partition)",
+    "q141_ann_store_snapshot": "per-version 1-row snapshot summaries "
+                               "(map-side partials only)",
 }
 
 

@@ -375,3 +375,62 @@ def test_q140_streamed_store_equals_batch_chain_deltas(
     import math
     n, nbytes = flat_file_stats(os.path.join(base, "q140_store"))
     assert n == max(1, math.ceil(nbytes / (64 * 1024 * 1024)))
+
+
+# --- q141 / versioned store: time travel + vacuum ---------------------------
+
+def test_versioned_store_commit_read_vacuum(spark, tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import (
+        versioned_store as vstore)
+    root = str(tmp_path / "vstore")
+    df1 = spark.range(0, 100).selectExpr("id", "id * 2 AS x")
+    df2 = spark.range(100, 150).selectExpr("id", "id * 2 AS x")
+    assert vstore.commit_append(spark, root, df1.coalesce(2)) == 1
+    assert vstore.commit_append(spark, root, df2.coalesce(1)) == 2
+    assert vstore.latest_version(root) == 2
+    assert vstore.read_version(spark, root, 1).count() == 100
+    assert vstore.read_version(spark, root, 2).count() == 150
+    # rewrite: content preserved, old snapshots still readable
+    fp2 = content_fingerprint(vstore.read_version(spark, root, 2))
+    v3 = vstore.commit_rewrite(
+        spark, root, vstore.read_version(spark, root, 2).repartition(1))
+    assert v3 == 3
+    assert content_fingerprint(vstore.read_version(spark, root, 3)) == fp2
+    assert vstore.read_version(spark, root, 1).count() == 100
+    # vacuum keeping only v3: v1/v2-exclusive files go, v3 intact
+    removed = vstore.vacuum(root, keep_versions=[3])
+    assert removed, "rewrite must have superseded files to vacuum"
+    assert content_fingerprint(vstore.read_version(spark, root, 3)) == fp2
+    import py4j.protocol
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        vstore.read_version(spark, root, 1).count()  # loudly gone
+    # vacuum is idempotent once nothing is superseded
+    assert vstore.vacuum(root, keep_versions=[3]) == []
+
+
+def test_q141_snapshots_are_the_id_range_encodes(spark, sf_dir):
+    """v1 must be exactly the base postings multiset; v4 must equal v3
+    (compaction rewrote layout, not content)."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import (
+        versioned_store as vstore)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        _ivfpq_base_index, q141_ann_store_snapshot)
+    rows = q141_ann_store_snapshot(spark, sf_dir).collect()
+    by_v = {r.version: r for r in rows}
+    assert set(by_v) == {1, 2, 3, 4}
+    r3, r4 = by_v[3], by_v[4]
+    assert (r3.n_rows, r3.code_sum, r3.code_sq_sum, r3.id_sum) == \
+        (r4.n_rows, r4.code_sum, r4.code_sq_sum, r4.id_sum)
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "ann_store_versioned")
+    emb = load(spark, sf_dir, "embeddings")
+    b = (2 * emb.agg(F.max("vec_id")).first()[0]) // 3
+    vecs = _spread_vectors(spark, emb).persist()
+    try:
+        _c, _cb, postings = _ivfpq_base_index(spark, sf_dir, vecs, b)
+        v1 = vstore.read_version(spark, root, 1).select(
+            "id", "m", "code", "cell")
+        assert multiset_equal(v1, postings.select("id", "m", "code", "cell"))
+    finally:
+        vecs.unpersist()
