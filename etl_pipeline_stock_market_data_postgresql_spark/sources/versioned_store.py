@@ -67,8 +67,32 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
         *[os.path.join(root, _DATA, f) for f in files])
 
 
+def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
+    """Per-column [min, max] from the parquet footer — metadata only,
+    no data pages read. This is the per-file stats entry an Iceberg
+    manifest carries; it is what makes :func:`read_version_pruned`'s
+    file skipping a pure planning decision."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
 def _commit(spark: SparkSession, root: str, df: DataFrame,
-            carry_prev: bool) -> int:
+            carry_prev: bool, stats_cols: tuple[str, ...]) -> int:
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
     prev = latest_version(root)
@@ -76,17 +100,25 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     tmp = os.path.join(root, f".commit-tmp-{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.parquet(tmp)
-    new = []
+    new, stats = [], {}
+    cols = tuple(c for c in stats_cols if c in df.columns)
     for i, f in enumerate(sorted(x for x in os.listdir(tmp)
                                  if x.endswith(".parquet"))):
         name = f"v{version:05d}-{i:05d}.parquet"
-        os.replace(os.path.join(tmp, f),
-                   os.path.join(root, _DATA, name))
+        dst = os.path.join(root, _DATA, name)
+        os.replace(os.path.join(tmp, f), dst)
         new.append(name)
+        if cols:
+            stats[name] = _file_stats(dst, cols)
     shutil.rmtree(tmp, ignore_errors=True)
-    files = new if (not carry_prev or prev is None) else \
-        read_manifest(root, prev)["files"] + new
-    body = json.dumps({"version": version, "files": files})
+    if carry_prev and prev is not None:
+        pm = read_manifest(root, prev)
+        files = pm["files"] + new
+        stats = {**pm.get("stats", {}), **stats}
+    else:
+        files = new
+    body = json.dumps({"version": version, "files": files,
+                       "stats": stats})
     mtmp = _manifest_path(root, version) + ".tmp"
     with open(mtmp, "w", encoding="ascii") as f:
         f.write(body)
@@ -94,16 +126,49 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     return version
 
 
-def commit_append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """New version = previous files + df's files (incremental ingest)."""
-    return _commit(spark, root, df, carry_prev=True)
+def read_version_pruned(spark: SparkSession, root: str, version: int,
+                        col: str, lo, hi) -> tuple[DataFrame, int, int]:
+    """Snapshot read that OPENS only files whose manifest [min, max]
+    stats for ``col`` overlap [lo, hi] — Iceberg-style file skipping
+    as a pure planning decision over driver-side metadata (no footer
+    reads at plan time, no data reads for skipped files). Returns
+    ``(df, n_files_opened, n_files_total)``. The skipped set is a
+    proven superset-complement: a file whose min/max misses the range
+    cannot hold a matching row, so the caller applying the PRECISE
+    predicate to the returned frame gets exactly the unpruned answer.
+    Files without recorded stats for ``col`` are conservatively
+    opened."""
+    man = read_manifest(root, version)
+    stats = man.get("stats", {})
+    keep = []
+    for f in man["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or (s[0] <= hi and s[1] >= lo):
+            keep.append(f)
+    if not keep:  # preserve schema on an empty match
+        return (read_version(spark, root, version).limit(0),
+                0, len(man["files"]))
+    df = spark.read.parquet(
+        *[os.path.join(root, _DATA, f) for f in keep])
+    return df, len(keep), len(man["files"])
 
 
-def commit_rewrite(spark: SparkSession, root: str, df: DataFrame) -> int:
+def commit_append(spark: SparkSession, root: str, df: DataFrame,
+                  stats_cols: tuple[str, ...] = ("id",)) -> int:
+    """New version = previous files + df's files (incremental ingest).
+    Footer min/max stats for ``stats_cols`` (those present) are
+    recorded per file for :func:`read_version_pruned`."""
+    return _commit(spark, root, df, carry_prev=True,
+                   stats_cols=stats_cols)
+
+
+def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
+                   stats_cols: tuple[str, ...] = ("id",)) -> int:
     """New version = ONLY df's files (compaction / full replace). The
     superseded files stay on disk — every retained older snapshot keeps
     reading them — until :func:`vacuum`."""
-    return _commit(spark, root, df, carry_prev=False)
+    return _commit(spark, root, df, carry_prev=False,
+                   stats_cols=stats_cols)
 
 
 def vacuum(root: str, keep_versions: list[int]) -> list[str]:

@@ -52,7 +52,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # touched-partition row-level DELETE (purge/GC) on it;
     "q137_ann_index_writeback", "q138_ann_store_probe",
     "q139_ann_store_delete", "q140_streaming_ann_ingest",
-    "q141_ann_store_snapshot",
+    "q141_ann_store_snapshot", "q142_ann_store_stats_pruning",
     # (1c) output changed this round: q133 gained the n_null_text
     # disambiguator column (r10 ADVICE) — its r10 green row proves the
     # OLD output shape;

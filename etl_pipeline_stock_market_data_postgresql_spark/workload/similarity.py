@@ -1555,6 +1555,68 @@ GROUP BY cell, m
 """
 
 
+def _ann_versioned_root(spark: SparkSession,
+                        sf_dir: str) -> tuple[str, int, int]:
+    """The manifest-versioned postings store shared by q141 (time
+    travel) and q142 (stats-pruned reads): v1 base postings, v2/v3
+    frozen-model delta appends, v4 compaction rewrite — all committed
+    through sources/versioned_store with per-file min/max(id) stats,
+    fingerprint-gated for idempotent re-runs. Returns
+    ``(root, base_boundary, second_batch_boundary)``."""
+    import math
+    import os
+    import shutil
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint
+    from .storage import _scratch_base
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "ann_store_versioned")
+    # v2 token: manifests gained per-file id stats (q142)
+    fp = _ivfpq_model_fp(sf_dir, b) + f"_snap_v2_b2{b2}"
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        shutil.rmtree(root, ignore_errors=True)
+        # multi-consumer cold path; q113's clearCache convention
+        vecs = _spread_vectors(spark, emb).persist()
+        centroids, codebook, postings = _ivfpq_base_index(
+            spark, sf_dir, vecs, b)
+        cols = ("id", "m", "code", "cell")
+        vstore.commit_append(spark, root, postings.select(*cols))
+        d1 = vecs.filter((F.col("id") > b) & (F.col("id") <= b2))
+        vstore.commit_append(
+            spark, root,
+            _ivfpq_encode(d1, centroids, codebook).select(*cols))
+        d2 = vecs.filter(F.col("id") > b2)
+        vstore.commit_append(
+            spark, root,
+            _ivfpq_encode(d2, centroids, codebook).select(*cols))
+        # compaction as a SNAPSHOT: new bin-packed files (the q118
+        # byte-derived target), old versions untouched
+        v3_bytes = sum(
+            os.path.getsize(os.path.join(root, "data", f))
+            for f in vstore.read_manifest(root, 3)["files"])
+        bins = max(1, math.ceil(v3_bytes / ANN_STORE_TARGET_BYTES))
+        # range-partitioned rewrite: compaction that PRESERVES id
+        # clustering (OPTIMIZE-with-sort), so the compacted files keep
+        # tight disjoint min/max(id) stats and q142's file skipping
+        # survives compaction — a round-robin rewrite would smear every
+        # file across the full id range and silently disable pruning
+        vstore.commit_rewrite(
+            spark, root,
+            vstore.read_version(spark, root, 3)
+            .repartitionByRange(bins, "id"))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root, b, b2
+
+
 def q141_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel on the postings store — the ingest chain replayed
     through a MANIFEST-VERSIONED store (sources/versioned_store: the
@@ -1579,52 +1641,12 @@ def q141_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the chain is q137's (cost ∝ delta per commit,
     compaction ∝ backlog); each snapshot summary is one columnar scan
     of that version's files; manifests are driver-side file lists
-    (manifest trees with file stats at real scale — same contract)."""
-    import os
-    import shutil
-
+    (manifest trees with file stats at real scale — same contract;
+    the miniature here already records per-file min/max(id) stats,
+    which q142 consumes for file skipping)."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint
-    from .storage import _scratch_base
 
-    emb = load(spark, sf_dir, "embeddings")
-    max_id = emb.agg(F.max("vec_id")).first()[0]
-    b = (2 * max_id) // 3
-    b2 = b + (max_id - b + 1) // 2
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "ann_store_versioned")
-    fp = _ivfpq_model_fp(sf_dir, b) + f"_snap_v1_b2{b2}"
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        shutil.rmtree(root, ignore_errors=True)
-        # multi-consumer cold path; q113's clearCache convention
-        vecs = _spread_vectors(spark, emb).persist()
-        centroids, codebook, postings = _ivfpq_base_index(
-            spark, sf_dir, vecs, b)
-        cols = ("id", "m", "code", "cell")
-        vstore.commit_append(spark, root, postings.select(*cols))
-        d1 = vecs.filter((F.col("id") > b) & (F.col("id") <= b2))
-        vstore.commit_append(
-            spark, root,
-            _ivfpq_encode(d1, centroids, codebook).select(*cols))
-        d2 = vecs.filter(F.col("id") > b2)
-        vstore.commit_append(
-            spark, root,
-            _ivfpq_encode(d2, centroids, codebook).select(*cols))
-        # compaction as a SNAPSHOT: new bin-packed files (the q118
-        # byte-derived target), old versions untouched
-        import math
-        v3_bytes = sum(
-            os.path.getsize(os.path.join(root, "data", f))
-            for f in vstore.read_manifest(root, 3)["files"])
-        bins = max(1, math.ceil(v3_bytes / ANN_STORE_TARGET_BYTES))
-        vstore.commit_rewrite(
-            spark, root,
-            vstore.read_version(spark, root, 3).repartition(bins))
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root, _b, _b2 = _ann_versioned_root(spark, sf_dir)
     parts = []
     for v in (1, 2, 3, 4):
         parts.append(
@@ -1639,6 +1661,66 @@ def q141_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q142_ann_store_stats_pruning(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stats-based FILE SKIPPING on the versioned store — the other
+    half of what a manifest buys (q141 proved snapshots; this proves
+    planning): every commit records per-file min/max(id) footer stats
+    in the manifest, and a range read opens ONLY the files whose
+    stats overlap the predicate (sources/versioned_store.
+    read_version_pruned — a pure driver-side planning decision, no
+    footer or data reads for skipped files). The gated output runs the
+    SAME mid-range predicate (the second ingest batch's id window)
+    against version 3 (append layout: only that batch's files overlap)
+    AND version 4 (the range-partitioned compaction rewrite: only the
+    overlapping bins open) and summarizes each; the oracle computes
+    the range's frozen-model encode once per version label, so a green
+    row certifies the pruned reads return exactly the unpruned answer
+    on BOTH layouts. File-skipping counts (opened < total) are pinned
+    by the invariant tests — at 100 TB this skipping is the difference
+    between a manifest lookup + k files and a full-index scan for
+    every range query.
+
+    Scale shape: planning is driver-side ∝ |files in manifest|
+    (manifest trees at real scale); the read touches only overlapping
+    files; the summary is one bounded aggregate."""
+    from ..sources import versioned_store as vstore
+
+    root, b, b2 = _ann_versioned_root(spark, sf_dir)
+    parts = []
+    for v in (3, 4):
+        df, _opened, _total = vstore.read_version_pruned(
+            spark, root, v, "id", b + 1, b2)
+        parts.append(
+            df.filter((F.col("id") > b) & (F.col("id") <= b2))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "code_sum", "code_sq_sum", "id_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+def _q142_sql() -> str:
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+
+    def snap(v: int) -> str:
+        return f"""
+SELECT CAST({v} AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM post WHERE id > (SELECT b FROM bnd) AND id <= {b2}"""
+
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+{snap(3)}
+UNION ALL {snap(4)}
+"""
 
 
 def _q141_sql() -> str:
@@ -1926,4 +2008,6 @@ QUERIES: dict[str, Query] = {
     "q139_ann_store_delete": Query(q139_ann_store_delete, _q139_sql()),
     "q141_ann_store_snapshot": Query(q141_ann_store_snapshot,
                                      _q141_sql()),
+    "q142_ann_store_stats_pruning": Query(q142_ann_store_stats_pruning,
+                                          _q142_sql()),
 }

@@ -87,6 +87,8 @@ SINGLE_PARTITION_ALLOWED = {
                                  "single partition)",
     "q141_ann_store_snapshot": "per-version 1-row snapshot summaries "
                                "(map-side partials only)",
+    "q142_ann_store_stats_pruning": "per-version 1-row range summaries "
+                                    "(map-side partials only)",
 }
 
 

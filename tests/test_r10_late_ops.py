@@ -434,3 +434,31 @@ def test_q141_snapshots_are_the_id_range_encodes(spark, sf_dir):
         assert multiset_equal(v1, postings.select("id", "m", "code", "cell"))
     finally:
         vecs.unpersist()
+
+
+# --- q142: stats-based file skipping -----------------------------------------
+
+def test_q142_pruned_read_skips_files_and_matches_unpruned(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import (
+        versioned_store as vstore)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        _ann_versioned_root)
+    root, b, b2 = _ann_versioned_root(spark, sf_dir)
+    man = vstore.read_manifest(root, 3)
+    assert man["stats"], "manifests must carry per-file stats"
+    assert all("id" in s for s in man["stats"].values())
+    pruned, opened, total = vstore.read_version_pruned(
+        spark, root, 3, "id", b + 1, b2)
+    assert opened < total, (opened, total)
+    cond = (F.col("id") > b) & (F.col("id") <= b2)
+    full = vstore.read_version(spark, root, 3).filter(cond)
+    assert multiset_equal(pruned.filter(cond), full)
+    # files without recorded stats are conservatively opened
+    got = vstore.read_version_pruned(spark, root, 3, "nonexistent", 0, 1)
+    assert got[1] == got[2] == total
+    # empty-match range: zero files opened, schema preserved
+    mx = vstore.read_version(spark, root, 3).agg(F.max("id")).first()[0]
+    edf, eopened, _etotal = vstore.read_version_pruned(
+        spark, root, 3, "id", mx + 10, mx + 20)
+    assert eopened == 0 and edf.count() == 0
+    assert set(edf.columns) == {"id", "m", "code", "cell"}
