@@ -139,7 +139,10 @@ def compact_flat(spark: SparkSession, path: str,
     hive layouts, minus the partition dimension.
 
     Rewrites the whole directory into ``max(1, ceil(bytes/target))``
-    files when the current file count exceeds that, via a temp
+    files — bytes measured on the PRE-rewrite layout (the contract;
+    consolidation usually improves compression, so a post-rewrite-bytes
+    reading of compliance would be boundary-flaky) — when the current
+    file count exceeds that, via a temp
     directory + :func:`derived_cache.publish_dir` (atomic rename-aside
     swap — a concurrent reader mid-scan keeps a consistent directory).
     Underscore-prefixed metadata files (e.g. the derived cache's
@@ -157,12 +160,13 @@ def compact_flat(spark: SparkSession, path: str,
     partitions."""
     import shutil
 
-    from .derived_cache import publish_dir
+    from .derived_cache import publish_dir, sweep_stale_siblings
 
     n_before, n_bytes = flat_file_stats(path)
     bins = max(1, math.ceil(n_bytes / target_bytes))
     if n_before <= bins:
         return n_before, n_before
+    sweep_stale_siblings(path, (".compact-",))  # crashed-pass debris
     tmp = f"{path}.compact-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     spark.read.parquet(path).repartition(bins).write.parquet(tmp)
@@ -183,7 +187,14 @@ def delete_where_partitioned(spark: SparkSession, path: str, part_col: str,
     untouched partitions keep their files byte-identical. A partition
     whose rows are ALL victims cannot be replaced by the overwrite
     (nothing is written for it), so its directory is removed explicitly
-    — without this the delete would silently resurrect it.
+    — without this the delete would silently resurrect it. The doomed
+    directories are found by LISTING the table and unquoting each
+    directory token (the same rule :func:`partition_file_stats` uses)
+    rather than re-escaping the value — Spark's ``escapePathName``
+    escapes a different character set than ``urllib.parse.quote``
+    (space, ``+``, ``(`` are written literally), so a reconstructed
+    name can miss the real directory; a doomed partition that cannot
+    be found raises instead of silently surviving.
 
     Returns {partition value: rows deleted} (empty when nothing
     matched). Work ∝ victims' partitions, not table size; the victim
@@ -195,7 +206,6 @@ def delete_where_partitioned(spark: SparkSession, path: str, part_col: str,
     staged write + metastore swap; the touched-partition plan is
     unchanged."""
     import shutil
-    import urllib.parse
 
     from pyspark import StorageLevel
 
@@ -221,10 +231,24 @@ def delete_where_partitioned(spark: SparkSession, path: str, part_col: str,
          .parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
-    for p in set(touched) - survivors:  # all-victim partitions
-        shutil.rmtree(os.path.join(
-            path, f"{part_col}={urllib.parse.quote(p, safe='')}"),
-            ignore_errors=True)
+    doomed = set(touched) - survivors  # all-victim partitions
+    if doomed:
+        import urllib.parse
+        prefix = f"{part_col}="
+        removed = set()
+        for entry in os.listdir(path):
+            sub = os.path.join(path, entry)
+            if not (entry.startswith(prefix) and os.path.isdir(sub)):
+                continue
+            value = urllib.parse.unquote(entry[len(prefix):])
+            if value in doomed:
+                shutil.rmtree(sub)  # loud on failure: a survivor here
+                removed.add(value)  # would resurrect deleted rows
+        missing = doomed - removed
+        if missing:
+            raise RuntimeError(
+                f"all-victim partition dirs not found under {path}: "
+                f"{sorted(missing)}")
     return per_part
 
 

@@ -42,6 +42,28 @@ from pyspark.sql import DataFrame, SparkSession
 _FP_NAME = "_INPUT_FINGERPRINT"
 
 
+def sweep_stale_siblings(path: str, tags: tuple[str, ...],
+                         keep: str | None = None) -> None:
+    """Remove leftover work directories next to ``path`` whose names
+    are ``<basename(path)>.<tag>…`` — the debris a process crashing
+    between a build and its rename pair leaves behind (``.old-<pid>``
+    asides, ``.tmp-<pid>`` builds). The names embed the CREATOR's pid,
+    so a retry under a new pid would otherwise never reclaim them;
+    single-writer is already this module's contract, so anything
+    matching that isn't ``keep`` is stale by definition."""
+    parent = os.path.dirname(os.path.abspath(path))
+    base = os.path.basename(os.path.normpath(path))
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        if full == keep or not entry.startswith(base + "."):
+            continue
+        tail = entry[len(base):]
+        if any(tail.startswith(t) for t in tags):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def file_fingerprint(paths: list[str] | tuple[str, ...],
                      params: str = "") -> str:
     """Hex digest over the (relpath, size, mtime_ns) of every file under
@@ -95,6 +117,7 @@ def cached_parquet(spark: SparkSession, path: str, fingerprint: str,
     (the persist-vs-reread tradeoff tips to reread once the state is
     columnar on disk)."""
     if _stored_fingerprint(path) != fingerprint:
+        sweep_stale_siblings(path, (".tmp-",))  # crashed-build debris
         tmp = f"{path}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         build().write.mode("overwrite").parquet(tmp)
@@ -121,8 +144,12 @@ def publish_dir(tmp: str, path: str) -> None:
     finish against instead of observing a half-deleted one; the
     missing-dir window is a single rename pair. (Readers that LIST
     after the swap see only the new state — parquet dirs are immutable
-    once published.) The stale copy is removed after the swap. On a
-    real lakehouse this is the metastore pointer swap."""
+    once published.) The stale copy is removed after the swap, and any
+    ``.old-*`` asides a CRASHED earlier publish leaked (their names
+    embed the dead pid, so only this sweep reclaims them) are removed
+    on entry. On a real lakehouse this is the metastore pointer
+    swap."""
+    sweep_stale_siblings(path, (".old-",), keep=tmp)
     old = f"{path}.old-{os.getpid()}"
     shutil.rmtree(old, ignore_errors=True)
     try:

@@ -2,8 +2,8 @@
 miniature: data files are IMMUTABLE and append-only, every commit
 writes a new manifest (an explicit file list), and readers resolve a
 manifest instead of listing the directory. That single inversion buys
-the three properties a 100 TB table needs and a plain parquet
-directory cannot give:
+the properties a 100 TB table needs and a plain parquet directory
+cannot give:
 
 - **time travel**: any retained version re-reads exactly its files;
 - **snapshot-preserving compaction**: a rewrite commit publishes new
@@ -12,28 +12,37 @@ directory cannot give:
 - **snapshot isolation**: a reader holding version N never sees a
   concurrent append or rewrite, because nothing it references is
   mutated — only vacuum deletes, and only files no retained manifest
-  references.
+  references;
+- **idempotent (exactly-once) appends**: a commit tagged with a
+  transaction id is skipped when that id is already recorded in the
+  manifest chain — Delta's txnAppId/txnVersion pattern, which is what
+  makes an at-least-once streaming `foreachBatch` sink exactly-once
+  (a replayed micro-batch re-commits under the same id and no-ops);
+- **copy-on-write row-level DELETE**: only victim-bearing files are
+  rewritten, every other file is carried by name into the new
+  manifest, and the pre-delete snapshot stays readable.
 
 Reference parity: the reference delegates durability/versioning to
 PostgreSQL (MVCC); this is the Spark-native equivalent for immutable
 file storage.
 
-Scale shape: a manifest here is a flat JSON file list — at 100 TB this
-becomes a manifest TREE with per-file column stats (Iceberg's layout)
-so planning prunes by stats before any scan, but the commit/read/
-vacuum contract is unchanged. Commits are single-writer (the caller
-serializes; a metastore CAS would arbitrate on a real lakehouse) and
-publish via write-temp + atomic rename, so a crashed commit leaves at
-worst orphaned data files for vacuum — never a readable-but-wrong
-manifest."""
+Scale shape: a manifest here is a flat JSON file list with per-file
+min/max column stats — at 100 TB this becomes a manifest TREE
+(Iceberg's layout) so planning prunes by stats before any scan, but
+the commit/read/vacuum contract is unchanged. Commits are
+single-writer (the caller serializes; a metastore CAS would arbitrate
+on a real lakehouse) and publish via write-temp + atomic rename, so a
+crashed commit leaves at worst orphaned data files for vacuum — never
+a readable-but-wrong manifest (the crash-recovery invariant is pinned
+by tests/test_r12_ops.py's interrupted-commit gate)."""
 
 from __future__ import annotations
 
-import json
+import math
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _DATA = "data"
 _MANIFESTS = "manifests"
@@ -53,16 +62,37 @@ def latest_version(root: str) -> int | None:
 
 
 def read_manifest(root: str, version: int) -> dict:
+    import json
+
     with open(_manifest_path(root, version), encoding="ascii") as f:
         return json.load(f)
+
+
+def committed_txns(root: str) -> set[str]:
+    """Transaction ids recorded in the CURRENT manifest (the chain
+    carries them forward through appends, rewrites and deletes, so
+    membership survives compaction — the property a replayed streaming
+    micro-batch relies on)."""
+    v = latest_version(root)
+    if v is None:
+        return set()
+    return set(read_manifest(root, v).get("txns", []))
 
 
 def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     """Snapshot read: exactly the files version ``version`` committed.
     Never lists the data directory — concurrent appends/rewrites are
     invisible, and a vacuumed (unretained) version fails loudly on the
-    missing file rather than silently returning partial data."""
-    files = read_manifest(root, version)["files"]
+    missing file rather than silently returning partial data. An empty
+    version (zero files) reads as an empty frame with the schema the
+    commit recorded."""
+    man = read_manifest(root, version)
+    files = man["files"]
+    if not files:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(man["schema"])
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(
         *[os.path.join(root, _DATA, f) for f in files])
 
@@ -92,18 +122,39 @@ def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
 
 
 def _commit(spark: SparkSession, root: str, df: DataFrame,
-            carry_prev: bool, stats_cols: tuple[str, ...]) -> int:
+            carry_files: list[str] | None, stats_cols: tuple[str, ...],
+            txn: str | None = None) -> int:
+    """Write ``df``'s part files into the data dir, then publish a new
+    manifest referencing them plus ``carry_files`` (by name, from the
+    previous manifest — their bytes are never touched). Transaction ids
+    accumulate across the chain regardless of carry semantics. The
+    manifest records the frame's schema so an all-files-pruned or
+    zero-file version still reads with the right shape."""
+    import json
+
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    for entry in os.listdir(root):  # crashed-commit staging debris
+        if entry.startswith(".commit-tmp-"):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     prev = latest_version(root)
     version = (prev or 0) + 1
     tmp = os.path.join(root, f".commit-tmp-{os.getpid()}")
-    shutil.rmtree(tmp, ignore_errors=True)
     df.write.parquet(tmp)
+    parts = sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+    if not parts:
+        # an empty frame can produce zero part files (AQE-coalesced
+        # empty shuffles); write one explicit empty file so every
+        # manifest references at least its schema carrier unless it
+        # carries previous files
+        if not carry_files:
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.createDataFrame([], df.schema).write.parquet(tmp)
+            parts = sorted(x for x in os.listdir(tmp)
+                           if x.endswith(".parquet"))
     new, stats = [], {}
     cols = tuple(c for c in stats_cols if c in df.columns)
-    for i, f in enumerate(sorted(x for x in os.listdir(tmp)
-                                 if x.endswith(".parquet"))):
+    for i, f in enumerate(parts):
         name = f"v{version:05d}-{i:05d}.parquet"
         dst = os.path.join(root, _DATA, name)
         os.replace(os.path.join(tmp, f), dst)
@@ -111,14 +162,20 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         if cols:
             stats[name] = _file_stats(dst, cols)
     shutil.rmtree(tmp, ignore_errors=True)
-    if carry_prev and prev is not None:
+    txns: list[str] = []
+    if prev is not None:
         pm = read_manifest(root, prev)
-        files = pm["files"] + new
-        stats = {**pm.get("stats", {}), **stats}
-    else:
-        files = new
+        txns = list(pm.get("txns", []))
+        if carry_files:
+            pstats = pm.get("stats", {})
+            stats = {**{f: pstats[f] for f in carry_files if f in pstats},
+                     **stats}
+    if txn is not None:
+        txns.append(txn)
+    files = list(carry_files or []) + new
     body = json.dumps({"version": version, "files": files,
-                       "stats": stats})
+                       "stats": stats, "txns": txns,
+                       "schema": df.schema.jsonValue()})
     mtmp = _manifest_path(root, version) + ".tmp"
     with open(mtmp, "w", encoding="ascii") as f:
         f.write(body)
@@ -126,24 +183,32 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     return version
 
 
-def read_version_pruned(spark: SparkSession, root: str, version: int,
-                        col: str, lo, hi) -> tuple[DataFrame, int, int]:
+def read_version_pruned_multi(
+        spark: SparkSession, root: str, version: int,
+        preds: dict[str, tuple]) -> tuple[DataFrame, int, int]:
     """Snapshot read that OPENS only files whose manifest [min, max]
-    stats for ``col`` overlap [lo, hi] — Iceberg-style file skipping
-    as a pure planning decision over driver-side metadata (no footer
-    reads at plan time, no data reads for skipped files). Returns
-    ``(df, n_files_opened, n_files_total)``. The skipped set is a
-    proven superset-complement: a file whose min/max misses the range
-    cannot hold a matching row, so the caller applying the PRECISE
-    predicate to the returned frame gets exactly the unpruned answer.
-    Files without recorded stats for ``col`` are conservatively
-    opened."""
+    stats overlap EVERY ``col: (lo, hi)`` range in ``preds`` — Iceberg-
+    style file skipping on a conjunction, as a pure planning decision
+    over driver-side metadata (no footer reads at plan time, no data
+    reads for skipped files). Returns ``(df, n_opened, n_total)``.
+    The skipped set is a proven superset-complement: a file whose
+    min/max misses ANY conjunct cannot hold a row matching all of
+    them, so the caller applying the PRECISE predicate to the returned
+    frame gets exactly the unpruned answer. A file without recorded
+    stats for a column is conservatively opened (that conjunct cannot
+    prune it)."""
     man = read_manifest(root, version)
     stats = man.get("stats", {})
     keep = []
     for f in man["files"]:
-        s = stats.get(f, {}).get(col)
-        if s is None or (s[0] <= hi and s[1] >= lo):
+        fs = stats.get(f, {})
+        ok = True
+        for col, (lo, hi) in preds.items():
+            s = fs.get(col)
+            if s is not None and not (s[0] <= hi and s[1] >= lo):
+                ok = False
+                break
+        if ok:
             keep.append(f)
     if not keep:  # preserve schema on an empty match
         return (read_version(spark, root, version).limit(0),
@@ -153,30 +218,133 @@ def read_version_pruned(spark: SparkSession, root: str, version: int,
     return df, len(keep), len(man["files"])
 
 
+def read_version_pruned(spark: SparkSession, root: str, version: int,
+                        col: str, lo, hi) -> tuple[DataFrame, int, int]:
+    """Single-column :func:`read_version_pruned_multi`."""
+    return read_version_pruned_multi(spark, root, version,
+                                     {col: (lo, hi)})
+
+
 def commit_append(spark: SparkSession, root: str, df: DataFrame,
-                  stats_cols: tuple[str, ...] = ("id",)) -> int:
+                  stats_cols: tuple[str, ...] = ("id",),
+                  txn: str | None = None) -> int:
     """New version = previous files + df's files (incremental ingest).
     Footer min/max stats for ``stats_cols`` (those present) are
-    recorded per file for :func:`read_version_pruned`."""
-    return _commit(spark, root, df, carry_prev=True,
-                   stats_cols=stats_cols)
+    recorded per file for :func:`read_version_pruned`. With ``txn``
+    set, an id already recorded in the chain makes this a no-op
+    returning the current version — the exactly-once contract for
+    replayed streaming micro-batches (the data files a crashed first
+    attempt may have orphaned are never referenced; vacuum reclaims
+    them)."""
+    if txn is not None and txn in committed_txns(root):
+        return latest_version(root)  # type: ignore[return-value]
+    prev = latest_version(root)
+    carry = read_manifest(root, prev)["files"] if prev is not None else []
+    return _commit(spark, root, df, carry_files=carry,
+                   stats_cols=stats_cols, txn=txn)
 
 
 def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
-                   stats_cols: tuple[str, ...] = ("id",)) -> int:
+                   stats_cols: tuple[str, ...] = ("id",),
+                   txn: str | None = None) -> int:
     """New version = ONLY df's files (compaction / full replace). The
     superseded files stay on disk — every retained older snapshot keeps
     reading them — until :func:`vacuum`."""
-    return _commit(spark, root, df, carry_prev=False,
-                   stats_cols=stats_cols)
+    if txn is not None and txn in committed_txns(root):
+        return latest_version(root)  # type: ignore[return-value]
+    return _commit(spark, root, df, carry_files=None,
+                   stats_cols=stats_cols, txn=txn)
+
+
+def commit_delete(spark: SparkSession, root: str, condition,
+                  stats_cols: tuple[str, ...] = ("id",),
+                  txn: str | None = None) -> tuple[int, int, int]:
+    """Copy-on-write row-level DELETE on the latest version — the
+    snapshot-isolated purge (takedowns, right-to-be-forgotten) the
+    plain hive store's ``delete_where_partitioned`` cannot give: the
+    victim census (one column-pruned scan grouped by
+    ``input_file_name``) identifies exactly the files holding matching
+    rows; ONLY those files are re-read, filtered to survivors, and
+    re-emitted; every other file is carried BY NAME into the new
+    manifest, byte-untouched. Old snapshots keep reading the pre-delete
+    state until vacuum. An all-victim file simply contributes no
+    survivors — nothing to resurrect, no directory bookkeeping.
+
+    Returns ``(new_version, n_files_rewritten, n_files_carried)``;
+    when nothing matches, no commit happens and the current version is
+    returned with ``n_files_rewritten == 0``.
+
+    Scale shape: census cost ∝ one pruned scan (manifest-stats file
+    skipping applies to it like any read); rewrite cost ∝ victim-
+    bearing files only — a clustered purge (a crawl snapshot, a domain)
+    touches the few files whose stats ranges cover it."""
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed version under {root}")
+    if txn is not None and txn in committed_txns(root):
+        man = read_manifest(root, v)
+        return v, 0, len(man["files"])
+    man = read_manifest(root, v)
+    df = read_version(spark, root, v)
+    victims = {os.path.basename(r["f"]) for r in
+               df.filter(condition)
+               .select(F.input_file_name().alias("f"))
+               .distinct().collect()}
+    if not victims:
+        return v, 0, len(man["files"])
+    carried = [f for f in man["files"] if f not in victims]
+    survivors = (spark.read.parquet(
+        *[os.path.join(root, _DATA, f) for f in man["files"]
+          if f in victims])
+        .filter(~condition))
+    newv = _commit(spark, root, survivors, carry_files=carried,
+                   stats_cols=stats_cols, txn=txn)
+    return newv, len(victims), len(carried)
+
+
+def compact_latest(spark: SparkSession, root: str, target_bytes: int,
+                   cluster_by: tuple[str, ...] | None = ("id",),
+                   stats_cols: tuple[str, ...] = ("id",),
+                   min_bins: int = 1,
+                   txn: str | None = None) -> tuple[int, int]:
+    """Snapshot-preserving bin-packing OPTIMIZE: when the latest
+    version's file count exceeds ``max(min_bins, ceil(pre-rewrite
+    bytes / target_bytes))``, rewrite it into that many files as a new
+    version (old snapshots keep reading the old files until vacuum).
+    The contract is defined on PRE-rewrite bytes — consolidation
+    usually improves compression, so a post-bytes contract would be
+    boundary-flaky (the r11 advice finding on ``compact_flat``).
+
+    ``cluster_by`` uses a range repartition so the compacted files
+    keep tight disjoint min/max stats on those columns and manifest
+    file skipping SURVIVES compaction — a round-robin rewrite
+    (``cluster_by=None``) smears every file across the full key range
+    and silently disables pruning; reserve it for stores that are
+    never range-read. Returns ``(n_files_before, n_files_after)``."""
+    v = latest_version(root)
+    if v is None:
+        return 0, 0
+    man = read_manifest(root, v)
+    files = man["files"]
+    pre_bytes = sum(os.path.getsize(os.path.join(root, _DATA, f))
+                    for f in files)
+    bins = max(min_bins, math.ceil(pre_bytes / target_bytes))
+    if len(files) <= bins:
+        return len(files), len(files)
+    df = read_version(spark, root, v)
+    df = (df.repartitionByRange(bins, *cluster_by) if cluster_by
+          else df.repartition(bins))
+    newv = commit_rewrite(spark, root, df, stats_cols=stats_cols, txn=txn)
+    return len(files), len(read_manifest(root, newv)["files"])
 
 
 def vacuum(root: str, keep_versions: list[int]) -> list[str]:
-    """Delete every data file not referenced by any KEPT manifest;
-    returns the deleted names. Retention policy is the caller's (time-
-    or version-based on a real lakehouse); vacuuming a version a
-    concurrent reader still holds is the one way to break snapshot
-    isolation, which is why retention windows exist."""
+    """Delete every data file not referenced by any KEPT manifest
+    (including orphans from crashed commits that never published a
+    manifest); returns the deleted names. Retention policy is the
+    caller's (time- or version-based on a real lakehouse); vacuuming a
+    version a concurrent reader still holds is the one way to break
+    snapshot isolation, which is why retention windows exist."""
     keep: set[str] = set()
     for v in keep_versions:
         keep |= set(read_manifest(root, v)["files"])

@@ -1021,12 +1021,17 @@ def _ivfpq_encode(vec_df: DataFrame, centroids: DataFrame,
 
 
 def _ivfpq_base_index(spark: SparkSession, sf_dir: str, vecs: DataFrame,
-                      b: int) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(centroids, codebook, base postings) for vectors with id <= b,
+                      b: int, tag: str = ""
+                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, postings) for vectors with id <= b,
     each materialized once per embeddings state through the
     fingerprint-invalidated derived-table cache. Training: q94's
     one-update Lloyd for the IVF centroids, q113's per-sub-space
-    codebook rebuild — both over the BASE corpus only."""
+    codebook rebuild — both over the id <= b corpus only. ``tag``
+    suffixes the cache directory names so a SECOND model over the same
+    embeddings (q145's retrained full-corpus model, b = max id) gets
+    its own cache instead of thrashing the frozen base model's — the
+    two models coexist per input state."""
     import os
 
     from ..operators import kmeans
@@ -1146,13 +1151,18 @@ def q134_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("code") * F.col("code")).alias("code_sq_sum")))
 
 
-def _ivfpq_full_encode_ctes() -> str:
-    """The shared DuckDB WITH body for the q134/q137 oracles: full
-    re-encode of the whole corpus with BASE-trained parameters, ending
-    in ``post`` (cell, m, code, id) — equal to incremental maintenance
-    because encoding is a pure per-vector function of the frozen model
-    (q134 docstring). ``bnd`` carries both the base boundary ``b`` and
-    ``mx`` (max id) so q137 can derive its second batch boundary."""
+def _ivfpq_full_encode_ctes(
+        train_pred: str = "id <= (SELECT b FROM bnd)") -> str:
+    """The shared DuckDB WITH body for the q134/q137-family oracles:
+    full re-encode of the whole corpus with parameters trained on the
+    rows matching ``train_pred`` (default: the frozen BASE model),
+    ending in ``post`` (cell, m, code, id) — equal to incremental
+    maintenance because encoding is a pure per-vector function of the
+    frozen model (q134 docstring). ``bnd`` carries both the base
+    boundary ``b`` and ``mx`` (max id) so q137 can derive its second
+    batch boundary. q145's retrain-cutover oracle passes
+    ``train_pred="TRUE"`` to train on the WHOLE corpus — the retrained
+    model — with everything downstream unchanged."""
     from ..operators.kmeans import Q_COMP
 
     def sqv(a: str, b: str) -> str:
@@ -1164,7 +1174,7 @@ def _ivfpq_full_encode_ctes() -> str:
     return f"""
 e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 bnd AS (SELECT 2 * max(id) // 3 AS b, max(id) AS mx FROM e),
-bse AS MATERIALIZED (SELECT id, v FROM e WHERE id <= (SELECT b FROM bnd)),
+bse AS MATERIALIZED (SELECT id, v FROM e WHERE {train_pred}),
 c1 AS (SELECT id AS cid, v AS cv FROM bse WHERE id < {KMEANS_K}),
 a1 AS (
   SELECT bse.id, min(({sqv('bse.v', 'c1.cv')}, c1.cid)) AS mm

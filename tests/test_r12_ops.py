@@ -1,0 +1,365 @@
+"""Semantic invariants for the round-12 operators: exactly-once
+(txn-keyed) commits on the versioned store, copy-on-write row-level
+DELETE, snapshot-preserving compaction with the pre-rewrite-bytes
+contract, multi-column manifest-stats pruning, crash-orphan recovery,
+replay idempotence of the q140/q122 streaming batch commits, and the
+partition-path escaping fix in delete_where_partitioned."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_stock_market_data_postgresql_spark.sources import (
+    versioned_store as vstore)
+from etl_pipeline_stock_market_data_postgresql_spark.sources.compaction import (
+    content_fingerprint, multiset_equal)
+
+
+def _mk(spark, lo, hi, k):
+    return (spark.range(lo, hi)
+            .select(F.col("id"), F.lit(k).alias("k"),
+                    (F.col("id") * 3).alias("x")))
+
+
+# --- exactly-once txn commits ------------------------------------------------
+
+def test_commit_append_txn_is_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "txnstore")
+    v1 = vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1),
+                              txn="b0")
+    assert v1 == 1
+    fp = content_fingerprint(vstore.read_version(spark, root, 1))
+    # replay of the same txn: no new version, content unchanged
+    v_again = vstore.commit_append(spark, root,
+                                   _mk(spark, 0, 100, 0).coalesce(1),
+                                   txn="b0")
+    assert v_again == 1 and vstore.latest_version(root) == 1
+    assert content_fingerprint(vstore.read_version(spark, root, 1)) == fp
+    # a NEW txn appends normally
+    v2 = vstore.commit_append(spark, root, _mk(spark, 100, 150, 0).coalesce(1),
+                              txn="b1")
+    assert v2 == 2
+    assert vstore.read_version(spark, root, 2).count() == 150
+    assert vstore.committed_txns(root) == {"b0", "b1"}
+
+
+def test_txn_memory_survives_compaction_and_rewrite(spark, tmp_path):
+    """The replay guard must hold AFTER maintenance rewrote the files —
+    a compaction that dropped txn history would re-admit replayed
+    batches."""
+    root = str(tmp_path / "txnsurvive")
+    vstore.commit_append(spark, root, _mk(spark, 0, 50, 0).coalesce(1),
+                         txn="b0")
+    vstore.commit_append(spark, root, _mk(spark, 50, 100, 0).coalesce(1),
+                         txn="b1")
+    nb, na = vstore.compact_latest(spark, root, target_bytes=1 << 30)
+    assert (nb, na) == (2, 1)
+    fp = content_fingerprint(
+        vstore.read_version(spark, root, vstore.latest_version(root)))
+    v = vstore.commit_append(spark, root, _mk(spark, 50, 100, 0).coalesce(1),
+                             txn="b1")  # replay after compaction
+    assert v == vstore.latest_version(root) == 3
+    assert content_fingerprint(
+        vstore.read_version(spark, root, 3)) == fp
+
+
+# --- copy-on-write DELETE ----------------------------------------------------
+
+def test_commit_delete_rewrites_only_victim_files(spark, tmp_path):
+    root = str(tmp_path / "delstore")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 100, 200, 1).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 200, 300, 2).coalesce(1))
+    files_v3 = vstore.read_manifest(root, 3)["files"]
+    assert len(files_v3) == 3
+    mtimes = {f: os.stat(os.path.join(root, "data", f)).st_mtime_ns
+              for f in files_v3}
+    pre = content_fingerprint(vstore.read_version(spark, root, 3))
+    # victims live only in the middle file's id range
+    v, n_rw, n_carry = vstore.commit_delete(
+        spark, root, (F.col("id") >= 100) & (F.col("id") < 150))
+    assert (v, n_rw, n_carry) == (4, 1, 2)
+    got = vstore.read_version(spark, root, 4)
+    assert got.count() == 250
+    assert got.filter((F.col("id") >= 100) & (F.col("id") < 150)).count() == 0
+    # survivors of the victim file intact; carried files byte-untouched
+    assert got.filter((F.col("id") >= 150) & (F.col("id") < 200)).count() == 50
+    for f in vstore.read_manifest(root, 4)["files"]:
+        if f in mtimes:
+            assert os.stat(
+                os.path.join(root, "data", f)).st_mtime_ns == mtimes[f]
+    # time travel: the pre-delete snapshot is untouched
+    assert content_fingerprint(vstore.read_version(spark, root, 3)) == pre
+    # no victims -> no new version
+    v2, n_rw2, _ = vstore.commit_delete(spark, root, F.col("id") < 0)
+    assert (v2, n_rw2) == (4, 0)
+
+
+def test_commit_delete_all_victim_file_vanishes(spark, tmp_path):
+    root = str(tmp_path / "delall")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 100, 200, 1).coalesce(1))
+    v, n_rw, n_carry = vstore.commit_delete(spark, root, F.col("k") == 1)
+    assert (n_rw, n_carry) == (1, 1)
+    man = vstore.read_manifest(root, v)
+    got = vstore.read_version(spark, root, v)
+    assert got.count() == 100 and got.filter("k = 1").count() == 0
+    # the all-victim file contributed no survivors; carried file is v1's
+    assert set(man["files"]) >= set(vstore.read_manifest(root, 1)["files"])
+
+
+# --- compaction contract + stats survival ------------------------------------
+
+def test_compact_latest_pre_bytes_contract_and_pruning_survival(
+        spark, tmp_path):
+    root = str(tmp_path / "compactstore")
+    for lo in (0, 1000, 2000, 3000):
+        vstore.commit_append(
+            spark, root, _mk(spark, lo, lo + 1000, 0).coalesce(1))
+    files = vstore.read_manifest(root, 4)["files"]
+    pre_bytes = sum(os.path.getsize(os.path.join(root, "data", f))
+                    for f in files)
+    fp = content_fingerprint(vstore.read_version(spark, root, 4))
+    nb, na = vstore.compact_latest(spark, root, target_bytes=1 << 30,
+                                   cluster_by=("id",))
+    import math
+    assert nb == 4 and na == max(1, math.ceil(pre_bytes / (1 << 30)))
+    v5 = vstore.latest_version(root)
+    assert content_fingerprint(vstore.read_version(spark, root, v5)) == fp
+    # compliant layout: second pass is a no-op (no new version)
+    assert vstore.compact_latest(spark, root, target_bytes=1 << 30) == (1, 1)
+    assert vstore.latest_version(root) == v5
+    # old snapshot intact
+    assert vstore.read_version(spark, root, 1).count() == 1000
+    # id stats recorded on the compacted files -> pruning still works
+    _df, opened, total = vstore.read_version_pruned(
+        spark, root, v5, "id", 5000, 6000)
+    assert opened == 0 and total == 1
+
+
+def test_compact_latest_clustered_keeps_pruning_tight(spark, tmp_path):
+    """Range-clustered compaction must keep disjoint per-file id stats;
+    a mid-range read opens a strict subset of the compacted files."""
+    root = str(tmp_path / "clustered")
+    for lo in range(0, 8000, 1000):
+        # interleaved ids so only clustering (not input order) can
+        # produce disjoint output ranges
+        df = (spark.range(lo, lo + 1000)
+              .select(((F.col("id") * 7919) % 8000).alias("id"))
+              .coalesce(1))
+        vstore.commit_append(spark, root, df)
+    nb, na = vstore.compact_latest(spark, root, target_bytes=1 << 30,
+                                   min_bins=4, cluster_by=("id",))
+    assert (nb, na) == (8, 4)
+    v = vstore.latest_version(root)
+    man = vstore.read_manifest(root, v)
+    spans = sorted(tuple(s["id"]) for s in man["stats"].values())
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # disjoint -> prunable
+    _df, opened, total = vstore.read_version_pruned(
+        spark, root, v, "id", spans[0][0], spans[0][1])
+    assert opened == 1 and total == 4
+
+
+# --- multi-column stats pruning ----------------------------------------------
+
+def test_read_version_pruned_multi_conjunction(spark, tmp_path):
+    root = str(tmp_path / "multistats")
+    vstore.commit_append(spark, root, _mk(spark, 0, 50, 0).coalesce(1),
+                         stats_cols=("k", "id"))
+    vstore.commit_append(spark, root, _mk(spark, 50, 100, 0).coalesce(1),
+                         stats_cols=("k", "id"))
+    vstore.commit_append(spark, root, _mk(spark, 0, 50, 1).coalesce(1),
+                         stats_cols=("k", "id"))
+    v = vstore.latest_version(root)
+    # single-column: two files overlap id range [0, 49]
+    _d1, o1, t1 = vstore.read_version_pruned(spark, root, v, "id", 0, 49)
+    assert (o1, t1) == (2, 3)
+    # conjunction: only the (k=1, id 0..49) file survives both conjuncts
+    d2, o2, t2 = vstore.read_version_pruned_multi(
+        spark, root, v, {"k": (1, 1), "id": (0, 49)})
+    assert (o2, t2) == (1, 3)
+    full = vstore.read_version(spark, root, v).filter(
+        (F.col("k") == 1) & (F.col("id") <= 49))
+    assert multiset_equal(
+        d2.filter((F.col("k") == 1) & (F.col("id") <= 49)), full)
+    # a conjunct without stats cannot prune (conservative open)
+    _d3, o3, t3 = vstore.read_version_pruned_multi(
+        spark, root, v, {"nonexistent": (0, 1), "id": (0, 49)})
+    assert (o3, t3) == (2, 3)
+    # empty conjunction match: zero opens, schema preserved
+    d4, o4, _t4 = vstore.read_version_pruned_multi(
+        spark, root, v, {"k": (5, 9), "id": (0, 49)})
+    assert o4 == 0 and d4.count() == 0
+    assert set(d4.columns) == {"id", "k", "x"}
+
+
+# --- empty commits ------------------------------------------------------------
+
+def test_empty_commit_is_readable(spark, tmp_path):
+    root = str(tmp_path / "emptystore")
+    empty = _mk(spark, 0, 100, 0).filter(F.col("id") < 0)
+    v = vstore.commit_append(spark, root, empty)
+    assert v == 1
+    got = vstore.read_version(spark, root, 1)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "k", "x"}
+    # appends on top of an empty base work
+    vstore.commit_append(spark, root, _mk(spark, 0, 10, 0).coalesce(1))
+    assert vstore.read_version(spark, root, 2).count() == 10
+
+
+# --- crash-orphan recovery (the interrupted-commit gate) ----------------------
+
+def test_interrupted_commit_leaves_recoverable_orphans(
+        spark, tmp_path, monkeypatch):
+    """A crash BETWEEN the data-file moves and the manifest publish
+    must leave the store readable at every retained version, with the
+    moved files as unreferenced orphans that (a) vacuum removes
+    exactly, and (b) a commit retry safely overwrites."""
+    root = str(tmp_path / "crashstore")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    fp1 = content_fingerprint(vstore.read_version(spark, root, 1))
+    orig = vstore._manifest_path
+
+    def boom(r, version):
+        if version == 2:
+            raise RuntimeError("simulated crash before manifest publish")
+        return orig(r, version)
+
+    monkeypatch.setattr(vstore, "_manifest_path", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        vstore.commit_append(spark, root, _mk(spark, 100, 200, 0).coalesce(1))
+    monkeypatch.setattr(vstore, "_manifest_path", orig)
+    # no manifest published; the old snapshot is untouched
+    assert vstore.latest_version(root) == 1
+    assert content_fingerprint(vstore.read_version(spark, root, 1)) == fp1
+    data = os.path.join(root, "data")
+    orphans = sorted(f for f in os.listdir(data) if f.startswith("v00002"))
+    assert orphans, "interrupted commit must have staged data files"
+    # vacuum removes exactly the orphans, nothing a manifest references
+    removed = vstore.vacuum(root, keep_versions=[1])
+    assert removed == orphans
+    assert content_fingerprint(vstore.read_version(spark, root, 1)) == fp1
+    # a retry commits cleanly (same version slot, fresh files)
+    v2 = vstore.commit_append(spark, root, _mk(spark, 100, 200, 0).coalesce(1))
+    assert v2 == 2
+    assert vstore.read_version(spark, root, 2).count() == 200
+
+
+# --- q140 / q122 batch replay idempotence -------------------------------------
+
+def test_q140_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        _ivfpq_base_index, _spread_vectors)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _scratch_base)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
+        _q140_commit_batch)
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    vecs = _spread_vectors(spark, emb).persist()
+    try:
+        _ivfpq_base_index(spark, sf_dir, vecs, b)
+    finally:
+        vecs.unpersist()
+    scratch, _ = _scratch_base(sf_dir)
+    cpath = os.path.join(scratch, "ann_centroids")
+    cbpath = os.path.join(scratch, "ann_codebook")
+    store = str(tmp_path / "q140replay")
+    batch = emb.filter(F.col("vec_id").between(b + 1, b + 20))
+    _q140_commit_batch(spark, store, batch, 0, cpath, cbpath)
+    v = vstore.latest_version(store)
+    fp = content_fingerprint(vstore.read_version(spark, store, v))
+    # the replay: same batch id -> the store multiset must not change
+    _q140_commit_batch(spark, store, batch, 0, cpath, cbpath)
+    assert vstore.latest_version(store) == v
+    assert content_fingerprint(vstore.read_version(spark, store, v)) == fp
+    # a genuinely new batch still lands
+    _q140_commit_batch(spark, store, emb.filter(F.col("vec_id") <= 5),
+                       1, cpath, cbpath)
+    assert vstore.latest_version(store) == v + 1
+
+
+def test_q122_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
+        _q122_commit_batch)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.text_dedup import (
+        corpus0_signature_index)
+    _idx, b, cache_path = corpus0_signature_index(spark, sf_dir)
+    root = str(tmp_path / "q122replay_idx")
+    out_dir = str(tmp_path / "q122replay_out")
+    vstore.commit_append(spark, root, spark.read.parquet(cache_path),
+                         stats_cols=())
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id").between(b + 1, b + 15))
+    _q122_commit_batch(spark, root, out_dir, batch, 0)
+    v = vstore.latest_version(root)
+    idx_fp = content_fingerprint(vstore.read_version(spark, root, v))
+    out_fp = content_fingerprint(spark.read.parquet(out_dir))
+    _q122_commit_batch(spark, root, out_dir, batch, 0)  # replay
+    assert vstore.latest_version(root) == v
+    assert content_fingerprint(vstore.read_version(spark, root, v)) == idx_fp
+    assert content_fingerprint(spark.read.parquet(out_dir)) == out_fp
+
+
+# --- delete_where_partitioned: hive-escaped partition values -------------------
+
+def test_delete_where_partitioned_special_char_all_victim_dirs(
+        spark, tmp_path):
+    """Spark writes space/'+'/'(' literally in partition dir names but
+    percent-escapes others; the all-victim removal must find the REAL
+    directory by listing+unquoting, for every flavor (the r11 advice
+    finding: urllib.parse.quote would reconstruct a name Spark never
+    wrote)."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.compaction import (
+        delete_where_partitioned)
+    path = str(tmp_path / "specialparts")
+    vals = ["plain", "has space", "a+b", "p(q)", "pct:colon"]
+    df = (spark.range(0, 250)
+          .select(F.col("id"),
+                  F.element_at(F.array(*[F.lit(v) for v in vals]),
+                               (F.col("id") % 5 + 1).cast("int")).alias("k")))
+    df.write.partitionBy("k").parquet(path)
+    dirs_before = {d for d in os.listdir(path) if d.startswith("k=")}
+    assert len(dirs_before) == 5
+    # every row of the three special-char partitions is a victim
+    doomed = ["has space", "a+b", "pct:colon"]
+    deleted = delete_where_partitioned(
+        spark, path, "k", F.col("k").isin(doomed))
+    assert deleted == {v: 50 for v in doomed}
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert set(r["k"] for r in back.select("k").distinct().collect()) == \
+        {"plain", "p(q)"}
+    # the doomed directories are REALLY gone (not resurrected)
+    remaining = {d for d in os.listdir(path) if d.startswith("k=")}
+    assert len(remaining) == 2
+
+
+# --- stale work-dir sweeps ------------------------------------------------------
+
+def test_publish_dir_sweeps_dead_pid_asides(spark, tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.derived_cache import (
+        publish_dir)
+    target = str(tmp_path / "pubtarget")
+    os.makedirs(target)
+    with open(os.path.join(target, "live.txt"), "w") as f:
+        f.write("old")
+    stale = target + ".old-99999999"
+    os.makedirs(stale)
+    tmp = target + ".build"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "live.txt"), "w") as f:
+        f.write("new")
+    publish_dir(tmp, target)
+    with open(os.path.join(target, "live.txt")) as f:
+        assert f.read() == "new"
+    assert not os.path.exists(stale), "dead-pid aside must be reclaimed"
+    assert not os.path.exists(tmp)
