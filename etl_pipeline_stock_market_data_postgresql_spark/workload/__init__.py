@@ -40,46 +40,44 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-11 window, per the CORRECTNESS_SEEN.md rule.
-    # (1) driver-unproven: q134/q135/q136 landed in the r10 snapshot
-    # commit after the r9 window was derived and have NO driver row yet
-    # (local oracle parity green; judge-verified in the r10 verdict);
-    "q134_incremental_ann", "q135_pagerank_convergence",
-    "q136_kcore_converged",
-    # (1b) new this round: the q134 index update COMMITTED to the
-    # cell-partitioned postings store (HWM appends + compaction), the
-    # partition-pruned ADC serving read against that store, and the
-    # touched-partition row-level DELETE (purge/GC) on it;
-    "q137_ann_index_writeback", "q138_ann_store_probe",
-    "q139_ann_store_delete", "q140_streaming_ann_ingest",
-    "q141_ann_store_snapshot", "q142_ann_store_stats_pruning",
-    # (1c) output changed this round: q133 gained the n_null_text
-    # disambiguator column (r10 ADVICE) — its r10 green row proves the
-    # OLD output shape;
-    "q133_jsonl_roundtrip",
-    # (2) the 33 r7-tier deferrals named in CORRECTNESS_SEEN.md — the
-    # r10 round never rotated the window (the r9 window ran twice), so
-    # their planned r10 refresh slipped to this round;
-    "q34_multimodal_meta", "q37_cube", "q38_string_funcs",
-    "q39_percentiles", "q42_unpivot", "q45_window_suite",
-    "q46_streaming_tumbling", "q47_sql_exists", "q48_vwap",
-    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
-    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
-    "q58_stratified_split", "q59_stratum_sample",
-    "q60_embedding_centroids", "q62_streaming_session_window",
-    "q64_sequence_packing", "q67_tfidf_topterms", "q68_contamination",
-    "q69_domain_mix_sample", "q71_rollup_refresh",
-    "q72_policy_redaction", "q73_streaming_stream_join",
-    "q74_multimodal_decode", "q75_bucketed_join", "q78_token_chunks",
-    "q79_shuffle_shard", "q89_streaming_sliding_window", "q91_cdc_apply",
-    # (3) oldest-r8 fill in module order to the 50-cap (q92, then
-    # q01–q13). The rest of the r8 tier and every r10-proven query
-    # fall past the cap — most recently proven, still covered by local
-    # parity (tests/test_oracle_parity.py runs the identical
-    # comparison on every registered query).
-    "q92_time_range_window",
-    # q01–q13 fill slots 38–50 implicitly (reference_parity /
-    # relational lead the module registration order).
+    # round-12 window, per the CORRECTNESS_SEEN.md rule (50 names
+    # listed EXPLICITLY — the gate checks exactly all_queries()[:50]).
+    # (1) new this round, no driver row possible yet: the versioned-
+    # store copy-on-write delete, the frozen-model drift measure, the
+    # retrain->re-encode->rewrite cutover with time travel, and the
+    # multi-column manifest-stats pruned read — slots 1-4;
+    "q143_ann_versioned_delete", "q144_ann_model_drift",
+    "q145_ann_retrain_cutover", "q146_ann_multicol_pruning",
+    # (2) implementation changed this round (outputs unchanged; their
+    # r11/r10 rows prove the OLD at-least-once sinks): q140/q122 now
+    # commit through txn-keyed versioned-store appends (exactly-once
+    # under micro-batch replay, the r11 verdict's task 1) — slots 5-6;
+    "q140_streaming_ann_ingest", "q122_streaming_incremental_dedup",
+    # (3) the ENTIRE r8 tier in module order (40 queries whose newest
+    # green row is r8) — emptying it was the pre-derived r12 plan;
+    # q07-q13 were displaced from the r11 window by that round's
+    # additions — slots 7-46;
+    "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
+    "q10_quarantine_counts", "q11_pricing_summary",
+    "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
+    "q15_set_ops", "q16_rollup", "q17_pivot_status", "q18_distinct_agg",
+    "q19_having_heavy_customers", "q20_asof_last_click",
+    "q52_multiset_ops", "q100_table_profile", "q102_equidepth_histogram",
+    "q104_key_uniqueness", "q107_bloom_join", "q22_sessionization",
+    "q65_salted_distinct", "q66_salted_join", "q77_funnel",
+    "q80_hll_distinct", "q95_quantile_sketch", "q99_anomaly_zscore",
+    "q105_histogram_drift", "q23_dedup_exact", "q24_ngram_jaccard",
+    "q25_minhash_lsh", "q26_simhash", "q117_dedup_span_removal",
+    "q94_learned_ivf", "q98_semantic_dedup", "q109_sq8_quantization",
+    "q30_langid", "q31_quality_score", "q115_bpe_train",
+    "q116_trained_quality_scorer", "q118_small_file_compaction",
+    # (4) oldest-r10 fill in module order to the 50-cap — slots 47-50.
+    # The remaining 45 r10-tier and all 50 r11-tier queries fall past
+    # the cap: most recently proven, still covered by local parity
+    # (tests/test_oracle_parity.py runs the identical comparison on
+    # every registered query); they rotate forward in r13.
+    "q87_full_outer_reconciliation", "q112_equidepth_sketch",
+    "q125_fuzzy_linkage", "q128_pagerank",
 )
 
 

@@ -1050,7 +1050,8 @@ def _ivfpq_base_index(spark: SparkSession, sf_dir: str, vecs: DataFrame,
         return kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
 
     centroids = cached_parquet(
-        spark, os.path.join(scratch, "ann_centroids"), fp, build_centroids)
+        spark, os.path.join(scratch, f"ann_centroids{tag}"), fp,
+        build_centroids)
 
     caches: list[DataFrame] = []
 
@@ -1079,10 +1080,11 @@ def _ivfpq_base_index(spark: SparkSession, sf_dir: str, vecs: DataFrame,
                 .select("m", "code", F.coalesce("cv", "cv_old").alias("cv")))
 
     codebook = cached_parquet(
-        spark, os.path.join(scratch, "ann_codebook"), fp, build_codebook)
+        spark, os.path.join(scratch, f"ann_codebook{tag}"), fp,
+        build_codebook)
 
     postings = cached_parquet(
-        spark, os.path.join(scratch, "ann_postings"), fp,
+        spark, os.path.join(scratch, f"ann_postings{tag}"), fp,
         lambda: _ivfpq_encode(base_vecs, centroids, codebook))
     for cdf in caches:
         cdf.unpersist()
@@ -1565,12 +1567,21 @@ GROUP BY cell, m
 """
 
 
+#: file-count floor for the v5 (cell, id)-clustered rewrite: ~3 files
+#: per IVF cell keeps the per-cell id SUB-clustering demonstrable at
+#: gate SF (above it the byte-derived bin count dominates, as q118's)
+ANN_MULTISTATS_MIN_BINS = 3 * KMEANS_K
+
+
 def _ann_versioned_root(spark: SparkSession,
                         sf_dir: str) -> tuple[str, int, int]:
     """The manifest-versioned postings store shared by q141 (time
-    travel) and q142 (stats-pruned reads): v1 base postings, v2/v3
-    frozen-model delta appends, v4 compaction rewrite — all committed
-    through sources/versioned_store with per-file min/max(id) stats,
+    travel), q142 (stats-pruned reads), q143 (copy-on-write delete) and
+    q146 (multi-column pruning): v1 base postings, v2/v3 frozen-model
+    delta appends, v4 compaction rewrite (id-clustered), v5 a
+    (cell, id)-clustered rewrite with two-column manifest stats, v6 a
+    copy-on-write DELETE of the first ingest batch (a crawl-snapshot
+    takedown) — all committed through sources/versioned_store,
     fingerprint-gated for idempotent re-runs. Returns
     ``(root, base_boundary, second_batch_boundary)``."""
     import math
@@ -1587,8 +1598,8 @@ def _ann_versioned_root(spark: SparkSession,
     b2 = b + (max_id - b + 1) // 2
     scratch, _ = _scratch_base(sf_dir)
     root = os.path.join(scratch, "ann_store_versioned")
-    # v2 token: manifests gained per-file id stats (q142)
-    fp = _ivfpq_model_fp(sf_dir, b) + f"_snap_v2_b2{b2}"
+    # v3 token: the chain gained v5 (multi-column stats) + v6 (delete)
+    fp = _ivfpq_model_fp(sf_dir, b) + f"_snap_v3_b2{b2}"
     fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
 
     if _stored_fingerprint(root) != fp:
@@ -1622,6 +1633,24 @@ def _ann_versioned_root(spark: SparkSession,
             spark, root,
             vstore.read_version(spark, root, 3)
             .repartitionByRange(bins, "id"))
+        # v5: the SERVING clustering — (cell, id) lexicographic ranges
+        # with per-file stats on both columns, so a cell-routed probe
+        # prunes on cell and an id-range read prunes WITHIN the cell
+        # (q146); content identical to v3/v4
+        vstore.commit_rewrite(
+            spark, root,
+            vstore.read_version(spark, root, 4)
+            .repartitionByRange(max(ANN_MULTISTATS_MIN_BINS, bins),
+                                "cell", "id"),
+            stats_cols=("cell", "id"))
+        # v6: copy-on-write takedown of ingest batch 1 — only files
+        # whose (cell, id) ranges cover the victim window are
+        # rewritten; the rest carry by name, and v5 keeps reading the
+        # pre-delete state (the snapshot-isolated purge q139's plain
+        # hive store cannot give)
+        vstore.commit_delete(
+            spark, root, (F.col("id") > b) & (F.col("id") <= b2),
+            stats_cols=("cell", "id"))
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
     return root, b, b2
@@ -1751,6 +1780,302 @@ WITH {_ivfpq_full_encode_ctes()}
 UNION ALL {snap(2, f"id <= {b2}")}
 UNION ALL {snap(3, "TRUE")}
 UNION ALL {snap(4, "TRUE")}
+"""
+
+
+def q143_ann_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE on the manifest-versioned
+    postings store — the r11 verdict's named gap (q139's purge exists
+    only on the plain hive store, where a takedown destroys history):
+    v6 removes ingest batch 1 (a crawl-snapshot retraction — the id
+    window ``(b, b2]``) via ``versioned_store.commit_delete``, which
+    censuses victims in one file-grouped scan, rewrites ONLY the files
+    whose (cell, id) ranges cover the window, and carries every other
+    file BY NAME into the new manifest. The gated output summarizes
+    BOTH v5 (pre-delete) and v6 (post-delete): a green row certifies
+    the delete removed exactly the victims AND that time travel to the
+    pre-delete snapshot still works after it — the two halves of a
+    snapshot-isolated purge. The only-victim-files-rewritten property
+    is pinned by the invariant tests (carried file names persist across
+    the v5→v6 manifests, byte-untouched).
+
+    Scale shape: census ∝ one column-pruned scan; rewrite ∝ victim-
+    bearing files (a clustered takedown window touches the few files
+    whose stats cover it — here the delete rides v5's (cell, id)
+    clustering); the manifest is driver-side metadata."""
+    from ..sources import versioned_store as vstore
+
+    root, _b, _b2 = _ann_versioned_root(spark, sf_dir)
+    parts = []
+    for v in (5, 6):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "code_sum", "code_sq_sum", "id_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+def _q143_sql() -> str:
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+
+    def snap(v: int, pred: str) -> str:
+        return f"""
+SELECT CAST({v} AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM post WHERE {pred}"""
+
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+{snap(5, "TRUE")}
+UNION ALL {snap(6, f"NOT (id > (SELECT b FROM bnd) AND id <= {b2})")}
+"""
+
+
+def q144_ann_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-drift measure for the frozen IVF model — the signal
+    that decides WHEN the q134/q137/q140 frozen-model maintenance must
+    give way to q145's retrain cutover: per ingest batch (0 = base,
+    1/2 = the two delta batches), the count and the exact-integer sum
+    of quantized squared distances from each vector to its NEAREST
+    frozen centroid. A rising per-batch mean distance means new data
+    is landing ever farther from the base-trained cells — recall decay
+    in an IVF index — and production vector stores trigger re-training
+    on exactly this statistic (FAISS re-train heuristics). Integer
+    determinism: the per-vector distance is quantized with q113/q138's
+    proven ``floor(d2 · Q_ADC)`` before summing, so the aggregate is
+    exact in both engines.
+
+    Scale shape: one broadcast-K argmin pass over the corpus (q134's
+    assign kernel, no codebook work) into a 3-row aggregate — the
+    cheapest statistic the store can afford to compute on every batch;
+    steady-state cost ∝ delta when computed per ingest batch."""
+    from ..operators import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2
+    # multi-consumer on the cold cache path; q113's clearCache convention
+    vecs = _spread_vectors(spark, emb).persist()
+    centroids, _cb, _p = _ivfpq_base_index(spark, sf_dir, vecs, b)
+    d2 = kmeans.sqdist(F.col("v"), F.col("cv"))
+    nearest = (vecs.crossJoin(F.broadcast(centroids))
+               .groupBy("id")
+               .agg(F.min(d2).alias("d2")))
+    batch = (F.when(F.col("id") <= b, F.lit(0))
+             .when(F.col("id") <= b2, F.lit(1))
+             .otherwise(F.lit(2)).cast("int").alias("batch"))
+    return (nearest.groupBy(batch)
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(F.floor(F.col("d2") * Q_ADC).cast("long"))
+                 .alias("dist_q_sum")))
+
+
+def _q144_sql() -> str:
+    def sqv(a: str, b: str) -> str:
+        return ("list_sum(list_transform(range(1, len({a}) + 1), "
+                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+                .format(a=a, b=b))
+
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+    return f"""
+WITH {_ivfpq_full_encode_ctes()},
+nearest AS (
+  SELECT e.id, min({sqv('e.v', 'c2.cv')}) AS d2
+  FROM e CROSS JOIN c2 GROUP BY e.id
+)
+SELECT CAST(CASE WHEN id <= (SELECT b FROM bnd) THEN 0
+                 WHEN id <= {b2} THEN 1 ELSE 2 END AS INT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(floor(d2 * {Q_ADC}) AS BIGINT)) AS BIGINT)
+         AS dist_q_sum
+FROM nearest GROUP BY 1
+"""
+
+
+def _ann_retrain_root(spark: SparkSession, sf_dir: str) -> str:
+    """The retrain-cutover store for q145: v1 commits the FROZEN
+    full-corpus postings (base-trained model, the q137/q141 state),
+    v2 is the CUTOVER — a re-train of the whole IVF-PQ model over the
+    full corpus (q144's drift signal having fired), a full re-encode
+    against it, and one ``commit_rewrite`` that atomically swaps the
+    serving state while v1 stays readable (time travel back to the
+    frozen-model snapshot, the rollback path every cutover needs).
+    Fingerprint-gated; the retrained model caches under its own
+    ``tag`` so it coexists with the frozen one."""
+    import os
+    import shutil
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint
+    from .storage import _scratch_base
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "ann_store_retrain")
+    fp = (_ivfpq_model_fp(sf_dir, b) + "_cutover_v1_"
+          + _ivfpq_model_fp(sf_dir, max_id)[:16])
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        shutil.rmtree(root, ignore_errors=True)
+        vecs = _spread_vectors(spark, emb).persist()
+        cols = ("id", "m", "code", "cell")
+        centroids, codebook, _base = _ivfpq_base_index(
+            spark, sf_dir, vecs, b)
+        vstore.commit_append(
+            spark, root,
+            _ivfpq_encode(vecs, centroids, codebook).select(*cols),
+            stats_cols=("id", "cell"), txn="frozen-full")
+        # the retrain: same training pipeline, full corpus as the
+        # training set (b = max id), separate cache tag; postings are
+        # the retrained model's full encode
+        _c2, _cb2, postings_r = _ivfpq_base_index(
+            spark, sf_dir, vecs, max_id, tag="_retrained")
+        vstore.commit_rewrite(spark, root, postings_r.select(*cols),
+                              stats_cols=("id", "cell"), txn="cutover")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
+def q145_ann_retrain_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model retrain + cutover on the versioned postings store — what
+    happens when q144's drift measure fires: the frozen-model
+    maintenance chain (q134/q137/q140) is ended by re-training the
+    whole IVF-PQ model on the CURRENT corpus, re-encoding everything,
+    and committing the result as a ``commit_rewrite`` snapshot — one
+    atomic manifest swap cuts serving over to the new model while the
+    frozen-model snapshot stays readable for rollback/AB-serving (time
+    travel, q141's property now protecting a MODEL change rather than
+    a layout change).
+
+    The gated output summarizes v1 (frozen full encode) and v2
+    (retrained full encode); the oracle derives each arm from its own
+    full training+encode pipeline (the shared CTE body, trained on
+    base rows for v1 and on ALL rows for v2), so a green row certifies
+    the retrained centroids, the retrained codebooks, every vector's
+    re-routed cell and re-coded bytes, AND the retained pre-cutover
+    snapshot.
+
+    Scale shape: the retrain pays one training pass + one full
+    re-encode — the amortized cost drift accumulates toward; the
+    cutover itself is one manifest publish (O(1) swap, no
+    read-path downtime), and rollback is a manifest read."""
+    from ..sources import versioned_store as vstore
+
+    root = _ann_retrain_root(spark, sf_dir)
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "code_sum", "code_sq_sum", "id_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+def _q145_sql() -> str:
+    def arm(v: int, train_pred: str) -> str:
+        return f"""
+SELECT * FROM (
+  WITH {_ivfpq_full_encode_ctes(train_pred)}
+  SELECT CAST({v} AS INT) AS version,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(code) AS BIGINT) AS code_sum,
+         CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+         CAST(sum(id) AS BIGINT) AS id_sum
+  FROM post
+)"""
+
+    return f"""
+{arm(1, "id <= (SELECT b FROM bnd)")}
+UNION ALL {arm(2, "TRUE")}
+"""
+
+
+#: q146's probe windows over the (cell, id)-clustered v5 layout: a
+#: half-keyspace cell range restricted to base ids, and a two-cell
+#: range restricted to the first ingest batch's ids
+ANN_PROBE_CELL_LO = KMEANS_K // 2
+
+
+def q146_ann_multicol_pruning(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Multi-column manifest-stats pruning — the r11 verdict's item 5:
+    the versioned store's natural reads filter on (cell, id) together
+    (a cell-routed probe over an id window), so v5 records per-file
+    min/max for BOTH columns and
+    ``versioned_store.read_version_pruned_multi`` skips every file
+    whose stats miss ANY conjunct. Two probes run against v5 — (a)
+    the upper half of the cell keyspace restricted to base ids, (b)
+    cells 0–1 restricted to the first ingest batch — each applying
+    the precise predicate after the pruned read; the oracle computes
+    both windows from the frozen-model full encode, so a green row
+    certifies the conjunction-pruned reads return exactly the unpruned
+    answers. opened < total per probe is pinned by the invariant
+    tests; at 100 TB the conjunction is the difference between
+    opening nprobe/K of ONE id range and opening the whole range.
+
+    Scale shape: planning is driver-side ∝ |files in manifest|; the
+    read touches only files overlapping both conjuncts; each summary
+    is one bounded aggregate."""
+    from ..sources import versioned_store as vstore
+
+    root, b, b2 = _ann_versioned_root(spark, sf_dir)
+    windows = [
+        (1, {"cell": (ANN_PROBE_CELL_LO, KMEANS_K - 1), "id": (0, b)}),
+        (2, {"cell": (0, 1), "id": (b + 1, b2)}),
+    ]
+    parts = []
+    for probe, preds in windows:
+        df, _opened, _total = vstore.read_version_pruned_multi(
+            spark, root, 5, preds)
+        precise = ((F.col("cell") >= preds["cell"][0])
+                   & (F.col("cell") <= preds["cell"][1])
+                   & (F.col("id") >= preds["id"][0])
+                   & (F.col("id") <= preds["id"][1]))
+        parts.append(
+            df.filter(precise)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("code").alias("code_sum"),
+                 F.sum(F.col("code") * F.col("code")).alias("code_sq_sum"),
+                 F.sum("id").alias("id_sum"))
+            .select(F.lit(probe).cast("int").alias("probe"),
+                    "n_rows", "code_sum", "code_sq_sum", "id_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+def _q146_sql() -> str:
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+
+    def probe(p: int, pred: str) -> str:
+        return f"""
+SELECT CAST({p} AS INT) AS probe,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM post WHERE {pred}"""
+
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+{probe(1, f"cell >= {ANN_PROBE_CELL_LO} AND cell <= {KMEANS_K - 1}"
+          f" AND id >= 0 AND id <= (SELECT b FROM bnd)")}
+UNION ALL {probe(2, f"cell >= 0 AND cell <= 1"
+                    f" AND id > (SELECT b FROM bnd) AND id <= {b2}")}
 """
 
 
@@ -2020,4 +2345,11 @@ QUERIES: dict[str, Query] = {
                                      _q141_sql()),
     "q142_ann_store_stats_pruning": Query(q142_ann_store_stats_pruning,
                                           _q142_sql()),
+    "q143_ann_versioned_delete": Query(q143_ann_versioned_delete,
+                                       _q143_sql()),
+    "q144_ann_model_drift": Query(q144_ann_model_drift, _q144_sql()),
+    "q145_ann_retrain_cutover": Query(q145_ann_retrain_cutover,
+                                      _q145_sql()),
+    "q146_ann_multicol_pruning": Query(q146_ann_multicol_pruning,
+                                       _q146_sql()),
 }

@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "q134_incremental_ann":   "K centroid rows to every (base|delta) vector",
     "q138_ann_store_probe":   "K centroid rows crossed to the Q query "
                               "vectors (probe ranking)",
+    "q144_ann_model_drift":   "K frozen-centroid rows to every vector "
+                              "(nearest-cell distance)",
 }
 
 # Exchange SinglePartition allowlist: the single partition only ever
@@ -89,6 +91,12 @@ SINGLE_PARTITION_ALLOWED = {
                                "(map-side partials only)",
     "q142_ann_store_stats_pruning": "per-version 1-row range summaries "
                                     "(map-side partials only)",
+    "q143_ann_versioned_delete": "per-version 1-row delete-certificate "
+                                 "summaries (map-side partials only)",
+    "q145_ann_retrain_cutover": "per-version 1-row cutover summaries "
+                                "(map-side partials only)",
+    "q146_ann_multicol_pruning": "per-probe 1-row pruned-window summaries "
+                                 "(map-side partials only)",
 }
 
 

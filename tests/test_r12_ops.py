@@ -343,6 +343,103 @@ def test_delete_where_partitioned_special_char_all_victim_dirs(
     assert len(remaining) == 2
 
 
+# --- q143/q145/q146: the versioned ANN chain's new versions -------------------
+
+def test_q143_delete_carries_untouched_files_and_preserves_v5(
+        spark, sf_dir):
+    """The v6 takedown must be copy-on-write: at least one v5 file
+    carries by name (byte-untouched), at least one was rewritten, and
+    v5 still reads the pre-delete multiset."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        _ann_versioned_root)
+    root, b, b2 = _ann_versioned_root(spark, sf_dir)
+    f5 = set(vstore.read_manifest(root, 5)["files"])
+    f6 = set(vstore.read_manifest(root, 6)["files"])
+    carried = f5 & f6
+    assert carried, "clustered takedown must carry untouched files"
+    assert f6 - f5, "victim-bearing files must be rewritten"
+    assert len(carried) < len(f5), "some v5 files must have victims"
+    v5 = vstore.read_version(spark, root, 5)
+    v6 = vstore.read_version(spark, root, 6)
+    win = (F.col("id") > b) & (F.col("id") <= b2)
+    assert v6.filter(win).count() == 0
+    assert v5.filter(win).count() > 0  # time travel to pre-delete
+    assert multiset_equal(v6, v5.filter(~win))
+
+
+def test_q146_conjunction_pruning_opens_strict_subsets(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        ANN_PROBE_CELL_LO, KMEANS_K, _ann_versioned_root)
+    root, b, b2 = _ann_versioned_root(spark, sf_dir)
+    man = vstore.read_manifest(root, 5)
+    assert all(set(s) >= {"cell", "id"} for s in man["stats"].values()), \
+        "v5 must carry two-column stats"
+    for preds in ({"cell": (ANN_PROBE_CELL_LO, KMEANS_K - 1), "id": (0, b)},
+                  {"cell": (0, 1), "id": (b + 1, b2)}):
+        _df, opened, total = vstore.read_version_pruned_multi(
+            spark, root, 5, preds)
+        assert 0 < opened < total, (preds, opened, total)
+        # the conjunction prunes at least as hard as cell alone
+        _d2, cell_only, _t = vstore.read_version_pruned_multi(
+            spark, root, 5, {"cell": preds["cell"]})
+        assert opened <= cell_only
+
+
+def test_q145_cutover_retains_frozen_snapshot_and_models_coexist(
+        spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        _ann_retrain_root, _ivfpq_base_index, _ivfpq_encode, _spread_vectors)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _scratch_base)
+    root = _ann_retrain_root(spark, sf_dir)
+    assert vstore.committed_txns(root) == {"frozen-full", "cutover"}
+    scratch, _ = _scratch_base(sf_dir)
+    # both models cached side by side (no thrash between them)
+    assert os.path.isdir(os.path.join(scratch, "ann_centroids"))
+    assert os.path.isdir(os.path.join(scratch, "ann_centroids_retrained"))
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    vecs = _spread_vectors(spark, emb).persist()
+    try:
+        # v2 is the retrained model's full encode, exactly
+        c2, cb2, _p = _ivfpq_base_index(spark, sf_dir, vecs, max_id,
+                                        tag="_retrained")
+        want = (_ivfpq_encode(vecs, c2, cb2)
+                .select("id", "m", "code", F.col("cell").cast("int")))
+        got = (vstore.read_version(spark, root, 2)
+               .select("id", "m", "code", F.col("cell").cast("int")))
+        assert multiset_equal(got, want)
+        # v1 (frozen snapshot) still readable after the cutover rewrite
+        cf, cbf, _pf = _ivfpq_base_index(spark, sf_dir, vecs, b)
+        want1 = (_ivfpq_encode(vecs, cf, cbf)
+                 .select("id", "m", "code", F.col("cell").cast("int")))
+        got1 = (vstore.read_version(spark, root, 1)
+                .select("id", "m", "code", F.col("cell").cast("int")))
+        assert multiset_equal(got1, want1)
+    finally:
+        vecs.unpersist()
+
+
+def test_q144_drift_batches_cover_the_corpus(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import load
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        q144_ann_model_drift)
+    rows = {r.batch: r for r in q144_ann_model_drift(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2
+    n = emb.count()
+    assert rows[0].n_vecs == emb.filter(F.col("vec_id") <= b).count()
+    assert rows[1].n_vecs == emb.filter(
+        (F.col("vec_id") > b) & (F.col("vec_id") <= b2)).count()
+    assert sum(r.n_vecs for r in rows.values()) == n
+    assert all(r.dist_q_sum >= 0 for r in rows.values())
+
+
 # --- stale work-dir sweeps ------------------------------------------------------
 
 def test_publish_dir_sweeps_dead_pid_asides(spark, tmp_path):
