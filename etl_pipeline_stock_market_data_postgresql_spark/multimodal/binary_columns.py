@@ -158,20 +158,36 @@ def extract_features_stub(df: DataFrame, id_col: str = "doc_id",
 def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
                       bin_col: str = "payload", every_n: int = 64) -> DataFrame:
     """Video frame sampling via mapInPandas (1→many rows). STUB: slices
-    the payload at fixed strides in place of container demuxing."""
+    the payload at fixed strides in place of container demuxing. The
+    fan-out is vectorized (numpy repeat/arange over the whole Arrow
+    batch, byte slices from one concatenated buffer) so the shape
+    carries no per-row Python loop — if real codecs land, only the
+    per-frame decode call changes, not the batch plumbing."""
+    import numpy as np
+
     src = df.select(id_col, bin_col)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                b = row[bin_col]
-                for k, off in enumerate(range(0, len(b), every_n)):
-                    ids.append(row[id_col])
-                    idxs.append(k)
-                    frames.append(bytes(b[off:off + every_n]))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
-                                "frame_bytes": frames})
+            lens = pdf[bin_col].map(len).to_numpy(dtype="int64")
+            counts = -(-lens // every_n)  # ceil: frames per payload
+            ids = np.repeat(pdf[id_col].to_numpy(dtype="int64"), counts)
+            # frame_idx = 0..counts[i)-1 within each payload, built as
+            # one global arange minus each payload's start offset
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            idxs = np.arange(counts.sum(), dtype="int64") - \
+                np.repeat(starts, counts)
+            buf = b"".join(pdf[bin_col])
+            # global byte offsets of each frame inside the joined buffer
+            byte_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            offs = np.repeat(byte_starts, counts) + idxs * every_n
+            ends = np.minimum(offs + every_n,
+                              np.repeat(byte_starts + lens, counts))
+            frames = [buf[o:e] for o, e in zip(offs.tolist(), ends.tolist())]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_idx": pd.array(idxs.astype("int32"), dtype="int32"),
+                "frame_bytes": frames})
 
     return src.mapInPandas(sample, FRAMES_SCHEMA)
 
