@@ -18,9 +18,10 @@ cannot give:
   manifest chain — Delta's txnAppId/txnVersion pattern, which is what
   makes an at-least-once streaming `foreachBatch` sink exactly-once
   (a replayed micro-batch re-commits under the same id and no-ops);
-- **copy-on-write row-level DELETE**: only victim-bearing files are
-  rewritten, every other file is carried by name into the new
-  manifest, and the pre-delete snapshot stays readable.
+- **copy-on-write row-level DELETE and MERGE**: only files containing
+  victims / matched keys are rewritten, every other file is carried by
+  name into the new manifest, and the pre-change snapshot stays
+  readable.
 
 Reference parity: the reference delegates durability/versioning to
 PostgreSQL (MVCC); this is the Spark-native equivalent for immutable
@@ -156,11 +157,20 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     cols = tuple(c for c in stats_cols if c in df.columns)
     for i, f in enumerate(parts):
         name = f"v{version:05d}-{i:05d}.parquet"
-        dst = os.path.join(root, _DATA, name)
-        os.replace(os.path.join(tmp, f), dst)
+        os.replace(os.path.join(tmp, f), os.path.join(root, _DATA, name))
         new.append(name)
-        if cols:
-            stats[name] = _file_stats(dst, cols)
+    if cols and new:
+        # footer-only metadata reads, parallelized across files (pyarrow
+        # releases the GIL on I/O) so a many-file commit doesn't
+        # serialize planning metadata on one driver thread; at true
+        # scale the write TASKS report these stats back (Iceberg writer
+        # metrics) and the driver only merges them
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(new))) as ex:
+            stats = dict(zip(new, ex.map(
+                lambda n: _file_stats(os.path.join(root, _DATA, n), cols),
+                new)))
     shutil.rmtree(tmp, ignore_errors=True)
     txns: list[str] = []
     if prev is not None:
@@ -300,6 +310,58 @@ def commit_delete(spark: SparkSession, root: str, condition,
     newv = _commit(spark, root, survivors, carry_files=carried,
                    stats_cols=stats_cols, txn=txn)
     return newv, len(victims), len(carried)
+
+
+def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
+                 key_cols: tuple[str, ...],
+                 stats_cols: tuple[str, ...] = ("id",),
+                 txn: str | None = None) -> tuple[int, int, int]:
+    """Copy-on-write MERGE (upsert) into the latest version — Delta's
+    ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for the
+    whole-row case: every ``updates`` row whose ``key_cols`` match an
+    existing row REPLACES it; the rest INSERT. Like
+    :func:`commit_delete`, only files CONTAINING matched keys are
+    re-read (their unmatched rows survive via an anti-join against the
+    update keys) and re-emitted together with the update rows; every
+    other file carries by name, and the pre-merge snapshot stays
+    readable. ``updates`` must carry the store's columns.
+
+    Returns ``(new_version, n_files_rewritten, n_files_carried)``;
+    with no matches this degrades to a pure insert append (rewritten
+    == 0). Txn semantics as :func:`commit_append`.
+
+    Scale shape: the match census is one semi-join grouped to file
+    names; the rewrite is ∝ matched files + |updates| — a key-clustered
+    store localizes matches to few files exactly as it localizes
+    deletes."""
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed version under {root}")
+    man = read_manifest(root, v)
+    if txn is not None and txn in committed_txns(root):
+        return v, 0, len(man["files"])
+    df = read_version(spark, root, v)
+    keys = updates.select(*key_cols).distinct()
+    # input_file_name is projected DIRECTLY above the scan (Spark's
+    # PreReadCheck rejects it over a multi-source plan, and after a
+    # join it would be ambiguous anyway), then the semi-join reduces
+    # to matched file names
+    tagged = df.select(*key_cols, F.input_file_name().alias("_f"))
+    matched = {os.path.basename(r["_f"]) for r in
+               tagged.join(keys, list(key_cols), "left_semi")
+               .select("_f").distinct().collect()}
+    carried = [f for f in man["files"] if f not in matched]
+    if matched:
+        survivors = (spark.read.parquet(
+            *[os.path.join(root, _DATA, f) for f in man["files"]
+              if f in matched])
+            .join(keys, list(key_cols), "left_anti"))
+        out = survivors.unionByName(updates.select(*df.columns))
+    else:
+        out = updates.select(*df.columns)
+    newv = _commit(spark, root, out, carry_files=carried,
+                   stats_cols=stats_cols, txn=txn)
+    return newv, len(matched), len(carried)
 
 
 def compact_latest(spark: SparkSession, root: str, target_bytes: int,

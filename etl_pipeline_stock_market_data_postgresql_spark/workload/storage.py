@@ -487,6 +487,130 @@ FROM documents GROUP BY source
 """
 
 
+def q147_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (upsert) on the manifest-versioned store —
+    the other half of q143's DELETE and the reference's K3/K4
+    idempotent-load semantics lifted to snapshot storage: a correction
+    batch arrives for an ALREADY-INGESTED window (here: events with
+    ``event_id % 13 == 0`` in the first half of the base range get
+    their value re-stated and are re-labeled ``corrected`` — the
+    late-restatement every market-data pipeline owes) together with
+    brand-new rows (``backfill`` copies shifted past the max id), and
+    ``versioned_store.commit_merge`` lands BOTH in one commit: matched
+    keys replace their stored rows, unmatched keys insert, and ONLY the
+    files containing matched keys are rewritten — the rest carry by
+    name, and the pre-merge snapshot (v2) stays readable.
+
+    The gated output summarizes v2 (pre-merge) and v3 (post-merge) per
+    event_type with exact integer value/id checksums (values quantized
+    to micro-units at ingest, so no double-sum wobble); the oracle
+    reconstructs both versions from the events table, so a green row
+    certifies matched-key replacement, unmatched-key insertion,
+    survivor preservation, AND the retained pre-merge snapshot.
+
+    Scale shape: the match census is one semi-join grouped to file
+    names; the rewrite ∝ matched files + |updates| — the correction
+    window rides v1's event_id range clustering, so files wholly
+    outside it carry untouched (pinned by the invariant tests). The
+    merge commit is txn-guarded: a replayed batch no-ops."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_merge")
+    fp = table_fingerprint(sf_dir, ("events",), params="q147_merge_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        # v1: base window, event_id-range-clustered so the correction
+        # window localizes to a file subset; v2: the later ingest
+        vstore.commit_append(
+            spark, root,
+            base.filter(F.col("event_id") <= b)
+            .repartitionByRange(4, "event_id"),
+            stats_cols=("event_id",))
+        vstore.commit_append(spark, root,
+                             base.filter(F.col("event_id") > b),
+                             stats_cols=("event_id",))
+        corrections = (base.filter((F.col("event_id") % 13 == 0)
+                                   & (F.col("event_id") <= b // 2))
+                       .select("event_id", "user_id",
+                               F.lit("corrected").alias("event_type"),
+                               (F.col("value_q") * 2).alias("value_q")))
+        inserts = (base.filter(F.col("event_id") < 50)
+                   .select((F.col("event_id") + mx + 1).alias("event_id"),
+                           "user_id",
+                           F.lit("backfill").alias("event_type"),
+                           "value_q"))
+        vstore.commit_merge(spark, root,
+                            corrections.unionByName(inserts),
+                            key_cols=("event_id",),
+                            stats_cols=("event_id",), txn="q147-merge")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    parts = []
+    for v in (2, 3):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("value_q").alias("value_q_sum"),
+                 F.sum("event_id").alias("id_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "event_type", "n_rows", "value_q_sum", "id_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q147_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b, max(event_id) AS mx FROM base),
+upd AS (
+  SELECT event_id, user_id, 'corrected' AS event_type,
+         value_q * 2 AS value_q
+  FROM base
+  WHERE event_id % 13 = 0 AND event_id <= (SELECT b // 2 FROM bnd)
+),
+ins AS (
+  SELECT event_id + (SELECT mx FROM bnd) + 1 AS event_id, user_id,
+         'backfill' AS event_type, value_q
+  FROM base WHERE event_id < 50
+),
+v3 AS (
+  SELECT event_id, user_id, event_type, value_q FROM base
+  WHERE NOT (event_id % 13 = 0 AND event_id <= (SELECT b // 2 FROM bnd))
+  UNION ALL SELECT event_id, user_id, event_type, value_q FROM upd
+  UNION ALL SELECT event_id, user_id, event_type, value_q FROM ins
+),
+summ2 AS (
+  SELECT CAST(2 AS INT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+         CAST(sum(event_id) AS BIGINT) AS id_sum
+  FROM base GROUP BY event_type
+),
+summ3 AS (
+  SELECT CAST(3 AS INT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+         CAST(sum(event_id) AS BIGINT) AS id_sum
+  FROM v3 GROUP BY event_type
+)
+SELECT * FROM summ2 UNION ALL SELECT * FROM summ3
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -496,4 +620,5 @@ QUERIES: dict[str, Query] = {
                                         _Q118_SQL),
     "q127_schema_evolution": Query(q127_schema_evolution, _Q127_SQL),
     "q133_jsonl_roundtrip": Query(q133_jsonl_roundtrip, _q133_sql()),
+    "q147_versioned_merge": Query(q147_versioned_merge, _Q147_SQL),
 }

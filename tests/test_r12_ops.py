@@ -111,6 +111,79 @@ def test_commit_delete_all_victim_file_vanishes(spark, tmp_path):
     assert set(man["files"]) >= set(vstore.read_manifest(root, 1)["files"])
 
 
+# --- copy-on-write MERGE -------------------------------------------------------
+
+def test_commit_merge_replaces_matched_inserts_unmatched(spark, tmp_path):
+    root = str(tmp_path / "mergestore")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 100, 200, 1).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 200, 300, 2).coalesce(1))
+    files_v3 = vstore.read_manifest(root, 3)["files"]
+    mtimes = {f: os.stat(os.path.join(root, "data", f)).st_mtime_ns
+              for f in files_v3}
+    pre = content_fingerprint(vstore.read_version(spark, root, 3))
+    # updates: replace ids 120..129 (middle file only) + insert 500..509
+    updates = (spark.range(0, 10)
+               .select((F.col("id") + 120).alias("id"),
+                       F.lit(9).alias("k"),
+                       F.lit(-1).cast("long").alias("x"))
+               .union(spark.range(0, 10)
+                      .select((F.col("id") + 500).alias("id"),
+                              F.lit(7).alias("k"),
+                              F.lit(-2).cast("long").alias("x"))))
+    v, n_rw, n_carry = vstore.commit_merge(spark, root, updates,
+                                           key_cols=("id",), txn="m1")
+    assert (v, n_rw, n_carry) == (4, 1, 2)
+    got = vstore.read_version(spark, root, 4)
+    assert got.count() == 310  # 300 - 10 replaced + 10 replaced + 10 new
+    assert got.filter("k = 9").count() == 10      # replacements landed
+    assert got.filter("k = 7").count() == 10      # inserts landed
+    assert got.filter((F.col("id") >= 120) & (F.col("id") < 130)
+                      & (F.col("k") == 1)).count() == 0  # old rows gone
+    assert got.filter((F.col("id") >= 100) & (F.col("id") < 120)).count() \
+        == 20  # unmatched rows of the rewritten file survive
+    # carried files byte-untouched; pre-merge snapshot intact
+    for f in vstore.read_manifest(root, 4)["files"]:
+        if f in mtimes:
+            assert os.stat(
+                os.path.join(root, "data", f)).st_mtime_ns == mtimes[f]
+    assert content_fingerprint(vstore.read_version(spark, root, 3)) == pre
+    # replay: same txn no-ops
+    fp4 = content_fingerprint(got)
+    v_again = vstore.commit_merge(spark, root, updates,
+                                  key_cols=("id",), txn="m1")[0]
+    assert v_again == 4 and vstore.latest_version(root) == 4
+    assert content_fingerprint(vstore.read_version(spark, root, 4)) == fp4
+    # pure-insert merge (no matches): nothing rewritten
+    ins = spark.range(0, 5).select((F.col("id") + 900).alias("id"),
+                                   F.lit(5).alias("k"),
+                                   F.lit(0).cast("long").alias("x"))
+    v5, n_rw5, _ = vstore.commit_merge(spark, root, ins, key_cols=("id",))
+    assert (v5, n_rw5) == (5, 0)
+    assert vstore.read_version(spark, root, 5).count() == 315
+
+
+def test_q147_merge_chain_invariants(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _scratch_base, q147_versioned_merge)
+    rows = q147_versioned_merge(spark, sf_dir).collect()
+    by = {(r.version, r.event_type): r for r in rows}
+    assert not any(t == "corrected" for v, t in by if v == 2)
+    assert ("corrected" in {t for v, t in by if v == 3}
+            and "backfill" in {t for v, t in by if v == 3})
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_merge")
+    f2 = set(vstore.read_manifest(root, 2)["files"])
+    f3 = set(vstore.read_manifest(root, 3)["files"])
+    assert f2 & f3, "correction window must carry untouched files by name"
+    assert f3 - f2, "matched files must be rewritten"
+    assert "q147-merge" in vstore.committed_txns(root)
+    # pre-merge snapshot reads and has no corrected/backfill rows
+    v2 = vstore.read_version(spark, root, 2)
+    assert v2.filter(F.col("event_type").isin("corrected",
+                                              "backfill")).count() == 0
+
+
 # --- compaction contract + stats survival ------------------------------------
 
 def test_compact_latest_pre_bytes_contract_and_pruning_survival(
