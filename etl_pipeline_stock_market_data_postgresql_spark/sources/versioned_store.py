@@ -30,12 +30,17 @@ file storage.
 Scale shape: a manifest here is a flat JSON file list with per-file
 min/max column stats — at 100 TB this becomes a manifest TREE
 (Iceberg's layout) so planning prunes by stats before any scan, but
-the commit/read/vacuum contract is unchanged. Commits are
-single-writer (the caller serializes; a metastore CAS would arbitrate
-on a real lakehouse) and publish via write-temp + atomic rename, so a
-crashed commit leaves at worst orphaned data files for vacuum — never
-a readable-but-wrong manifest (the crash-recovery invariant is pinned
-by tests/test_r12_ops.py's interrupted-commit gate)."""
+the commit/read/vacuum contract is unchanged. Writers use OPTIMISTIC
+CONCURRENCY: every commit CAS-publishes its manifest (create-if-absent
+— first writer to claim a version wins), data file names embed the
+writer's pid so concurrent stagings never collide, a losing blind
+append re-homes its files and retries against the new latest (appends
+commute), and a losing rewrite/delete/merge raises
+:class:`ConcurrentCommitError` because its snapshot is stale (Delta's
+conflict rules). A crashed commit leaves at worst orphaned data files
+for vacuum — never a readable-but-wrong manifest (the crash-recovery
+invariant is pinned by tests/test_r12_ops.py's interrupted-commit
+gate)."""
 
 from __future__ import annotations
 
@@ -47,6 +52,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _DATA = "data"
 _MANIFESTS = "manifests"
+
+# per-process commit sequence: staged data-file names embed (pid, seq)
+# so no two commits — across processes OR within one (two streaming
+# queries sharing a store commit from one driver) — ever stage files
+# under the same name
+import itertools as _itertools
+
+_COMMIT_SEQ = _itertools.count()
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -122,75 +135,160 @@ def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
     return out
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published the version this commit raced for, and
+    this commit's semantics do not commute with theirs (rewrite /
+    delete / merge read a snapshot that is no longer the latest).
+    The staged data files are unreferenced orphans — vacuum reclaims
+    them; the caller re-reads the new latest and retries the whole
+    operation (Delta's conflict rules: blind appends commute,
+    everything else re-validates)."""
+
+
+def _publish_cas(root: str, version: int, body: str) -> bool:
+    """Publish a manifest IF AND ONLY IF ``version`` is still
+    unclaimed — the optimistic-concurrency primitive: the manifest is
+    written to a pid-suffixed temp name, then ``os.link`` atomically
+    creates the final name and FAILS (EEXIST) if a concurrent writer
+    claimed the version first. First writer wins; the loser re-reads
+    the chain and retries or aborts per its commit semantics. On a
+    real lakehouse this is the metastore / object-store
+    put-if-absent CAS."""
+    final = _manifest_path(root, version)
+    mtmp = final + f".tmp-{os.getpid()}-{next(_COMMIT_SEQ)}"
+    with open(mtmp, "w", encoding="ascii") as f:
+        f.write(body)
+    try:
+        os.link(mtmp, final)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(mtmp)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 def _commit(spark: SparkSession, root: str, df: DataFrame,
-            carry_files: list[str] | None, stats_cols: tuple[str, ...],
+            carry, stats_cols: tuple[str, ...],
             txn: str | None = None) -> int:
-    """Write ``df``'s part files into the data dir, then publish a new
-    manifest referencing them plus ``carry_files`` (by name, from the
-    previous manifest — their bytes are never touched). Transaction ids
-    accumulate across the chain regardless of carry semantics. The
-    manifest records the frame's schema so an all-files-pruned or
-    zero-file version still reads with the right shape."""
+    """Write ``df``'s part files into the data dir, then CAS-publish a
+    new manifest referencing them plus the carried files (by name —
+    their bytes are never touched). ``carry`` is ``"prev"`` (carry the
+    latest manifest's files — append semantics, safe to retry under a
+    lost CAS because blind appends commute), an explicit file list
+    (delete/merge — a lost CAS raises :class:`ConcurrentCommitError`
+    because the list was derived from a snapshot that is no longer
+    latest), or ``None`` (rewrite — same conflict rule). Data file
+    names embed the writer's pid so concurrent committers can never
+    clobber each other's staged files. Transaction ids accumulate
+    across the chain regardless of carry semantics and are re-checked
+    under the latest manifest on every CAS attempt, so even a txn race
+    resolves to exactly-once. The manifest records the frame's schema
+    so a zero-file version still reads with the right shape."""
     import json
 
+    pid = os.getpid()
+    seq = next(_COMMIT_SEQ)
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
-    for entry in os.listdir(root):  # crashed-commit staging debris
-        if entry.startswith(".commit-tmp-"):
+    for entry in os.listdir(root):  # crashed-commit staging debris —
+        if not entry.startswith(".commit-tmp-"):  # only DEAD writers'
+            continue  # (a live concurrent committer owns its dir)
+        owner = entry[len(".commit-tmp-"):].split("-", 1)[0]
+        if not (owner.isdigit() and _pid_alive(int(owner))):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-    prev = latest_version(root)
-    version = (prev or 0) + 1
-    tmp = os.path.join(root, f".commit-tmp-{os.getpid()}")
+    tmp = os.path.join(root, f".commit-tmp-{pid}-{seq}")
+    shutil.rmtree(tmp, ignore_errors=True)
     df.write.parquet(tmp)
     parts = sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
-    if not parts:
+    if not parts and not carry:
         # an empty frame can produce zero part files (AQE-coalesced
-        # empty shuffles); write one explicit empty file so every
-        # manifest references at least its schema carrier unless it
-        # carries previous files
-        if not carry_files:
-            shutil.rmtree(tmp, ignore_errors=True)
-            spark.createDataFrame([], df.schema).write.parquet(tmp)
-            parts = sorted(x for x in os.listdir(tmp)
-                           if x.endswith(".parquet"))
-    new, stats = [], {}
+        # empty shuffles); write one explicit empty file so a manifest
+        # carrying nothing still references its schema carrier
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.createDataFrame([], df.schema).write.parquet(tmp)
+        parts = sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
     cols = tuple(c for c in stats_cols if c in df.columns)
-    for i, f in enumerate(parts):
-        name = f"v{version:05d}-{i:05d}.parquet"
-        os.replace(os.path.join(tmp, f), os.path.join(root, _DATA, name))
-        new.append(name)
-    if cols and new:
-        # footer-only metadata reads, parallelized across files (pyarrow
-        # releases the GIL on I/O) so a many-file commit doesn't
-        # serialize planning metadata on one driver thread; at true
-        # scale the write TASKS report these stats back (Iceberg writer
-        # metrics) and the driver only merges them
-        from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(16, len(new))) as ex:
-            stats = dict(zip(new, ex.map(
-                lambda n: _file_stats(os.path.join(root, _DATA, n), cols),
-                new)))
-    shutil.rmtree(tmp, ignore_errors=True)
-    txns: list[str] = []
-    if prev is not None:
-        pm = read_manifest(root, prev)
-        txns = list(pm.get("txns", []))
-        if carry_files:
+    placed: list[str] = []
+    placed_version: int | None = None
+    new_stats: dict = {}
+    while True:
+        prev = latest_version(root)
+        version = (prev or 0) + 1
+        new = [f"v{version:05d}-p{pid}-{seq}-{i:05d}.parquet"
+               for i in range(len(parts))]
+        if placed_version is None:
+            for f, name in zip(parts, new):
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(root, _DATA, name))
+            shutil.rmtree(tmp, ignore_errors=True)
+            if cols and new:
+                # footer-only metadata reads, parallelized (pyarrow
+                # releases the GIL on I/O) so a many-file commit
+                # doesn't serialize planning metadata on one driver
+                # thread; at true scale the write TASKS report these
+                # stats back (Iceberg writer metrics) and the driver
+                # only merges them
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(16, len(new))) as ex:
+                    new_stats = dict(zip(new, ex.map(
+                        lambda n: _file_stats(
+                            os.path.join(root, _DATA, n), cols), new)))
+        elif placed_version != version:
+            # lost a CAS: re-home the staged files under the new version
+            # prefix (pure renames, no data movement)
+            renamed_stats = {}
+            for old, name in zip(placed, new):
+                os.replace(os.path.join(root, _DATA, old),
+                           os.path.join(root, _DATA, name))
+                if old in new_stats:
+                    renamed_stats[name] = new_stats[old]
+            new_stats = renamed_stats
+        placed, placed_version = new, version
+
+        txns: list[str] = []
+        stats = dict(new_stats)
+        pm = read_manifest(root, prev) if prev is not None else None
+        if pm is not None:
+            txns = list(pm.get("txns", []))
+        if txn is not None and txn in txns:
+            # a concurrent writer committed this txn between our
+            # caller's check and now — exactly-once holds; our staged
+            # files become vacuumable orphans
+            return prev  # type: ignore[return-value]
+        carry_files = (pm["files"] if carry == "prev" and pm is not None
+                       else [] if carry == "prev"
+                       else list(carry or []))
+        if carry_files and pm is not None:
             pstats = pm.get("stats", {})
             stats = {**{f: pstats[f] for f in carry_files if f in pstats},
                      **stats}
-    if txn is not None:
-        txns.append(txn)
-    files = list(carry_files or []) + new
-    body = json.dumps({"version": version, "files": files,
-                       "stats": stats, "txns": txns,
-                       "schema": df.schema.jsonValue()})
-    mtmp = _manifest_path(root, version) + ".tmp"
-    with open(mtmp, "w", encoding="ascii") as f:
-        f.write(body)
-    os.replace(mtmp, _manifest_path(root, version))
-    return version
+        if txn is not None:
+            txns.append(txn)
+        body = json.dumps({"version": version,
+                           "files": carry_files + new,
+                           "stats": stats, "txns": txns,
+                           "schema": df.schema.jsonValue()})
+        if _publish_cas(root, version, body):
+            return version
+        # lost the race: another writer claimed this version first
+        if carry != "prev":
+            raise ConcurrentCommitError(
+                f"version {version} of {root} was committed concurrently; "
+                f"this {'rewrite' if carry is None else 'delete/merge'} was "
+                f"derived from superseded version {prev} — re-read and "
+                f"retry (staged files are vacuumable orphans)")
 
 
 def read_version_pruned_multi(
@@ -248,9 +346,7 @@ def commit_append(spark: SparkSession, root: str, df: DataFrame,
     them)."""
     if txn is not None and txn in committed_txns(root):
         return latest_version(root)  # type: ignore[return-value]
-    prev = latest_version(root)
-    carry = read_manifest(root, prev)["files"] if prev is not None else []
-    return _commit(spark, root, df, carry_files=carry,
+    return _commit(spark, root, df, carry="prev",
                    stats_cols=stats_cols, txn=txn)
 
 
@@ -262,7 +358,7 @@ def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
     reading them — until :func:`vacuum`."""
     if txn is not None and txn in committed_txns(root):
         return latest_version(root)  # type: ignore[return-value]
-    return _commit(spark, root, df, carry_files=None,
+    return _commit(spark, root, df, carry=None,
                    stats_cols=stats_cols, txn=txn)
 
 
@@ -307,7 +403,7 @@ def commit_delete(spark: SparkSession, root: str, condition,
         *[os.path.join(root, _DATA, f) for f in man["files"]
           if f in victims])
         .filter(~condition))
-    newv = _commit(spark, root, survivors, carry_files=carried,
+    newv = _commit(spark, root, survivors, carry=carried,
                    stats_cols=stats_cols, txn=txn)
     return newv, len(victims), len(carried)
 
@@ -359,7 +455,7 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
         out = survivors.unionByName(updates.select(*df.columns))
     else:
         out = updates.select(*df.columns)
-    newv = _commit(spark, root, out, carry_files=carried,
+    newv = _commit(spark, root, out, carry=carried,
                    stats_cols=stats_cols, txn=txn)
     return newv, len(matched), len(carried)
 

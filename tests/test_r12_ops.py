@@ -323,6 +323,81 @@ def test_interrupted_commit_leaves_recoverable_orphans(
     assert vstore.read_version(spark, root, 2).count() == 200
 
 
+# --- optimistic concurrency: CAS publish + conflict semantics ------------------
+
+def test_concurrent_append_retries_and_keeps_both(spark, tmp_path,
+                                                  monkeypatch):
+    """A blind append that loses the manifest CAS must re-home its
+    staged files and retry against the new latest — BOTH writers' rows
+    end up in the chain (appends commute)."""
+    root = str(tmp_path / "occstore")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    orig_cas = vstore._publish_cas
+    raced = {"done": False}
+
+    def racing_cas(r, version, body):
+        if not raced["done"]:
+            raced["done"] = True
+            # a competing writer sneaks in a full commit for the same
+            # version before ours publishes
+            monkeypatch.setattr(vstore, "_publish_cas", orig_cas)
+            vstore.commit_append(spark, root,
+                                 _mk(spark, 500, 550, 9).coalesce(1))
+            monkeypatch.setattr(vstore, "_publish_cas", racing_cas)
+        return orig_cas(r, version, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", racing_cas)
+    v = vstore.commit_append(spark, root, _mk(spark, 100, 200, 1).coalesce(1))
+    monkeypatch.setattr(vstore, "_publish_cas", orig_cas)
+    assert v == 3  # lost v2 to the racer, landed as v3
+    got = vstore.read_version(spark, root, 3)
+    assert got.count() == 250  # base 100 + racer 50 + ours 100
+    assert got.filter("k = 9").count() == 50
+    assert got.filter("k = 1").count() == 100
+    # the racer's snapshot (v2) excludes our rows
+    assert vstore.read_version(spark, root, 2).count() == 150
+
+
+def test_concurrent_rewrite_conflicts_loudly(spark, tmp_path, monkeypatch):
+    """A rewrite losing the CAS must raise (its snapshot is stale), and
+    the winner's state must be untouched; the loser's staged files are
+    vacuumable orphans."""
+    root = str(tmp_path / "occrewrite")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    orig_cas = vstore._publish_cas
+
+    def losing_cas(r, version, body):
+        if version == 2:
+            # competing writer claims v2 first
+            monkeypatch.setattr(vstore, "_publish_cas", orig_cas)
+            vstore.commit_append(spark, root,
+                                 _mk(spark, 900, 910, 9).coalesce(1))
+            monkeypatch.setattr(vstore, "_publish_cas", losing_cas)
+        return orig_cas(r, version, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", losing_cas)
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore.commit_rewrite(
+            spark, root,
+            vstore.read_version(spark, root, 1).repartition(1))
+    monkeypatch.setattr(vstore, "_publish_cas", orig_cas)
+    assert vstore.latest_version(root) == 2
+    assert vstore.read_version(spark, root, 2).count() == 110
+    # loser's staged files are unreferenced -> vacuum reclaims them
+    removed = vstore.vacuum(root, keep_versions=[1, 2])
+    assert removed, "stale rewrite must have left orphans"
+    assert vstore.read_version(spark, root, 2).count() == 110
+
+
+def test_cas_publish_is_create_if_absent(tmp_path):
+    root = str(tmp_path / "casroot")
+    os.makedirs(os.path.join(root, "manifests"))
+    assert vstore._publish_cas(root, 1, '{"files": []}') is True
+    assert vstore._publish_cas(root, 1, '{"files": ["x"]}') is False
+    with open(vstore._manifest_path(root, 1)) as f:
+        assert f.read() == '{"files": []}'  # first writer won
+
+
 # --- q140 / q122 batch replay idempotence -------------------------------------
 
 def test_q140_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
