@@ -45,23 +45,34 @@ _FP_NAME = "_INPUT_FINGERPRINT"
 def sweep_stale_siblings(path: str, tags: tuple[str, ...],
                          keep: str | None = None) -> None:
     """Remove leftover work directories next to ``path`` whose names
-    are ``<basename(path)>.<tag>…`` — the debris a process crashing
-    between a build and its rename pair leaves behind (``.old-<pid>``
-    asides, ``.tmp-<pid>`` builds). The names embed the CREATOR's pid,
-    so a retry under a new pid would otherwise never reclaim them;
-    single-writer is already this module's contract, so anything
-    matching that isn't ``keep`` is stale by definition."""
+    are ``<basename(path)>.<tag><pid>`` and whose creating process is
+    DEAD — the debris a crash between a build and its rename pair
+    leaves behind (``.old-<pid>`` asides, ``.tmp-<pid>`` builds). The
+    names embed the creator's pid, so a retry under a new pid would
+    otherwise never reclaim them; a LIVE owner (this module tolerates
+    racing same-content builders — last rename wins) keeps its dir."""
     parent = os.path.dirname(os.path.abspath(path))
     base = os.path.basename(os.path.normpath(path))
     if not os.path.isdir(parent):
         return
+    me = os.getpid()
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)
         if full == keep or not entry.startswith(base + "."):
             continue
         tail = entry[len(base):]
-        if any(tail.startswith(t) for t in tags):
-            shutil.rmtree(full, ignore_errors=True)
+        if not any(tail.startswith(t) for t in tags):
+            continue
+        owner = tail.rsplit("-", 1)[-1]
+        if owner.isdigit() and int(owner) != me:
+            try:
+                os.kill(int(owner), 0)
+                continue  # live owner — not ours to reclaim
+            except ProcessLookupError:
+                pass
+            except PermissionError:
+                continue  # exists under another uid
+        shutil.rmtree(full, ignore_errors=True)
 
 
 def file_fingerprint(paths: list[str] | tuple[str, ...],

@@ -181,6 +181,15 @@ def q08_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("parsed_ts", parse_timestamp_multi(F.col("ts_str"))))
 
 
+# The parse-back deliberately avoids try_strptime: DuckDB 1.0.0's
+# strptime scanner over-reads its input buffer, which segfaults the
+# whole process when a prior allocation-heavy query sequence lands a
+# ts_str at a page boundary (reproduced 3/4 runs of the r12 oracle
+# window; q08 solo never crashes — the over-read usually hits readable
+# memory). The native TIMESTAMP cast parses the full and date-only
+# formats; the seconds-less middle format (length 16) is normalized by
+# appending ':00' — bit-identical to Spark's multi-format
+# try_to_timestamp fallback (seconds default to 0).
 _Q08_SQL = """
 WITH s AS (
   SELECT event_id,
@@ -191,9 +200,8 @@ WITH s AS (
   FROM events
 )
 SELECT event_id, ts_str,
-       COALESCE(try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
-                try_strptime(ts_str, '%Y-%m-%d %H:%M'),
-                try_strptime(ts_str, '%Y-%m-%d')) AS parsed_ts
+       TRY_CAST(CASE WHEN length(ts_str) = 16 THEN ts_str || ':00'
+                     ELSE ts_str END AS TIMESTAMP) AS parsed_ts
 FROM s
 """
 
