@@ -188,23 +188,27 @@ import os as _os
 
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
-    # displaced from the r9 evidence window by the late additions
-    # q123-q133 (newest driver row r7; local sf0.01 evidence instead):
-    "q34_multimodal_meta", "q37_cube", "q38_string_funcs",
-    "q39_percentiles", "q42_unpivot", "q89_streaming_sliding_window",
-    "q91_cdc_apply",
-    # (q74_multimodal_decode was already below)
-    "q45_window_suite", "q46_streaming_tumbling", "q47_sql_exists",
-    "q48_vwap", "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
-    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
-    "q58_stratified_split", "q59_stratum_sample", "q60_embedding_centroids",
-    "q62_streaming_session_window", "q64_sequence_packing",
-    "q67_tfidf_topterms", "q68_contamination", "q69_domain_mix_sample",
-    "q70_scd2_history", "q71_rollup_refresh", "q72_policy_redaction",
-    "q73_streaming_stream_join", "q74_multimodal_decode",
-    "q75_bucketed_join", "q76_repetition_stats", "q77_funnel",
-    "q78_token_chunks", "q79_shuffle_shard", "q80_hll_distinct",
-    "q81_kmeans_step",
+    # the tier whose newest driver row is OLDEST after the r12 window
+    # (the r10-proven queries that rotate into the gate in r13 — see
+    # CORRECTNESS_SEEN.md's r13 seed); local sf0.01 evidence bridges
+    # the gap until then:
+    "q128_pagerank", "q131_kcore", "q114_global_sort",
+    "q85_retention_cohorts", "q88_sliding_window_stats",
+    "q90_gapfill_locf", "q51_lsh_verified_neardup", "q61_dedup_clusters",
+    "q123_canonical_selection", "q120_incremental_dedup",
+    "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
+    "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
+    "q111_semantic_dedup_hier", "q113_ivfpq_adc",
+    "q126_embedding_covariance", "q32_token_stats", "q33_fingerprint",
+    "q63_quality_gate", "q76_repetition_stats", "q84_heavy_hitters",
+    "q36_sma_over_bars", "q40_date_funcs", "q41_correlated_max",
+    "q43_array_aggregation", "q44_joinback_avg", "q96_streaming_dedup",
+    "q106_streaming_stateful_hwm", "q108_twap", "q129_pareto_frontier",
+    "q132_token_budget_fill", "q70_scd2_history", "q97_bm25_ranking",
+    "q101_bigram_novelty", "q103_scd2_pit_enrichment", "q119_bpe_encode",
+    "q121_dsir_weights", "q130_importance_resample", "q124_lm_perplexity",
+    "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
+    "q127_schema_evolution",
 ]
 
 
