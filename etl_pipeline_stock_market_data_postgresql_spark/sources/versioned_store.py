@@ -93,21 +93,36 @@ def committed_txns(root: str) -> set[str]:
     return set(read_manifest(root, v).get("txns", []))
 
 
+class SchemaMismatchError(ValueError):
+    """The committed frame's schema is incompatible with the store's —
+    schema ENFORCEMENT, Delta's default: a stray producer cannot
+    silently widen, narrow, or retype the table. Evolution is an
+    explicit opt-in (``commit_append(..., allow_evolution=True)``)."""
+
+
 def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     """Snapshot read: exactly the files version ``version`` committed.
     Never lists the data directory — concurrent appends/rewrites are
     invisible, and a vacuumed (unretained) version fails loudly on the
-    missing file rather than silently returning partial data. An empty
-    version (zero files) reads as an empty frame with the schema the
-    commit recorded."""
+    missing file rather than silently returning partial data. The read
+    applies the manifest's RECORDED schema (the evolved union after an
+    ``allow_evolution`` append), so files written before a column
+    existed surface it as NULL — the pinned-union-schema read that
+    avoids a mergeSchema footer sweep over every file at plan time
+    (the q127 100 TB lesson). An empty version (zero files) reads as
+    an empty frame with that schema."""
+    from pyspark.sql.types import StructType
+
     man = read_manifest(root, version)
     files = man["files"]
+    schema = (StructType.fromJson(man["schema"])
+              if man.get("schema") is not None else None)
     if not files:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(man["schema"])
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(
         *[os.path.join(root, _DATA, f) for f in files])
 
 
@@ -167,6 +182,52 @@ def _publish_cas(root: str, version: int, body: str) -> bool:
         os.unlink(mtmp)
 
 
+def _norm_type(dt):
+    """Type with every nested nullability flag erased — nullability
+    (incl. array containsNull / map valueContainsNull) is a per-batch
+    inference artifact, never schema drift."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_norm_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_norm_type(dt.keyType), _norm_type(dt.valueType), True)
+    if isinstance(dt, StructType):
+        return StructType([StructField(f.name, _norm_type(f.dataType), True)
+                           for f in dt.fields])
+    return dt
+
+
+def _evolve_schema(prev_schema, df_schema, allow_evolution: bool):
+    """Schema enforcement / evolution for a commit against a store with
+    recorded schema ``prev_schema``: identical (name, type) sets pass
+    (nullability flags ignored — they are inference artifacts); a type
+    CHANGE always raises (never additive); added/missing columns raise
+    unless ``allow_evolution``, in which case the result is the UNION —
+    previous fields in their stable order, new fields appended nullable
+    (legacy files surface them as NULL under the pinned-union read)."""
+    from pyspark.sql.types import StructField, StructType
+
+    prev_by = {f.name: _norm_type(f.dataType) for f in prev_schema.fields}
+    df_by = {f.name: _norm_type(f.dataType) for f in df_schema.fields}
+    retyped = [n for n, t in df_by.items()
+               if n in prev_by and prev_by[n] != t]
+    if retyped:
+        raise SchemaMismatchError(
+            f"column type changes are never additive: "
+            f"{[(n, str(prev_by[n]), str(df_by[n])) for n in retyped]}")
+    added = [f for f in df_schema.fields if f.name not in prev_by]
+    missing = [n for n in prev_by if n not in df_by]
+    if (added or missing) and not allow_evolution:
+        raise SchemaMismatchError(
+            f"schema drift rejected (enforcement is the default; pass "
+            f"allow_evolution=True to evolve): added="
+            f"{[f.name for f in added]} missing={missing}")
+    return StructType(list(prev_schema.fields)
+                      + [StructField(f.name, f.dataType, True)
+                         for f in added])
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
@@ -179,7 +240,8 @@ def _pid_alive(pid: int) -> bool:
 
 def _commit(spark: SparkSession, root: str, df: DataFrame,
             carry, stats_cols: tuple[str, ...],
-            txn: str | None = None) -> int:
+            txn: str | None = None,
+            allow_evolution: bool = False) -> int:
     """Write ``df``'s part files into the data dir, then CAS-publish a
     new manifest referencing them plus the carried files (by name —
     their bytes are never touched). ``carry`` is ``"prev"`` (carry the
@@ -276,10 +338,17 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                      **stats}
         if txn is not None:
             txns.append(txn)
+        if pm is not None and pm.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            rec_schema = _evolve_schema(StructType.fromJson(pm["schema"]),
+                                        df.schema, allow_evolution)
+        else:
+            rec_schema = df.schema
         body = json.dumps({"version": version,
                            "files": carry_files + new,
                            "stats": stats, "txns": txns,
-                           "schema": df.schema.jsonValue()})
+                           "schema": rec_schema.jsonValue()})
         if _publish_cas(root, version, body):
             return version
         # lost the race: another writer claimed this version first
@@ -321,7 +390,12 @@ def read_version_pruned_multi(
     if not keep:  # preserve schema on an empty match
         return (read_version(spark, root, version).limit(0),
                 0, len(man["files"]))
-    df = spark.read.parquet(
+    reader = spark.read
+    if man.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(man["schema"]))
+    df = reader.parquet(
         *[os.path.join(root, _DATA, f) for f in keep])
     return df, len(keep), len(man["files"])
 
@@ -335,7 +409,8 @@ def read_version_pruned(spark: SparkSession, root: str, version: int,
 
 def commit_append(spark: SparkSession, root: str, df: DataFrame,
                   stats_cols: tuple[str, ...] = ("id",),
-                  txn: str | None = None) -> int:
+                  txn: str | None = None,
+                  allow_evolution: bool = False) -> int:
     """New version = previous files + df's files (incremental ingest).
     Footer min/max stats for ``stats_cols`` (those present) are
     recorded per file for :func:`read_version_pruned`. With ``txn``
@@ -343,11 +418,15 @@ def commit_append(spark: SparkSession, root: str, df: DataFrame,
     returning the current version — the exactly-once contract for
     replayed streaming micro-batches (the data files a crashed first
     attempt may have orphaned are never referenced; vacuum reclaims
-    them)."""
+    them). Schema drift is REJECTED by default
+    (:class:`SchemaMismatchError`); ``allow_evolution=True`` evolves
+    the recorded schema to the union, and every snapshot read applies
+    that pinned union so legacy files surface new columns as NULL."""
     if txn is not None and txn in committed_txns(root):
         return latest_version(root)  # type: ignore[return-value]
     return _commit(spark, root, df, carry="prev",
-                   stats_cols=stats_cols, txn=txn)
+                   stats_cols=stats_cols, txn=txn,
+                   allow_evolution=allow_evolution)
 
 
 def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,

@@ -611,6 +611,112 @@ SELECT * FROM summ2 UNION ALL SELECT * FROM summ3
 """
 
 
+def q148_versioned_schema_evolution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Schema ENFORCEMENT + EVOLUTION on the versioned store — q127's
+    migration fact of life, snapshot-native: v1 commits the base event
+    window with three columns; a later producer gains a ``quality_q``
+    column and commits it with ``allow_evolution=True`` (enforcement —
+    the default — rejects the drift: a stray producer cannot silently
+    reshape the table; pinned by the invariant tests). The manifest's
+    recorded schema evolves to the UNION, and every snapshot read
+    applies that pinned schema — so v2 surfaces the new column as NULL
+    for rows whose files predate it, with NO mergeSchema footer sweep
+    at plan time (the q127 100 TB lesson, now enforced by the store
+    itself), while time travel to v1 still reads the original
+    three-column shape.
+
+    The gated output summarizes v1 (column count proves the old shape
+    survived) and v2 split by file generation (legacy rows: quality_q
+    all NULL; new rows: exact integer checksum) — a green row
+    certifies enforcement-then-evolution end to end, including the
+    null-fill semantics of the pinned-union read.
+
+    Scale shape: evolution is one manifest write; reads stay
+    plan-time-constant (the union schema is metadata, not a footer
+    sweep over every file); legacy files are never rewritten."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_evolve")
+    fp = table_fingerprint(sf_dir, ("events",), params="q148_evolve_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.filter(F.col("event_id") <= b),
+                             stats_cols=("event_id",))
+        evolved = (base.filter(F.col("event_id") > b)
+                   .withColumn("quality_q",
+                               (F.col("event_id") % 97).cast("long")))
+        vstore.commit_append(spark, root, evolved,
+                             stats_cols=("event_id",),
+                             allow_evolution=True)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    v1 = vstore.read_version(spark, root, 1)
+    v2 = vstore.read_version(spark, root, 2)
+    p1 = (v1.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"))
+          .select(F.lit("v1").alias("segment"), "n_rows", "id_sum",
+                  F.lit(len(v1.columns)).cast("int").alias("n_cols"),
+                  F.lit(None).cast("long").alias("quality_nulls"),
+                  F.lit(None).cast("long").alias("quality_sum")))
+    seg = (F.when(F.col("event_id") <= b, F.lit("v2_legacy"))
+           .otherwise(F.lit("v2_new")).alias("segment"))
+    p2 = (v2.groupBy(seg)
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum("event_id").alias("id_sum"),
+               F.count(F.when(F.col("quality_q").isNull(), 1))
+               .alias("quality_nulls"),
+               F.sum("quality_q").alias("quality_sum"))
+          .select("segment", "n_rows", "id_sum",
+                  F.lit(len(v2.columns)).cast("int").alias("n_cols"),
+                  "quality_nulls", "quality_sum"))
+    return p1.unionByName(p2)
+
+
+_Q148_SQL = """
+WITH base AS (
+  SELECT event_id FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b FROM base)
+SELECT 'v1' AS segment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(3 AS INT) AS n_cols,
+       CAST(NULL AS BIGINT) AS quality_nulls,
+       CAST(NULL AS BIGINT) AS quality_sum
+FROM base WHERE event_id <= (SELECT b FROM bnd)
+UNION ALL
+SELECT 'v2_legacy',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT),
+       CAST(4 AS INT),
+       CAST(count(*) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM base WHERE event_id <= (SELECT b FROM bnd)
+UNION ALL
+SELECT 'v2_new',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT),
+       CAST(4 AS INT),
+       CAST(0 AS BIGINT),
+       CAST(sum(event_id % 97) AS BIGINT)
+FROM base WHERE event_id > (SELECT b FROM bnd)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -621,4 +727,6 @@ QUERIES: dict[str, Query] = {
     "q127_schema_evolution": Query(q127_schema_evolution, _Q127_SQL),
     "q133_jsonl_roundtrip": Query(q133_jsonl_roundtrip, _q133_sql()),
     "q147_versioned_merge": Query(q147_versioned_merge, _Q147_SQL),
+    "q148_versioned_schema_evolution": Query(
+        q148_versioned_schema_evolution, _Q148_SQL),
 }

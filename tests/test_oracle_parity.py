@@ -208,7 +208,7 @@ _DRIVER_GAPPED = [
     "q101_bigram_novelty", "q103_scd2_pit_enrichment", "q119_bpe_encode",
     "q121_dsir_weights", "q130_importance_resample", "q124_lm_perplexity",
     "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
-    "q127_schema_evolution",
+    "q127_schema_evolution", "q125_fuzzy_linkage",
 ]
 
 

@@ -97,6 +97,8 @@ SINGLE_PARTITION_ALLOWED = {
                                 "(map-side partials only)",
     "q146_ann_multicol_pruning": "per-probe 1-row pruned-window summaries "
                                  "(map-side partials only)",
+    "q148_versioned_schema_evolution": "1-row v1-shape summary "
+                                       "(map-side partials only)",
 }
 
 

@@ -398,6 +398,64 @@ def test_cas_publish_is_create_if_absent(tmp_path):
         assert f.read() == '{"files": []}'  # first writer won
 
 
+# --- schema enforcement + evolution --------------------------------------------
+
+def test_schema_enforcement_rejects_drift_and_type_changes(spark, tmp_path):
+    root = str(tmp_path / "enforce")
+    vstore.commit_append(spark, root, _mk(spark, 0, 50, 0).coalesce(1))
+    drifted = (_mk(spark, 50, 60, 0)
+               .withColumn("extra", F.lit(1)).coalesce(1))
+    with pytest.raises(vstore.SchemaMismatchError, match="allow_evolution"):
+        vstore.commit_append(spark, root, drifted)
+    # a column DROP is drift too
+    with pytest.raises(vstore.SchemaMismatchError):
+        vstore.commit_append(spark, root,
+                             _mk(spark, 50, 60, 0).drop("x").coalesce(1))
+    # a type change is never additive, even under evolution
+    retyped = _mk(spark, 50, 60, 0).withColumn(
+        "x", F.col("x").cast("int")).coalesce(1)
+    with pytest.raises(vstore.SchemaMismatchError, match="never additive"):
+        vstore.commit_append(spark, root, retyped, allow_evolution=True)
+    assert vstore.latest_version(root) == 1  # nothing published
+
+
+def test_schema_evolution_pins_union_and_time_travels(spark, tmp_path):
+    root = str(tmp_path / "evolve")
+    vstore.commit_append(spark, root, _mk(spark, 0, 50, 0).coalesce(1))
+    evolved = (_mk(spark, 50, 100, 1)
+               .withColumn("extra", (F.col("id") * 2).cast("long"))
+               .coalesce(1))
+    v2 = vstore.commit_append(spark, root, evolved, allow_evolution=True)
+    got = vstore.read_version(spark, root, v2)
+    assert got.columns == ["id", "k", "x", "extra"]
+    # legacy files surface the evolved column as NULL; new rows carry it
+    assert got.filter(F.col("id") < 50)\
+        .filter(F.col("extra").isNotNull()).count() == 0
+    assert got.filter(F.col("id") >= 50)\
+        .filter(F.col("extra") != F.col("id") * 2).count() == 0
+    # time travel keeps the pre-evolution shape
+    assert vstore.read_version(spark, root, 1).columns == ["id", "k", "x"]
+    # a post-evolution OLD-shape producer is now drift (missing column)
+    with pytest.raises(vstore.SchemaMismatchError):
+        vstore.commit_append(spark, root, _mk(spark, 100, 110, 0).coalesce(1))
+    # pruned reads apply the pinned union too
+    d, opened, _tot = vstore.read_version_pruned(spark, root, v2,
+                                                 "id", 0, 10)
+    assert "extra" in d.columns and opened >= 1
+
+
+def test_q148_segments_cover_generations(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        q148_versioned_schema_evolution)
+    rows = {r.segment: r for r in
+            q148_versioned_schema_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {"v1", "v2_legacy", "v2_new"}
+    assert rows["v1"].n_cols == 3 and rows["v2_new"].n_cols == 4
+    assert rows["v2_legacy"].quality_nulls == rows["v2_legacy"].n_rows
+    assert rows["v2_new"].quality_nulls == 0
+    assert rows["v1"].n_rows == rows["v2_legacy"].n_rows
+
+
 # --- q140 / q122 batch replay idempotence -------------------------------------
 
 def test_q140_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
