@@ -539,6 +539,49 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
     return newv, len(matched), len(carried)
 
 
+def version_diff(spark: SparkSession, root: str, v_from: int,
+                 v_to: int) -> tuple[DataFrame, DataFrame]:
+    """CHANGE DATA FEED between two snapshots, derived from the
+    manifests alone (no CDC log): returns ``(inserts, deletes)`` — the
+    row multisets present only in ``v_to`` / only in ``v_from``. Files
+    CARRIED by name between the versions cannot contribute changes
+    (their bytes are identical), so only the file-set difference is
+    read: rows in v_to-only files are candidate inserts, rows in
+    v_from-only files candidate deletes, and a mutual ``exceptAll``
+    cancels the survivor rows a copy-on-write rewrite re-emitted into
+    new files. A pure compaction therefore yields two EMPTY feeds even
+    though every file changed — the certificate that maintenance never
+    touches content. Both sides read under v_to's pinned schema
+    (evolution-safe: legacy rows surface added columns as NULL on both
+    sides and cancel).
+
+    Scale shape: work ∝ the changed files only — an append's feed
+    costs the appended files, a delete's feed the rewritten files,
+    never the table; the exceptAll shuffles only those rows."""
+    from pyspark.sql.types import StructType
+
+    mf, mt = read_manifest(root, v_from), read_manifest(root, v_to)
+    ff, ft = set(mf["files"]), set(mt["files"])
+    schema = (StructType.fromJson(mt["schema"])
+              if mt.get("schema") is not None else None)
+
+    def _read(names: list[str]) -> DataFrame:
+        if not names:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return read_version(spark, root, v_to).limit(0)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
+            *[os.path.join(root, _DATA, f) for f in sorted(names)])
+
+    added_rows = _read(list(ft - ff))
+    removed_rows = _read(list(ff - ft))
+    return (added_rows.exceptAll(removed_rows),
+            removed_rows.exceptAll(added_rows))
+
+
 def compact_latest(spark: SparkSession, root: str, target_bytes: int,
                    cluster_by: tuple[str, ...] | None = ("id",),
                    stats_cols: tuple[str, ...] = ("id",),

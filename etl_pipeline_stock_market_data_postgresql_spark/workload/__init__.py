@@ -46,19 +46,21 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # store copy-on-write delete, the frozen-model drift measure, the
     # retrain->re-encode->rewrite cutover with time travel, the
     # multi-column manifest-stats pruned read, the copy-on-write MERGE
-    # (upsert), and schema enforcement + evolution — slots 1-6;
+    # (upsert), schema enforcement + evolution, and the manifest-
+    # derived change data feed — slots 1-7;
     "q143_ann_versioned_delete", "q144_ann_model_drift",
     "q145_ann_retrain_cutover", "q146_ann_multicol_pruning",
     "q147_versioned_merge", "q148_versioned_schema_evolution",
+    "q149_versioned_change_feed",
     # (2) implementation changed this round (outputs unchanged; their
     # r11/r10 rows prove the OLD at-least-once sinks): q140/q122 now
     # commit through txn-keyed versioned-store appends (exactly-once
-    # under micro-batch replay, the r11 verdict's task 1) — slots 7-8;
+    # under micro-batch replay, the r11 verdict's task 1) — slots 8-9;
     "q140_streaming_ann_ingest", "q122_streaming_incremental_dedup",
     # (3) the ENTIRE r8 tier in module order (40 queries whose newest
     # green row is r8) — emptying it was the pre-derived r12 plan;
     # q07-q13 were displaced from the r11 window by that round's
-    # additions — slots 9-48;
+    # additions — slots 10-49;
     "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
     "q10_quarantine_counts", "q11_pricing_summary",
     "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
@@ -73,14 +75,14 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q94_learned_ivf", "q98_semantic_dedup", "q109_sq8_quantization",
     "q30_langid", "q31_quality_score", "q115_bpe_train",
     "q116_trained_quality_scorer", "q118_small_file_compaction",
-    # (4) oldest-r10 fill in module order to the 50-cap — slots 49-50.
-    # The remaining 47 r10-tier (q125/q128 onward) and all 50 r11-tier
-    # queries fall past the cap: most recently proven, still covered
-    # by local parity (tests/test_oracle_parity.py runs the identical
-    # comparison on every registered query, plus the sf0.01
+    # (4) oldest-r10 fill in module order to the 50-cap — slot 50.
+    # The remaining 48 r10-tier (q112/q125/q128 onward) and all 50
+    # r11-tier queries fall past the cap: most recently proven, still
+    # covered by local parity (tests/test_oracle_parity.py runs the
+    # identical comparison on every registered query, plus the sf0.01
     # driver-scale bridge for the oldest tier); they rotate forward in
     # r13.
-    "q87_full_outer_reconciliation", "q112_equidepth_sketch",
+    "q87_full_outer_reconciliation",
 )
 
 

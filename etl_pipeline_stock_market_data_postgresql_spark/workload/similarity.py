@@ -2079,6 +2079,81 @@ UNION ALL {probe(2, f"cell >= 0 AND cell <= 1"
 """
 
 
+def q149_versioned_change_feed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between snapshots of the versioned postings
+    store — what a downstream consumer (an index replica, a cache, an
+    audit) reads instead of re-scanning the table: for three
+    characteristic transitions, emit the exact row-level inserts and
+    deletes derived from the MANIFESTS alone
+    (``versioned_store.version_diff``: carried files cannot contribute
+    changes, so only the file-set difference is read, and a mutual
+    exceptAll cancels copy-on-write survivor re-emits).
+
+    The three transitions certify the three maintenance classes:
+    v1→v2 (HWM append) must feed exactly the first ingest batch as
+    inserts and nothing as deletes; v3→v4 (compaction rewrite) must
+    feed NOTHING in either direction even though every file changed —
+    the strongest "maintenance never touches content" certificate;
+    v5→v6 (copy-on-write takedown) must feed exactly the deleted batch
+    as deletes and nothing as inserts (its survivor re-emits cancel).
+    The oracle recomputes each feed's count/checksums from the
+    frozen-model full encode, with the empty feeds pinned as 0-count
+    NULL-sum rows.
+
+    Scale shape: each feed costs only the transition's changed files
+    (an append's feed ∝ the appended files; the compaction feed is the
+    one that reads the rewrite's worth of rows — exactly what Delta's
+    CDF pays for a rewrite without a CDC log)."""
+    from ..sources import versioned_store as vstore
+
+    root, _b, _b2 = _ann_versioned_root(spark, sf_dir)
+    parts = []
+    for vf, vt in ((1, 2), (3, 4), (5, 6)):
+        ins, dels = vstore.version_diff(spark, root, vf, vt)
+        for ct, df in (("insert", ins), ("delete", dels)):
+            parts.append(
+                df.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.sum("id").alias("id_sum"),
+                       F.sum("code").alias("code_sum"))
+                .select(F.lit(vf).cast("int").alias("v_from"),
+                        F.lit(vt).cast("int").alias("v_to"),
+                        F.lit(ct).alias("change_type"),
+                        "n_rows", "id_sum", "code_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q149_sql() -> str:
+    b2 = "(SELECT b + (mx - b + 1) // 2 FROM bnd)"
+    win = f"id > (SELECT b FROM bnd) AND id <= {b2}"
+
+    def feed(vf: int, vt: int, ct: str, pred: str | None) -> str:
+        if pred is None:
+            return f"""
+SELECT CAST({vf} AS INT) AS v_from, CAST({vt} AS INT) AS v_to,
+       '{ct}' AS change_type, CAST(0 AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS id_sum, CAST(NULL AS BIGINT) AS code_sum"""
+        return f"""
+SELECT CAST({vf} AS INT) AS v_from, CAST({vt} AS INT) AS v_to,
+       '{ct}' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(sum(code) AS BIGINT) AS code_sum
+FROM post WHERE {pred}"""
+
+    return f"""
+WITH {_ivfpq_full_encode_ctes()}
+{feed(1, 2, 'insert', win)}
+UNION ALL {feed(1, 2, 'delete', None)}
+UNION ALL {feed(3, 4, 'insert', None)}
+UNION ALL {feed(3, 4, 'delete', None)}
+UNION ALL {feed(5, 6, 'insert', None)}
+UNION ALL {feed(5, 6, 'delete', win)}
+"""
+
+
 # --- q109: SQ8 scalar quantization (ANN memory compression) ---------------
 
 SQ8_LEVELS = 255
@@ -2352,4 +2427,6 @@ QUERIES: dict[str, Query] = {
                                       _q145_sql()),
     "q146_ann_multicol_pruning": Query(q146_ann_multicol_pruning,
                                        _q146_sql()),
+    "q149_versioned_change_feed": Query(q149_versioned_change_feed,
+                                        _q149_sql()),
 }

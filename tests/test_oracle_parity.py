@@ -209,6 +209,7 @@ _DRIVER_GAPPED = [
     "q121_dsir_weights", "q130_importance_resample", "q124_lm_perplexity",
     "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
     "q127_schema_evolution", "q125_fuzzy_linkage",
+    "q112_equidepth_sketch",
 ]
 
 

@@ -99,6 +99,8 @@ SINGLE_PARTITION_ALLOWED = {
                                  "(map-side partials only)",
     "q148_versioned_schema_evolution": "1-row v1-shape summary "
                                        "(map-side partials only)",
+    "q149_versioned_change_feed": "per-transition 1-row feed summaries "
+                                  "(map-side partials only)",
 }
 
 

@@ -398,6 +398,57 @@ def test_cas_publish_is_create_if_absent(tmp_path):
         assert f.read() == '{"files": []}'  # first writer won
 
 
+# --- change data feed between snapshots -----------------------------------------
+
+def test_version_diff_semantics(spark, tmp_path):
+    """Append feeds inserts only; copy-on-write delete feeds the victims
+    only (survivor re-emits cancel); a pure compaction rewrite feeds
+    NOTHING although every file changed."""
+    root = str(tmp_path / "cdfstore")
+    vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 100, 200, 1).coalesce(2))
+    ins, dels = vstore.version_diff(spark, root, 1, 2)
+    assert dels.count() == 0
+    assert multiset_equal(ins, _mk(spark, 100, 200, 1))
+    # copy-on-write delete: victims only, survivors cancel
+    vstore.commit_delete(spark, root,
+                         (F.col("id") >= 150) & (F.col("id") < 160))
+    ins3, dels3 = vstore.version_diff(spark, root, 2, 3)
+    assert ins3.count() == 0
+    assert multiset_equal(dels3, _mk(spark, 150, 160, 1))
+    # compaction rewrite: all files replaced, zero content changes
+    vstore.compact_latest(spark, root, target_bytes=1 << 30)
+    assert vstore.latest_version(root) == 4
+    f3 = set(vstore.read_manifest(root, 3)["files"])
+    f4 = set(vstore.read_manifest(root, 4)["files"])
+    assert not (f3 & f4), "rewrite must replace every file"
+    ins4, dels4 = vstore.version_diff(spark, root, 3, 4)
+    assert ins4.count() == 0 and dels4.count() == 0
+    # merge feeds: replaced rows appear on BOTH sides (old out, new in)
+    upd = (spark.range(0, 5).select(F.col("id"), F.lit(8).alias("k"),
+                                    F.lit(-1).cast("long").alias("x")))
+    vstore.commit_merge(spark, root, upd, key_cols=("id",))
+    ins5, dels5 = vstore.version_diff(spark, root, 4, 5)
+    assert multiset_equal(ins5, upd)
+    assert multiset_equal(dels5, _mk(spark, 0, 5, 0))
+
+
+def test_q149_transitions(spark, sf_dir):
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        q149_versioned_change_feed)
+    rows = {(r.v_from, r.v_to, r.change_type): r for r in
+            q149_versioned_change_feed(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    assert rows[(1, 2, "insert")].n_rows > 0
+    assert rows[(1, 2, "delete")].n_rows == 0
+    assert rows[(3, 4, "insert")].n_rows == 0
+    assert rows[(3, 4, "delete")].n_rows == 0
+    assert rows[(5, 6, "delete")].n_rows > 0
+    assert rows[(5, 6, "insert")].n_rows == 0
+    # the append feed and the takedown feed cover the same id window
+    assert rows[(1, 2, "insert")].id_sum == rows[(5, 6, "delete")].id_sum
+
+
 # --- schema enforcement + evolution --------------------------------------------
 
 def test_schema_enforcement_rejects_drift_and_type_changes(spark, tmp_path):
