@@ -487,7 +487,7 @@ def _q122_commit_batch(sess: SparkSession, index_root: str, out_dir: str,
     from ..sources import versioned_store as vstore
     from .text_dedup import LSH_BANDS, LSH_ROWS, LSH_VERIFY_THRESHOLD
 
-    if f"q122-batch-{bid}" in vstore.committed_txns(index_root):
+    if vstore.txn_committed(index_root, ("q122", bid)):
         return
     index = vstore.read_version(sess, index_root,
                                 vstore.latest_version(index_root))
@@ -500,7 +500,7 @@ def _q122_commit_batch(sess: SparkSession, index_root: str, out_dir: str,
     nr = new_rows.localCheckpoint(eager=True)
     v.write.mode("overwrite").parquet(os.path.join(out_dir, f"bid={bid}"))
     vstore.commit_append(sess, index_root, nr, stats_cols=(),
-                         txn=f"q122-batch-{bid}")
+                         txn=("q122", bid))
     for c in caches:
         c.unpersist()
 
@@ -663,7 +663,8 @@ def _q140_commit_batch(sess: SparkSession, store: str, bdf: DataFrame,
     commit to the manifest-versioned postings store with the batch id
     as the transaction id — a replayed batch (foreachBatch is
     at-least-once; a crash after a partial first attempt re-runs it)
-    finds ``q140-batch-<bid>`` already in the manifest chain and
+    finds ``("q140", bid)`` already at-or-below the manifest
+    ledger's q140 entry and
     no-ops, so the store never double-counts a posting (the r11
     verdict's double-append finding). Any files a crashed attempt
     orphaned are unreferenced and reclaimed by vacuum. Module-level so
@@ -673,7 +674,7 @@ def _q140_commit_batch(sess: SparkSession, store: str, bdf: DataFrame,
     from ..sources import versioned_store as vstore
     from .similarity import _ivfpq_encode, _spread_vectors
 
-    if f"q140-batch-{bid}" in vstore.committed_txns(store):
+    if vstore.txn_committed(store, ("q140", bid)):
         return
     bvecs = _spread_vectors(sess, bdf)
     post = _ivfpq_encode(bvecs,
@@ -681,7 +682,7 @@ def _q140_commit_batch(sess: SparkSession, store: str, bdf: DataFrame,
                          sess.read.parquet(codebook_path))
     vstore.commit_append(sess, store, post.select("id", "m", "code", "cell"),
                          stats_cols=("id", "cell"),
-                         txn=f"q140-batch-{bid}")
+                         txn=("q140", bid))
 
 
 def q140_streaming_ann_ingest(spark: SparkSession,

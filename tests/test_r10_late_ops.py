@@ -254,8 +254,8 @@ def test_q122_index_store_ends_compacted_and_versioned(spark, sf_dir):
         spark, root, STREAM_STORE_TARGET_BYTES, cluster_by=None,
         stats_cols=())
     assert nb == na, compact_latest_noop
-    txns = vstore.committed_txns(root)
-    assert {"q122-batch-0", "q122-batch-1"} <= txns
+    # bounded ledger: both batches fold into ONE per-app entry
+    assert vstore.txn_seen(root).get("q122") == 1
     for v in range(1, vstore.latest_version(root) + 1):
         assert vstore.read_version(spark, root, v).count() > 0
 
@@ -388,7 +388,7 @@ def test_q140_streamed_store_equals_batch_chain_deltas(
     assert multiset_equal(streamed, chain)
     # both batch txns recorded; maintenance pass left the store
     # compliant (compact_latest re-run is a no-op — pre-bytes contract)
-    assert {"q140-batch-0", "q140-batch-1"} <= vstore.committed_txns(root)
+    assert vstore.txn_seen(root).get("q140") == 1
     nb, na = vstore.compact_latest(spark, root, STREAM_STORE_TARGET_BYTES,
                                    cluster_by=("id",),
                                    stats_cols=("id", "cell"))

@@ -24,6 +24,16 @@ def _mk(spark, lo, hi, k):
                     (F.col("id") * 3).alias("x")))
 
 
+def _dead_pid() -> int:
+    """Pid of a process that has already exited and been reaped — what
+    a crashed writer's pid looks like to vacuum's liveness probe."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
 # --- exactly-once txn commits ------------------------------------------------
 
 def test_commit_append_txn_is_exactly_once(spark, tmp_path):
@@ -43,7 +53,7 @@ def test_commit_append_txn_is_exactly_once(spark, tmp_path):
                               txn="b1")
     assert v2 == 2
     assert vstore.read_version(spark, root, 2).count() == 150
-    assert vstore.committed_txns(root) == {"b0", "b1"}
+    assert vstore.txn_seen(root) == {"b0": 0, "b1": 0}
 
 
 def test_txn_memory_survives_compaction_and_rewrite(spark, tmp_path):
@@ -177,7 +187,7 @@ def test_q147_merge_chain_invariants(spark, sf_dir):
     f3 = set(vstore.read_manifest(root, 3)["files"])
     assert f2 & f3, "correction window must carry untouched files by name"
     assert f3 - f2, "matched files must be rewritten"
-    assert "q147-merge" in vstore.committed_txns(root)
+    assert vstore.txn_committed(root, "q147-merge")
     # pre-merge snapshot reads and has no corrected/backfill rows
     v2 = vstore.read_version(spark, root, 2)
     assert v2.filter(F.col("event_type").isin("corrected",
@@ -313,9 +323,23 @@ def test_interrupted_commit_leaves_recoverable_orphans(
     data = os.path.join(root, "data")
     orphans = sorted(f for f in os.listdir(data) if f.startswith("v00002"))
     assert orphans, "interrupted commit must have staged data files"
-    # vacuum removes exactly the orphans, nothing a manifest references
+    # the writer pid embedded in the orphans is THIS (live) process, so
+    # vacuum must treat them as possibly-in-flight and leave them (the
+    # r12 advice finding: deleting a live writer's staged files lets
+    # its commit publish a manifest referencing missing files)
+    assert vstore.vacuum(root, keep_versions=[1]) == []
+    assert orphans == sorted(
+        f for f in os.listdir(data) if f.startswith("v00002"))
+    # once the writer is DEAD its staging debris is reclaimable; rename
+    # the orphans to embed a provably-dead pid to simulate that
+    dead = _dead_pid()
+    renamed = []
+    for f in orphans:
+        g = f.replace(f"-p{os.getpid()}-", f"-p{dead}-")
+        os.rename(os.path.join(data, f), os.path.join(data, g))
+        renamed.append(g)
     removed = vstore.vacuum(root, keep_versions=[1])
-    assert removed == orphans
+    assert removed == sorted(renamed)
     assert content_fingerprint(vstore.read_version(spark, root, 1)) == fp1
     # a retry commits cleanly (same version slot, fresh files)
     v2 = vstore.commit_append(spark, root, _mk(spark, 100, 200, 0).coalesce(1))
@@ -383,7 +407,18 @@ def test_concurrent_rewrite_conflicts_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(vstore, "_publish_cas", orig_cas)
     assert vstore.latest_version(root) == 2
     assert vstore.read_version(spark, root, 2).count() == 110
-    # loser's staged files are unreferenced -> vacuum reclaims them
+    # loser's staged files are unreferenced, but their writer (this
+    # process) is alive — vacuum's in-flight guard must leave them
+    assert vstore.vacuum(root, keep_versions=[1, 2]) == []
+    # simulate the loser process dying: its debris becomes reclaimable
+    data = os.path.join(root, "data")
+    kept = (set(vstore.read_manifest(root, 1)["files"])
+            | set(vstore.read_manifest(root, 2)["files"]))
+    dead = _dead_pid()
+    for f in sorted(set(os.listdir(data)) - kept):
+        os.rename(os.path.join(data, f),
+                  os.path.join(data,
+                               f.replace(f"-p{os.getpid()}-", f"-p{dead}-")))
     removed = vstore.vacuum(root, keep_versions=[1, 2])
     assert removed, "stale rewrite must have left orphans"
     assert vstore.read_version(spark, root, 2).count() == 110
@@ -650,7 +685,7 @@ def test_q145_cutover_retains_frozen_snapshot_and_models_coexist(
     from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
         _scratch_base)
     root = _ann_retrain_root(spark, sf_dir)
-    assert vstore.committed_txns(root) == {"frozen-full", "cutover"}
+    assert vstore.txn_seen(root) == {"frozen-full": 0, "cutover": 0}
     scratch, _ = _scratch_base(sf_dir)
     # both models cached side by side (no thrash between them)
     assert os.path.isdir(os.path.join(scratch, "ann_centroids"))
