@@ -40,49 +40,47 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-12 window, per the CORRECTNESS_SEEN.md rule (50 names
-    # listed EXPLICITLY — the gate checks exactly all_queries()[:50]).
-    # (1) new this round, no driver row possible yet: the versioned-
-    # store copy-on-write delete, the frozen-model drift measure, the
-    # retrain->re-encode->rewrite cutover with time travel, the
-    # multi-column manifest-stats pruned read, the copy-on-write MERGE
-    # (upsert), schema enforcement + evolution, and the manifest-
-    # derived change data feed — slots 1-7;
-    "q143_ann_versioned_delete", "q144_ann_model_drift",
-    "q145_ann_retrain_cutover", "q146_ann_multicol_pruning",
-    "q147_versioned_merge", "q148_versioned_schema_evolution",
-    "q149_versioned_change_feed",
+    # round-13 window, per the CORRECTNESS_SEEN.md rule (50 names
+    # listed EXPLICITLY — the gate checks exactly all_queries()[:50];
+    # tiers derived PROGRAMMATICALLY from CORRECTNESS_r*.json).
+    # (1) new this round, no driver row possible yet: the typed change
+    # data feed (_change_type classification by key) and the
+    # conditional / column-subset MERGE — slots 1-2;
+    "q150_versioned_cdf_typed", "q151_versioned_conditional_merge",
     # (2) implementation changed this round (outputs unchanged; their
-    # r11/r10 rows prove the OLD at-least-once sinks): q140/q122 now
-    # commit through txn-keyed versioned-store appends (exactly-once
-    # under micro-batch replay, the r11 verdict's task 1) — slots 8-9;
-    "q140_streaming_ann_ingest", "q122_streaming_incremental_dedup",
-    # (3) the ENTIRE r8 tier in module order (40 queries whose newest
-    # green row is r8) — emptying it was the pre-derived r12 plan;
-    # q07-q13 were displaced from the r11 window by that round's
-    # additions — slots 10-49;
-    "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
-    "q10_quarantine_counts", "q11_pricing_summary",
-    "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
-    "q15_set_ops", "q16_rollup", "q17_pivot_status", "q18_distinct_agg",
-    "q19_having_heavy_customers", "q20_asof_last_click",
-    "q52_multiset_ops", "q100_table_profile", "q102_equidepth_histogram",
-    "q104_key_uniqueness", "q107_bloom_join", "q22_sessionization",
-    "q65_salted_distinct", "q66_salted_join", "q77_funnel",
-    "q80_hll_distinct", "q95_quantile_sketch", "q99_anomaly_zscore",
-    "q105_histogram_drift", "q23_dedup_exact", "q24_ngram_jaccard",
-    "q25_minhash_lsh", "q26_simhash", "q117_dedup_span_removal",
-    "q94_learned_ivf", "q98_semantic_dedup", "q109_sq8_quantization",
-    "q30_langid", "q31_quality_score", "q115_bpe_train",
-    "q116_trained_quality_scorer", "q118_small_file_compaction",
-    # (4) oldest-r10 fill in module order to the 50-cap — slot 50.
-    # The remaining 48 r10-tier (q112/q125/q128 onward) and all 50
-    # r11-tier queries fall past the cap: most recently proven, still
-    # covered by local parity (tests/test_oracle_parity.py runs the
-    # identical comparison on every registered query, plus the sf0.01
-    # driver-scale bridge for the oldest tier); they rotate forward in
-    # r13.
-    "q87_full_outer_reconciliation",
+    # r12/r11/r10 rows prove the OLD manifest format): every query
+    # that COMMITS through versioned_store._commit now writes the
+    # bounded per-app txn ledger, commit_delete is null-safe +
+    # pinned-schema, commit_merge re-reads victims under the pinned
+    # union schema — slots 3-10. (q142/q144/q146 are read-only over
+    # these stores and never touch the txns field; their r12/r10 rows
+    # stand.)
+    "q122_streaming_incremental_dedup", "q140_streaming_ann_ingest",
+    "q141_ann_store_snapshot", "q143_ann_versioned_delete",
+    "q145_ann_retrain_cutover", "q147_versioned_merge",
+    "q148_versioned_schema_evolution", "q149_versioned_change_feed",
+    # (3) the r10 tier in module order (first 40 of its 47; the last 7
+    # — q119/q121/q130/q124/q93/q110/q127 per the derivation — and
+    # all 49 r11-tier queries fall past the cap: most recently proven,
+    # still covered by local parity (tests/test_oracle_parity.py runs
+    # the identical comparison on every registered query, plus the
+    # sf0.01 driver-scale bridge for the oldest tier); they rotate
+    # forward in r14 — slots 11-50;
+    "q112_equidepth_sketch", "q125_fuzzy_linkage", "q128_pagerank",
+    "q131_kcore", "q114_global_sort", "q85_retention_cohorts",
+    "q88_sliding_window_stats", "q90_gapfill_locf",
+    "q51_lsh_verified_neardup", "q61_dedup_clusters",
+    "q123_canonical_selection", "q120_incremental_dedup",
+    "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
+    "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
+    "q111_semantic_dedup_hier", "q113_ivfpq_adc",
+    "q126_embedding_covariance", "q32_token_stats", "q33_fingerprint",
+    "q63_quality_gate", "q76_repetition_stats", "q84_heavy_hitters",
+    "q36_sma_over_bars", "q40_date_funcs", "q41_correlated_max",
+    "q43_array_aggregation", "q44_joinback_avg", "q96_streaming_dedup",
+    "q106_streaming_stateful_hwm", "q108_twap", "q129_pareto_frontier",
+    "q132_token_budget_fill", "q70_scd2_history", "q97_bm25_ranking",
+    "q101_bigram_novelty", "q103_scd2_pit_enrichment",
 )
 
 

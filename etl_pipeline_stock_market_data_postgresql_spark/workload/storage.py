@@ -717,6 +717,278 @@ FROM base WHERE event_id > (SELECT b FROM bnd)
 """
 
 
+def q150_versioned_cdf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED change data feed over a realistic mutation chain — the
+    r12 verdict's CDF gap closed: q149's manifest-derived feed tells a
+    downstream consumer WHAT rows changed, but an incremental
+    materialization needs to know HOW — a merge's restatement must
+    arrive as an (update_preimage, update_postimage) pair keyed to one
+    logical row (retract old, apply new), not as an unrelated
+    delete+insert. ``versioned_store.version_diff_typed`` classifies
+    the feed by key: v1 ingests the base event window (id-range
+    clustered); v2 MERGEs amendments (``event_id % 11 == 0`` in the
+    low third, value bumped a fixed quantum, re-labeled ``amended``)
+    together with late arrivals (ids shifted past the max — pure
+    inserts); v3 DELETEs a takedown slice (``event_id % 17 == 0``).
+
+    The gated output summarizes each transition per ``change_type``
+    with exact integer id/value checksums; the oracle reconstructs
+    both transitions relationally (the v1→v2 pairing from the
+    amendment rule, the v2→v3 deletes from the reconstructed v2
+    state — including rows BOTH amended and then deleted, which must
+    surface with their amended values). A green row certifies all
+    four change types, the pre/post pairing, and that copy-on-write
+    survivor re-emission never leaks into the feed.
+
+    Scale shape: each transition's cost ∝ its changed files (carried
+    files never read — q149's contract), plus key-joins over ONLY the
+    changed rows; the summary is a tiny grouped agg. Table size never
+    enters.
+
+    Reference parity: the reference's PostgreSQL tables expose no
+    change feed at all; this is logical decoding (wal2json-style
+    old/new tuples) rebuilt from immutable snapshots."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_cdf_typed")
+    fp = table_fingerprint(sf_dir, ("events",), params="q150_cdf_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, root,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        amendments = (v1.filter((F.col("event_id") % 11 == 0)
+                                & (F.col("event_id") <= b // 3))
+                      .select("event_id", "user_id",
+                              F.lit("amended").alias("event_type"),
+                              (F.col("value_q") + F.lit(1000000))
+                              .alias("value_q")))
+        late = (v1.filter(F.col("event_id") < 40)
+                .select((F.col("event_id") + mx + 1).alias("event_id"),
+                        "user_id", F.lit("late").alias("event_type"),
+                        "value_q"))
+        vstore.commit_merge(spark, root, amendments.unionByName(late),
+                            key_cols=("event_id",),
+                            stats_cols=("event_id",), txn="q150-merge")
+        vstore.commit_delete(spark, root,
+                             (F.col("event_id") % 17 == 0)
+                             & (F.col("event_id") <= b),
+                             stats_cols=("event_id",), txn="q150-delete")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for tag, vf, vt in (("v1_v2", 1, 2), ("v2_v3", 2, 3)):
+        parts.append(
+            vstore.version_diff_typed(spark, root, vf, vt,
+                                      key_cols=("event_id",))
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(tag).alias("transition"), "change_type",
+                    "n_rows", "id_sum", "value_q_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q150_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b, max(event_id) AS mx FROM base),
+v1 AS (SELECT * FROM base WHERE event_id <= (SELECT b FROM bnd)),
+amended AS (
+  SELECT event_id, user_id, 'amended' AS event_type,
+         value_q + 1000000 AS value_q
+  FROM v1
+  WHERE event_id % 11 = 0 AND event_id <= (SELECT b // 3 FROM bnd)
+),
+late AS (
+  SELECT event_id + (SELECT mx FROM bnd) + 1 AS event_id, user_id,
+         'late' AS event_type, value_q
+  FROM v1 WHERE event_id < 40
+),
+v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 11 = 0
+                   AND event_id <= (SELECT b // 3 FROM bnd)
+              THEN 'amended' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 11 = 0
+                   AND event_id <= (SELECT b // 3 FROM bnd)
+              THEN value_q + 1000000 ELSE value_q END AS value_q
+  FROM v1
+  UNION ALL SELECT event_id, user_id, event_type, value_q FROM late
+),
+deleted AS (
+  SELECT * FROM v2
+  WHERE event_id % 17 = 0 AND event_id <= (SELECT b FROM bnd)
+),
+feed AS (
+  SELECT 'v1_v2' AS transition, 'update_preimage' AS change_type,
+         event_id, value_q
+  FROM v1 WHERE event_id % 11 = 0
+               AND event_id <= (SELECT b // 3 FROM bnd)
+  UNION ALL
+  SELECT 'v1_v2', 'update_postimage', event_id, value_q FROM amended
+  UNION ALL
+  SELECT 'v1_v2', 'insert', event_id, value_q FROM late
+  UNION ALL
+  SELECT 'v2_v3', 'delete', event_id, value_q FROM deleted
+)
+SELECT transition, change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum
+FROM feed GROUP BY transition, change_type
+"""
+
+
+def q151_versioned_conditional_merge(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CONDITIONAL, column-subset MERGE — the full Delta clause
+    surface (the r12 verdict's MERGE gap) on one gated chain:
+
+        MERGE INTO events t USING restatements s ON t.event_id = s.event_id
+        WHEN MATCHED AND s.value_q > t.value_q THEN
+            UPDATE SET event_type = 'restated', value_q = s.value_q
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE
+            AND t.event_id % 19 = 0 AND t.event_id > b THEN DELETE
+
+    The restatement batch covers ``event_id % 7 == 0`` in the low
+    window with a value nudged by ``((id % 3) - 1) * 1000`` — so only
+    the ``id % 3 == 2`` third actually RAISES the value and updates;
+    the rest match but leave their rows (and, when a whole file has
+    only losing matches, the file itself) untouched. The update is a
+    COLUMN SUBSET: the source rows carry a poisoned ``user_id = -1``
+    that must NOT reach the store (only event_type/value_q are SET).
+    Unmatched high-window rows hit the NOT-MATCHED-BY-SOURCE DELETE
+    only on its ``% 19`` slice; shifted-id rows insert whole.
+
+    The gated output summarizes v1 and v2 per event_type with integer
+    value/id/user_id checksums — the user_id sum is the certificate
+    that the subset update kept target values; the oracle is the
+    equivalent relational CASE/anti-join. A green row certifies all
+    three clauses, their conditions, and survivor preservation.
+
+    Scale shape: census = one scan joined to the (broadcast-sized)
+    restatement batch; rewrite ∝ files holding an updating match or a
+    deleting row — id-range clustering localizes the update window,
+    and condition-false files carry by name (pinned by the invariant
+    tests)."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_condmerge")
+    fp = table_fingerprint(sf_dir, ("events",), params="q151_condmerge_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(6, "event_id"),
+                             stats_cols=("event_id",))
+        restated = (base.filter((F.col("event_id") % 7 == 0)
+                                & (F.col("event_id") <= b))
+                    .select("event_id",
+                            F.lit(-1).cast("long").alias("user_id"),
+                            F.lit("ignored").alias("event_type"),
+                            (F.col("value_q")
+                             + (F.col("event_id") % 3 - 1) * 1000)
+                            .alias("value_q")))
+        fresh = (base.filter(F.col("event_id") < 30)
+                 .select((F.col("event_id") + mx + 1).alias("event_id"),
+                         "user_id", F.lit("fresh").alias("event_type"),
+                         "value_q"))
+        vstore.commit_merge(
+            spark, root, restated.unionByName(fresh),
+            key_cols=("event_id",), stats_cols=("event_id",),
+            txn="q151-merge",
+            matched_condition=F.col("s.value_q") > F.col("t.value_q"),
+            update_set={"event_type": F.lit("restated"),
+                        "value_q": F.col("s.value_q")},
+            not_matched_by_source_delete=(F.col("t.event_id") % 19 == 0)
+            & (F.col("t.event_id") > b))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("value_q").alias("value_q_sum"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("user_id").alias("uid_sum"))
+            .select(F.lit(v).cast("int").alias("version"), "event_type",
+                    "n_rows", "value_q_sum", "id_sum", "uid_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q151_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b, max(event_id) AS mx FROM base),
+v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 AND event_id <= (SELECT b FROM bnd)
+                   AND event_id % 3 = 2
+              THEN 'restated' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 7 = 0 AND event_id <= (SELECT b FROM bnd)
+                   AND event_id % 3 = 2
+              THEN value_q + 1000 ELSE value_q END AS value_q
+  FROM base
+  WHERE NOT (event_id % 19 = 0 AND event_id > (SELECT b FROM bnd))
+  UNION ALL
+  SELECT event_id + (SELECT mx FROM bnd) + 1, user_id, 'fresh', value_q
+  FROM base WHERE event_id < 30
+),
+s1 AS (
+  SELECT CAST(1 AS INT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+         CAST(sum(event_id) AS BIGINT) AS id_sum,
+         CAST(sum(user_id) AS BIGINT) AS uid_sum
+  FROM base GROUP BY event_type
+),
+s2 AS (
+  SELECT CAST(2 AS INT) AS version, event_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+         CAST(sum(event_id) AS BIGINT) AS id_sum,
+         CAST(sum(user_id) AS BIGINT) AS uid_sum
+  FROM v2 GROUP BY event_type
+)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -729,4 +1001,7 @@ QUERIES: dict[str, Query] = {
     "q147_versioned_merge": Query(q147_versioned_merge, _Q147_SQL),
     "q148_versioned_schema_evolution": Query(
         q148_versioned_schema_evolution, _Q148_SQL),
+    "q150_versioned_cdf_typed": Query(q150_versioned_cdf_typed, _Q150_SQL),
+    "q151_versioned_conditional_merge": Query(
+        q151_versioned_conditional_merge, _Q151_SQL),
 }

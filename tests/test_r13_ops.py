@@ -393,3 +393,175 @@ def test_occ_two_process_concurrent_appends(spark, tmp_path):
     assert got.filter("id >= 1000 AND id < 1025").count() == 25
     assert got.filter("id >= 2000 AND id < 2025").count() == 25
     assert got.count() == 60
+
+
+# --- REAL checkpoint-replay exactly-once (q140 through a restart) ------------
+
+def test_q140_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """The r12 verdict ask: prove the streaming sink's exactly-once
+    through the ENGINE's checkpoint replay, not a direct function
+    re-invocation. The q140 sink runs with a crash injected AFTER
+    batch 1's store commit but BEFORE foreachBatch returns — so the
+    checkpoint's commit log never records batch 1 — then the stream
+    RESTARTS from the same checkpoint: Spark replays batch 1 from the
+    offset log with the same batch id, the txn ledger check no-ops it,
+    batch 2 proceeds, and the final store multiset equals a one-shot
+    run of the same feed."""
+    import time as _time
+
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import (
+        load)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.similarity import (
+        _ivfpq_base_index, _spread_vectors)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _scratch_base)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
+        _q140_commit_batch)
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = (2 * emb.agg(F.max("vec_id")).first()[0]) // 3
+    vecs = _spread_vectors(spark, emb).persist()
+    _ivfpq_base_index(spark, sf_dir, vecs, b)  # frozen model -> cache
+    vecs.unpersist()
+    scratch, _ = _scratch_base(sf_dir)
+    centroids = os.path.join(scratch, "ann_centroids")
+    codebook = os.path.join(scratch, "ann_codebook")
+
+    # three mtime-ordered feed files -> three deterministic batches
+    feed = str(tmp_path / "feed")
+    delta = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") > b)
+    seen: set[str] = set()
+    now = _time.time()
+    for i in range(3):
+        (delta.filter(F.col("vec_id") % 3 == i).coalesce(1)
+         .write.mode("append").parquet(feed))
+        for f in os.listdir(feed):
+            if f.endswith(".parquet") and f not in seen:
+                t = now - 30 + 10 * i
+                os.utime(os.path.join(feed, f), (t, t))
+                seen.add(f)
+    schema = spark.read.parquet(feed).schema
+
+    def run_stream(store, ck, poison=None):
+        def sink(bdf, bid):
+            _q140_commit_batch(bdf.sparkSession, store, bdf, bid,
+                               centroids, codebook)
+            if poison is not None and bid == 1 and os.path.exists(poison):
+                os.remove(poison)
+                raise RuntimeError(
+                    "injected crash after store commit, before checkpoint")
+
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(feed)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    poison = str(tmp_path / "poison")
+    open(poison, "w").close()
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream(store, ck, poison=poison)
+    # the crash landed after batch 1's commit: the store has it, the
+    # checkpoint does not
+    assert vstore.txn_seen(store).get("q140") == 1
+    n_after_crash = vstore.read_version(
+        spark, store, vstore.latest_version(store)).count()
+    # restart from the SAME checkpoint: batch 1 replays and must no-op
+    run_stream(store, ck, poison=poison)
+    assert vstore.txn_seen(store).get("q140") == 2
+    final = vstore.read_version(spark, store, vstore.latest_version(store))
+    assert final.count() > n_after_crash
+    # one-shot control over the same feed
+    store2, ck2 = str(tmp_path / "store2"), str(tmp_path / "ck2")
+    run_stream(store2, ck2)
+    control = vstore.read_version(spark, store2,
+                                  vstore.latest_version(store2))
+    assert multiset_equal(final, control)
+
+
+# --- q150/q151 chain invariants ----------------------------------------------
+
+def test_q150_typed_feed_chain_invariants(spark, sf_dir):
+    """Structure of the q150 fixture chain: pre/post cardinalities
+    pair up, the delete feed carries amended values for
+    amended-then-deleted keys, and carried files are byte-identical
+    across the chain."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _scratch_base, q150_versioned_cdf_typed)
+
+    rows = q150_versioned_cdf_typed(spark, sf_dir).collect()
+    by = {(r.transition, r.change_type): r for r in rows}
+    pre = by.get(("v1_v2", "update_preimage"))
+    post = by.get(("v1_v2", "update_postimage"))
+    assert pre is not None and post is not None
+    assert pre.n_rows == post.n_rows and pre.id_sum == post.id_sum
+    # every amended row bumped exactly +1000000
+    assert (post.value_q_sum - pre.value_q_sum
+            == 1000000 * pre.n_rows)
+    assert ("v1_v2", "insert") in by and ("v2_v3", "delete") in by
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_cdf_typed")
+    # replayed mutation txns no-op (chain-level exactly-once)
+    assert vstore.txn_committed(root, "q150-merge")
+    assert vstore.txn_committed(root, "q150-delete")
+    assert vstore.latest_version(root) == 3
+    # copy-on-write: some files carried across BOTH transitions
+    f1 = set(vstore.read_manifest(root, 1)["files"])
+    f2 = set(vstore.read_manifest(root, 2)["files"])
+    f3 = set(vstore.read_manifest(root, 3)["files"])
+    assert f1 & f2 and f2 & f3
+
+
+def test_q151_conditional_merge_chain_invariants(spark, sf_dir):
+    """The three MERGE clauses leave the right fingerprints: the
+    poisoned source user_id never lands (column-subset SET), matched-
+    but-losing rows stay byte-identical, version counts reconcile
+    insert/delete arithmetic, and the replayed txn no-ops."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import (
+        load)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _scratch_base, q151_versioned_conditional_merge)
+
+    rows = q151_versioned_conditional_merge(spark, sf_dir).collect()
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_condmerge")
+    v2 = vstore.read_version(spark, root, 2)
+    # column-subset: the poisoned -1 user_id must never appear
+    assert v2.filter("user_id = -1").count() == 0
+    # restated rows exist iff the batch had id%3==2 members
+    base = load(spark, sf_dir, "events")
+    mx = base.agg(F.max("event_id")).first()[0]
+    b = (2 * mx) // 3
+    n_expected = base.filter(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") <= b)
+        & (F.col("event_id") % 3 == 2)).count()
+    assert v2.filter("event_type = 'restated'").count() == n_expected
+    # matched-but-losing rows byte-identical to v1
+    v1 = vstore.read_version(spark, root, 1)
+    losers_v1 = v1.filter((F.col("event_id") % 7 == 0)
+                          & (F.col("event_id") <= b)
+                          & (F.col("event_id") % 3 != 2))
+    losers_v2 = v2.filter((F.col("event_id") % 7 == 0)
+                          & (F.col("event_id") <= b)
+                          & (F.col("event_id") % 3 != 2))
+    assert multiset_equal(losers_v1, losers_v2)
+    # NOT-MATCHED-BY-SOURCE DELETE hit exactly its slice
+    assert v2.filter((F.col("event_id") % 19 == 0)
+                     & (F.col("event_id") > b)
+                     & (F.col("event_id") <= mx)).count() == 0
+    n_del = v1.filter((F.col("event_id") % 19 == 0)
+                      & (F.col("event_id") > b)).count()
+    n_ins = base.filter(F.col("event_id") < 30).count()
+    assert v2.count() == v1.count() - n_del + n_ins
+    # replay no-ops
+    fp = content_fingerprint(v2)
+    assert vstore.txn_committed(root, "q151-merge")
+    assert vstore.latest_version(root) == 2
+    q151_versioned_conditional_merge(spark, sf_dir).collect()
+    assert vstore.latest_version(root) == 2
+    assert content_fingerprint(vstore.read_version(spark, root, 2)) == fp
