@@ -189,7 +189,12 @@ def q08_multiformat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memory). The native TIMESTAMP cast parses the full and date-only
 # formats; the seconds-less middle format (length 16) is normalized by
 # appending ':00' — bit-identical to Spark's multi-format
-# try_to_timestamp fallback (seconds default to 0).
+# try_to_timestamp fallback (seconds default to 0). The regexp guard
+# pins the oracle's ACCEPTED GRAMMAR to exactly the three shapes the
+# Spark side parses: a bare TRY_CAST also admits ISO 'T' separators,
+# fractional seconds, and timezone offsets, which Spark's three-format
+# fallback rejects — equivalent on the generated fixture, but a latent
+# divergence if ts_str shapes ever widen (the r13 advice finding).
 _Q08_SQL = """
 WITH s AS (
   SELECT event_id,
@@ -200,8 +205,11 @@ WITH s AS (
   FROM events
 )
 SELECT event_id, ts_str,
-       TRY_CAST(CASE WHEN length(ts_str) = 16 THEN ts_str || ':00'
-                     ELSE ts_str END AS TIMESTAMP) AS parsed_ts
+       CASE WHEN regexp_matches(ts_str,
+              '^[0-9]{4}-[0-9]{2}-[0-9]{2}( [0-9]{2}:[0-9]{2}(:[0-9]{2})?)?$')
+            THEN TRY_CAST(CASE WHEN length(ts_str) = 16 THEN ts_str || ':00'
+                               ELSE ts_str END AS TIMESTAMP)
+            END AS parsed_ts
 FROM s
 """
 
