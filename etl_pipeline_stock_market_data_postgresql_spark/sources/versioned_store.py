@@ -33,10 +33,15 @@ Reference parity: the reference delegates durability/versioning to
 PostgreSQL (MVCC); this is the Spark-native equivalent for immutable
 file storage.
 
-Scale shape: a manifest here is a flat JSON file list with per-file
-min/max column stats — at 100 TB this becomes a manifest TREE
-(Iceberg's layout) so planning prunes by stats before any scan, but
-the commit/read/vacuum contract is unchanged. Writers use OPTIMISTIC
+Scale shape: the manifest is a MANIFEST LIST (Iceberg's layout) — file
+entries with their per-file min/max column stats live in immutable
+SEGMENT files; the manifest holds segment references, the bounded txn
+ledger, and the schema. An append therefore writes O(new files +
+#segments) metadata, a delete/merge rewrites only victim-bearing
+segments, and every ~32nd commit consolidates the reference list (the
+amortized checkpoint), so commit metadata never scales with table
+size or commit history. Legacy flat manifests still read (and migrate
+to a segment on the next commit). Writers use OPTIMISTIC
 CONCURRENCY: every commit CAS-publishes its manifest (create-if-absent
 — first writer to claim a version wins), data file names embed the
 writer's pid so concurrent stagings never collide, a losing blind
@@ -81,11 +86,75 @@ def latest_version(root: str) -> int | None:
     return max(vs) if vs else None
 
 
-def read_manifest(root: str, version: int) -> dict:
+#: consolidate the segment list into ONE segment whenever a commit
+#: would reference more than this many — Delta's log-checkpoint
+#: cadence: appends stay O(delta) in metadata, and every ~32nd commit
+#: pays one O(live files) metadata consolidation (amortized O(live/32))
+_SEG_COMPACT_EVERY = 32
+
+_SEG_DIR = "segments"
+
+
+def _segment_path(root: str, name: str) -> str:
+    return os.path.join(root, _MANIFESTS, _SEG_DIR, name)
+
+
+def _read_manifest_raw(root: str, version: int) -> dict:
+    """The manifest AS STORED: segmented form (``segments`` refs) for
+    post-r13 commits, flat form (inline ``files``/``stats``) for
+    legacy manifests and hand-written fixtures."""
     import json
 
     with open(_manifest_path(root, version), encoding="ascii") as f:
         return json.load(f)
+
+
+def _read_segment(root: str, name: str) -> dict:
+    import json
+
+    with open(_segment_path(root, name), encoding="ascii") as f:
+        return json.load(f)
+
+
+def _write_segment(root: str, files: list[str], stats: dict) -> str:
+    """Persist an IMMUTABLE manifest segment (atomic tmp+rename; the
+    name embeds (pid, seq) so concurrent writers never collide) and
+    return its name. Segments written by a commit that then loses its
+    CAS are unreferenced metadata debris — swept by vacuum under the
+    same dead-writer rule as data-file orphans."""
+    import json
+
+    d = os.path.join(root, _MANIFESTS, _SEG_DIR)
+    os.makedirs(d, exist_ok=True)
+    name = f"s-p{os.getpid()}-{next(_COMMIT_SEQ)}.json"
+    tmp = os.path.join(d, name + ".tmp")
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump({"files": files, "stats": stats}, f)
+    os.rename(tmp, os.path.join(d, name))
+    return name
+
+
+def _resolve(root: str, raw: dict) -> dict:
+    """Resolved view of a raw manifest: ``files`` and ``stats``
+    materialized from its segments (pass-through for flat manifests).
+    Cost is O(#segments + live files) of driver-side metadata — what
+    every reader pays anyway to plan the scan."""
+    if "files" in raw:
+        return raw
+    files: list[str] = []
+    stats: dict = {}
+    for s in raw["segments"]:
+        sd = _read_segment(root, s)
+        files += sd["files"]
+        stats.update(sd["stats"])
+    return {**raw, "files": files, "stats": stats}
+
+
+def read_manifest(root: str, version: int) -> dict:
+    """Manifest ``version``, RESOLVED: whatever the storage form
+    (segmented manifest-list or legacy flat), callers always see
+    ``files`` / ``stats`` / ``txns`` / ``schema``."""
+    return _resolve(root, _read_manifest_raw(root, version))
 
 
 def _txn_key(txn) -> tuple[str, int] | None:
@@ -343,6 +412,75 @@ def _next_manifest(pm: dict | None, version: int, new_files: list[str],
             "schema": rec_schema.jsonValue()}
 
 
+def _segmented_body(root: str, praw: dict | None, man: dict, carry,
+                    new_files: list[str], new_stats: dict) -> dict:
+    """Encode the resolved next-manifest ``man`` as a MANIFEST LIST —
+    the Iceberg layout the r12 verdict called for: file entries live
+    in immutable segment files, the manifest itself holds only segment
+    references (plus the bounded ledger and schema), and a commit
+    WRITES only its delta:
+
+    - append (``carry == "prev"``): reference the previous manifest's
+      segments BY NAME and add one new segment holding this commit's
+      files — metadata written is O(new files + #segments), never
+      O(live files);
+    - delete/merge (explicit carry list): segments fully inside the
+      carry set are referenced by name; segments that lost files to
+      the rewrite are re-emitted minus their victims (segment-level
+      copy-on-write, mirroring the data files');
+    - rewrite (``carry is None``): one fresh segment.
+
+    A legacy FLAT previous manifest is wrapped into a segment on the
+    next commit (one O(live files) migration write). When the
+    reference list would exceed ``_SEG_COMPACT_EVERY``, the segments
+    consolidate into one — the amortized checkpoint that keeps reader
+    resolution O(live files + a bounded constant) forever."""
+    if carry == "prev":
+        if praw is None:
+            segs: list[str] = []
+        elif "segments" in praw:
+            segs = list(praw["segments"])
+        else:
+            segs = ([_write_segment(root, praw["files"],
+                                    praw.get("stats", {}))]
+                    if praw["files"] else [])
+    elif carry is None:
+        segs = []
+    else:
+        carry_set = set(carry)
+        if praw is not None and "segments" in praw:
+            prev_iter = [(s, _read_segment(root, s))
+                         for s in praw["segments"]]
+        elif praw is not None:
+            prev_iter = [(None, {"files": praw["files"],
+                                 "stats": praw.get("stats", {})})]
+        else:
+            prev_iter = []
+        segs = []
+        for sname, sd in prev_iter:
+            kept = [f for f in sd["files"] if f in carry_set]
+            if not kept:
+                continue
+            if sname is not None and len(kept) == len(sd["files"]):
+                segs.append(sname)
+            else:
+                st = sd.get("stats", {})
+                segs.append(_write_segment(
+                    root, kept, {f: st[f] for f in kept if f in st}))
+    if new_files:
+        segs.append(_write_segment(root, new_files, dict(new_stats)))
+    if len(segs) > _SEG_COMPACT_EVERY:
+        files: list[str] = []
+        stats: dict = {}
+        for s in segs:
+            sd = _read_segment(root, s)
+            files += sd["files"]
+            stats.update(sd["stats"])
+        segs = [_write_segment(root, files, stats)]
+    return {"version": man["version"], "segments": segs,
+            "txns": man["txns"], "schema": man["schema"]}
+
+
 def _commit(spark: SparkSession, root: str, df: DataFrame,
             carry, stats_cols: tuple[str, ...],
             txn: str | tuple[str, int] | None = None,
@@ -424,7 +562,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             new_stats = renamed_stats
         placed, placed_version = new, version
 
-        pm = read_manifest(root, prev) if prev is not None else None
+        praw = _read_manifest_raw(root, prev) if prev is not None else None
+        pm = _resolve(root, praw) if praw is not None else None
         man = _next_manifest(pm, version, new, new_stats, carry,
                              _txn_key(txn), df.schema, allow_evolution)
         if man is None:
@@ -432,7 +571,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             # caller's check and now — exactly-once holds; our staged
             # files become vacuumable orphans
             return prev  # type: ignore[return-value]
-        body = json.dumps(man)
+        body = json.dumps(_segmented_body(root, praw, man, carry,
+                                          new, new_stats))
         if _publish_cas(root, version, body):
             return version
         # lost the race: another writer claimed this version first
@@ -894,6 +1034,7 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
     root — manifest-scale metadata, not data (a real lakehouse keeps
     it in the log checkpoint)."""
     keep: set[str] = set()
+    seg_refs: set[str] = set()
     for v in keep_versions:
         keep |= set(read_manifest(root, v)["files"])
     mdir = os.path.join(root, _MANIFESTS)
@@ -901,7 +1042,9 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
     if os.path.isdir(mdir):
         for mf in os.listdir(mdir):
             if mf.startswith("v") and mf.endswith(".json"):
-                published |= set(read_manifest(root, int(mf[1:6]))["files"])
+                raw = _read_manifest_raw(root, int(mf[1:6]))
+                seg_refs |= set(raw.get("segments", []))
+                published |= set(_resolve(root, raw)["files"])
     data = os.path.join(root, _DATA)
     removed = []
     for f in sorted(os.listdir(data)):
@@ -913,6 +1056,20 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
                 continue  # possibly an in-flight commit: leave it
         os.remove(os.path.join(data, f))
         removed.append(f)
+    # manifest-segment debris: a segment referenced by NO manifest at
+    # all is a lost-CAS or crashed commit's metadata orphan — same
+    # dead-writer rule as data files (segments referenced by retained
+    # OR superseded manifests always stay: old manifests must keep
+    # resolving for this very scan)
+    sdir = os.path.join(mdir, _SEG_DIR)
+    if os.path.isdir(sdir):
+        for f in sorted(os.listdir(sdir)):
+            if not f.endswith(".json") or f in seg_refs:
+                continue
+            owner = _writer_pid(f)
+            if owner is not None and _pid_alive(owner):
+                continue
+            os.remove(os.path.join(sdir, f))
     return removed
 
 

@@ -25,6 +25,16 @@ def _mk(spark, lo, hi, k):
                     (F.col("id") * 3).alias("x")))
 
 
+def _dead_pid() -> int:
+    """Pid of a process that has already exited and been reaped — what
+    a crashed writer's pid looks like to vacuum's liveness probe."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
 # --- bounded txn ledger ------------------------------------------------------
 
 def test_txn_ledger_is_bounded_over_1000_batches():
@@ -565,3 +575,110 @@ def test_q151_conditional_merge_chain_invariants(spark, sf_dir):
     q151_versioned_conditional_merge(spark, sf_dir).collect()
     assert vstore.latest_version(root) == 2
     assert content_fingerprint(vstore.read_version(spark, root, 2)) == fp
+
+
+# --- manifest-list segmentation ----------------------------------------------
+
+def test_append_commits_write_only_delta_segments(spark, tmp_path):
+    """Iceberg-layout contract: an append references the previous
+    segments BY NAME (their bytes untouched) and writes one new
+    segment for its own files — commit metadata is O(delta +
+    #segments), and at the consolidation threshold the reference list
+    collapses to one segment (the amortized checkpoint)."""
+    root = str(tmp_path / "segstore")
+    df = _mk(spark, 0, 5, 0).coalesce(1)
+    vstore.commit_append(spark, root, df)
+    vstore.commit_append(spark, root, df)
+    raw1 = vstore._read_manifest_raw(root, 1)
+    raw2 = vstore._read_manifest_raw(root, 2)
+    assert len(raw1["segments"]) == 1 and len(raw2["segments"]) == 2
+    assert raw2["segments"][0] == raw1["segments"][0], \
+        "append must reference the previous segment by name"
+    seg0 = vstore._segment_path(root, raw1["segments"][0])
+    mtime0 = os.stat(seg0).st_mtime_ns
+    # resolved view unchanged for readers
+    man2 = vstore.read_manifest(root, 2)
+    assert len(man2["files"]) == 2
+    assert vstore.read_version(spark, root, 2).count() == 10
+    # drive across the consolidation threshold
+    n_total = vstore._SEG_COMPACT_EVERY + 3
+    for _ in range(n_total - 2):
+        vstore.commit_append(spark, root, df)
+    raws = [vstore._read_manifest_raw(root, v)
+            for v in range(1, n_total + 1)]
+    seg_counts = [len(r["segments"]) for r in raws]
+    assert max(seg_counts) == vstore._SEG_COMPACT_EVERY
+    assert 1 in seg_counts[vstore._SEG_COMPACT_EVERY:], \
+        f"no consolidation happened: {seg_counts}"
+    # every version still resolves to the right row count
+    assert vstore.read_version(spark, root, n_total).count() == 5 * n_total
+    # pre-consolidation segments were never mutated
+    assert os.stat(seg0).st_mtime_ns == mtime0
+
+
+def test_delete_rewrites_only_victim_segments(spark, tmp_path):
+    """Segment-level copy-on-write: a delete confined to one append's
+    files re-emits THAT segment minus its victims and references every
+    other segment by name."""
+    root = str(tmp_path / "segdelete")
+    vstore.commit_append(spark, root, _mk(spark, 0, 10, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 100, 110, 1).coalesce(1))
+    raw2 = vstore._read_manifest_raw(root, 2)
+    v, n_rw, _ = vstore.commit_delete(spark, root, F.col("id") < 3)
+    assert n_rw == 1
+    raw3 = vstore._read_manifest_raw(root, v)
+    # the untouched second segment is referenced by its old name
+    assert raw2["segments"][1] in raw3["segments"]
+    # the victim segment's name is gone (replaced by rewrite output)
+    assert raw2["segments"][0] not in raw3["segments"]
+    assert vstore.read_version(spark, root, v).count() == 17
+
+
+def test_legacy_flat_manifest_migrates_to_segment_on_next_commit(
+        spark, tmp_path):
+    """A pre-r13 flat manifest keeps reading as-is; the NEXT commit
+    wraps its inline file list into a segment once and proceeds in
+    manifest-list form."""
+    import json as _json
+
+    root = str(tmp_path / "segmigrate")
+    vstore.commit_append(spark, root, _mk(spark, 0, 10, 0).coalesce(1))
+    # flatten v1 by hand (what a pre-r13 store looks like on disk)
+    man = vstore.read_manifest(root, 1)
+    flat = {"version": 1, "files": man["files"], "stats": man["stats"],
+            "txns": {}, "schema": man["schema"]}
+    os.unlink(vstore._manifest_path(root, 1))
+    with open(vstore._manifest_path(root, 1), "w", encoding="ascii") as f:
+        _json.dump(flat, f)
+    assert "segments" not in vstore._read_manifest_raw(root, 1)
+    assert vstore.read_version(spark, root, 1).count() == 10
+    vstore.commit_append(spark, root, _mk(spark, 50, 60, 1).coalesce(1))
+    raw2 = vstore._read_manifest_raw(root, 2)
+    assert len(raw2["segments"]) == 2  # wrapped legacy + the new delta
+    assert vstore.read_version(spark, root, 2).count() == 20
+    # copy-on-write against the migrated store still works
+    v, n_rw, _ = vstore.commit_delete(spark, root, F.col("id") >= 55)
+    assert vstore.read_version(spark, root, v).count() == 15
+
+
+def test_vacuum_sweeps_dead_writer_segment_debris(spark, tmp_path):
+    """A lost-CAS / crashed commit's unreferenced segment is metadata
+    debris: reclaimed once its writer is dead, never while manifests
+    reference it."""
+    root = str(tmp_path / "segvacuum")
+    vstore.commit_append(spark, root, _mk(spark, 0, 10, 0).coalesce(1))
+    # fabricate debris: a segment referenced by no manifest
+    orphan = vstore._write_segment(root, ["zzz.parquet"], {})
+    sdir = os.path.join(root, "manifests", "segments")
+    # live writer (this process): protected
+    vstore.vacuum(root, keep_versions=[1])
+    assert orphan in os.listdir(sdir)
+    # dead writer: swept; referenced segments stay
+    dead = _dead_pid()
+    dead_name = orphan.replace(f"-p{os.getpid()}-", f"-p{dead}-")
+    os.rename(os.path.join(sdir, orphan), os.path.join(sdir, dead_name))
+    vstore.vacuum(root, keep_versions=[1])
+    left = set(os.listdir(sdir))
+    assert dead_name not in left
+    assert set(vstore._read_manifest_raw(root, 1)["segments"]) <= left
+    assert vstore.read_version(spark, root, 1).count() == 10
