@@ -188,28 +188,34 @@ import os as _os
 
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
-    # the tier whose newest driver row is OLDEST after the r12 window
-    # (the r10-proven queries that rotate into the gate in r13 — see
-    # CORRECTNESS_SEEN.md's r13 seed); local sf0.01 evidence bridges
-    # the gap until then:
-    "q128_pagerank", "q131_kcore", "q114_global_sort",
-    "q85_retention_cohorts", "q88_sliding_window_stats",
-    "q90_gapfill_locf", "q51_lsh_verified_neardup", "q61_dedup_clusters",
-    "q123_canonical_selection", "q120_incremental_dedup",
-    "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
-    "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
-    "q111_semantic_dedup_hier", "q113_ivfpq_adc",
-    "q126_embedding_covariance", "q32_token_stats", "q33_fingerprint",
-    "q63_quality_gate", "q76_repetition_stats", "q84_heavy_hitters",
-    "q36_sma_over_bars", "q40_date_funcs", "q41_correlated_max",
-    "q43_array_aggregation", "q44_joinback_avg", "q96_streaming_dedup",
-    "q106_streaming_stateful_hwm", "q108_twap", "q129_pareto_frontier",
-    "q132_token_budget_fill", "q70_scd2_history", "q97_bm25_ranking",
-    "q101_bigram_novelty", "q103_scd2_pit_enrichment", "q119_bpe_encode",
-    "q121_dsir_weights", "q130_importance_resample", "q124_lm_perplexity",
-    "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
-    "q127_schema_evolution", "q125_fuzzy_linkage",
-    "q112_equidepth_sketch",
+    # the tiers whose newest driver row is OLDEST after the r13 window
+    # (the 7 r10-tier queries r13's additions deferred, then the r11
+    # tier in module order — the queries that rotate into the gate in
+    # r14; see CORRECTNESS_SEEN.md's r13 derived row); local sf0.01
+    # evidence bridges the gap until then:
+    "q119_bpe_encode", "q121_dsir_weights", "q130_importance_resample",
+    "q124_lm_perplexity", "q93_zorder_pruning",
+    "q110_dynamic_partition_overwrite", "q127_schema_evolution",
+    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
+    "q04_antijoin_new_keys", "q05_semijoin_members",
+    "q06_idempotent_merge", "q135_pagerank_convergence",
+    "q136_kcore_converged", "q92_time_range_window",
+    "q134_incremental_ann", "q137_ann_index_writeback",
+    "q138_ann_store_probe", "q139_ann_store_delete",
+    "q141_ann_store_snapshot", "q142_ann_store_stats_pruning",
+    "q34_multimodal_meta", "q74_multimodal_decode", "q37_cube",
+    "q38_string_funcs", "q39_percentiles", "q42_unpivot",
+    "q45_window_suite", "q46_streaming_tumbling",
+    "q62_streaming_session_window", "q73_streaming_stream_join",
+    "q89_streaming_sliding_window", "q47_sql_exists", "q48_vwap",
+    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
+    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
+    "q58_stratified_split", "q59_stratum_sample",
+    "q60_embedding_centroids", "q64_sequence_packing",
+    "q71_rollup_refresh", "q72_policy_redaction", "q78_token_chunks",
+    "q79_shuffle_shard", "q91_cdc_apply", "q67_tfidf_topterms",
+    "q68_contamination", "q69_domain_mix_sample", "q75_bucketed_join",
+    "q133_jsonl_roundtrip",
 ]
 
 
