@@ -717,37 +717,13 @@ FROM base WHERE event_id > (SELECT b FROM bnd)
 """
 
 
-def q150_versioned_cdf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TYPED change data feed over a realistic mutation chain — the
-    r12 verdict's CDF gap closed: q149's manifest-derived feed tells a
-    downstream consumer WHAT rows changed, but an incremental
-    materialization needs to know HOW — a merge's restatement must
-    arrive as an (update_preimage, update_postimage) pair keyed to one
-    logical row (retract old, apply new), not as an unrelated
-    delete+insert. ``versioned_store.version_diff_typed`` classifies
-    the feed by key: v1 ingests the base event window (id-range
-    clustered); v2 MERGEs amendments (``event_id % 11 == 0`` in the
-    low third, value bumped a fixed quantum, re-labeled ``amended``)
-    together with late arrivals (ids shifted past the max — pure
-    inserts); v3 DELETEs a takedown slice (``event_id % 17 == 0``).
-
-    The gated output summarizes each transition per ``change_type``
-    with exact integer id/value checksums; the oracle reconstructs
-    both transitions relationally (the v1→v2 pairing from the
-    amendment rule, the v2→v3 deletes from the reconstructed v2
-    state — including rows BOTH amended and then deleted, which must
-    surface with their amended values). A green row certifies all
-    four change types, the pre/post pairing, and that copy-on-write
-    survivor re-emission never leaks into the feed.
-
-    Scale shape: each transition's cost ∝ its changed files (carried
-    files never read — q149's contract), plus key-joins over ONLY the
-    changed rows; the summary is a tiny grouped agg. Table size never
-    enters.
-
-    Reference parity: the reference's PostgreSQL tables expose no
-    change feed at all; this is logical decoding (wal2json-style
-    old/new tuples) rebuilt from immutable snapshots."""
+def _cdf_chain_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (fingerprint-gated) the shared q150/q152 mutation chain:
+    v1 = base event window (id-range clustered, 4 files), v2 = MERGE
+    of amendments (``event_id % 11 == 0`` in the low third, value
+    bumped one quantum, re-labeled ``amended``) + late arrivals (ids
+    shifted past the max), v3 = DELETE of the ``% 17`` takedown
+    slice. Returns the store root."""
     from ..sources import versioned_store as vstore
     from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
@@ -788,7 +764,43 @@ def q150_versioned_cdf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
                              stats_cols=("event_id",), txn="q150-delete")
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
+    return root
 
+
+def q150_versioned_cdf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED change data feed over a realistic mutation chain — the
+    r12 verdict's CDF gap closed: q149's manifest-derived feed tells a
+    downstream consumer WHAT rows changed, but an incremental
+    materialization needs to know HOW — a merge's restatement must
+    arrive as an (update_preimage, update_postimage) pair keyed to one
+    logical row (retract old, apply new), not as an unrelated
+    delete+insert. ``versioned_store.version_diff_typed`` classifies
+    the feed by key: v1 ingests the base event window (id-range
+    clustered); v2 MERGEs amendments (``event_id % 11 == 0`` in the
+    low third, value bumped a fixed quantum, re-labeled ``amended``)
+    together with late arrivals (ids shifted past the max — pure
+    inserts); v3 DELETEs a takedown slice (``event_id % 17 == 0``).
+
+    The gated output summarizes each transition per ``change_type``
+    with exact integer id/value checksums; the oracle reconstructs
+    both transitions relationally (the v1→v2 pairing from the
+    amendment rule, the v2→v3 deletes from the reconstructed v2
+    state — including rows BOTH amended and then deleted, which must
+    surface with their amended values). A green row certifies all
+    four change types, the pre/post pairing, and that copy-on-write
+    survivor re-emission never leaks into the feed.
+
+    Scale shape: each transition's cost ∝ its changed files (carried
+    files never read — q149's contract), plus key-joins over ONLY the
+    changed rows; the summary is a tiny grouped agg. Table size never
+    enters.
+
+    Reference parity: the reference's PostgreSQL tables expose no
+    change feed at all; this is logical decoding (wal2json-style
+    old/new tuples) rebuilt from immutable snapshots."""
+    from ..sources import versioned_store as vstore
+
+    root = _cdf_chain_root(spark, sf_dir)
     parts = []
     for tag, vf, vt in (("v1_v2", 1, 2), ("v2_v3", 2, 3)):
         parts.append(
@@ -989,6 +1001,98 @@ SELECT * FROM s1 UNION ALL SELECT * FROM s2
 """
 
 
+def q152_incremental_mv_from_cdf(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the typed change
+    feed — the consumer q150's classification exists for, closed into
+    a certified loop: a per-event_type aggregate (row count + exact
+    value sum) is computed ONCE on the base snapshot, then maintained
+    across the merge and delete transitions purely from
+    ``version_diff_typed`` deltas — ``insert``/``update_postimage``
+    rows add, ``delete``/``update_preimage`` rows retract (an amended
+    row's preimage leaves its OLD event_type group and its postimage
+    enters the NEW one — exactly why the pre/post pairing exists).
+    The base snapshot is never re-read after v1; each maintenance step
+    costs the transition's changed rows only.
+
+    The gated output is the maintained view after v2 AND after v3;
+    the ORACLE computes both directly from the reconstructed
+    snapshots — a green row is the certificate that incremental
+    maintenance ≡ full recompute, across every change type.
+
+    Scale shape: the one-time base aggregate is the cost any MV pays
+    at creation; each refresh is feed cost (∝ changed files) + a
+    grouped agg over changed rows + a K-row view merge. At 100 TB the
+    refresh never touches the table — the whole point of maintaining
+    from a change feed instead of re-aggregating.
+
+    Reference parity: the reference recomputes its summary queries
+    from PostgreSQL tables on every call; this is the
+    REFRESH MATERIALIZED VIEW ... INCREMENTALLY the lakehouse owes."""
+    from ..sources import versioned_store as vstore
+
+    root = _cdf_chain_root(spark, sf_dir)
+    mv = (vstore.read_version(spark, root, 1)
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.sum("value_q").alias("value_q_sum")))
+    parts = []
+    for v_to in (2, 3):
+        feed = vstore.version_diff_typed(spark, root, v_to - 1, v_to,
+                                         key_cols=("event_id",))
+        sign = (F.when(F.col("_change_type")
+                       .isin("insert", "update_postimage"), F.lit(1))
+                .otherwise(F.lit(-1)).cast("long"))
+        delta = (feed.groupBy("event_type")
+                 .agg(F.sum(sign).alias("n_rows"),
+                      F.sum(sign * F.col("value_q")).alias("value_q_sum")))
+        mv = (mv.unionByName(delta)
+              .groupBy("event_type")
+              .agg(F.sum("n_rows").alias("n_rows"),
+                   F.sum("value_q_sum").alias("value_q_sum"))
+              .filter(F.col("n_rows") > 0))
+        parts.append(mv.select(F.lit(v_to).cast("int").alias("version"),
+                               "event_type", "n_rows", "value_q_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q152_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b, max(event_id) AS mx FROM base),
+v1 AS (SELECT * FROM base WHERE event_id <= (SELECT b FROM bnd)),
+v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 11 = 0
+                   AND event_id <= (SELECT b // 3 FROM bnd)
+              THEN 'amended' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 11 = 0
+                   AND event_id <= (SELECT b // 3 FROM bnd)
+              THEN value_q + 1000000 ELSE value_q END AS value_q
+  FROM v1
+  UNION ALL
+  SELECT event_id + (SELECT mx FROM bnd) + 1, user_id, 'late', value_q
+  FROM v1 WHERE event_id < 40
+),
+v3 AS (
+  SELECT * FROM v2
+  WHERE NOT (event_id % 17 = 0 AND event_id <= (SELECT b FROM bnd))
+)
+SELECT CAST(2 AS INT) AS version, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum
+FROM v2 GROUP BY event_type
+UNION ALL
+SELECT CAST(3 AS INT), event_type,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(value_q) AS BIGINT)
+FROM v3 GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1004,4 +1108,6 @@ QUERIES: dict[str, Query] = {
     "q150_versioned_cdf_typed": Query(q150_versioned_cdf_typed, _Q150_SQL),
     "q151_versioned_conditional_merge": Query(
         q151_versioned_conditional_merge, _Q151_SQL),
+    "q152_incremental_mv_from_cdf": Query(q152_incremental_mv_from_cdf,
+                                          _Q152_SQL),
 }

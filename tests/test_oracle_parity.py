@@ -189,11 +189,11 @@ import os as _os
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
     # the tiers whose newest driver row is OLDEST after the r13 window
-    # (the 7 r10-tier queries r13's additions deferred, then the r11
+    # (the 8 r10-tier queries r13's additions deferred, then the r11
     # tier in module order — the queries that rotate into the gate in
     # r14; see CORRECTNESS_SEEN.md's r13 derived row); local sf0.01
     # evidence bridges the gap until then:
-    "q119_bpe_encode", "q121_dsir_weights", "q130_importance_resample",
+    "q103_scd2_pit_enrichment", "q119_bpe_encode", "q121_dsir_weights", "q130_importance_resample",
     "q124_lm_perplexity", "q93_zorder_pruning",
     "q110_dynamic_partition_overwrite", "q127_schema_evolution",
     "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",

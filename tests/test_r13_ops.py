@@ -682,3 +682,55 @@ def test_vacuum_sweeps_dead_writer_segment_debris(spark, tmp_path):
     assert dead_name not in left
     assert set(vstore._read_manifest_raw(root, 1)["segments"]) <= left
     assert vstore.read_version(spark, root, 1).count() == 10
+
+
+# --- DESCRIBE HISTORY --------------------------------------------------------
+
+def test_history_records_operation_per_version(spark, tmp_path):
+    import json as _json
+
+    root = str(tmp_path / "hist")
+    vstore.commit_append(spark, root, _mk(spark, 0, 10, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 10, 20, 0).coalesce(1),
+                         txn=("ing", 0))
+    upd = spark.createDataFrame([(5, 9, 0)], "id long, k int, x long")
+    vstore.commit_merge(spark, root, upd, key_cols=("id",))
+    vstore.commit_delete(spark, root, F.col("id") >= 18)
+    vstore.compact_latest(spark, root, target_bytes=1 << 30)
+    h = {r.version: r for r in vstore.history(spark, root).collect()}
+    assert [h[v].op for v in sorted(h)] == [
+        "append", "append", "merge", "delete", "rewrite"]
+    assert h[1].n_txn_apps == 0 and h[2].n_txn_apps == 1
+    assert h[5].n_live_files == 1  # compacted
+    assert all(h[v].n_new_files >= 1 for v in h)
+    # a legacy flat manifest surfaces op as NULL
+    man = vstore.read_manifest(root, 1)
+    flat = {"version": 6, "files": man["files"], "stats": man["stats"],
+            "txns": [], "schema": man["schema"]}
+    with open(vstore._manifest_path(root, 6), "w", encoding="ascii") as f:
+        _json.dump(flat, f)
+    h6 = vstore.history(spark, root).filter("version = 6").first()
+    assert h6.op is None and h6.n_live_files == len(man["files"])
+
+
+def test_q152_incremental_mv_equals_direct_recompute(spark, sf_dir):
+    """Engine-internal pin of the q152 certificate: the incrementally
+    maintained view after each transition must equal the direct
+    aggregate over that snapshot (the cross-engine oracle proves the
+    same thing against DuckDB; this keeps the property local and
+    Spark-only so a broken feed can't hide behind a broken oracle)."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _cdf_chain_root, q152_incremental_mv_from_cdf)
+
+    got = q152_incremental_mv_from_cdf(spark, sf_dir)
+    root = _cdf_chain_root(spark, sf_dir)
+    parts = []
+    for v in (2, 3):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(v).cast("int").alias("version"), "event_type",
+                    "n_rows", "value_q_sum"))
+    assert multiset_equal(got, parts[0].unionByName(parts[1]))
