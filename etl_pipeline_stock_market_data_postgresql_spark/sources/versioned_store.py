@@ -485,7 +485,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             carry, stats_cols: tuple[str, ...],
             txn: str | tuple[str, int] | None = None,
             allow_evolution: bool = False,
-            op: str = "append") -> int:
+            op: str = "append",
+            based_on: int | None = None) -> int:
     """Write ``df``'s part files into the data dir, then CAS-publish a
     new manifest referencing them plus the carried files (by name —
     their bytes are never touched). ``carry`` is ``"prev"`` (carry the
@@ -495,7 +496,22 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     because the list was derived from a snapshot that is no longer
     latest), or ``None`` (rewrite — same conflict rule). Data file
     names embed the writer's pid so concurrent committers can never
-    clobber each other's staged files. The per-app txn ledger carries
+    clobber each other's staged files.
+
+    ``based_on`` is the SNAPSHOT VERSION the caller derived its plan
+    from (delete/merge census lists, a compaction's input). It closes
+    the lost-update window the CAS alone cannot: if a concurrent
+    append lands BETWEEN the caller's snapshot read and this commit's
+    version claim, the CAS would succeed at a fresh version number
+    while the carry list silently omits the interloper's files —
+    dropping committed data. With ``based_on`` set, the commit
+    publishes ONLY as version ``based_on + 1``; any other observed
+    latest raises :class:`ConcurrentCommitError` (Delta's
+    read-snapshot validation) and the caller re-derives. Blind appends
+    pass None — they re-derive their carry under the latest manifest
+    every attempt, which is exactly why they commute.
+
+    The per-app txn ledger carries
     across the chain regardless of carry semantics and is re-checked
     under the latest manifest on every CAS attempt, so even a txn race
     resolves to exactly-once. The manifest records the frame's schema
@@ -530,6 +546,13 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     new_stats: dict = {}
     while True:
         prev = latest_version(root)
+        if based_on is not None and (prev or 0) != based_on:
+            raise ConcurrentCommitError(
+                f"snapshot validation failed for {root}: this "
+                f"{op} was derived from version {based_on} but the "
+                f"latest is {prev} — a concurrent commit landed between "
+                f"the snapshot read and the publish; re-read and retry "
+                f"(staged files are vacuumable orphans)")
         version = (prev or 0) + 1
         new = [f"v{version:05d}-p{pid}-{seq}-{i:05d}.parquet"
                for i in range(len(parts))]
@@ -653,14 +676,22 @@ def commit_append(spark: SparkSession, root: str, df: DataFrame,
 
 def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
                    stats_cols: tuple[str, ...] = ("id",),
-                   txn: str | tuple[str, int] | None = None) -> int:
+                   txn: str | tuple[str, int] | None = None,
+                   based_on: int | None = None) -> int:
     """New version = ONLY df's files (compaction / full replace). The
     superseded files stay on disk — every retained older snapshot keeps
-    reading them — until :func:`vacuum`."""
+    reading them — until :func:`vacuum`. Pass ``based_on`` (the
+    version ``df`` was derived from) when the rewrite is a
+    MAINTENANCE pass over existing content — compaction, clustering,
+    re-encoding — so a concurrent append between the derivation and
+    the publish raises instead of being silently replaced away
+    (:func:`_commit`'s snapshot validation). Leave it None only for
+    intentional last-writer-wins overwrites of the whole table."""
     if txn is not None and txn_committed(root, txn):
         return latest_version(root)  # type: ignore[return-value]
     return _commit(spark, root, df, carry=None,
-                   stats_cols=stats_cols, txn=txn, op="rewrite")
+                   stats_cols=stats_cols, txn=txn, op="rewrite",
+                   based_on=based_on)
 
 
 def commit_delete(spark: SparkSession, root: str, condition,
@@ -714,7 +745,8 @@ def commit_delete(spark: SparkSession, root: str, condition,
                             for f in man["files"] if f in victims])
                  .filter(~F.coalesce(condition, F.lit(False))))
     newv = _commit(spark, root, survivors, carry=carried,
-                   stats_cols=stats_cols, txn=txn, op="delete")
+                   stats_cols=stats_cols, txn=txn, op="delete",
+                   based_on=v)
     return newv, len(victims), len(carried)
 
 
@@ -803,7 +835,8 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
         else:
             out = updates.select(*df.columns)
         newv = _commit(spark, root, out, carry=carried,
-                       stats_cols=stats_cols, txn=txn, op="merge")
+                       stats_cols=stats_cols, txn=txn, op="merge",
+                       based_on=v)
         return newv, len(affected), len(carried)
 
     def _joined(target: DataFrame):
@@ -864,7 +897,8 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
                .select(*tcols))
     out = inserts if rewritten is None else rewritten.unionByName(inserts)
     newv = _commit(spark, root, out, carry=carried,
-                   stats_cols=stats_cols, txn=txn, op="merge")
+                   stats_cols=stats_cols, txn=txn, op="merge",
+                   based_on=v)
     return newv, len(affected), len(carried)
 
 
@@ -1041,7 +1075,8 @@ def compact_latest(spark: SparkSession, root: str, target_bytes: int,
     df = read_version(spark, root, v)
     df = (df.repartitionByRange(bins, *cluster_by) if cluster_by
           else df.repartition(bins))
-    newv = commit_rewrite(spark, root, df, stats_cols=stats_cols, txn=txn)
+    newv = commit_rewrite(spark, root, df, stats_cols=stats_cols, txn=txn,
+                          based_on=v)
     return len(files), len(read_manifest(root, newv)["files"])
 
 

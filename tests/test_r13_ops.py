@@ -734,3 +734,77 @@ def test_q152_incremental_mv_equals_direct_recompute(spark, sf_dir):
             .select(F.lit(v).cast("int").alias("version"), "event_type",
                     "n_rows", "value_q_sum"))
     assert multiset_equal(got, parts[0].unionByName(parts[1]))
+
+
+# --- snapshot validation (the lost-update window) ----------------------------
+
+def test_delete_snapshot_validation_prevents_lost_update(
+        spark, tmp_path, monkeypatch):
+    """The CAS alone cannot catch a concurrent append that lands
+    BETWEEN a delete's census read and its version claim: the delete
+    would publish under a FRESH version number (no CAS collision)
+    while its carry list silently omits the interloper's files —
+    dropping committed data. _commit's based_on snapshot validation
+    (Delta's read-snapshot check) must raise instead, and
+    retry_on_conflict must then land BOTH effects."""
+    root = str(tmp_path / "lostupdate")
+    vstore.commit_append(spark, root, _mk(spark, 0, 50, 0).coalesce(1))
+    # the interloper's append is already durable...
+    vstore.commit_append(spark, root, _mk(spark, 900, 910, 9).coalesce(1))
+    # ...but the deleter's snapshot read happened BEFORE it: simulate
+    # by serving the stale version to the delete's entry read only
+    orig = vstore.latest_version
+    state = {"stale_reads": 1}
+
+    def stale_then_real(r):
+        if state["stale_reads"] > 0:
+            state["stale_reads"] -= 1
+            return 1
+        return orig(r)
+
+    monkeypatch.setattr(vstore, "latest_version", stale_then_real)
+    with pytest.raises(vstore.ConcurrentCommitError,
+                       match="snapshot validation"):
+        vstore.commit_delete(spark, root, F.col("id") < 10)
+    monkeypatch.setattr(vstore, "latest_version", orig)
+    # nothing was lost or published by the failed attempt
+    assert vstore.latest_version(root) == 2
+    assert vstore.read_version(spark, root, 2).count() == 60
+    # the packaged retry re-derives and lands both effects
+    v, _, _ = vstore.retry_on_conflict(
+        lambda: vstore.commit_delete(spark, root, F.col("id") < 10))
+    got = vstore.read_version(spark, root, v)
+    assert got.filter("id < 10").count() == 0
+    assert got.filter("k = 9").count() == 10
+    assert got.count() == 50
+
+
+def test_compaction_snapshot_validation(spark, tmp_path, monkeypatch):
+    """compact_latest derives its input from the version it read; a
+    concurrent append between that read and the publish must raise,
+    not be silently replaced away by the rewrite."""
+    root = str(tmp_path / "compactrace")
+    for lo in (0, 50, 100):
+        vstore.commit_append(spark, root,
+                             _mk(spark, lo, lo + 50, 0).coalesce(1))
+    vstore.commit_append(spark, root, _mk(spark, 900, 905, 9).coalesce(1))
+    orig = vstore.latest_version
+    state = {"stale_reads": 1}
+
+    def stale_then_real(r):
+        if state["stale_reads"] > 0:
+            state["stale_reads"] -= 1
+            return 3  # the compactor read BEFORE the 4th append
+        return orig(r)
+
+    monkeypatch.setattr(vstore, "latest_version", stale_then_real)
+    with pytest.raises(vstore.ConcurrentCommitError,
+                       match="snapshot validation"):
+        vstore.compact_latest(spark, root, target_bytes=1 << 30)
+    monkeypatch.setattr(vstore, "latest_version", orig)
+    # the interloper's rows are intact; a clean retry compacts ALL
+    assert vstore.read_version(spark, root, 4).count() == 155
+    nb, na = vstore.compact_latest(spark, root, target_bytes=1 << 30)
+    assert (nb, na) == (4, 1)
+    assert vstore.read_version(
+        spark, root, vstore.latest_version(root)).count() == 155
