@@ -94,6 +94,20 @@ _SEG_COMPACT_EVERY = 32
 
 _SEG_DIR = "segments"
 
+#: manifest format major version this reader understands. Bumped only
+#: on changes an OLD reader would silently MISREAD (Delta's
+#: minReaderVersion): 1 = flat file list (implicit — pre-r13 manifests
+#: carry no field), 2 = manifest-list segments + per-app txn ledger.
+#: Additive fields (op, n_new_files) never bump it.
+_FORMAT_VERSION = 2
+
+
+class UnsupportedFormatError(RuntimeError):
+    """The manifest was written by a NEWER writer whose format this
+    reader would misread — fail loudly instead of resolving a partial
+    or wrong file list (the protocol-gating rule every table format
+    needs once manifests evolve)."""
+
 
 def _segment_path(root: str, name: str) -> str:
     return os.path.join(root, _MANIFESTS, _SEG_DIR, name)
@@ -102,11 +116,20 @@ def _segment_path(root: str, name: str) -> str:
 def _read_manifest_raw(root: str, version: int) -> dict:
     """The manifest AS STORED: segmented form (``segments`` refs) for
     post-r13 commits, flat form (inline ``files``/``stats``) for
-    legacy manifests and hand-written fixtures."""
+    legacy manifests and hand-written fixtures. Raises
+    :class:`UnsupportedFormatError` when the recorded format major is
+    newer than this reader."""
     import json
 
     with open(_manifest_path(root, version), encoding="ascii") as f:
-        return json.load(f)
+        raw = json.load(f)
+    fmt = raw.get("format", 1)
+    if fmt > _FORMAT_VERSION:
+        raise UnsupportedFormatError(
+            f"manifest v{version} of {root} uses format {fmt}; this "
+            f"reader understands <= {_FORMAT_VERSION} — upgrade before "
+            f"reading (refusing to misread a newer layout)")
+    return raw
 
 
 def _read_segment(root: str, name: str) -> dict:
@@ -477,7 +500,8 @@ def _segmented_body(root: str, praw: dict | None, man: dict, carry,
             files += sd["files"]
             stats.update(sd["stats"])
         segs = [_write_segment(root, files, stats)]
-    return {"version": man["version"], "segments": segs,
+    return {"version": man["version"], "format": _FORMAT_VERSION,
+            "segments": segs,
             "txns": man["txns"], "schema": man["schema"]}
 
 

@@ -808,3 +808,106 @@ def test_compaction_snapshot_validation(spark, tmp_path, monkeypatch):
     assert (nb, na) == (4, 1)
     assert vstore.read_version(
         spark, root, vstore.latest_version(root)).count() == 155
+
+
+def test_manifest_format_gate(spark, tmp_path):
+    """Protocol gating: this reader records its format major and
+    REFUSES manifests from a newer one instead of misreading them;
+    legacy manifests (no format field) read as format 1."""
+    import json as _json
+
+    root = str(tmp_path / "fmtgate")
+    vstore.commit_append(spark, root, _mk(spark, 0, 5, 0).coalesce(1))
+    raw = vstore._read_manifest_raw(root, 1)
+    assert raw["format"] == vstore._FORMAT_VERSION
+    future = {**raw, "version": 2, "format": vstore._FORMAT_VERSION + 1}
+    with open(vstore._manifest_path(root, 2), "w", encoding="ascii") as f:
+        _json.dump(future, f)
+    with pytest.raises(vstore.UnsupportedFormatError):
+        vstore.read_manifest(root, 2)
+    with pytest.raises(vstore.UnsupportedFormatError):
+        vstore.read_version(spark, root, 2)
+
+
+def test_threaded_multi_writer_appends_lose_nothing(spark, tmp_path):
+    """In-JVM multi-writer linearizability: 4 threads race 3 blind
+    appends each through the CAS + re-home/retry path; every row must
+    land exactly once and versions must be contiguous. (The
+    two-process test above proves the same across driver JVMs; this
+    one drives far more CAS collisions per second.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "mtstore")
+    vstore.commit_append(spark, root, _mk(spark, 0, 10, 0).coalesce(1))
+
+    def writer(w):
+        for i in range(3):
+            lo = 1000 * (w + 1) + 10 * i
+            vstore.commit_append(spark, root,
+                                 _mk(spark, lo, lo + 10, w).coalesce(1))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(writer, range(4)))
+    assert vstore.latest_version(root) == 13  # 1 base + 12 appends
+    got = vstore.read_version(spark, root, 13)
+    assert got.count() == 130
+    for w in range(4):
+        for i in range(3):
+            lo = 1000 * (w + 1) + 10 * i
+            assert got.filter(f"id >= {lo} AND id < {lo + 10}").count() == 10
+    # the chain's history is all appends with one file each
+    h = vstore.history(spark, root).collect()
+    assert all(r.op == "append" for r in h)
+
+
+def test_store_to_store_cursor_is_exactly_once(spark, tmp_path):
+    """Chained-pipeline exactly-once: a downstream store maintains a
+    view of an upstream store, advancing a CURSOR recorded as its own
+    txn ledger entry ('processed through upstream version N'). Crash
+    and replay of any step — including a full restart from v2 —
+    must not double-apply a transition."""
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    vstore.commit_append(spark, up, _mk(spark, 0, 20, 0).coalesce(1))
+    vstore.commit_append(spark, up, _mk(spark, 20, 40, 0).coalesce(1))
+    vstore.commit_delete(spark, up, F.col("id") % 4 == 0)
+
+    def sync_to(v_up):
+        """Process upstream versions (cursor, v_up] into the downstream
+        running SUM view — each step applies ONE transition's typed
+        feed, keyed by the upstream version as the txn."""
+        for v in range(1, v_up + 1):
+            if vstore.txn_committed(down, ("sync", v)):
+                continue
+            if v == 1:
+                delta = vstore.read_version(spark, up, 1)
+            else:
+                ins, dels = vstore.version_diff(spark, up, v - 1, v)
+                delta = ins.unionByName(
+                    dels.select(F.col("id"), F.col("k"),
+                                (-F.col("x")).alias("x")))
+            cur = (vstore.read_version(spark, down,
+                                       vstore.latest_version(down))
+                   if vstore.latest_version(down) else None)
+            nxt = delta if cur is None else cur.unionByName(delta)
+            agg = (nxt.groupBy("k")
+                   .agg(F.sum("x").alias("x"), F.count(F.lit(1)).alias("id"))
+                   .select(F.col("id").cast("long"), "k", "x"))
+            vstore.commit_rewrite(spark, down, agg, txn=("sync", v))
+
+    sync_to(3)
+    want = vstore.read_version(spark, up, 3).agg(
+        F.sum("x")).first()[0]
+    got = vstore.read_version(spark, down,
+                              vstore.latest_version(down)).agg(
+        F.sum("x")).first()[0]
+    assert got == want
+    v_done = vstore.latest_version(down)
+    # replay EVERY step (an at-least-once runner restarting from zero)
+    sync_to(3)
+    sync_to(3)
+    assert vstore.latest_version(down) == v_done
+    assert vstore.txn_seen(down) == {"sync": 3}
+    got2 = vstore.read_version(spark, down, v_done).agg(
+        F.sum("x")).first()[0]
+    assert got2 == want
