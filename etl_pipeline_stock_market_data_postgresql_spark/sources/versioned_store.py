@@ -157,6 +157,37 @@ def _write_segment(root: str, files: list[str], stats: dict) -> str:
     return name
 
 
+def _seg_name(entry) -> str:
+    """Segment reference entries are dicts ``{"name", "n", "stats"}``
+    (count + per-column summary enable MANIFEST-LEVEL pruning); plain
+    string entries (earlier r13 stores) are tolerated as
+    summary-less."""
+    return entry if isinstance(entry, str) else entry["name"]
+
+
+def _seg_ref(name: str, files: list[str], stats: dict) -> dict:
+    """Build a segment reference entry: the segment's file count and
+    its per-column [min, max] SUMMARY — present only for columns every
+    member file has stats for (a single stats-less file makes the
+    column unprunable at segment level, conservatively)."""
+    summary: dict = {}
+    if files:
+        per_col: dict = {}
+        complete = set()
+        first = True
+        for f in files:
+            fs = stats.get(f, {})
+            cols = set(fs)
+            complete = cols if first else (complete & cols)
+            first = False
+            for c, (lo, hi) in fs.items():
+                cur = per_col.get(c)
+                per_col[c] = ([lo, hi] if cur is None
+                              else [min(cur[0], lo), max(cur[1], hi)])
+        summary = {c: per_col[c] for c in complete}
+    return {"name": name, "n": len(files), "stats": summary}
+
+
 def _resolve(root: str, raw: dict) -> dict:
     """Resolved view of a raw manifest: ``files`` and ``stats``
     materialized from its segments (pass-through for flat manifests).
@@ -166,8 +197,8 @@ def _resolve(root: str, raw: dict) -> dict:
         return raw
     files: list[str] = []
     stats: dict = {}
-    for s in raw["segments"]:
-        sd = _read_segment(root, s)
+    for entry in raw["segments"]:
+        sd = _read_segment(root, _seg_name(entry))
         files += sd["files"]
         stats.update(sd["stats"])
     return {**raw, "files": files, "stats": stats}
@@ -458,48 +489,50 @@ def _segmented_body(root: str, praw: dict | None, man: dict, carry,
     reference list would exceed ``_SEG_COMPACT_EVERY``, the segments
     consolidate into one — the amortized checkpoint that keeps reader
     resolution O(live files + a bounded constant) forever."""
+    def _mk_seg(files: list[str], stats: dict) -> dict:
+        return _seg_ref(_write_segment(root, files, stats), files, stats)
+
     if carry == "prev":
         if praw is None:
-            segs: list[str] = []
+            segs: list = []
         elif "segments" in praw:
             segs = list(praw["segments"])
         else:
-            segs = ([_write_segment(root, praw["files"],
-                                    praw.get("stats", {}))]
+            segs = ([_mk_seg(praw["files"], praw.get("stats", {}))]
                     if praw["files"] else [])
     elif carry is None:
         segs = []
     else:
         carry_set = set(carry)
         if praw is not None and "segments" in praw:
-            prev_iter = [(s, _read_segment(root, s))
-                         for s in praw["segments"]]
+            prev_iter = [(e, _read_segment(root, _seg_name(e)))
+                         for e in praw["segments"]]
         elif praw is not None:
             prev_iter = [(None, {"files": praw["files"],
                                  "stats": praw.get("stats", {})})]
         else:
             prev_iter = []
         segs = []
-        for sname, sd in prev_iter:
+        for entry, sd in prev_iter:
             kept = [f for f in sd["files"] if f in carry_set]
             if not kept:
                 continue
-            if sname is not None and len(kept) == len(sd["files"]):
-                segs.append(sname)
+            if entry is not None and len(kept) == len(sd["files"]):
+                segs.append(entry)
             else:
                 st = sd.get("stats", {})
-                segs.append(_write_segment(
-                    root, kept, {f: st[f] for f in kept if f in st}))
+                segs.append(_mk_seg(
+                    kept, {f: st[f] for f in kept if f in st}))
     if new_files:
-        segs.append(_write_segment(root, new_files, dict(new_stats)))
+        segs.append(_mk_seg(new_files, dict(new_stats)))
     if len(segs) > _SEG_COMPACT_EVERY:
         files: list[str] = []
         stats: dict = {}
-        for s in segs:
-            sd = _read_segment(root, s)
+        for e in segs:
+            sd = _read_segment(root, _seg_name(e))
             files += sd["files"]
             stats.update(sd["stats"])
-        segs = [_write_segment(root, files, stats)]
+        segs = [_mk_seg(files, stats)]
     return {"version": man["version"], "format": _FORMAT_VERSION,
             "segments": segs,
             "txns": man["txns"], "schema": man["schema"]}
@@ -647,26 +680,47 @@ def read_version_pruned_multi(
     them, so the caller applying the PRECISE predicate to the returned
     frame gets exactly the unpruned answer. A file without recorded
     stats for a column is conservatively opened (that conjunct cannot
-    prune it)."""
-    man = read_manifest(root, version)
-    stats = man.get("stats", {})
-    keep = []
-    for f in man["files"]:
-        fs = stats.get(f, {})
-        ok = True
+    prune it).
+
+    TWO-LEVEL on a manifest-list store (Iceberg's actual planning
+    shape): segment reference entries carry a per-column SUMMARY of
+    their files' ranges, so a whole segment whose summary misses a
+    conjunct is skipped WITHOUT READING THE SEGMENT FILE — planning
+    cost is O(#segments + files of matching segments), not O(live
+    files). A range-clustered store (each append/compaction bin
+    covering a disjoint key range) makes most probes touch one
+    segment. Summary-less entries (legacy strings, mixed-stats
+    segments) are conservatively read and pruned file-by-file."""
+    raw = _read_manifest_raw(root, version)
+
+    def _hits(fs: dict) -> bool:
         for col, (lo, hi) in preds.items():
             s = fs.get(col)
             if s is not None and not (s[0] <= hi and s[1] >= lo):
-                ok = False
-                break
-        if ok:
-            keep.append(f)
+                return False
+        return True
+
+    if "segments" in raw:
+        keep: list[str] = []
+        n_total = 0
+        for entry in raw["segments"]:
+            if isinstance(entry, dict) and not _hits(entry["stats"]):
+                n_total += entry["n"]  # whole segment skipped unread
+                continue
+            sd = _read_segment(root, _seg_name(entry))
+            n_total += len(sd["files"])
+            sstats = sd["stats"]
+            keep += [f for f in sd["files"] if _hits(sstats.get(f, {}))]
+    else:
+        stats = raw.get("stats", {})
+        keep = [f for f in raw["files"] if _hits(stats.get(f, {}))]
+        n_total = len(raw["files"])
     if not keep:  # preserve schema on an empty match
         return (read_version(spark, root, version).limit(0),
-                0, len(man["files"]))
-    df = _version_reader(spark, man).parquet(
+                0, n_total)
+    df = _version_reader(spark, raw).parquet(
         *[os.path.join(root, _DATA, f) for f in keep])
-    return df, len(keep), len(man["files"])
+    return df, len(keep), n_total
 
 
 def read_version_pruned(spark: SparkSession, root: str, version: int,
@@ -1136,7 +1190,7 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
         for mf in os.listdir(mdir):
             if mf.startswith("v") and mf.endswith(".json"):
                 raw = _read_manifest_raw(root, int(mf[1:6]))
-                seg_refs |= set(raw.get("segments", []))
+                seg_refs |= {_seg_name(e) for e in raw.get("segments", [])}
                 published |= set(_resolve(root, raw)["files"])
     data = os.path.join(root, _DATA)
     removed = []

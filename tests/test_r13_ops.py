@@ -594,7 +594,7 @@ def test_append_commits_write_only_delta_segments(spark, tmp_path):
     assert len(raw1["segments"]) == 1 and len(raw2["segments"]) == 2
     assert raw2["segments"][0] == raw1["segments"][0], \
         "append must reference the previous segment by name"
-    seg0 = vstore._segment_path(root, raw1["segments"][0])
+    seg0 = vstore._segment_path(root, vstore._seg_name(raw1["segments"][0]))
     mtime0 = os.stat(seg0).st_mtime_ns
     # resolved view unchanged for readers
     man2 = vstore.read_manifest(root, 2)
@@ -680,7 +680,8 @@ def test_vacuum_sweeps_dead_writer_segment_debris(spark, tmp_path):
     vstore.vacuum(root, keep_versions=[1])
     left = set(os.listdir(sdir))
     assert dead_name not in left
-    assert set(vstore._read_manifest_raw(root, 1)["segments"]) <= left
+    assert {vstore._seg_name(e)
+            for e in vstore._read_manifest_raw(root, 1)["segments"]} <= left
     assert vstore.read_version(spark, root, 1).count() == 10
 
 
@@ -911,3 +912,47 @@ def test_store_to_store_cursor_is_exactly_once(spark, tmp_path):
     got2 = vstore.read_version(spark, down, v_done).agg(
         F.sum("x")).first()[0]
     assert got2 == want
+
+
+def test_two_level_pruning_skips_whole_segments_unread(
+        spark, tmp_path, monkeypatch):
+    """Manifest-LIST pruning: a segment whose per-column summary
+    misses the predicate is skipped without even reading the segment
+    file — planning is O(#segments + files of matching segments). A
+    range-clustered store (disjoint id ranges per append) localizes a
+    probe to one segment."""
+    root = str(tmp_path / "seg2level")
+    for lo in (0, 1000, 2000):
+        vstore.commit_append(
+            spark, root,
+            _mk(spark, lo, lo + 100, 0).repartitionByRange(2, "id"),
+            stats_cols=("id",))
+    reads = {"n": 0}
+    orig = vstore._read_segment
+
+    def counting(r, name):
+        reads["n"] += 1
+        return orig(r, name)
+
+    monkeypatch.setattr(vstore, "_read_segment", counting)
+    df, opened, total = vstore.read_version_pruned(
+        spark, root, 3, "id", 1010, 1020)
+    assert reads["n"] == 1, \
+        f"non-matching segments must be skipped unread ({reads['n']})"
+    assert total == 6 and opened <= 2
+    monkeypatch.setattr(vstore, "_read_segment", orig)
+    got = df.filter("id >= 1010 AND id <= 1020")
+    assert got.count() == 11
+    # pruned ≡ unpruned under the precise predicate
+    full = vstore.read_version(spark, root, 3).filter(
+        "id >= 1010 AND id <= 1020")
+    assert multiset_equal(got, full)
+    # a mixed-stats segment (no summary for the column) is
+    # conservatively read: append one with stats disabled
+    vstore.commit_append(spark, root,
+                         _mk(spark, 5000, 5010, 1).coalesce(1),
+                         stats_cols=())
+    df2, opened2, total2 = vstore.read_version_pruned(
+        spark, root, 4, "id", 1010, 1020)
+    assert total2 == 7
+    assert df2.filter("id >= 1010 AND id <= 1020").count() == 11
