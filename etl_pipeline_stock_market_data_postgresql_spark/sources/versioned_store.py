@@ -1102,6 +1102,112 @@ def history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def restore(spark: SparkSession, root: str, to_version: int,
+            txn: str | tuple[str, int] | None = None) -> int:
+    """``RESTORE TABLE ... TO VERSION`` — roll the store back to an
+    earlier snapshot by publishing a NEW manifest that references the
+    target version's files (and schema) verbatim. Pure metadata: no
+    data file is read, written, or moved — on a manifest-list store
+    the new manifest reuses the target's immutable segments BY NAME,
+    so the commit writes O(#segments) bytes regardless of table size.
+    History is preserved (the bad versions stay time-travelable for
+    audit; the rollback itself is an auditable ``restore`` row in
+    :func:`history` carrying ``restored_from``), and the txn ledger
+    carries FORWARD from the current latest, not the target — a
+    restore un-does data, never the exactly-once record of which
+    streaming batches committed (otherwise a replayed batch would
+    double-apply after rollback).
+
+    Concurrency: the restore is a whole-table replace, so it follows
+    the rewrite conflict rule — the CAS publishing as ``latest+1``
+    loses to any concurrent commit and raises
+    :class:`ConcurrentCommitError` (re-issue after re-reading; a
+    blind retry could silently discard the interloper's rows).
+    Restoring to the current latest is a no-op returning it.
+
+    The target's files must still exist — restoring past a vacuum
+    horizon is impossible by construction (vacuum only deletes files
+    no retained manifest references, but the caller may have passed a
+    narrower ``keep_versions``); a missing file raises here, at
+    restore time, rather than at first read."""
+    import json
+
+    tk = _txn_key(txn)
+    prev = latest_version(root)
+    if prev is None:
+        raise ValueError(f"cannot restore {root}: no committed version")
+    if not 1 <= to_version <= prev:
+        raise ValueError(f"cannot restore {root} to version {to_version}: "
+                         f"latest is {prev}")
+    if to_version == prev:
+        return prev
+    target_raw = _read_manifest_raw(root, to_version)
+    target = _resolve(root, target_raw)
+    missing = [f for f in target["files"]
+               if not os.path.exists(os.path.join(root, _DATA, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {root} to version {to_version}: "
+            f"{len(missing)} data file(s) vacuumed, e.g. {missing[0]}")
+    praw = _read_manifest_raw(root, prev)
+    txns = _normalize_txns(praw.get("txns"))
+    if tk is not None:
+        if txns.get(tk[0], -1) >= tk[1]:
+            return prev
+        txns[tk[0]] = tk[1]
+    if "segments" in target_raw:
+        segs = list(target_raw["segments"])
+    elif target["files"]:
+        segs = [_seg_ref(_write_segment(root, target["files"],
+                                        target.get("stats", {})),
+                         target["files"], target.get("stats", {}))]
+    else:
+        segs = []
+    raw = {"version": prev + 1, "format": _FORMAT_VERSION,
+           "segments": segs, "txns": txns, "schema": target["schema"],
+           "op": "restore", "n_new_files": 0,
+           "restored_from": to_version}
+    if _publish_cas(root, prev + 1, json.dumps(raw)):
+        return prev + 1
+    raise ConcurrentCommitError(
+        f"version {prev + 1} of {root} was committed concurrently; this "
+        f"restore was derived from superseded version {prev} — re-read "
+        f"and retry")
+
+
+def optimize_zorder(spark: SparkSession, root: str, col_a: str,
+                    col_b: str, n_files: int,
+                    stats_cols: tuple[str, ...] | None = None,
+                    bits: int = 16,
+                    txn: str | tuple[str, int] | None = None) -> int:
+    """``OPTIMIZE ... ZORDER BY (col_a, col_b)`` — rewrite the latest
+    snapshot clustered on the Morton interleave of the two columns, so
+    manifest min/max file skipping (:func:`read_version_pruned_multi`)
+    prunes on BOTH columns at once. :func:`compact_latest`'s range
+    repartition makes exactly one axis tight; the z-curve gives each
+    file a ~1/√n_files span of EACH domain — the layout behind Delta's
+    OPTIMIZE ZORDER, applied as a snapshot-preserving maintenance
+    commit: content-invariant (pinned by q154's oracle), old snapshots
+    keep reading the old layout until vacuum, and ``based_on``
+    snapshot validation raises if anything commits concurrently (a
+    maintenance pass must never replace away rows it did not read).
+
+    Scale shape: one min/max aggregate (map-side combinable), one
+    range-partitioned shuffle of the LIVE data (the price every
+    OPTIMIZE pays, amortized over all future pruned reads), O(delta)
+    manifest metadata."""
+    from .zorder import zordered_frame
+
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"cannot optimize {root}: no committed version")
+    df = read_version(spark, root, v)
+    clustered = zordered_frame(df, col_a, col_b, n_files, bits=bits)
+    return commit_rewrite(spark, root, clustered,
+                          stats_cols=stats_cols or (col_a, col_b),
+                          txn=txn, based_on=v)
+
+
 def retry_on_conflict(fn, max_attempts: int = 5):
     """Run ``fn`` (a zero-arg commit attempt) until it succeeds or
     ``max_attempts`` :class:`ConcurrentCommitError` losses — the

@@ -46,14 +46,15 @@ def z_value(a: Column, b: Column, bits: int = 16) -> Column:
     return key
 
 
-def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
-                   n_files: int, bits: int = 16,
-                   mode: str = "overwrite") -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered on the
-    Morton key of (col_a, col_b): range-partition by the key (each file
-    owns a contiguous curve segment — this is what bounds BOTH columns'
-    per-file min/max), sort within files so row groups inherit the same
-    tightness, and drop the key before writing.
+def zordered_frame(df: DataFrame, col_a: str, col_b: str,
+                   n_files: int, bits: int = 16) -> DataFrame:
+    """``df`` re-laid-out as ``n_files`` partitions clustered on the
+    Morton key of (col_a, col_b): range-partition by the key (each
+    partition owns a contiguous curve segment — this is what bounds
+    BOTH columns' per-partition min/max), sort within partitions so
+    parquet row groups inherit the same tightness, and drop the key.
+    Each partition becomes one file under any one-file-per-partition
+    writer (plain ``write.parquet``, or a versioned-store commit).
 
     Both columns are first scaled to the full [0, 2^bits) range from a
     one-pass min/max aggregate — interleaving raw values whose domains
@@ -65,8 +66,7 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).collect()[0]
     if lo_a is None or lo_b is None:  # empty input: nothing to cluster
-        df.write.mode(mode).parquet(path)
-        return
+        return df
     top = (1 << bits) - 1
 
     def scaled(c: str, lo, hi) -> Column:
@@ -79,8 +79,16 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         return F.least(F.floor(frac * top).cast("long"), F.lit(top))
 
     zk = z_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
-    (df.withColumn("_zorder_key", zk)
-       .repartitionByRange(n_files, "_zorder_key")
-       .sortWithinPartitions("_zorder_key")
-       .drop("_zorder_key")
-       .write.mode(mode).parquet(path))
+    return (df.withColumn("_zorder_key", zk)
+            .repartitionByRange(n_files, "_zorder_key")
+            .sortWithinPartitions("_zorder_key")
+            .drop("_zorder_key"))
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int, bits: int = 16,
+                   mode: str = "overwrite") -> None:
+    """Write ``df`` z-order-clustered (see :func:`zordered_frame`) as
+    ``n_files`` parquet files."""
+    zordered_frame(df, col_a, col_b, n_files, bits=bits) \
+        .write.mode(mode).parquet(path)

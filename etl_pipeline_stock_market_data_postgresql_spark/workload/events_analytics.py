@@ -244,6 +244,144 @@ FROM events GROUP BY event_type
 """
 
 
+#: portable-HLL sketch geometry: m = 2^8 registers addressed by the
+#: hash's low byte; rho = trailing-zero rank within the next 24 bits.
+PHLL_M = 256
+PHLL_RHO_MAX = 25  # all-zero 24-bit suffix
+
+
+def _phll_mix31(x):
+    """31-bit xorshift-multiply avalanche (two rounds of the classic
+    ``h ^= h>>16; h *= C`` finalizer, masked to 31 bits) — every step
+    is overflow-safe signed-64 arithmetic (products < 2^58) and uses
+    only operators BOTH engines define identically on non-negative
+    longs (%, //-as-shift, xor), so the sketch is portable: Spark here
+    and ANSI SQL in the oracle produce the SAME registers bit for bit.
+    Built-in hashes can't do this (Spark xxhash64 vs DuckDB murmur)."""
+    h = x % 2147483648
+    h = ((h.bitwiseXOR(F.shiftright(h, 16))) % 2147483648) * 73244475 \
+        % 2147483648
+    h = ((h.bitwiseXOR(F.shiftright(h, 16))) % 2147483648) * 73244475 \
+        % 2147483648
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def phll_bucket_rho(x):
+    """(register index, trailing-zero rank) for one value — the sketch
+    ingestion step, shared by q155 and the property tests."""
+    h = _phll_mix31(x)
+    s = F.shiftright(h, 8) % 16777216
+    t = s.bitwiseAND(-s)
+    rho = (F.when(s == 0, F.lit(PHLL_RHO_MAX))
+           .otherwise(F.round(F.log2(t.cast("double"))).cast("int") + 1))
+    return (h % PHLL_M), rho
+
+
+def q155_portable_hll_registers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog registers + sketch-union mergeability —
+    what q80 deliberately cannot certify: q80 trusts each engine's
+    OWN opaque sketch (estimates can't cross-match), so it proves an
+    accuracy contract but nothing about the sketch STATE. This query
+    builds the sketch from first principles as a DataFrame plan —
+    hash each event_id with a portable 31-bit avalanche, route to
+    ``m = 256`` registers by the low byte, rank by trailing zeros of
+    the next 24 bits (an exact power of two, so ``log2`` is
+    boundary-safe in both engines), register = MAX rank — and emits
+    integer register checksums per event_type plus the '__merged__'
+    row computed by REGISTER-WISE MAX across the groups. A green row
+    is the certificate that (a) the distributed register build is
+    bit-identical to the oracle's sequential one and (b) sketch union
+    = pairwise max — the property that lets 1000 executors (or 30
+    days of persisted per-partition sketches in the versioned store)
+    merge in O(m) with NO rescan. Estimator accuracy (harmonic-mean
+    estimate within tolerance of exact) is pinned in pytest, where a
+    float formula belongs.
+
+    Scale shape: one shuffle of (group, 256) partial-aggregated
+    registers — constant-size map-side state per task, the entire
+    point of sketches at 100 TB; the exact countDistinct alongside is
+    the gate's reference and would be dropped in production."""
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type", F.col("event_id").alias("x")))
+    bucket, rho = phll_bucket_rho(F.col("x"))
+    regs = (ev.select("event_type", bucket.alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+    def summarize(r, scope_col):
+        return (r.groupBy(scope_col.alias("scope"))
+                .agg(F.count(F.lit(1)).alias("n_registers"),
+                     F.sum("rho").alias("rho_sum"),
+                     F.sum((F.col("bucket") + 1) * F.col("rho"))
+                     .alias("rho_dot")))
+
+    per_group = summarize(regs, F.col("event_type"))
+    merged = summarize(
+        regs.groupBy("bucket").agg(F.max("rho").alias("rho")),
+        F.lit("__merged__"))
+    exact = (ev.groupBy(F.col("event_type").alias("scope"))
+             .agg(F.countDistinct("x").alias("n_exact"))
+             .unionByName(ev.agg(F.countDistinct("x").alias("n_exact"))
+                          .select(F.lit("__merged__").alias("scope"),
+                                  "n_exact")))
+    return (per_group.unionByName(merged)
+            .join(exact, "scope")
+            .select("scope", "n_registers", "rho_sum", "rho_dot",
+                    "n_exact"))
+
+
+_Q155_SQL = f"""
+WITH h0 AS (
+  SELECT event_type, event_id AS x, event_id % 2147483648 AS h
+  FROM events
+),
+h1 AS (SELECT event_type, x,
+              ((xor(h, h // 65536) % 2147483648) * 73244475)
+                % 2147483648 AS h FROM h0),
+h2 AS (SELECT event_type, x,
+              ((xor(h, h // 65536) % 2147483648) * 73244475)
+                % 2147483648 AS h FROM h1),
+h3 AS (SELECT event_type, x, xor(h, h // 65536) AS h FROM h2),
+r AS (
+  SELECT event_type, x, h % {PHLL_M} AS bucket,
+         CASE WHEN ((h // 256) % 16777216) = 0 THEN {PHLL_RHO_MAX}
+              ELSE CAST(round(log2(((h // 256) % 16777216)
+                                   & -((h // 256) % 16777216))) AS INT) + 1
+         END AS rho
+  FROM h3
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS rho
+  FROM r GROUP BY event_type, bucket
+),
+merged AS (SELECT bucket, max(rho) AS rho FROM regs GROUP BY bucket),
+summaries AS (
+  SELECT event_type AS scope,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(rho) AS BIGINT) AS rho_sum,
+         CAST(sum((bucket + 1) * rho) AS BIGINT) AS rho_dot
+  FROM regs GROUP BY event_type
+  UNION ALL
+  SELECT '__merged__',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(rho) AS BIGINT),
+         CAST(sum((bucket + 1) * rho) AS BIGINT)
+  FROM merged
+),
+exact AS (
+  SELECT event_type AS scope,
+         CAST(count(DISTINCT x) AS BIGINT) AS n_exact
+  FROM h0 GROUP BY event_type
+  UNION ALL
+  SELECT '__merged__', CAST(count(DISTINCT x) AS BIGINT) FROM h0
+)
+SELECT s.scope, s.n_registers, s.rho_sum, s.rho_dot, e.n_exact
+FROM summaries s JOIN exact e ON s.scope = e.scope
+"""
+
+
 def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-active week,
     counted in each later week they return, with the retention rate
@@ -767,4 +905,6 @@ QUERIES: dict[str, Query] = {
     "q95_quantile_sketch": Query(q95_quantile_sketch, _Q95_SQL),
     "q99_anomaly_zscore": Query(q99_anomaly_zscore, _Q99_SQL),
     "q105_histogram_drift": Query(q105_histogram_drift, _Q105_SQL),
+    "q155_portable_hll_registers": Query(q155_portable_hll_registers,
+                                         _Q155_SQL),
 }

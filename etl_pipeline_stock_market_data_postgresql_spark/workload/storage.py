@@ -1093,6 +1093,247 @@ FROM v3 GROUP BY event_type
 """
 
 
+def q153_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE ... TO VERSION`` — the rollback verb that
+    completes the store's command surface (time travel reads the past;
+    restore makes it CURRENT again after a bad deploy or a destructive
+    mistake, without losing the audit trail). The chain stages the
+    mistake: v1 ingests the base event window (id-range clustered),
+    v2 copy-on-write DELETEs a ``% 13`` slice, v3 appends a batch of
+    shifted-id rows — then ``versioned_store.restore`` rolls back to
+    v1 as v4, a PURE METADATA commit that re-references v1's immutable
+    segments by name: no data file is read, written, or moved.
+
+    The gated output is one row per version — row count and exact
+    id/value checksums joined to ``DESCRIBE HISTORY``'s operation
+    column — so a green row certifies (a) v4's content is EXACTLY v1's
+    (the rollback semantics), (b) the intermediate versions remain
+    time-travelable with their mutated contents (history preserved —
+    restore is a new commit, not an erasure), and (c) the restore
+    wrote ZERO data files (``n_new_files = 0`` in the manifest, the
+    metadata-only certificate; NULL-masked for the other ops whose
+    file counts are layout-dependent).
+
+    Scale shape: restore cost is O(#segments) manifest bytes
+    regardless of table size — rolling back a 100 TB table is one
+    small JSON write; the txn ledger carries FORWARD so exactly-once
+    streaming replay protection survives the rollback (pinned by the
+    invariant tests).
+
+    Reference parity: the reference's PostgreSQL tables have no
+    point-in-time recovery inside the application at all; this is
+    Delta's RESTORE rebuilt on immutable snapshots."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_restore")
+    fp = table_fingerprint(sf_dir, ("events",), params="q153_restore_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete(spark, root, F.col("event_id") % 13 == 0,
+                             stats_cols=("event_id",), txn="q153-delete")
+        fresh = base.filter(F.col("event_id") < 25).select(
+            (F.col("event_id") + mx + 1).alias("event_id"),
+            "user_id", "value_q")
+        vstore.commit_append(spark, root, fresh,
+                             stats_cols=("event_id",), txn="q153-append")
+        vstore.restore(spark, root, 1, txn="q153-restore")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    hist = (vstore.history(spark, root)
+            .select(F.col("version").cast("int").alias("version"), "op",
+                    F.when(F.col("op") == "restore", F.col("n_new_files"))
+                    .cast("int").alias("n_new_files")))
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "id_sum", "value_q_sum"))
+    summary = parts[0]
+    for p in parts[1:]:
+        summary = summary.unionByName(p)
+    return (summary.join(hist, "version")
+            .select("version", "op", "n_rows", "id_sum", "value_q_sum",
+                    "n_new_files"))
+
+
+_Q153_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) AS mx FROM base),
+v2 AS (SELECT * FROM base WHERE event_id % 13 <> 0),
+v3 AS (
+  SELECT * FROM v2
+  UNION ALL
+  SELECT event_id + (SELECT mx FROM bnd) + 1, user_id, value_q
+  FROM base WHERE event_id < 25
+)
+SELECT CAST(1 AS INT) AS version, 'append' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+       CAST(NULL AS INT) AS n_new_files
+FROM base
+UNION ALL
+SELECT 2, 'delete', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM v2
+UNION ALL
+SELECT 3, 'append', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM v3
+UNION ALL
+SELECT 4, 'restore', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(0 AS INT)
+FROM base
+"""
+
+
+def q154_versioned_optimize_zorder(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """``OPTIMIZE ... ZORDER BY (user_id, event_id)`` as a
+    snapshot-preserving maintenance commit — the layout verb that
+    makes the store's multi-column manifest pruning (q146) actually
+    FIRE on a table that was ingested in arrival order: v1 commits the
+    event window hash-scattered across 8 files (every file spans both
+    full domains, so min/max stats can prune nothing — the honest
+    state of any table clustered by ingest time), then
+    ``versioned_store.optimize_zorder`` rewrites the live snapshot
+    range-partitioned on the Morton interleave of (user_id, event_id)
+    as v2, under ``based_on`` snapshot validation (a maintenance pass
+    must never replace away rows it did not read).
+
+    Three probes run against BOTH versions through
+    ``read_version_pruned_multi`` — the full table, a 2-D window
+    (low-half users × low-quarter ids), and an id-only band — and the
+    gated output carries each probe's exact count/id/user/value
+    checksums per version. A green row is the content-invariance
+    certificate: OPTIMIZE changed the LAYOUT and nothing else (every
+    probe returns identical values before and after). The payoff —
+    v2 opens a fraction of the files v1 must — is pinned by the
+    invariant tests (file counts are layout facts, not query
+    results); the z-curve bounds EACH column's per-file span near
+    1/√files of its domain, which a single-column range sort cannot.
+
+    Scale shape: one min/max aggregate + one range shuffle of live
+    data (the price every OPTIMIZE pays, amortized over all future
+    pruned reads); old snapshots keep reading the old layout until
+    vacuum; commit metadata O(delta)."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    emax, umax = base.agg(F.max("event_id"), F.max("user_id")).first()
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_zorder")
+    fp = table_fingerprint(sf_dir, ("events",), params="q154_zorder_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root, base.repartition(8),
+                             stats_cols=("user_id", "event_id"))
+        vstore.optimize_zorder(spark, root, "user_id", "event_id",
+                               n_files=8, txn="q154-zorder")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    probes = {
+        1: {"user_id": (0, umax // 2), "event_id": (0, emax // 4)},
+        2: {"event_id": (emax // 8, emax // 4)},
+    }
+    parts = []
+    for v in (1, 2):
+        full = vstore.read_version(spark, root, v)
+        parts.append(
+            full.agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("event_id").alias("id_sum"),
+                     F.sum("user_id").alias("uid_sum"),
+                     F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    F.lit(0).cast("int").alias("probe"),
+                    "n_rows", "id_sum", "uid_sum", "value_q_sum"))
+        for probe, preds in probes.items():
+            df, _opened, _total = vstore.read_version_pruned_multi(
+                spark, root, v, preds)
+            precise = None
+            for col, (lo, hi) in preds.items():
+                c = (F.col(col) >= lo) & (F.col(col) <= hi)
+                precise = c if precise is None else (precise & c)
+            parts.append(
+                df.filter(precise)
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("event_id").alias("id_sum"),
+                     F.sum("user_id").alias("uid_sum"),
+                     F.sum("value_q").alias("value_q_sum"))
+                .select(F.lit(v).cast("int").alias("version"),
+                        F.lit(probe).cast("int").alias("probe"),
+                        "n_rows", "id_sum", "uid_sum", "value_q_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q154_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) AS emax, max(user_id) AS umax FROM base),
+probe AS (
+  SELECT 0 AS probe, * FROM base
+  UNION ALL
+  SELECT 1, * FROM base
+  WHERE user_id >= 0 AND user_id <= (SELECT umax // 2 FROM bnd)
+    AND event_id >= 0 AND event_id <= (SELECT emax // 4 FROM bnd)
+  UNION ALL
+  SELECT 2, * FROM base
+  WHERE event_id >= (SELECT emax // 8 FROM bnd)
+    AND event_id <= (SELECT emax // 4 FROM bnd)
+),
+agg AS (
+  SELECT probe,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(event_id) AS BIGINT) AS id_sum,
+         CAST(sum(user_id) AS BIGINT) AS uid_sum,
+         CAST(sum(value_q) AS BIGINT) AS value_q_sum
+  FROM probe GROUP BY probe
+)
+SELECT CAST(v.version AS INT) AS version, CAST(probe AS INT) AS probe,
+       n_rows, id_sum, uid_sum, value_q_sum
+FROM agg CROSS JOIN (SELECT 1 AS version UNION ALL SELECT 2) v
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1110,4 +1351,7 @@ QUERIES: dict[str, Query] = {
         q151_versioned_conditional_merge, _Q151_SQL),
     "q152_incremental_mv_from_cdf": Query(q152_incremental_mv_from_cdf,
                                           _Q152_SQL),
+    "q153_versioned_restore": Query(q153_versioned_restore, _Q153_SQL),
+    "q154_versioned_optimize_zorder": Query(q154_versioned_optimize_zorder,
+                                            _Q154_SQL),
 }

@@ -62,6 +62,8 @@ EVENT_QUERIES = [
     # r6 events-only additions
     "q95_quantile_sketch", "q99_anomaly_zscore", "q105_histogram_drift",
     "q108_twap",
+    # r13: portable HLL registers (events-only)
+    "q155_portable_hll_registers",
 ]
 
 

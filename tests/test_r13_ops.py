@@ -956,3 +956,220 @@ def test_two_level_pruning_skips_whole_segments_unread(
         spark, root, 4, "id", 1010, 1020)
     assert total2 == 7
     assert df2.filter("id >= 1010 AND id <= 1020").count() == 11
+
+
+# --- RESTORE (rollback to an earlier snapshot) -------------------------------
+
+@pytest.fixture()
+def restore_store(spark, tmp_path):
+    """v1 = ids [0,100) , v2 = delete multiples of 10, v3 = append
+    [200,220) — the chain q153 stages, in miniature."""
+    root = str(tmp_path / "restore_store")
+    vstore.commit_append(spark, root,
+                         _mk(spark, 0, 100, 1).repartition(4),
+                         stats_cols=("id",))
+    vstore.commit_delete(spark, root, F.col("id") % 10 == 0,
+                         stats_cols=("id",), txn="t-del")
+    vstore.commit_append(spark, root, _mk(spark, 200, 220, 2),
+                         stats_cols=("id",), txn=("app", 7))
+    return root
+
+
+def test_restore_rolls_back_content_and_preserves_history(
+        spark, restore_store):
+    root = restore_store
+    v1 = vstore.read_version(spark, root, 1)
+    newv = vstore.restore(spark, root, 1, txn="t-restore")
+    assert newv == 4
+    assert multiset_equal(vstore.read_version(spark, root, 4), v1)
+    # the mistake versions stay time-travelable (audit trail)
+    assert vstore.read_version(spark, root, 2).count() == 90
+    assert vstore.read_version(spark, root, 3).count() == 110
+    raw = vstore._read_manifest_raw(root, 4)
+    assert raw["op"] == "restore" and raw["restored_from"] == 1
+    assert raw["n_new_files"] == 0, "restore must write no data files"
+
+
+def test_restore_is_metadata_only_segment_reuse(spark, restore_store):
+    root = restore_store
+    seg_dir = os.path.join(root, "manifests", "segments")
+    before = set(os.listdir(os.path.join(root, "data")))
+    segs_before = set(os.listdir(seg_dir))
+    vstore.restore(spark, root, 1)
+    assert set(os.listdir(os.path.join(root, "data"))) == before
+    # a segmented target is re-referenced BY NAME — no new segment file
+    assert set(os.listdir(seg_dir)) == segs_before
+    raw4 = vstore._read_manifest_raw(root, 4)
+    raw1 = vstore._read_manifest_raw(root, 1)
+    assert ([vstore._seg_name(e) for e in raw4["segments"]]
+            == [vstore._seg_name(e) for e in raw1["segments"]])
+
+
+def test_restore_carries_txn_ledger_forward(spark, restore_store):
+    """Rolling back DATA must not roll back the exactly-once ledger:
+    a streaming batch committed before the restore still reads as
+    committed after, so its replay no-ops instead of double-applying."""
+    root = restore_store
+    vstore.restore(spark, root, 1)
+    assert vstore.txn_committed(root, "t-del")
+    assert vstore.txn_committed(root, ("app", 7))
+    # replaying the pre-restore append is a no-op
+    v = vstore.commit_append(spark, root, _mk(spark, 200, 220, 2),
+                             stats_cols=("id",), txn=("app", 7))
+    assert v == 4
+    assert vstore.read_version(spark, root, 4).count() == 100
+
+
+def test_restore_txn_idempotent_and_noop_to_latest(spark, restore_store):
+    root = restore_store
+    assert vstore.restore(spark, root, 1, txn="t-restore") == 4
+    assert vstore.restore(spark, root, 1, txn="t-restore") == 4
+    assert vstore.latest_version(root) == 4
+    # restoring to the current latest commits nothing
+    assert vstore.restore(spark, root, 4) == 4
+    assert vstore.latest_version(root) == 4
+
+
+def test_restore_validates_version_and_vacuum_horizon(
+        spark, restore_store):
+    root = restore_store
+    with pytest.raises(ValueError):
+        vstore.restore(spark, root, 9)
+    with pytest.raises(ValueError):
+        vstore.restore(spark, root, 0)
+    # vacuum away v1's files (keep only v3), then restore must refuse
+    # loudly at restore time, not at first read
+    vstore.vacuum(root, keep_versions=[3])
+    with pytest.raises(FileNotFoundError):
+        vstore.restore(spark, root, 1)
+
+
+def test_restored_version_survives_vacuum(spark, restore_store):
+    """The restore manifest REFERENCES v1's files, so a vacuum keeping
+    only the restored version must keep them."""
+    root = restore_store
+    vstore.restore(spark, root, 1)
+    vstore.vacuum(root, keep_versions=[4])
+    assert vstore.read_version(spark, root, 4).count() == 100
+
+
+def test_restore_conflict_loses_to_concurrent_commit(
+        spark, restore_store, monkeypatch):
+    """A commit landing between the restore's snapshot read and its
+    CAS must defeat it (whole-table-replace conflict rule)."""
+    root = restore_store
+    real = vstore._publish_cas
+
+    def interloper(r, version, body):
+        monkeypatch.setattr(vstore, "_publish_cas", real)
+        vstore.commit_append(spark, r, _mk(spark, 300, 310, 3),
+                             stats_cols=("id",))
+        return real(r, version, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", interloper)
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore.restore(spark, root, 1)
+    # the interloper's rows were not replaced away
+    assert vstore.read_version(
+        spark, root, vstore.latest_version(root)).filter(
+        "id >= 300").count() == 10
+
+
+# --- OPTIMIZE ZORDER on the versioned store ----------------------------------
+
+def test_optimize_zorder_improves_two_dim_pruning(spark, tmp_path):
+    """Hash-scattered ingest prunes nothing; after the z-order rewrite
+    a 2-D window opens a strict minority of files, content unchanged —
+    including for the OLD snapshot."""
+    root = str(tmp_path / "zorder_store")
+    base = (spark.range(0, 4096)
+            .select(F.col("id"),
+                    (F.col("id") % 64).alias("u"),
+                    (F.col("id") * 7).alias("x")))
+    vstore.commit_append(spark, root, base.repartition(8),
+                         stats_cols=("u", "id"))
+    newv = vstore.optimize_zorder(spark, root, "u", "id", n_files=8,
+                                  txn="opt-z")
+    assert newv == 2
+    preds = {"u": (0, 15), "id": (0, 1023)}
+    _, opened1, total1 = vstore.read_version_pruned_multi(
+        spark, root, 1, preds)
+    df2, opened2, total2 = vstore.read_version_pruned_multi(
+        spark, root, 2, preds)
+    assert total1 == 8 and opened1 == 8, "scattered layout cannot prune"
+    assert opened2 < opened1 / 2, \
+        f"z-order must prune the 2-D window (opened {opened2}/{total2})"
+    precise = "u <= 15 AND id <= 1023"
+    assert multiset_equal(
+        df2.filter(precise),
+        vstore.read_version(spark, root, 1).filter(precise))
+    # content invariance of the whole table + old snapshot intact
+    assert multiset_equal(vstore.read_version(spark, root, 2),
+                          vstore.read_version(spark, root, 1))
+    raw = vstore._read_manifest_raw(root, 2)
+    assert raw["op"] == "rewrite"
+
+
+def test_optimize_zorder_txn_idempotent(spark, tmp_path):
+    root = str(tmp_path / "zorder_idem")
+    vstore.commit_append(spark, root, _mk(spark, 0, 500, 1).repartition(4),
+                         stats_cols=("id", "x"))
+    v = vstore.optimize_zorder(spark, root, "id", "x", n_files=4,
+                               txn="opt-z")
+    assert v == 2
+    assert vstore.optimize_zorder(spark, root, "id", "x", n_files=4,
+                                  txn="opt-z") == 2
+    assert vstore.latest_version(root) == 2
+
+
+# --- portable HLL sketch (q155) ----------------------------------------------
+
+def test_phll_union_is_registerwise_max(spark):
+    """Sketch(A ∪ B) == max(Sketch(A), Sketch(B)) register by register
+    — the mergeability property that lets per-partition / per-day
+    sketches combine in O(m) with no rescan."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        phll_bucket_rho)
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("x"), (F.col("id") % 2).alias("half"))
+    bucket, rho = phll_bucket_rho(F.col("x"))
+    terms = df.select("half", bucket.alias("bucket"), rho.alias("rho"))
+    whole = {r["bucket"]: r["rho"] for r in
+             terms.groupBy("bucket").agg(F.max("rho").alias("rho"))
+             .collect()}
+    halves = (terms.groupBy("half", "bucket")
+              .agg(F.max("rho").alias("rho")).collect())
+    merged: dict[int, int] = {}
+    for r in halves:
+        merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["rho"])
+    assert merged == whole
+
+
+def test_phll_estimate_within_tolerance(spark):
+    """Harmonic-mean estimate from the registers lands within 3σ-ish
+    of the truth (σ = 1.04/√256 ≈ 6.5%) for sequential AND strided id
+    streams — the adversarial input for a weak hash (the raw LCG this
+    replaced erred 30%+ here)."""
+    import math
+
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        PHLL_M, phll_bucket_rho)
+
+    for n, stride in ((5000, 1), (20000, 1), (20000, 7)):
+        df = spark.range(0, n).select((F.col("id") * stride).alias("x"))
+        bucket, rho = phll_bucket_rho(F.col("x"))
+        regs = (df.select(bucket.alias("bucket"), rho.alias("rho"))
+                .groupBy("bucket").agg(F.max("rho").alias("rho"))
+                .collect())
+        by_bucket = {r["bucket"]: r["rho"] for r in regs}
+        m = PHLL_M
+        z = sum(2.0 ** -by_bucket.get(j, 0) for j in range(m))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / z
+        nz = len(by_bucket)
+        if est <= 2.5 * m and nz < m:  # linear-counting regime
+            est = m * math.log(m / (m - nz))
+        assert abs(est - n) / n <= 0.20, \
+            f"n={n} stride={stride}: estimate {est:.0f} off by " \
+            f"{abs(est - n) / n:.1%}"
