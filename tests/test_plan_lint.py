@@ -101,6 +101,15 @@ SINGLE_PARTITION_ALLOWED = {
                                        "(map-side partials only)",
     "q149_versioned_change_feed": "per-transition 1-row feed summaries "
                                   "(map-side partials only)",
+    "q153_versioned_restore": "per-version 1-row rollback-certificate "
+                              "summaries (map-side partials only)",
+    "q154_versioned_optimize_zorder": "per-(version, probe) 1-row "
+                                      "content-invariance summaries "
+                                      "(map-side partials only)",
+    "q155_portable_hll_registers": "ungrouped exact-distinct reference "
+                                   "agg + the 256-register merged-"
+                                   "sketch summary (map-side partials "
+                                   "/ m register rows only)",
 }
 
 
