@@ -382,6 +382,120 @@ FROM summaries s JOIN exact e ON s.scope = e.scope
 """
 
 
+#: KMV/theta sketch size: the K smallest distinct hash values
+KMV_K = 256
+
+
+def q156_portable_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE KMV (theta) sketch with SET ALGEBRA — the capability
+    HLL (q155) structurally lacks: a KMV sketch is the K smallest
+    distinct hash values of a set, and because it is a uniform SAMPLE
+    of the set (below the theta threshold), sketches support
+    INTERSECTION estimates — `|A∩B| ≈ (union samples in both) / K ×
+    |A∪B|_est` — which registers cannot (HLL union is exact-shape,
+    but intersection via inclusion-exclusion explodes the error).
+    That is how a 100 TB profiler answers "how many users did BOTH"
+    without a (key, set) shuffle.
+
+    Two planted overlapping views of the event stream (A = even ids,
+    B = ids divisible by 3, so A∩B = divisible-by-6) are sketched with
+    the same portable 31-bit avalanche as q155 — a PERMUTATION of
+    [0, 2^31), so distinct ids give distinct hashes and the K-smallest
+    set is tie-free and engine-deterministic. The gated output carries
+    per-scope (A, B, union) sketch state checksums — sample count,
+    K-th smallest hash (the theta threshold), exact hash sum — plus,
+    on the union row, how many union samples belong to both sets (the
+    intersection numerator). A green row certifies the distributed
+    sketch build AND the union-merge are bit-identical to the oracle's
+    sequential one; estimator accuracy lives in pytest.
+
+    Scale shape: each sketch is ``ORDER BY hash LIMIT K`` —
+    TakeOrderedAndProject, i.e. per-partition top-K heaps merged on
+    the driver, never a global sort; the union sketch merges the two
+    K-row samples (2K rows), never the sets."""
+    ev = (load(spark, sf_dir, "events")
+          .select(F.col("event_id").alias("x")).distinct())
+    h = _phll_mix31(F.col("x"))
+    flagged = ev.select(h.alias("h"),
+                        (F.col("x") % 2 == 0).alias("in_a"),
+                        (F.col("x") % 3 == 0).alias("in_b"))
+
+    def kmv(df):
+        return df.orderBy("h").limit(KMV_K)
+
+    a = kmv(flagged.filter("in_a"))
+    b = kmv(flagged.filter("in_b"))
+    un = kmv(flagged.filter("in_a OR in_b"))
+
+    def summarize(df, scope, with_both):
+        agg = [F.count(F.lit(1)).alias("n_kmv"),
+               F.max("h").alias("kth_hash"),
+               F.sum("h").alias("hash_sum"),
+               (F.sum(F.when(F.col("in_a") & F.col("in_b"), 1)
+                      .otherwise(0)) if with_both
+                else F.lit(None).cast("long")).alias("n_in_both")]
+        return df.agg(*agg).select(F.lit(scope).alias("scope"), "n_kmv",
+                                   "kth_hash", "hash_sum", "n_in_both")
+
+    exact = flagged.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("A"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).alias("B"),
+        F.sum(F.when(F.col("in_a") | F.col("in_b"), 1)
+              .otherwise(0)).alias("union"))
+    exact_long = (exact.selectExpr(
+        "stack(3, 'A', A, 'B', B, 'union', union) as (scope, n_exact)")
+        .select("scope", F.col("n_exact").cast("long").alias("n_exact")))
+    out = (summarize(a, "A", False)
+           .unionByName(summarize(b, "B", False))
+           .unionByName(summarize(un, "union", True)))
+    return out.join(exact_long, "scope")
+
+
+_Q156_SQL = f"""
+WITH ids AS (SELECT DISTINCT event_id AS x FROM events),
+h0 AS (SELECT x, x % 2147483648 AS h FROM ids),
+h1 AS (SELECT x, ((xor(h, h // 65536) % 2147483648) * 73244475)
+                   % 2147483648 AS h FROM h0),
+h2 AS (SELECT x, ((xor(h, h // 65536) % 2147483648) * 73244475)
+                   % 2147483648 AS h FROM h1),
+flagged AS (
+  SELECT xor(h, h // 65536) AS h, x % 2 = 0 AS in_a, x % 3 = 0 AS in_b
+  FROM h2
+),
+a_kmv AS (SELECT * FROM flagged WHERE in_a ORDER BY h LIMIT {KMV_K}),
+b_kmv AS (SELECT * FROM flagged WHERE in_b ORDER BY h LIMIT {KMV_K}),
+u_kmv AS (SELECT * FROM flagged WHERE in_a OR in_b
+          ORDER BY h LIMIT {KMV_K}),
+summaries AS (
+  SELECT 'A' AS scope, CAST(count(*) AS BIGINT) AS n_kmv,
+         CAST(max(h) AS BIGINT) AS kth_hash,
+         CAST(sum(h) AS BIGINT) AS hash_sum,
+         CAST(NULL AS BIGINT) AS n_in_both
+  FROM a_kmv
+  UNION ALL
+  SELECT 'B', CAST(count(*) AS BIGINT), CAST(max(h) AS BIGINT),
+         CAST(sum(h) AS BIGINT), CAST(NULL AS BIGINT)
+  FROM b_kmv
+  UNION ALL
+  SELECT 'union', CAST(count(*) AS BIGINT), CAST(max(h) AS BIGINT),
+         CAST(sum(h) AS BIGINT),
+         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+  FROM u_kmv
+),
+exact AS (
+  SELECT 'A' AS scope, CAST(count(*) AS BIGINT) AS n_exact
+  FROM flagged WHERE in_a
+  UNION ALL
+  SELECT 'B', CAST(count(*) AS BIGINT) FROM flagged WHERE in_b
+  UNION ALL
+  SELECT 'union', CAST(count(*) AS BIGINT)
+  FROM flagged WHERE in_a OR in_b
+)
+SELECT s.scope, s.n_kmv, s.kth_hash, s.hash_sum, s.n_in_both, e.n_exact
+FROM summaries s JOIN exact e ON s.scope = e.scope
+"""
+
+
 def q85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-active week,
     counted in each later week they return, with the retention rate
@@ -907,4 +1021,5 @@ QUERIES: dict[str, Query] = {
     "q105_histogram_drift": Query(q105_histogram_drift, _Q105_SQL),
     "q155_portable_hll_registers": Query(q155_portable_hll_registers,
                                          _Q155_SQL),
+    "q156_portable_kmv_theta": Query(q156_portable_kmv_theta, _Q156_SQL),
 }

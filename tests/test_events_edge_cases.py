@@ -62,8 +62,9 @@ EVENT_QUERIES = [
     # r6 events-only additions
     "q95_quantile_sketch", "q99_anomaly_zscore", "q105_histogram_drift",
     "q108_twap",
-    # r13: portable HLL registers (events-only)
+    # r13: portable sketches (events-only)
     "q155_portable_hll_registers",
+    "q156_portable_kmv_theta",
 ]
 
 

@@ -110,6 +110,11 @@ SINGLE_PARTITION_ALLOWED = {
                                    "agg + the 256-register merged-"
                                    "sketch summary (map-side partials "
                                    "/ m register rows only)",
+    "q156_portable_kmv_theta": "ungrouped exact-set reference agg + "
+                               "K-row sketch summaries (map-side "
+                               "partials / <=K rows only; the sketch "
+                               "builds themselves are "
+                               "TakeOrderedAndProject)",
 }
 
 

@@ -1173,3 +1173,44 @@ def test_phll_estimate_within_tolerance(spark):
         assert abs(est - n) / n <= 0.20, \
             f"n={n} stride={stride}: estimate {est:.0f} off by " \
             f"{abs(est - n) / n:.1%}"
+
+
+# --- portable KMV/theta sketch (q156) ----------------------------------------
+
+def test_kmv_union_merges_from_samples(spark):
+    """KMV(A ∪ B) == K-smallest of (samples(A) ∪ samples(B)) — the
+    merge never needs the sets, only the two K-row sketches."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        KMV_K, _phll_mix31)
+
+    a = spark.range(0, 30000, 2).select(_phll_mix31(F.col("id")).alias("h"))
+    b = spark.range(0, 30000, 3).select(_phll_mix31(F.col("id")).alias("h"))
+    ka = [r.h for r in a.orderBy("h").limit(KMV_K).collect()]
+    kb = [r.h for r in b.orderBy("h").limit(KMV_K).collect()]
+    ku = [r.h for r in a.union(b).distinct()
+          .orderBy("h").limit(KMV_K).collect()]
+    assert sorted(set(ka) | set(kb))[:KMV_K] == ku
+
+
+def test_kmv_theta_estimates_within_tolerance(spark):
+    """Distinct-count and INTERSECTION estimates from the sketch land
+    within ~3σ (σ ≈ 1/√K ≈ 6.2% for K=256; the intersection inherits
+    extra sampling noise from the numerator)."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        KMV_K, _phll_mix31)
+
+    n = 60000
+    df = (spark.range(0, n)
+          .select(_phll_mix31(F.col("id")).alias("h"),
+                  (F.col("id") % 2 == 0).alias("in_a"),
+                  (F.col("id") % 3 == 0).alias("in_b")))
+    u = df.filter("in_a OR in_b").orderBy("h").limit(KMV_K).collect()
+    theta = max(r.h for r in u) / 2147483648.0
+    est_union = (KMV_K - 1) / theta
+    exact_union = n // 2 + n // 3 + 1 - n // 6  # +1: id 0 in both
+    assert abs(est_union - exact_union) / exact_union <= 0.20
+    n_both = sum(1 for r in u if r.in_a and r.in_b)
+    est_inter = n_both / KMV_K * est_union
+    exact_inter = n // 6 + 1
+    assert abs(est_inter - exact_inter) / exact_inter <= 0.30, \
+        f"intersection estimate {est_inter:.0f} vs {exact_inter}"
