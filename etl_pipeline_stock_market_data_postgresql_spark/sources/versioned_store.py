@@ -1264,6 +1264,28 @@ def compact_latest(spark: SparkSession, root: str, target_bytes: int,
     return len(files), len(read_manifest(root, newv)["files"])
 
 
+def expire_snapshots(root: str, keep_last: int) -> tuple[list[int], list[str]]:
+    """Retention policy + vacuum in one call — Iceberg's
+    ``expireSnapshots(retainLast=N)``: keep the newest ``keep_last``
+    versions, delete every data file only they no longer reference,
+    and return ``(kept_versions, deleted_files)``. The manifests of
+    expired versions are retained as audit metadata (they are tiny;
+    a deployment that must drop them too can unlink them after this
+    returns — reads of an expired version then fail at manifest
+    resolution instead of at first missing file). The caller owns the
+    WINDOW choice: expiring a version a concurrent reader still holds
+    breaks snapshot isolation, which is the reason retention windows
+    exist at all; and :func:`restore` refuses targets whose files this
+    expired (checked at restore time)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = latest_version(root)
+    if latest is None:
+        return [], []
+    kept = list(range(max(1, latest - keep_last + 1), latest + 1))
+    return kept, vacuum(root, keep_versions=kept)
+
+
 def vacuum(root: str, keep_versions: list[int]) -> list[str]:
     """Delete every data file not referenced by any KEPT manifest
     (including orphans from crashed commits that never published a

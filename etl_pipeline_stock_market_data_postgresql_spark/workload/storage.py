@@ -1334,6 +1334,116 @@ FROM agg CROSS JOIN (SELECT 1 AS version UNION ALL SELECT 2) v
 """
 
 
+def q157_versioned_sketch_maintenance(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """INCREMENTAL SKETCH MAINTENANCE in the versioned store — the two
+    r13 themes composed: a 100 TB profiler cannot re-scan the corpus
+    per refresh to answer "how many distinct ids so far", so it
+    persists the portable HLL registers (q155) as a 256-row store
+    table and MERGES each ingest batch's registers into it —
+    register-wise max, the union operation q155 certifies — under a
+    txn-keyed rewrite (the table is m rows whatever the corpus size,
+    so the rewrite IS the delta; a replayed batch no-ops on the
+    ledger).
+
+    The chain ingests the event window in three id-range batches; each
+    version holds the registers of the PREFIX seen so far. The gated
+    output is each version's register checksums, and the oracle
+    recomputes each prefix's registers FROM SCRATCH — so a green row
+    is the incremental ≡ full-recompute certificate at every step
+    (q152's MV loop, for sketch state). Estimator accuracy is q155's
+    pytest concern; exactly-once replay and the snapshot history are
+    pinned by the invariant tests.
+
+    Scale shape: refresh cost = one shuffle of the BATCH's
+    partial-aggregated registers + an m-row read-merge-rewrite; the
+    already-profiled corpus is never re-read, and time travel gives
+    the profile as-of any ingest point for free."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+    from .events_analytics import phll_bucket_rho
+
+    base = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("x"))
+    mx, = base.agg(F.max("x")).first()
+    b1, b2 = mx // 3, (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_hll_store")
+    fp = table_fingerprint(sf_dir, ("events",), params="q157_sketch_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        bucket, rho = phll_bucket_rho(F.col("x"))
+        bounds = [(0, b1), (b1 + 1, b2), (b2 + 1, mx)]
+        for i, (lo, hi) in enumerate(bounds):
+            batch_regs = (base.filter((F.col("x") >= lo)
+                                      & (F.col("x") <= hi))
+                          .select(bucket.alias("bucket"), rho.alias("rho"))
+                          .groupBy("bucket").agg(F.max("rho").alias("rho")))
+            prev = vstore.latest_version(root)
+            if prev is not None:
+                merged = (vstore.read_version(spark, root, prev)
+                          .unionByName(batch_regs)
+                          .groupBy("bucket").agg(F.max("rho").alias("rho")))
+            else:
+                merged = batch_regs
+            vstore.commit_rewrite(spark, root, merged.coalesce(1),
+                                  stats_cols=("bucket",),
+                                  txn=("q157-ingest", i),
+                                  based_on=prev)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_registers"),
+                 F.sum("rho").alias("rho_sum"),
+                 F.sum((F.col("bucket") + 1) * F.col("rho"))
+                 .alias("rho_dot"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_registers", "rho_sum", "rho_dot"))
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def _q157_sql() -> str:
+    prefix = """
+  SELECT event_id % 2147483648 AS h FROM events WHERE event_id <= {hi}
+"""
+    regs = """
+h1_{v} AS (SELECT ((xor(h, h // 65536) % 2147483648) * 73244475)
+                    % 2147483648 AS h FROM h0_{v}),
+h2_{v} AS (SELECT ((xor(h, h // 65536) % 2147483648) * 73244475)
+                    % 2147483648 AS h FROM h1_{v}),
+h3_{v} AS (SELECT xor(h, h // 65536) AS h FROM h2_{v}),
+regs_{v} AS (
+  SELECT h % 256 AS bucket,
+         max(CASE WHEN ((h // 256) % 16777216) = 0 THEN 25
+                  ELSE CAST(round(log2(((h // 256) % 16777216)
+                                 & -((h // 256) % 16777216))) AS INT) + 1
+             END) AS rho
+  FROM h3_{v} GROUP BY bucket
+)"""
+    out = """
+SELECT CAST({v} AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_registers,
+       CAST(sum(rho) AS BIGINT) AS rho_sum,
+       CAST(sum((bucket + 1) * rho) AS BIGINT) AS rho_dot
+FROM regs_{v}"""
+    bounds = {1: "(SELECT mx // 3 FROM bnd)",
+              2: "(SELECT 2 * mx // 3 FROM bnd)",
+              3: "(SELECT mx FROM bnd)"}
+    ctes = ",\n".join(
+        f"h0_{v} AS ({prefix.format(hi=hi)}),{regs.format(v=v)}"
+        for v, hi in bounds.items())
+    body = "\nUNION ALL".join(out.format(v=v) for v in bounds)
+    return (f"WITH bnd AS (SELECT max(event_id) AS mx FROM events),\n"
+            f"{ctes}\n{body}")
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1354,4 +1464,6 @@ QUERIES: dict[str, Query] = {
     "q153_versioned_restore": Query(q153_versioned_restore, _Q153_SQL),
     "q154_versioned_optimize_zorder": Query(q154_versioned_optimize_zorder,
                                             _Q154_SQL),
+    "q157_versioned_sketch_maintenance": Query(
+        q157_versioned_sketch_maintenance, _q157_sql()),
 }

@@ -115,6 +115,10 @@ SINGLE_PARTITION_ALLOWED = {
                                "partials / <=K rows only; the sketch "
                                "builds themselves are "
                                "TakeOrderedAndProject)",
+    "q157_versioned_sketch_maintenance": "per-version 1-row register "
+                                         "checksums over the m=256-row "
+                                         "profile table (map-side "
+                                         "partials only)",
 }
 
 

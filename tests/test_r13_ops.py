@@ -1214,3 +1214,64 @@ def test_kmv_theta_estimates_within_tolerance(spark):
     exact_inter = n // 6 + 1
     assert abs(est_inter - exact_inter) / exact_inter <= 0.30, \
         f"intersection estimate {est_inter:.0f} vs {exact_inter}"
+
+
+# --- retention policy (expire_snapshots) --------------------------------------
+
+def test_expire_snapshots_keeps_last_n(spark, tmp_path):
+    root = str(tmp_path / "retain")
+    for i in range(5):
+        vstore.commit_rewrite(spark, root,
+                              _mk(spark, i * 10, i * 10 + 10, i).coalesce(1))
+    kept, deleted = vstore.expire_snapshots(root, keep_last=2)
+    assert kept == [4, 5]
+    assert deleted, "superseded rewrite files must be reclaimed"
+    # retained snapshots read; expired ones fail on missing files
+    assert vstore.read_version(spark, root, 5).count() == 10
+    assert vstore.read_version(spark, root, 4).count() == 10
+    with pytest.raises(Exception):
+        vstore.read_version(spark, root, 1).count()
+    with pytest.raises(ValueError):
+        vstore.expire_snapshots(root, keep_last=0)
+    assert vstore.expire_snapshots(str(tmp_path / "nothere"), 3) == ([], [])
+
+
+# --- incremental sketch maintenance in the store (q157) -----------------------
+
+def test_sketch_store_incremental_equals_full(spark, tmp_path):
+    """Register-merge maintenance == full recompute at every version;
+    a replayed ingest batch no-ops on the ledger; the profile table
+    never exceeds m rows."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.events_analytics import (
+        PHLL_M, phll_bucket_rho)
+
+    root = str(tmp_path / "sketch_store")
+    bucket, rho = phll_bucket_rho(F.col("id"))
+    bounds = [(0, 3000), (3000, 6000), (6000, 9000)]
+    for i, (lo, hi) in enumerate(bounds):
+        batch = (spark.range(lo, hi)
+                 .select(bucket.alias("bucket"), rho.alias("rho"))
+                 .groupBy("bucket").agg(F.max("rho").alias("rho")))
+        prev = vstore.latest_version(root)
+        merged = batch if prev is None else (
+            vstore.read_version(spark, root, prev).unionByName(batch)
+            .groupBy("bucket").agg(F.max("rho").alias("rho")))
+        vstore.commit_rewrite(spark, root, merged.coalesce(1),
+                              stats_cols=("bucket",),
+                              txn=("ingest", i), based_on=prev)
+    # replay no-ops
+    assert vstore.commit_rewrite(
+        spark, root, spark.range(1).select(
+            F.lit(0).alias("bucket"), F.lit(99).alias("rho")),
+        txn=("ingest", 1)) == 3
+    assert vstore.latest_version(root) == 3
+    for v, hi in ((1, 3000), (2, 6000), (3, 9000)):
+        stored = {r.bucket: r.rho for r in
+                  vstore.read_version(spark, root, v).collect()}
+        assert len(stored) <= PHLL_M
+        full = {r.bucket: r.rho for r in
+                spark.range(0, hi)
+                .select(bucket.alias("bucket"), rho.alias("rho"))
+                .groupBy("bucket").agg(F.max("rho").alias("rho"))
+                .collect()}
+        assert stored == full, f"v{v}: incremental != full recompute"
