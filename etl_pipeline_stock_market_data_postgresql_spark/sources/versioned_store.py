@@ -167,24 +167,37 @@ def _seg_name(entry) -> str:
 
 def _seg_ref(name: str, files: list[str], stats: dict) -> dict:
     """Build a segment reference entry: the segment's file count and
-    its per-column [min, max] SUMMARY — present only for columns every
-    member file has stats for (a single stats-less file makes the
-    column unprunable at segment level, conservatively)."""
+    its per-column SUMMARY — [min, max] for range stats, present only
+    for columns every member file has stats for (a single stats-less
+    file makes the column unprunable at segment level, conservatively).
+    Bloom MARKER entries (``bloom:<col>`` → ``[bits, k]``; the bitsets
+    themselves live in per-file sidecars) propagate only when every
+    member carries an identical-geometry marker — the summary then
+    means "this whole segment is bloom-indexed on <col>"."""
     summary: dict = {}
     if files:
         per_col: dict = {}
-        complete = set()
+        bad: set = set()
+        complete: set = set()
         first = True
         for f in files:
             fs = stats.get(f, {})
             cols = set(fs)
             complete = cols if first else (complete & cols)
             first = False
-            for c, (lo, hi) in fs.items():
+            for c, v in fs.items():
                 cur = per_col.get(c)
-                per_col[c] = ([lo, hi] if cur is None
-                              else [min(cur[0], lo), max(cur[1], hi)])
-        summary = {c: per_col[c] for c in complete}
+                if c.startswith(_BLOOM_PREFIX):
+                    if cur is None:
+                        per_col[c] = list(v)
+                    elif cur != list(v):  # mixed geometry: no marker
+                        bad.add(c)
+                else:
+                    lo, hi = v
+                    per_col[c] = ([lo, hi] if cur is None
+                                  else [min(cur[0], lo), max(cur[1], hi)])
+        summary = {c: per_col[c]
+                   for c in complete - bad if c in per_col}
     return {"name": name, "n": len(files), "stats": summary}
 
 
@@ -309,6 +322,115 @@ def _version_reader(spark: SparkSession, man: dict):
     if man.get("schema") is not None:
         reader = reader.schema(StructType.fromJson(man["schema"]))
     return reader
+
+
+#: stats-dict key prefix for bloom MARKERS: ``bloom:<col>`` →
+#: ``[bits, k]``. The bitsets themselves live in per-file SIDECAR
+#: files (``data/<file>.bloom``) — Delta's bloom filter index /
+#: Iceberg's puffin blobs: a bloom sized for real files (~10 bits per
+#: row) would bloat the manifest from kilobytes to megabytes, so the
+#: manifest records only that (and how) a file is indexed, and the
+#: probe reads sidecars for the already-range-pruned candidate set.
+#: Range predicates never look marker keys up (preds are plain column
+#: names), so markers coexist with [min, max] entries in one dict.
+_BLOOM_PREFIX = "bloom:"
+_BLOOM_K = 4
+_BLOOM_SIDECAR = ".bloom"
+
+
+def _bloom_hashes(vals):
+    """(h1, h2) arrays for double hashing — the same portable 31-bit
+    xorshift-multiply avalanche the workload sketches use (numpy
+    int64; every intermediate < 2^58, no overflow)."""
+    import numpy as np
+
+    def mix31(x):
+        h = x % 2147483648
+        h = ((h ^ (h >> 16)) % 2147483648) * 73244475 % 2147483648
+        h = ((h ^ (h >> 16)) % 2147483648) * 73244475 % 2147483648
+        return h ^ (h >> 16)
+
+    v = np.asarray(vals, dtype=np.int64)
+    h1 = mix31(v)
+    h2 = mix31(v ^ np.int64(0x5BF03635)) | 1  # odd => full-cycle step
+    return h1, h2
+
+
+def _bloom_build(vals, bits: int, k: int = _BLOOM_K) -> list[int]:
+    """Bloom bitset over integer values, as 64-bit words (JSON ints).
+    ~1% false positives at bits ≈ 10·n with k=4; callers size bits to
+    their per-file row count."""
+    import numpy as np
+
+    h1, h2 = _bloom_hashes(vals)
+    words = np.zeros(bits // 64, dtype=np.uint64)
+    for j in range(k):
+        idx = (h1 + j * h2) % bits
+        np.bitwise_or.at(words, (idx // 64).astype(np.int64),
+                         np.uint64(1) << (idx % 64).astype(np.uint64))
+    return [int(w) for w in words]
+
+
+def _bloom_maybe_contains(words: list[int], value: int,
+                          k: int = _BLOOM_K) -> bool:
+    """False => the value is DEFINITELY absent from the file/segment;
+    True => it might be present (open and check)."""
+    bits = len(words) * 64
+    h1, h2 = _bloom_hashes([value])
+    h1, h2 = int(h1[0]), int(h2[0])
+    for j in range(k):
+        idx = (h1 + j * h2) % bits
+        if not (words[idx // 64] >> (idx % 64)) & 1:
+            return False
+    return True
+
+
+def _write_file_bloom(path: str, cols: tuple[str, ...]) -> dict:
+    """Build per-column blooms for one data file, write them as the
+    file's SIDECAR (``<path>.bloom``, atomic tmp+rename), and return
+    the marker entries (``bloom:<col>`` → ``[bits, k]``) to record in
+    the manifest stats. Unlike :func:`_file_stats` this reads the
+    COLUMN data (blooms summarize membership, not ranges); at true
+    scale the write task computes it while the rows stream through it
+    (Delta builds its bloom index files in the writer) — the
+    driver-side read here is the local-mode stand-in, same contract as
+    the footer-stats pass. Bits auto-size to ~10 per row (next power
+    of two, min 1024), the standard ~1%-FP geometry. Non-integer
+    columns are skipped (this index targets point-lookup keys)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    markers: dict = {}
+    blooms: dict = {}
+    table = pq.read_table(path, columns=[c for c in cols])
+    for c in cols:
+        col = table.column(c)
+        if not str(col.type) in ("int8", "int16", "int32", "int64"):
+            continue
+        # drop NULLs BEFORE to_numpy (nulls would coerce ints to float
+        # NaN); a NULL key can never equal a lookup value, so an
+        # all-null file legitimately blooms empty and gets skipped
+        vals = col.drop_null().to_numpy(zero_copy_only=False)
+        bits = 1024
+        while bits < 10 * max(len(vals), 1):
+            bits *= 2
+        blooms[c] = {"bits": bits, "k": _BLOOM_K,
+                     "words": _bloom_build(vals, bits=bits)}
+        markers[_BLOOM_PREFIX + c] = [bits, _BLOOM_K]
+    if blooms:
+        tmp = path + _BLOOM_SIDECAR + ".tmp"
+        with open(tmp, "w", encoding="ascii") as f:
+            json.dump(blooms, f)
+        os.replace(tmp, path + _BLOOM_SIDECAR)
+    return markers
+
+
+def _read_file_bloom(path: str) -> dict:
+    import json
+
+    with open(path + _BLOOM_SIDECAR, encoding="ascii") as f:
+        return json.load(f)
 
 
 def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
@@ -543,7 +665,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             txn: str | tuple[str, int] | None = None,
             allow_evolution: bool = False,
             op: str = "append",
-            based_on: int | None = None) -> int:
+            based_on: int | None = None,
+            bloom_cols: tuple[str, ...] = ()) -> int:
     """Write ``df``'s part files into the data dir, then CAS-publish a
     new manifest referencing them plus the carried files (by name —
     their bytes are never touched). ``carry`` is ``"prev"`` (carry the
@@ -597,6 +720,7 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         spark.createDataFrame([], df.schema).write.parquet(tmp)
         parts = sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
     cols = tuple(c for c in stats_cols if c in df.columns)
+    bcols = tuple(c for c in bloom_cols if c in df.columns)
 
     placed: list[str] = []
     placed_version: int | None = None
@@ -618,19 +742,25 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                 os.replace(os.path.join(tmp, f),
                            os.path.join(root, _DATA, name))
             shutil.rmtree(tmp, ignore_errors=True)
-            if cols and new:
-                # footer-only metadata reads, parallelized (pyarrow
-                # releases the GIL on I/O) so a many-file commit
-                # doesn't serialize planning metadata on one driver
-                # thread; at true scale the write TASKS report these
-                # stats back (Iceberg writer metrics) and the driver
-                # only merges them
+            if (cols or bcols) and new:
+                # footer-only metadata reads (plus the bloom columns'
+                # data pages when bloom_cols is set), parallelized
+                # (pyarrow releases the GIL on I/O) so a many-file
+                # commit doesn't serialize planning metadata on one
+                # driver thread; at true scale the write TASKS report
+                # these stats back (Iceberg writer metrics / Delta
+                # bloom index files) and the driver only merges them
                 from concurrent.futures import ThreadPoolExecutor
 
+                def _meta(n: str) -> dict:
+                    p = os.path.join(root, _DATA, n)
+                    out = _file_stats(p, cols) if cols else {}
+                    if bcols:
+                        out.update(_write_file_bloom(p, bcols))
+                    return out
+
                 with ThreadPoolExecutor(max_workers=min(16, len(new))) as ex:
-                    new_stats = dict(zip(new, ex.map(
-                        lambda n: _file_stats(
-                            os.path.join(root, _DATA, n), cols), new)))
+                    new_stats = dict(zip(new, ex.map(_meta, new)))
         elif placed_version != version:
             # lost a CAS: re-home the staged files under the new version
             # prefix (pure renames, no data movement)
@@ -638,6 +768,10 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             for old, name in zip(placed, new):
                 os.replace(os.path.join(root, _DATA, old),
                            os.path.join(root, _DATA, name))
+                old_bloom = os.path.join(root, _DATA, old + _BLOOM_SIDECAR)
+                if os.path.exists(old_bloom):  # sidecar follows its file
+                    os.replace(old_bloom, os.path.join(
+                        root, _DATA, name + _BLOOM_SIDECAR))
                 if old in new_stats:
                     renamed_stats[name] = new_stats[old]
             new_stats = renamed_stats
@@ -730,10 +864,76 @@ def read_version_pruned(spark: SparkSession, root: str, version: int,
                                      {col: (lo, hi)})
 
 
+def read_version_point_lookup(
+        spark: SparkSession, root: str, version: int,
+        col: str, value: int) -> tuple[DataFrame, int, int]:
+    """POINT-LOOKUP file skipping via per-file bloom filters — the
+    pruning min/max stats structurally cannot give: a key column that
+    is hash- or arrival-scattered leaves every file's [min, max]
+    spanning the whole domain (range pruning opens everything), but a
+    per-file bloom answers "might THIS file contain THIS key" —
+    Delta's bloom filter index / Iceberg's puffin blobs. Returns
+    ``(df, n_opened, n_total)``; the caller applies the precise
+    ``col = value`` filter to the returned frame.
+
+    Plan shape: range-prune FIRST through the manifest stats (free,
+    and decisive on clustered stores), then probe the SIDECAR blooms
+    of only the surviving candidates whose stats carry a bloom marker
+    — planning I/O is O(range-surviving candidates) small sidecar
+    reads, exactly what Delta's index pays, and nothing at all for
+    stores that never opted in. A file lacking a marker (pre-bloom
+    commits, copy-on-write victim rewrites) is conservatively opened —
+    absence can never drop a row, only forgo the skip; a bloom false
+    positive only ever OPENS an extra file, the precise filter keeps
+    the answer exact."""
+    raw = _read_manifest_raw(root, version)
+    key = _BLOOM_PREFIX + col
+
+    if "segments" in raw:
+        cand: list[str] = []
+        stats: dict = {}
+        n_total = 0
+        for entry in raw["segments"]:
+            if isinstance(entry, dict):
+                s = entry["stats"].get(col)
+                if s is not None and not (s[0] <= value <= s[1]):
+                    n_total += entry["n"]  # range-skipped unread
+                    continue
+            sd = _read_segment(root, _seg_name(entry))
+            n_total += len(sd["files"])
+            cand += sd["files"]
+            stats.update(sd["stats"])
+    else:
+        cand = list(raw["files"])
+        stats = raw.get("stats", {})
+        n_total = len(cand)
+
+    keep: list[str] = []
+    for f in cand:
+        fs = stats.get(f, {})
+        rng = fs.get(col)
+        if rng is not None and not (rng[0] <= value <= rng[1]):
+            continue  # range stats already exclude it
+        marker = fs.get(key)
+        if marker is not None:
+            bl = _read_file_bloom(os.path.join(root, _DATA, f)).get(col)
+            if bl is not None and not _bloom_maybe_contains(
+                    bl["words"], value, k=bl["k"]):
+                continue  # definitely absent
+        keep.append(f)
+    if not keep:
+        return (read_version(spark, root, version).limit(0),
+                0, n_total)
+    df = _version_reader(spark, raw).parquet(
+        *[os.path.join(root, _DATA, f) for f in keep])
+    return df, len(keep), n_total
+
+
 def commit_append(spark: SparkSession, root: str, df: DataFrame,
                   stats_cols: tuple[str, ...] = ("id",),
                   txn: str | tuple[str, int] | None = None,
-                  allow_evolution: bool = False) -> int:
+                  allow_evolution: bool = False,
+                  bloom_cols: tuple[str, ...] = ()) -> int:
     """New version = previous files + df's files (incremental ingest).
     Footer min/max stats for ``stats_cols`` (those present) are
     recorded per file for :func:`read_version_pruned`. With ``txn``
@@ -749,13 +949,15 @@ def commit_append(spark: SparkSession, root: str, df: DataFrame,
         return latest_version(root)  # type: ignore[return-value]
     return _commit(spark, root, df, carry="prev",
                    stats_cols=stats_cols, txn=txn,
-                   allow_evolution=allow_evolution, op="append")
+                   allow_evolution=allow_evolution, op="append",
+                   bloom_cols=bloom_cols)
 
 
 def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
                    stats_cols: tuple[str, ...] = ("id",),
                    txn: str | tuple[str, int] | None = None,
-                   based_on: int | None = None) -> int:
+                   based_on: int | None = None,
+                   bloom_cols: tuple[str, ...] = ()) -> int:
     """New version = ONLY df's files (compaction / full replace). The
     superseded files stay on disk — every retained older snapshot keeps
     reading them — until :func:`vacuum`. Pass ``based_on`` (the
@@ -769,7 +971,7 @@ def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
         return latest_version(root)  # type: ignore[return-value]
     return _commit(spark, root, df, carry=None,
                    stats_cols=stats_cols, txn=txn, op="rewrite",
-                   based_on=based_on)
+                   based_on=based_on, bloom_cols=bloom_cols)
 
 
 def commit_delete(spark: SparkSession, root: str, condition,
@@ -1331,6 +1533,16 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
                 continue  # possibly an in-flight commit: leave it
         os.remove(os.path.join(data, f))
         removed.append(f)
+        side = os.path.join(data, f + _BLOOM_SIDECAR)
+        if os.path.exists(side):  # the bloom sidecar follows its file
+            os.remove(side)
+    # sidecar debris: a .bloom whose data file is gone (deleted by an
+    # older vacuum, or staged by a crashed pre-sidecar-rename commit)
+    for f in sorted(os.listdir(data)):
+        if (f.endswith(_BLOOM_SIDECAR)
+                and not os.path.exists(
+                    os.path.join(data, f[:-len(_BLOOM_SIDECAR)]))):
+            os.remove(os.path.join(data, f))
     # manifest-segment debris: a segment referenced by NO manifest at
     # all is a lost-CAS or crashed commit's metadata orphan — same
     # dead-writer rule as data files (segments referenced by retained

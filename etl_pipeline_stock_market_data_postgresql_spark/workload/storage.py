@@ -1444,6 +1444,97 @@ FROM regs_{v}"""
             f"{ctes}\n{body}")
 
 
+def q158_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT LOOKUPS through the store's bloom-filter index — the file
+    skipping min/max stats structurally cannot give: the chain commits
+    the event window HASH-SCATTERED across 8 files (every file's
+    [min, max] spans the whole id domain — the honest layout of any
+    table clustered by something other than the lookup key), with
+    ``bloom_cols=("event_id",)`` so each file gets a ~10-bits-per-row
+    bloom SIDECAR (Delta's bloom filter index / Iceberg's puffin
+    blobs; the manifest carries only [bits, k] markers, so commit
+    metadata stays constant-size) built by the same write pass that
+    collects footer stats.
+
+    Five lookups run through
+    ``versioned_store.read_version_point_lookup`` — four planted
+    present keys across the domain and one absent key — each applying
+    the precise equality filter after the pruned read; the gated
+    output carries per-lookup row count and exact user/value
+    checksums (the absent key contributes the 0-row/NULL-sum row both
+    engines must agree on). That a present-key probe opens ~1 of 8
+    files while range pruning must open all 8, and that an absent key
+    usually opens none, are LAYOUT facts pinned by the invariant
+    tests (`tests/test_r13_ops.py`), not query results.
+
+    Scale shape: planning = manifest resolution + one small sidecar
+    read per range-surviving candidate (exactly what Delta's index
+    pays); the data read is the bloom-positive files only. At 100 TB
+    this is the difference between a key lookup scanning the table
+    and touching one file."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_bloom_index")
+    fp = table_fingerprint(sf_dir, ("events",), params="q158_bloom_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root, base.repartition(8),
+                             stats_cols=("event_id",),
+                             bloom_cols=("event_id",))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    probes = [mx // 7, mx // 3, (2 * mx) // 3, mx, mx + 12345]
+    parts = []
+    for pid in probes:
+        df, _opened, _total = vstore.read_version_point_lookup(
+            spark, root, 1, "event_id", pid)
+        parts.append(
+            df.filter(F.col("event_id") == pid)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("user_id").alias("uid_sum"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(pid).cast("long").alias("probe_id"),
+                    "n_rows", "uid_sum", "value_q_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q158_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) AS mx FROM base),
+probes AS (
+  SELECT (SELECT mx FROM bnd) // 7 AS probe_id
+  UNION ALL SELECT (SELECT mx FROM bnd) // 3
+  UNION ALL SELECT 2 * (SELECT mx FROM bnd) // 3
+  UNION ALL SELECT (SELECT mx FROM bnd)
+  UNION ALL SELECT (SELECT mx FROM bnd) + 12345
+)
+SELECT p.probe_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_rows,
+       CAST(sum(b.user_id) AS BIGINT) AS uid_sum,
+       CAST(sum(b.value_q) AS BIGINT) AS value_q_sum
+FROM probes p LEFT JOIN base b ON b.event_id = p.probe_id
+GROUP BY p.probe_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1466,4 +1557,5 @@ QUERIES: dict[str, Query] = {
                                             _Q154_SQL),
     "q157_versioned_sketch_maintenance": Query(
         q157_versioned_sketch_maintenance, _q157_sql()),
+    "q158_bloom_point_lookup": Query(q158_bloom_point_lookup, _Q158_SQL),
 }

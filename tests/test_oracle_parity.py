@@ -189,12 +189,12 @@ import os as _os
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
     # the tiers whose newest driver row is OLDEST after the r13 window
-    # (the 13 r10-tier queries r13's additions deferred, then the r11
+    # (the 14 r10-tier queries r13's additions deferred, then the r11
     # tier in module order — the queries that rotate into the gate in
     # r14; see CORRECTNESS_SEEN.md's r13 derived row); local sf0.01
     # evidence bridges the gap until then:
     "q70_scd2_history", "q97_bm25_ranking", "q101_bigram_novelty",
-    "q132_token_budget_fill", "q129_pareto_frontier",
+    "q132_token_budget_fill", "q129_pareto_frontier", "q108_twap",
     "q103_scd2_pit_enrichment", "q119_bpe_encode", "q121_dsir_weights", "q130_importance_resample",
     "q124_lm_perplexity", "q93_zorder_pruning",
     "q110_dynamic_partition_overwrite", "q127_schema_evolution",

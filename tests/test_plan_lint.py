@@ -119,6 +119,9 @@ SINGLE_PARTITION_ALLOWED = {
                                          "checksums over the m=256-row "
                                          "profile table (map-side "
                                          "partials only)",
+    "q158_bloom_point_lookup": "per-probe 1-row lookup summaries over "
+                               "the bloom-surviving files (map-side "
+                               "partials only)",
 }
 
 

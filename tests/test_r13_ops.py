@@ -1275,3 +1275,96 @@ def test_sketch_store_incremental_equals_full(spark, tmp_path):
                 .groupBy("bucket").agg(F.max("rho").alias("rho"))
                 .collect()}
         assert stored == full, f"v{v}: incremental != full recompute"
+
+
+# --- bloom point-lookup index (sidecar) ---------------------------------------
+
+@pytest.fixture()
+def bloom_store(spark, tmp_path):
+    """8 hash-scattered files (every file spans the full id domain, so
+    range stats can prune NOTHING) with bloom sidecars on id."""
+    root = str(tmp_path / "bloom_store")
+    base = spark.range(0, 8192).select(
+        F.col("id"), (F.col("id") * 7 % 1000).alias("x"))
+    vstore.commit_append(spark, root, base.repartition(8),
+                         stats_cols=("id",), bloom_cols=("id",))
+    return root
+
+
+def test_bloom_point_lookup_prunes_what_ranges_cannot(spark, bloom_store):
+    root = bloom_store
+    # range pruning is useless on the scattered layout
+    _, opened_rng, total = vstore.read_version_pruned(
+        spark, root, 1, "id", 4242, 4242)
+    assert (opened_rng, total) == (8, 8)
+    # bloom probe: the one true file + rare false positives
+    df, opened, _ = vstore.read_version_point_lookup(
+        spark, root, 1, "id", 4242)
+    assert opened <= 2, f"bloom should open ~1 of 8 files, got {opened}"
+    got = df.filter("id = 4242").collect()
+    assert len(got) == 1 and got[0].x == 4242 * 7 % 1000
+    # absent key: typically zero files open, and always an empty result
+    df2, opened2, _ = vstore.read_version_point_lookup(
+        spark, root, 1, "id", 999999)
+    assert opened2 <= 1
+    assert df2.filter("id = 999999").count() == 0
+
+
+def test_bloom_false_positive_rate_is_sane(spark, bloom_store):
+    """~1% FP at 10 bits/row: over 200 absent keys, far fewer than
+    half the probes should open anything."""
+    root = bloom_store
+    fp_files = 0
+    for v in range(100000, 100200):
+        _, opened, _ = vstore.read_version_point_lookup(
+            spark, root, 1, "id", v)
+        fp_files += opened
+    assert fp_files <= 200, f"false-positive file opens: {fp_files}/1600"
+
+
+def test_bloom_markers_survive_append_and_absence_is_conservative(
+        spark, bloom_store):
+    """A later append WITHOUT blooms leaves old files indexed (their
+    sidecars and markers carry) and its own files conservatively
+    opened; a delete's victim rewrites lose their blooms the same
+    conservative way."""
+    root = bloom_store
+    vstore.commit_append(
+        spark, root,
+        spark.range(20000, 20100).select(
+            F.col("id"), (F.col("id") * 7 % 1000).alias("x")).coalesce(1),
+        stats_cols=("id",))
+    df, opened, total = vstore.read_version_point_lookup(
+        spark, root, 2, "id", 20042)
+    # old files bloom-skip; the new file opens twice over: no bloom,
+    # and its range actually contains the key
+    assert opened <= 2 and total == 9
+    assert df.filter("id = 20042").count() == 1
+    # absent key in the OLD domain: the unbloomed new file is range-
+    # skipped (its [min,max] excludes it), blooms skip the rest
+    _, opened2, _ = vstore.read_version_point_lookup(
+        spark, root, 2, "id", 999999)
+    assert opened2 <= 1
+
+
+def test_bloom_sidecars_vacuum_with_their_files(spark, tmp_path):
+    root = str(tmp_path / "bloom_vac")
+    base = spark.range(0, 1000).select(F.col("id"))
+    vstore.commit_append(spark, root, base.repartition(2),
+                         stats_cols=("id",), bloom_cols=("id",))
+    vstore.commit_rewrite(spark, root, base.coalesce(1),
+                          stats_cols=("id",), bloom_cols=("id",),
+                          based_on=1)
+    data = os.path.join(root, "data")
+    assert any(f.endswith(".bloom") for f in os.listdir(data))
+    vstore.vacuum(root, keep_versions=[2])
+    names = os.listdir(data)
+    parqs = {f for f in names if f.endswith(".parquet")}
+    blooms = {f for f in names if f.endswith(".bloom")}
+    assert len(parqs) == 1
+    assert blooms == {f + ".bloom" for f in parqs}, \
+        "sidecars must be reclaimed with their data files"
+    # the surviving snapshot still bloom-probes correctly
+    df, opened, total = vstore.read_version_point_lookup(
+        spark, root, 2, "id", 500)
+    assert df.filter("id = 500").count() == 1
