@@ -187,7 +187,9 @@ def _seg_ref(name: str, files: list[str], stats: dict) -> dict:
             first = False
             for c, v in fs.items():
                 cur = per_col.get(c)
-                if c.startswith(_BLOOM_PREFIX):
+                if c == _DV_KEY:  # strictly per-file; never summarized
+                    bad.add(c)
+                elif c.startswith(_BLOOM_PREFIX):
                     if cur is None:
                         per_col[c] = list(v)
                     elif cur != list(v):  # mixed geometry: no marker
@@ -305,8 +307,9 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
         schema = (StructType.fromJson(man["schema"])
                   if man.get("schema") is not None else None)
         return spark.createDataFrame([], schema)
-    return _version_reader(spark, man).parquet(
+    df = _version_reader(spark, man).parquet(
         *[os.path.join(root, _DATA, f) for f in files])
+    return _apply_dvs(spark, root, man.get("stats", {}), files, df)
 
 
 def _version_reader(spark: SparkSession, man: dict):
@@ -336,6 +339,18 @@ def _version_reader(spark: SparkSession, man: dict):
 _BLOOM_PREFIX = "bloom:"
 _BLOOM_K = 4
 _BLOOM_SIDECAR = ".bloom"
+
+#: stats-dict key for a file's DELETION VECTOR: the name of a
+#: ``data/dv-*.json`` sidecar listing the file's deleted row
+#: positions. Merge-on-read (Delta deletion vectors): a selective
+#: DELETE writes a tiny DV instead of rewriting the file; every
+#: snapshot read anti-joins the marked positions out. The marker
+#: lives in the PER-FILE stats entry, so it version-travels exactly
+#: like min/max stats: carried forward by later commits, absent from
+#: earlier manifests (old snapshots still see the rows — snapshot
+#: isolation), gone the moment a rewrite materializes the survivors
+#: (OPTIMIZE/compaction/copy-on-write purge DVs for free).
+_DV_KEY = "__dv__"
 
 
 def _bloom_hashes(vals):
@@ -431,6 +446,57 @@ def _read_file_bloom(path: str) -> dict:
 
     with open(path + _BLOOM_SIDECAR, encoding="ascii") as f:
         return json.load(f)
+
+
+def _write_dv(root: str, positions: list[int], version: int) -> str:
+    """Persist a deletion vector (sorted row positions; a real format
+    uses a roaring bitmap — same idea, denser) as an immutable
+    ``data/dv-*.json``; name embeds (version, pid, seq) so concurrent
+    writers never collide and vacuum's dead-writer rule applies."""
+    import json
+
+    name = f"dv-v{version:05d}-p{os.getpid()}-{next(_COMMIT_SEQ)}.json"
+    tmp = os.path.join(root, _DATA, name + ".tmp")
+    with open(tmp, "w", encoding="ascii") as f:
+        json.dump({"positions": sorted(positions)}, f)
+    os.replace(tmp, os.path.join(root, _DATA, name))
+    return name
+
+
+def _read_dv(root: str, name: str) -> list[int]:
+    import json
+
+    with open(os.path.join(root, _DATA, name), encoding="ascii") as f:
+        return json.load(f)["positions"]
+
+
+def _dv_map(stats: dict, files) -> dict[str, str]:
+    """``{file: dv_sidecar_name}`` for the files (of ``files``) whose
+    stats carry a deletion-vector marker."""
+    return {f: stats[f][_DV_KEY] for f in files
+            if _DV_KEY in stats.get(f, {})}
+
+
+def _apply_dvs(spark: SparkSession, root: str, stats: dict,
+               files, df: DataFrame) -> DataFrame:
+    """Filter a raw scan of ``files`` down to its LOGICAL content by
+    anti-joining out every (file, row position) a deletion vector
+    marks — the merge-on-read read path. The positions table is
+    driver-materialized and broadcast: it is bounded by the store's
+    CURRENTLY-DELETED-BY-DV row count, which the MoR contract keeps
+    small (selective takedowns; mass deletes belong to copy-on-write
+    ``commit_delete``, and any rewrite purges the vectors). No-op —
+    zero plan changes — when no kept file carries a marker."""
+    dvm = _dv_map(stats, files)
+    if not dvm:
+        return df
+    rows = [(f, int(p)) for f, dv in dvm.items()
+            for p in _read_dv(root, dv)]
+    pos = spark.createDataFrame(rows, "_dv_fn string, _dv_ri long")
+    aug = (df.withColumn("_dv_fn", F.col("_metadata.file_name"))
+           .withColumn("_dv_ri", F.col("_metadata.row_index")))
+    return (aug.join(F.broadcast(pos), ["_dv_fn", "_dv_ri"], "left_anti")
+            .drop("_dv_fn", "_dv_ri"))
 
 
 def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
@@ -836,6 +902,7 @@ def read_version_pruned_multi(
 
     if "segments" in raw:
         keep: list[str] = []
+        kept_stats: dict = {}
         n_total = 0
         for entry in raw["segments"]:
             if isinstance(entry, dict) and not _hits(entry["stats"]):
@@ -844,17 +911,21 @@ def read_version_pruned_multi(
             sd = _read_segment(root, _seg_name(entry))
             n_total += len(sd["files"])
             sstats = sd["stats"]
-            keep += [f for f in sd["files"] if _hits(sstats.get(f, {}))]
+            for f in sd["files"]:
+                if _hits(sstats.get(f, {})):
+                    keep.append(f)
+                    kept_stats[f] = sstats.get(f, {})
     else:
-        stats = raw.get("stats", {})
-        keep = [f for f in raw["files"] if _hits(stats.get(f, {}))]
+        kept_stats = raw.get("stats", {})
+        keep = [f for f in raw["files"] if _hits(kept_stats.get(f, {}))]
         n_total = len(raw["files"])
     if not keep:  # preserve schema on an empty match
         return (read_version(spark, root, version).limit(0),
                 0, n_total)
     df = _version_reader(spark, raw).parquet(
         *[os.path.join(root, _DATA, f) for f in keep])
-    return df, len(keep), n_total
+    return (_apply_dvs(spark, root, kept_stats, keep, df),
+            len(keep), n_total)
 
 
 def read_version_pruned(spark: SparkSession, root: str, version: int,
@@ -926,7 +997,8 @@ def read_version_point_lookup(
                 0, n_total)
     df = _version_reader(spark, raw).parquet(
         *[os.path.join(root, _DATA, f) for f in keep])
-    return df, len(keep), n_total
+    return (_apply_dvs(spark, root, stats, keep, df),
+            len(keep), n_total)
 
 
 def commit_append(spark: SparkSession, root: str, df: DataFrame,
@@ -974,6 +1046,33 @@ def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
                    based_on=based_on, bloom_cols=bloom_cols)
 
 
+def _census_frame(spark: SparkSession, root: str, man: dict) -> DataFrame:
+    """The version's LOGICAL rows plus ``_f`` (data-file base name) —
+    the input every copy-on-write census scans. On a DV-free store the
+    tag is ``input_file_name`` directly above the scan (the proven
+    PreReadCheck-safe shape); with deletion vectors present the tag
+    comes from the ``_metadata`` column instead — it survives the DV
+    anti-join, which ``input_file_name`` cannot — and marked positions
+    are filtered out, so already-MoR-deleted rows never count as
+    victims or matches."""
+    files = man["files"]
+    raw = _version_reader(spark, man).parquet(
+        *[os.path.join(root, _DATA, f) for f in files])
+    dvm = _dv_map(man.get("stats", {}), files)
+    if not dvm:
+        return raw.select(
+            "*", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            .alias("_f"))
+    aug = raw.select("*",
+                     F.col("_metadata.file_name").alias("_f"),
+                     F.col("_metadata.row_index").alias("_dv_ri"))
+    rows = [(f, int(p)) for f, dv in dvm.items()
+            for p in _read_dv(root, dv)]
+    pos = spark.createDataFrame(rows, "_f string, _dv_ri long")
+    return (aug.join(F.broadcast(pos), ["_f", "_dv_ri"], "left_anti")
+            .drop("_dv_ri"))
+
+
 def commit_delete(spark: SparkSession, root: str, condition,
                   stats_cols: tuple[str, ...] = ("id",),
                   txn: str | tuple[str, int] | None = None) -> tuple[int, int, int]:
@@ -1003,11 +1102,9 @@ def commit_delete(spark: SparkSession, root: str, condition,
         man = read_manifest(root, v)
         return v, 0, len(man["files"])
     man = read_manifest(root, v)
-    df = read_version(spark, root, v)
-    victims = {os.path.basename(r["f"]) for r in
-               df.filter(condition)
-               .select(F.input_file_name().alias("f"))
-               .distinct().collect()}
+    victims = {r["_f"] for r in
+               _census_frame(spark, root, man).filter(condition)
+               .select("_f").distinct().collect()}
     if not victims:
         return v, 0, len(man["files"])
     carried = [f for f in man["files"] if f not in victims]
@@ -1020,14 +1117,148 @@ def commit_delete(spark: SparkSession, root: str, condition,
     # The re-read pins the manifest's recorded union schema, exactly
     # like read_version — a schema-evolved store's victim files may
     # predate evolved columns, and bare inference would miss them.
-    survivors = (_version_reader(spark, man)
-                 .parquet(*[os.path.join(root, _DATA, f)
-                            for f in man["files"] if f in victims])
-                 .filter(~F.coalesce(condition, F.lit(False))))
+    victim_list = [f for f in man["files"] if f in victims]
+    survivors = (_apply_dvs(  # MoR-deleted rows must not resurrect
+        spark, root, man.get("stats", {}), victim_list,
+        _version_reader(spark, man).parquet(
+            *[os.path.join(root, _DATA, f) for f in victim_list]))
+        .filter(~F.coalesce(condition, F.lit(False))))
     newv = _commit(spark, root, survivors, carry=carried,
                    stats_cols=stats_cols, txn=txn, op="delete",
                    based_on=v)
     return newv, len(victims), len(carried)
+
+
+def commit_delete_mor(spark: SparkSession, root: str, condition,
+                      txn: str | tuple[str, int] | None = None
+                      ) -> tuple[int, int, int]:
+    """MERGE-ON-READ row-level DELETE — Delta's deletion vectors: the
+    write side of the takedown that copy-on-write cannot make cheap.
+    ``commit_delete`` rewrites every victim-bearing file, so deleting
+    100 rows scattered across a 100 TB table rewrites terabytes;
+    this instead writes ONE tiny sidecar per victim file listing the
+    deleted row positions and publishes a manifest whose file list is
+    UNCHANGED (``n_new_files = 0`` — metadata + DV bytes only). Every
+    snapshot read (plain, range-pruned, point-lookup, change feed,
+    census) anti-joins the marked positions out; earlier snapshots
+    lack the marker and still see the rows (snapshot isolation);
+    later commits carry the marker with the file's stats entry. The
+    read tax — a broadcast anti-join of the deleted positions — is
+    merge-on-read's defining trade, repaid at the next rewrite:
+    OPTIMIZE / compaction / copy-on-write / :func:`purge_deletion_vectors`
+    materialize survivors and drop the vectors for free.
+
+    An existing vector MERGES (positions union — a second takedown on
+    the same file grows the sidecar, never loses earlier deletions).
+    Returns ``(version, n_files_marked, n_rows_newly_deleted)``; no
+    matches → no commit. The victim collect is bounded by the
+    MATCHED row count — the MoR contract is selective deletes; route
+    mass deletes through ``commit_delete``, whose cost is bounded by
+    files. Conflict rule: whole-table semantics derived from ``prev``
+    — a lost CAS raises (same class as delete/merge)."""
+    import json
+
+    tk = _txn_key(txn)
+    prev = latest_version(root)
+    if prev is None:
+        raise ValueError(f"no committed version under {root}")
+    if tk is not None and txn_committed(root, txn):
+        return prev, 0, 0
+    man = read_manifest(root, prev)
+    praw = _read_manifest_raw(root, prev)
+    stats = man.get("stats", {})
+    # census with BOTH tags projected directly above the scan (the
+    # `_metadata` column does not reliably resolve through joins, so
+    # project first, then apply any existing vectors)
+    aug = (_version_reader(spark, man).parquet(
+        *[os.path.join(root, _DATA, f) for f in man["files"]])
+        .select("*", F.col("_metadata.file_name").alias("_f"),
+                F.col("_metadata.row_index").alias("_ri")))
+    dvm = _dv_map(stats, man["files"])
+    if dvm:
+        old = spark.createDataFrame(
+            [(f, int(p)) for f, dv in dvm.items()
+             for p in _read_dv(root, dv)], "_f string, _ri long")
+        aug = aug.join(F.broadcast(old), ["_f", "_ri"], "left_anti")
+    victims = aug.filter(condition).select("_f", "_ri").collect()
+    if not victims:
+        return prev, 0, 0
+    version = prev + 1
+    by_file: dict[str, list[int]] = {}
+    for r in victims:
+        by_file.setdefault(r["_f"], []).append(int(r["_ri"]))
+    new_stats: dict = {}
+    for f, pos in by_file.items():
+        fs = dict(stats.get(f, {}))
+        if _DV_KEY in fs:  # vectors only grow: union with the old one
+            pos = sorted(set(pos) | set(_read_dv(root, fs[_DV_KEY])))
+        fs[_DV_KEY] = _write_dv(root, pos, version)
+        new_stats[f] = fs
+
+    txns = _normalize_txns(praw.get("txns"))
+    if tk is not None:
+        if txns.get(tk[0], -1) >= tk[1]:
+            return prev, 0, 0
+        txns[tk[0]] = tk[1]
+    # segments: references whose files are untouched carry BY NAME;
+    # segments holding a marked file re-emit with the updated stats
+    # (segment-level copy-on-write, mirroring commit_delete's)
+    marked = set(new_stats)
+    if "segments" in praw:
+        prev_iter = [(e, _read_segment(root, _seg_name(e)))
+                     for e in praw["segments"]]
+    else:  # legacy flat manifest migrates to one segment
+        prev_iter = [(None, {"files": praw["files"],
+                             "stats": praw.get("stats", {})})]
+    segs = []
+    for entry, sd in prev_iter:
+        if entry is not None and not (set(sd["files"]) & marked):
+            segs.append(entry)
+            continue
+        sstats = {**sd.get("stats", {}),
+                  **{f: new_stats[f] for f in sd["files"] if f in marked}}
+        segs.append(_seg_ref(_write_segment(root, sd["files"], sstats),
+                             sd["files"], sstats))
+    raw = {"version": version, "format": _FORMAT_VERSION,
+           "segments": segs, "txns": txns, "schema": man["schema"],
+           "op": "delete_mor", "n_new_files": 0}
+    if _publish_cas(root, version, json.dumps(raw)):
+        return version, len(by_file), len(victims)
+    raise ConcurrentCommitError(
+        f"version {version} of {root} was committed concurrently; this "
+        f"merge-on-read delete was derived from superseded version "
+        f"{prev} — re-read and retry (staged DV sidecars are vacuumable "
+        f"orphans)")
+
+
+def purge_deletion_vectors(spark: SparkSession, root: str,
+                           stats_cols: tuple[str, ...] = ("id",),
+                           txn: str | tuple[str, int] | None = None
+                           ) -> tuple[int, int]:
+    """Materialize the survivors of every DV-bearing file and publish
+    a version with NO deletion vectors — Delta's ``REORG ... PURGE``:
+    pays the copy-on-write cost the MoR delete deferred, restoring the
+    zero-read-tax plan. Only DV-bearing files rewrite; clean files
+    carry by name. Returns ``(version, n_files_purged)``."""
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed version under {root}")
+    if txn is not None and txn_committed(root, txn):
+        return v, 0
+    man = read_manifest(root, v)
+    dvm = _dv_map(man.get("stats", {}), man["files"])
+    if not dvm:
+        return v, 0
+    carried = [f for f in man["files"] if f not in dvm]
+    dirty = list(dvm)
+    survivors = _apply_dvs(
+        spark, root, man.get("stats", {}), dirty,
+        _version_reader(spark, man).parquet(
+            *[os.path.join(root, _DATA, f) for f in dirty]))
+    newv = _commit(spark, root, survivors, carry=carried,
+                   stats_cols=stats_cols, txn=txn, op="purge_dv",
+                   based_on=v)
+    return newv, len(dirty)
 
 
 def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
@@ -1097,20 +1328,21 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
                 or not_matched_by_source_delete is not None)
     if not extended:
         # whole-row unconditional fast path: the census needs only the
-        # key columns. input_file_name is projected DIRECTLY above the
-        # scan (Spark's PreReadCheck rejects it over a multi-source
-        # plan, and after a join it would be ambiguous anyway), then
+        # key columns. _census_frame tags rows with their file name
+        # directly above the scan (PreReadCheck-safe; DV-aware), then
         # the semi-join reduces to matched file names.
-        tagged = df.select(*key_cols, F.input_file_name().alias("_f"))
-        affected = {os.path.basename(r["_f"]) for r in
+        tagged = _census_frame(spark, root, man).select(*key_cols, "_f")
+        affected = {r["_f"] for r in
                     tagged.join(keys, list(key_cols), "left_semi")
                     .select("_f").distinct().collect()}
         carried = [f for f in man["files"] if f not in affected]
         if affected:
-            survivors = (_version_reader(spark, man)
-                         .parquet(*[os.path.join(root, _DATA, f)
-                                    for f in man["files"] if f in affected])
-                         .join(keys, list(key_cols), "left_anti"))
+            victim_list = [f for f in man["files"] if f in affected]
+            survivors = (_apply_dvs(
+                spark, root, man.get("stats", {}), victim_list,
+                _version_reader(spark, man).parquet(
+                    *[os.path.join(root, _DATA, f) for f in victim_list]))
+                .join(keys, list(key_cols), "left_anti"))
             out = survivors.unionByName(updates.select(*df.columns))
         else:
             out = updates.select(*df.columns)
@@ -1144,18 +1376,19 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
 
     # census: one pruned-column scan joined to the source — affected
     # files are those holding an updating match or a deleting
-    # unmatched row. input_file_name again rides directly on the scan.
-    census = _joined(df.select(*df.columns,
-                               F.input_file_name().alias("_f")))
-    affected = {os.path.basename(r["_f"]) for r in
+    # unmatched row. _census_frame tags the scan (DV-aware).
+    census = _joined(_census_frame(spark, root, man))
+    affected = {r["_f"] for r in
                 census.filter(F.col("_u") | F.col("_d"))
                 .select("_f").distinct().collect()}
     carried = [f for f in man["files"] if f not in affected]
     tcols = df.columns
     if affected:
-        victims = _version_reader(spark, man).parquet(
-            *[os.path.join(root, _DATA, f)
-              for f in man["files"] if f in affected])
+        victim_list = [f for f in man["files"] if f in affected]
+        victims = _apply_dvs(
+            spark, root, man.get("stats", {}), victim_list,
+            _version_reader(spark, man).parquet(
+                *[os.path.join(root, _DATA, f) for f in victim_list]))
         j = _joined(victims).filter(~F.col("_d"))
         if update_set is None:
             out_cols = [F.when(F.col("_u"), F.col(f"s.{c}"))
@@ -1207,29 +1440,79 @@ def version_diff(spark: SparkSession, root: str, v_from: int,
 
     Scale shape: work ∝ the changed files only — an append's feed
     costs the appended files, a delete's feed the rewritten files,
-    never the table; the exceptAll shuffles only those rows."""
+    never the table; the exceptAll shuffles only those rows.
+
+    Deletion-vector aware: every file read is the file's LOGICAL
+    content under its manifest's DV markers, so a
+    :func:`purge_deletion_vectors` transition feeds EMPTY (the
+    rewrite materialized exactly the surviving rows) — maintenance
+    never touches content, even merge-on-read maintenance. A file
+    CARRIED between the versions whose vector changed contributes its
+    newly-marked positions as deletes (and, after a restore that
+    rolled a vector back, its unmarked positions as inserts) — read
+    by position semi-join, cost ∝ the changed positions."""
     from pyspark.sql.types import StructType
 
     mf, mt = read_manifest(root, v_from), read_manifest(root, v_to)
     ff, ft = set(mf["files"]), set(mt["files"])
+    sf_, st_ = mf.get("stats", {}), mt.get("stats", {})
     schema = (StructType.fromJson(mt["schema"])
               if mt.get("schema") is not None else None)
 
-    def _read(names: list[str]) -> DataFrame:
-        if not names:
-            if schema is not None:
-                return spark.createDataFrame([], schema)
-            return read_version(spark, root, v_to).limit(0)
+    def _reader():
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(
-            *[os.path.join(root, _DATA, f) for f in sorted(names)])
+        return reader
 
-    added_rows = _read(list(ft - ff))
-    removed_rows = _read(list(ff - ft))
-    return (added_rows.exceptAll(removed_rows),
-            removed_rows.exceptAll(added_rows))
+    def _empty() -> DataFrame:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        return read_version(spark, root, v_to).limit(0)
+
+    def _read(names: list[str], stats: dict) -> DataFrame:
+        if not names:
+            return _empty()
+        names = sorted(names)
+        df = _reader().parquet(
+            *[os.path.join(root, _DATA, f) for f in names])
+        return _apply_dvs(spark, root, stats, names, df)
+
+    def _rows_at(by_file: dict[str, set]) -> DataFrame:
+        """The rows of exactly the given (file → positions) sets."""
+        if not by_file:
+            return _empty()
+        raw = (_reader().parquet(
+            *[os.path.join(root, _DATA, f) for f in sorted(by_file)])
+            .select("*", F.col("_metadata.file_name").alias("_fn"),
+                    F.col("_metadata.row_index").alias("_ri")))
+        pos = spark.createDataFrame(
+            [(f, int(p)) for f, ps in by_file.items() for p in ps],
+            "_fn string, _ri long")
+        return (raw.join(F.broadcast(pos), ["_fn", "_ri"], "left_semi")
+                .drop("_fn", "_ri"))
+
+    def _positions(stats: dict, f: str) -> set:
+        fs = stats.get(f, {})
+        return (set(_read_dv(root, fs[_DV_KEY]))
+                if _DV_KEY in fs else set())
+
+    dv_deleted: dict[str, set] = {}
+    dv_restored: dict[str, set] = {}
+    for f in ff & ft:
+        if (_DV_KEY in sf_.get(f, {})) or (_DV_KEY in st_.get(f, {})):
+            pf, pt = _positions(sf_, f), _positions(st_, f)
+            if pt - pf:
+                dv_deleted[f] = pt - pf
+            if pf - pt:
+                dv_restored[f] = pf - pt
+
+    added_rows = _read(list(ft - ff), st_)
+    removed_rows = _read(list(ff - ft), sf_)
+    return (added_rows.exceptAll(removed_rows)
+            .unionByName(_rows_at(dv_restored)),
+            removed_rows.exceptAll(added_rows)
+            .unionByName(_rows_at(dv_deleted)))
 
 
 def version_diff_typed(spark: SparkSession, root: str, v_from: int,
@@ -1510,18 +1793,28 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
     liveness. The published-set scan reads every manifest under the
     root — manifest-scale metadata, not data (a real lakehouse keeps
     it in the log checkpoint)."""
+    def _dv_names(man: dict) -> set[str]:
+        return {fs[_DV_KEY] for fs in man.get("stats", {}).values()
+                if isinstance(fs, dict) and _DV_KEY in fs}
+
     keep: set[str] = set()
+    keep_dv: set[str] = set()
     seg_refs: set[str] = set()
     for v in keep_versions:
-        keep |= set(read_manifest(root, v)["files"])
+        man = read_manifest(root, v)
+        keep |= set(man["files"])
+        keep_dv |= _dv_names(man)
     mdir = os.path.join(root, _MANIFESTS)
     published: set[str] = set()
+    published_dv: set[str] = set()
     if os.path.isdir(mdir):
         for mf in os.listdir(mdir):
             if mf.startswith("v") and mf.endswith(".json"):
                 raw = _read_manifest_raw(root, int(mf[1:6]))
                 seg_refs |= {_seg_name(e) for e in raw.get("segments", [])}
-                published |= set(_resolve(root, raw)["files"])
+                res = _resolve(root, raw)
+                published |= set(res["files"])
+                published_dv |= _dv_names(res)
     data = os.path.join(root, _DATA)
     removed = []
     for f in sorted(os.listdir(data)):
@@ -1543,6 +1836,19 @@ def vacuum(root: str, keep_versions: list[int]) -> list[str]:
                 and not os.path.exists(
                     os.path.join(data, f[:-len(_BLOOM_SIDECAR)]))):
             os.remove(os.path.join(data, f))
+    # deletion vectors: same kept/published/dead-writer rules as data
+    # files — a DV no kept manifest references is reclaimable, unless
+    # it is an unpublished in-flight writer's staging
+    for f in sorted(os.listdir(data)):
+        if not (f.startswith("dv-") and f.endswith(".json")) \
+                or f in keep_dv:
+            continue
+        if f not in published_dv:
+            owner = _writer_pid(f)
+            if owner is not None and _pid_alive(owner):
+                continue
+        os.remove(os.path.join(data, f))
+        removed.append(f)
     # manifest-segment debris: a segment referenced by NO manifest at
     # all is a lost-CAS or crashed commit's metadata orphan — same
     # dead-writer rule as data files (segments referenced by retained

@@ -1535,6 +1535,152 @@ GROUP BY p.probe_id
 """
 
 
+def q159_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors — the other half of
+    Delta's delete design, closing the store's last big verb gap:
+    ``commit_delete`` (q143) pays copy-on-write up front (rewrite
+    every victim file — right for mass deletes), while a SELECTIVE
+    takedown of rows scattered across a 100 TB table should not
+    rewrite terabytes. ``commit_delete_mor`` writes one tiny sidecar
+    per victim file listing deleted row positions and publishes a
+    manifest whose FILE LIST IS UNCHANGED; every read path applies
+    the vectors (the broadcast anti-join read tax merge-on-read
+    accepts), old snapshots still see the rows, and
+    ``purge_deletion_vectors`` (Delta's REORG PURGE) later pays the
+    rewrite once to restore the zero-tax plan.
+
+    The chain: v1 ingests the event window (id-range clustered), v2
+    MoR-deletes the sparse ``% 997`` slice, v3 MoR-deletes ``% 499``
+    (vectors
+    on the same files GROW — union, never lose earlier deletions), v4
+    purges. The gated output: per-version content checksums joined to
+    the history op — ``n_new_files = 0`` on BOTH MoR deletes is the
+    no-rewrite certificate in the gated row itself — plus the v2→v3
+    change feed (exactly the newly-deleted rows, classified from DV
+    deltas on CARRIED files) and the v3→v4 purge feed (EMPTY both
+    ways: merge-on-read maintenance never touches content).
+
+    Scale shape: each MoR delete costs one census scan + sidecars
+    ∝ deleted rows; reads pay a broadcast anti-join ∝ CURRENTLY
+    deleted rows; the purge rewrite ∝ DV-bearing files. Nothing ever
+    scales with table size except the census scan every DELETE of any
+    kind performs."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_deletion_vectors")
+    fp = table_fingerprint(sf_dir, ("events",), params="q159_dv_v2")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete_mor(spark, root, F.col("event_id") % 997 == 0,
+                                 txn="q159-mor-1")
+        vstore.commit_delete_mor(spark, root, F.col("event_id") % 499 == 0,
+                                 txn="q159-mor-2")
+        vstore.purge_deletion_vectors(spark, root,
+                                      stats_cols=("event_id",),
+                                      txn="q159-purge")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    hist = (vstore.history(spark, root)
+            .select(F.col("version").cast("int").alias("version"), "op",
+                    F.when(F.col("op") == "delete_mor",
+                           F.col("n_new_files"))
+                    .cast("int").alias("n_new_files")))
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "id_sum", "value_q_sum"))
+    summary = parts[0]
+    for p in parts[1:]:
+        summary = summary.unionByName(p)
+    versions = (summary.join(hist, "version")
+                .select(F.concat(F.lit("v"), F.col("version"))
+                        .alias("tag"), "op", "n_rows", "id_sum",
+                        "value_q_sum", "n_new_files"))
+
+    feeds = []
+    for tag, vf, vt in (("feed_v2_v3", 2, 3), ("feed_v3_v4", 3, 4)):
+        ins, dels = vstore.version_diff(spark, root, vf, vt)
+        for kind, df in (("ins", ins), ("del", dels)):
+            feeds.append(
+                df.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.sum("event_id").alias("id_sum"),
+                       F.sum("value_q").alias("value_q_sum"))
+                .select(F.lit(f"{tag}_{kind}").alias("tag"),
+                        F.lit(None).cast("string").alias("op"),
+                        "n_rows", "id_sum", "value_q_sum",
+                        F.lit(None).cast("int").alias("n_new_files")))
+    out = versions
+    for p in feeds:
+        out = out.unionByName(p)
+    return out
+
+
+_Q159_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+v2 AS (SELECT * FROM base WHERE event_id % 997 <> 0),
+v3 AS (SELECT * FROM v2 WHERE event_id % 499 <> 0),
+newdel AS (SELECT * FROM v2 WHERE event_id % 499 = 0)
+SELECT 'v1' AS tag, 'append' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+       CAST(NULL AS INT) AS n_new_files
+FROM base
+UNION ALL
+SELECT 'v2', 'delete_mor', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(0 AS INT)
+FROM v2
+UNION ALL
+SELECT 'v3', 'delete_mor', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(0 AS INT)
+FROM v3
+UNION ALL
+SELECT 'v4', 'purge_dv', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM v3
+UNION ALL
+SELECT 'feed_v2_v3_ins', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT)
+UNION ALL
+SELECT 'feed_v2_v3_del', CAST(NULL AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM newdel
+UNION ALL
+SELECT 'feed_v3_v4_ins', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT)
+UNION ALL
+SELECT 'feed_v3_v4_del', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1558,4 +1704,5 @@ QUERIES: dict[str, Query] = {
     "q157_versioned_sketch_maintenance": Query(
         q157_versioned_sketch_maintenance, _q157_sql()),
     "q158_bloom_point_lookup": Query(q158_bloom_point_lookup, _Q158_SQL),
+    "q159_deletion_vectors": Query(q159_deletion_vectors, _Q159_SQL),
 }

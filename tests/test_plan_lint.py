@@ -122,6 +122,10 @@ SINGLE_PARTITION_ALLOWED = {
     "q158_bloom_point_lookup": "per-probe 1-row lookup summaries over "
                                "the bloom-surviving files (map-side "
                                "partials only)",
+    "q159_deletion_vectors": "per-version / per-feed 1-row checksums "
+                             "(map-side partials only; the DV "
+                             "anti-join side is the broadcast "
+                             "deleted-positions table)",
 }
 
 

@@ -1368,3 +1368,158 @@ def test_bloom_sidecars_vacuum_with_their_files(spark, tmp_path):
     df, opened, total = vstore.read_version_point_lookup(
         spark, root, 2, "id", 500)
     assert df.filter("id = 500").count() == 1
+
+
+# --- deletion vectors (merge-on-read DELETE) ----------------------------------
+
+@pytest.fixture()
+def mor_store(spark, tmp_path):
+    root = str(tmp_path / "mor")
+    base = (spark.range(0, 1000)
+            .select(F.col("id"), (F.col("id") * 3).alias("x")))
+    vstore.commit_append(spark, root, base.repartition(4),
+                         stats_cols=("id",))
+    return root
+
+
+def test_mor_delete_is_metadata_only_and_snapshot_isolated(
+        spark, mor_store):
+    root = mor_store
+    data = os.path.join(root, "data")
+    parquets_before = {f for f in os.listdir(data)
+                       if f.endswith(".parquet")}
+    v, n_files, n_rows = vstore.commit_delete_mor(
+        spark, root, F.col("id") % 10 == 0, txn="t1")
+    assert (v, n_files, n_rows) == (2, 4, 100)
+    # no data file written or touched; one DV sidecar per victim file
+    assert {f for f in os.listdir(data)
+            if f.endswith(".parquet")} == parquets_before
+    assert sum(1 for f in os.listdir(data)
+               if f.startswith("dv-")) == 4
+    assert vstore._read_manifest_raw(root, 2)["n_new_files"] == 0
+    # reads: logical content now, full content in the old snapshot
+    assert vstore.read_version(spark, root, 2).count() == 900
+    assert vstore.read_version(spark, root, 2) \
+        .filter("id % 10 = 0").count() == 0
+    assert vstore.read_version(spark, root, 1).count() == 1000
+    # replay no-ops
+    assert vstore.commit_delete_mor(
+        spark, root, F.col("id") % 10 == 0, txn="t1") == (2, 0, 0)
+
+
+def test_mor_vectors_grow_and_all_read_paths_apply_them(spark, mor_store):
+    root = mor_store
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+    vstore.commit_delete_mor(spark, root, F.col("id") % 7 == 0)
+    expect = 1000 - 100 - (143 - 15)  # %70 overlap counted once
+    assert vstore.read_version(spark, root, 3).count() == expect
+    # range-pruned read
+    df, _, _ = vstore.read_version_pruned(spark, root, 3, "id", 0, 99)
+    assert df.filter("id < 100").count() == 100 - 10 - 13
+    # multi-col pruned read
+    df2, _, _ = vstore.read_version_pruned_multi(
+        spark, root, 3, {"id": (0, 99)})
+    assert df2.filter("id < 100").count() == 77
+    # point lookup of a deleted key
+    df3, _, _ = vstore.read_version_point_lookup(spark, root, 3, "id", 70)
+    assert df3.filter("id = 70").count() == 0
+    df4, _, _ = vstore.read_version_point_lookup(spark, root, 3, "id", 71)
+    assert df4.filter("id = 71").count() == 1
+
+
+def test_mor_feed_and_purge(spark, mor_store):
+    root = mor_store
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+    vstore.commit_delete_mor(spark, root, F.col("id") % 7 == 0)
+    ins, dels = vstore.version_diff(spark, root, 2, 3)
+    assert ins.count() == 0
+    got = {r.id for r in dels.collect()}
+    assert got == {i for i in range(1000) if i % 7 == 0 and i % 10 != 0}
+    # typed classification
+    typed = vstore.version_diff_typed(spark, root, 2, 3,
+                                      key_cols=("id",))
+    assert {r["_change_type"] for r in typed.collect()} == {"delete"}
+    # purge rewrites ONLY the DV-bearing files and feeds EMPTY
+    v4, n_purged = vstore.purge_deletion_vectors(spark, root,
+                                                 stats_cols=("id",))
+    assert (v4, n_purged) == (4, 4)
+    man4 = vstore.read_manifest(root, 4)
+    assert not vstore._dv_map(man4.get("stats", {}), man4["files"])
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.compaction import (
+        multiset_equal)
+    assert multiset_equal(vstore.read_version(spark, root, 4),
+                          vstore.read_version(spark, root, 3))
+    ins2, dels2 = vstore.version_diff(spark, root, 3, 4)
+    assert ins2.count() == 0 and dels2.count() == 0
+    # purge is idempotent: nothing left to purge
+    assert vstore.purge_deletion_vectors(spark, root) == (4, 0)
+
+
+def test_mor_interplay_with_cow_delete_and_merge(spark, mor_store):
+    root = mor_store
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+    # copy-on-write delete of a different slice must not resurrect
+    # the MoR-deleted rows living in the same files
+    vstore.commit_delete(spark, root, F.col("id") % 3 == 0,
+                         stats_cols=("id",))
+    got = vstore.read_version(spark, root, 3)
+    assert got.filter("id % 10 = 0").count() == 0
+    assert got.filter("id % 3 = 0").count() == 0
+    assert got.count() == sum(1 for i in range(1000)
+                              if i % 10 != 0 and i % 3 != 0)
+    # a merge keyed on a MoR-deleted row treats it as ABSENT: inserts
+    upd = spark.createDataFrame([(30, -1), (31, -2)], "id long, x long")
+    vstore.commit_merge(spark, root, upd, key_cols=("id",),
+                        stats_cols=("id",))
+    final = vstore.read_version(spark, root, 4)
+    assert {(r.id, r.x) for r in
+            final.filter("id IN (30, 31)").collect()} \
+        == {(30, -1), (31, -2)}
+
+
+def test_mor_restore_resurrects_and_feed_classifies_inserts(
+        spark, mor_store):
+    root = mor_store
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+    vstore.restore(spark, root, 1)
+    assert vstore.read_version(spark, root, 3).count() == 1000
+    ins, dels = vstore.version_diff(spark, root, 2, 3)
+    assert dels.count() == 0
+    assert {r.id for r in ins.collect()} \
+        == {i for i in range(0, 1000, 10)}
+
+
+def test_mor_optimize_purges_vectors(spark, mor_store):
+    root = mor_store
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+    newv = vstore.optimize_zorder(spark, root, "id", "x", n_files=4)
+    man = vstore.read_manifest(root, newv)
+    assert not vstore._dv_map(man.get("stats", {}), man["files"])
+    assert vstore.read_version(spark, root, newv).count() == 900
+
+
+def test_mor_vacuum_reclaims_expired_vectors(spark, mor_store):
+    root = mor_store
+    data = os.path.join(root, "data")
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+    vstore.purge_deletion_vectors(spark, root, stats_cols=("id",))
+    assert any(f.startswith("dv-") for f in os.listdir(data))
+    # keeping only the purged version frees the vectors
+    vstore.vacuum(root, keep_versions=[3])
+    assert not any(f.startswith("dv-") for f in os.listdir(data))
+    assert vstore.read_version(spark, root, 3).count() == 900
+    # while a DV-bearing version is kept, its vectors stay
+    root2 = str(tmp_dir2 := os.path.join(os.path.dirname(root), "mor2"))
+    vstore.commit_append(spark, root2,
+                         spark.range(100).select("id").coalesce(1))
+    vstore.commit_delete_mor(spark, root2, F.col("id") < 5)
+    vstore.vacuum(root2, keep_versions=[2])
+    assert any(f.startswith("dv-")
+               for f in os.listdir(os.path.join(root2, "data")))
+    assert vstore.read_version(spark, root2, 2).count() == 95
+
+
+def test_mor_no_match_is_noop(spark, mor_store):
+    assert vstore.commit_delete_mor(
+        spark, mor_store, F.col("id") > 10_000) == (1, 0, 0)
+    assert vstore.latest_version(mor_store) == 1
