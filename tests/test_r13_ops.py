@@ -1523,3 +1523,109 @@ def test_mor_no_match_is_noop(spark, mor_store):
     assert vstore.commit_delete_mor(
         spark, mor_store, F.col("id") > 10_000) == (1, 0, 0)
     assert vstore.latest_version(mor_store) == 1
+
+
+# --- randomized model-based store interaction test ----------------------------
+
+@pytest.mark.parametrize("seed", [7, 20260816])
+def test_store_verbs_compose_against_model(spark, tmp_path, seed):
+    """Random sequences of the store's verbs — append, copy-on-write
+    DELETE, merge-on-read DELETE, MERGE, RESTORE, OPTIMIZE ZORDER,
+    purge — executed against an in-memory model: every version's
+    read_version must equal the model's frozen snapshot (time travel
+    through arbitrary verb interleavings), and version_diff between
+    random version pairs must equal the model's row-set difference.
+    This is the interaction coverage single-verb tests cannot give
+    (e.g. MoR delete → restore → merge → purge chains)."""
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"model_{seed}")
+    state: dict[int, int] = {}
+    snapshots: list[dict[int, int]] = []  # snapshots[v-1] = model at v
+    next_id = 0
+
+    def commit_state(expected_version: int):
+        assert vstore.latest_version(root) == expected_version
+        snapshots.append(dict(state))
+
+    # v1: seed append
+    batch = {next_id + i: (next_id + i) * 3 for i in range(200)}
+    next_id += 200
+    state.update(batch)
+    vstore.commit_append(
+        spark, root,
+        spark.createDataFrame(sorted(batch.items()), "id long, x long")
+        .repartition(3), stats_cols=("id",))
+    commit_state(1)
+
+    for step in range(12):
+        op = rng.choice(["append", "cow_delete", "mor_delete", "merge",
+                         "restore", "optimize", "purge"])
+        v = vstore.latest_version(root)
+        if op == "append":
+            n = rng.randint(20, 80)
+            batch = {next_id + i: (next_id + i) * 3 for i in range(n)}
+            next_id += n
+            state.update(batch)
+            vstore.commit_append(
+                spark, root,
+                spark.createDataFrame(sorted(batch.items()),
+                                      "id long, x long").coalesce(1),
+                stats_cols=("id",))
+        elif op in ("cow_delete", "mor_delete"):
+            k, r = rng.randint(5, 23), rng.randint(0, 4)
+            victims = {i for i in state if i % k == r}
+            if not victims:
+                continue
+            for i in victims:
+                del state[i]
+            cond = (F.col("id") % k) == r
+            if op == "cow_delete":
+                vstore.commit_delete(spark, root, cond, stats_cols=("id",))
+            else:
+                vstore.commit_delete_mor(spark, root, cond)
+        elif op == "merge":
+            ids = sorted(state)
+            upd = {i: state[i] + 1000 for i in rng.sample(
+                ids, min(15, len(ids)))}
+            fresh = {next_id + i: -(next_id + i) for i in range(5)}
+            next_id += 5
+            state.update(upd)
+            state.update(fresh)
+            vstore.commit_merge(
+                spark, root,
+                spark.createDataFrame(sorted({**upd, **fresh}.items()),
+                                      "id long, x long").coalesce(1),
+                key_cols=("id",), stats_cols=("id",))
+        elif op == "restore":
+            target = rng.randint(1, v)
+            if target == v:
+                continue
+            state = dict(snapshots[target - 1])
+            vstore.restore(spark, root, target)
+        elif op == "optimize":
+            vstore.optimize_zorder(spark, root, "id", "x", n_files=3,
+                                   stats_cols=("id",))
+        else:  # purge
+            newv, n = vstore.purge_deletion_vectors(spark, root,
+                                                    stats_cols=("id",))
+            if n == 0:
+                continue  # no commit happened
+        commit_state(vstore.latest_version(root))
+
+    # every version time-travels to its model snapshot
+    for v, snap in enumerate(snapshots, start=1):
+        got = {(r.id, r.x) for r in
+               vstore.read_version(spark, root, v).collect()}
+        assert got == set(snap.items()), f"seed {seed} version {v}"
+    # change feeds equal model set differences for random pairs
+    n_vers = len(snapshots)
+    for _ in range(4):
+        a, b = sorted(rng.sample(range(1, n_vers + 1), 2))
+        ins, dels = vstore.version_diff(spark, root, a, b)
+        ma, mb = set(snapshots[a - 1].items()), set(snapshots[b - 1].items())
+        assert {(r.id, r.x) for r in ins.collect()} == mb - ma, \
+            f"seed {seed} diff {a}->{b} inserts"
+        assert {(r.id, r.x) for r in dels.collect()} == ma - mb, \
+            f"seed {seed} diff {a}->{b} deletes"
