@@ -1660,6 +1660,69 @@ def restore(spark: SparkSession, root: str, to_version: int,
         f"and retry")
 
 
+def clone(root_src: str, root_dst: str,
+          version: int | None = None) -> int:
+    """ZERO-COPY SHALLOW CLONE — Delta's ``CREATE TABLE ... CLONE``:
+    branch a snapshot of one store into a brand-new store without
+    copying data. Every data file (and its bloom / deletion-vector
+    sidecars) of the chosen source snapshot is HARD-LINKED into the
+    clone's data directory and published as the clone's version 1 —
+    bytes are shared inodes, so cloning a 100 TB table costs O(live
+    files) metadata (this local hard link stands in for the
+    by-reference file paths a cloud clone records). The branches then
+    diverge independently: writes to either side never touch the
+    other, and vacuum on either side only unlinks its OWN name — a
+    shared inode survives until both branches drop it, so neither
+    vacuum can break the other's snapshots.
+
+    Deliberately NOT carried: the txn ledger (the clone is a new
+    table; a streaming writer pointed at it must start its own
+    exactly-once lineage, else its legitimate first batches would
+    no-op against the source's history) and the source's version
+    HISTORY (the clone's manifest records ``cloned_from`` for audit;
+    time travel into pre-clone states belongs to the source). Falls
+    back to a byte copy if the destination is on another filesystem.
+    ``root_dst`` must not already be a store."""
+    import json
+
+    if latest_version(root_dst) is not None:
+        raise ValueError(f"clone destination {root_dst} already exists")
+    v = version if version is not None else latest_version(root_src)
+    if v is None:
+        raise ValueError(f"no committed version under {root_src}")
+    res = read_manifest(root_src, v)
+    os.makedirs(os.path.join(root_dst, _DATA), exist_ok=True)
+    os.makedirs(os.path.join(root_dst, _MANIFESTS), exist_ok=True)
+
+    def _link(name: str) -> None:
+        src = os.path.join(root_src, _DATA, name)
+        dst = os.path.join(root_dst, _DATA, name)
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device: degrade to a deep copy
+            shutil.copy2(src, dst)
+
+    stats = res.get("stats", {})
+    for f in res["files"]:
+        _link(f)
+        if os.path.exists(os.path.join(root_src, _DATA,
+                                       f + _BLOOM_SIDECAR)):
+            _link(f + _BLOOM_SIDECAR)
+    for dv in {fs[_DV_KEY] for fs in stats.values()
+               if isinstance(fs, dict) and _DV_KEY in fs}:
+        _link(dv)
+    seg = _seg_ref(_write_segment(root_dst, res["files"], stats),
+                   res["files"], stats)
+    raw = {"version": 1, "format": _FORMAT_VERSION, "segments": [seg],
+           "txns": {}, "schema": res["schema"], "op": "clone",
+           "n_new_files": 0,
+           "cloned_from": [os.path.abspath(root_src), v]}
+    if not _publish_cas(root_dst, 1, json.dumps(raw)):
+        raise ConcurrentCommitError(
+            f"clone destination {root_dst} was created concurrently")
+    return 1
+
+
 def optimize_zorder(spark: SparkSession, root: str, col_a: str,
                     col_b: str, n_files: int,
                     stats_cols: tuple[str, ...] | None = None,

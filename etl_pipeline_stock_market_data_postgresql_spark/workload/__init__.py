@@ -49,33 +49,34 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # maintenance loop over the typed feed, RESTORE-to-version,
     # OPTIMIZE ZORDER on the store, the portable HLL register / KMV
     # theta sketches, incremental sketch maintenance in the store,
-    # bloom-sidecar point lookups, and merge-on-read DELETE via
-    # deletion vectors — slots 1-10;
+    # bloom-sidecar point lookups, merge-on-read DELETE via deletion
+    # vectors, and zero-copy shallow CLONE — slots 1-11;
     "q150_versioned_cdf_typed", "q151_versioned_conditional_merge",
     "q152_incremental_mv_from_cdf", "q153_versioned_restore",
     "q154_versioned_optimize_zorder", "q155_portable_hll_registers",
     "q156_portable_kmv_theta", "q157_versioned_sketch_maintenance",
     "q158_bloom_point_lookup", "q159_deletion_vectors",
+    "q160_versioned_clone",
     # (2) implementation changed this round (outputs unchanged; their
     # r12/r11/r10 rows prove the OLD manifest format): every query
     # that COMMITS through versioned_store._commit now writes the
     # bounded per-app txn ledger, commit_delete is null-safe +
     # pinned-schema, commit_merge re-reads victims under the pinned
-    # union schema — slots 11-18. (q142/q144/q146 are read-only over
+    # union schema — slots 12-19. (q142/q144/q146 are read-only over
     # these stores and never touch the txns field; their r12/r10 rows
     # stand.)
     "q122_streaming_incremental_dedup", "q140_streaming_ann_ingest",
     "q141_ann_store_snapshot", "q143_ann_versioned_delete",
     "q145_ann_retrain_cutover", "q147_versioned_merge",
     "q148_versioned_schema_evolution", "q149_versioned_change_feed",
-    # (3) the r10 tier in module order (first 32 of its 47; the last 15
-    # — q70/q97/q101/q132/q129/q108/q106 displaced by the in-round
-    # q153-q159 additions, plus q103/q119/q121/q130/q124/q93/q110/q127
+    # (3) the r10 tier in module order (first 31 of its 47; the last 16
+    # — q70/q97/q101/q132/q129/q108/q106/q96 displaced by the in-round
+    # q153-q160 additions, plus q103/q119/q121/q130/q124/q93/q110/q127
     # per the derivation — and all 49 r11-tier queries fall past the
     # cap: most recently proven, still covered by local parity
     # (tests/test_oracle_parity.py runs the identical comparison on
     # every registered query, plus the sf0.01 driver-scale bridge for
-    # the oldest tier); they rotate forward in r14 — slots 19-50;
+    # the oldest tier); they rotate forward in r14 — slots 20-50;
     "q112_equidepth_sketch", "q125_fuzzy_linkage", "q128_pagerank",
     "q131_kcore", "q114_global_sort", "q85_retention_cohorts",
     "q88_sliding_window_stats", "q90_gapfill_locf",
@@ -87,7 +88,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q126_embedding_covariance", "q32_token_stats", "q33_fingerprint",
     "q63_quality_gate", "q76_repetition_stats", "q84_heavy_hitters",
     "q36_sma_over_bars", "q40_date_funcs", "q41_correlated_max",
-    "q43_array_aggregation", "q44_joinback_avg", "q96_streaming_dedup",
+    "q43_array_aggregation", "q44_joinback_avg",
 )
 
 

@@ -1681,6 +1681,144 @@ SELECT 'feed_v3_v4_del', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
 """
 
 
+def q160_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE + independent branch divergence —
+    Delta's ``CREATE TABLE ... CLONE``, the verb that makes dev/test
+    sandboxing of a 100 TB table an O(live files) metadata operation:
+    ``versioned_store.clone`` hard-links the chosen snapshot's data
+    files (and their bloom / deletion-vector sidecars) into a new
+    store and publishes them as its v1 — no data copied, bytes are
+    shared inodes, and vacuum on either branch only unlinks its own
+    names so neither side can break the other (pinned by the
+    invariant tests, along with the deliberately-fresh txn ledger).
+
+    The chain: source v1 ingests the event window, v2 MoR-deletes a
+    sparse ``% 499`` takedown slice (so the clone must carry deletion
+    vectors correctly); the CLONE branches at v2; then the branches
+    diverge — the clone MERGEs a ``% 101`` restatement (value bumped
+    one quantum), the source appends a shifted-id fresh batch. The
+    gated output is per-(branch, version) content checksums with the
+    history op column: a green row certifies the clone sees exactly
+    the source snapshot (DVs included), both divergent writes land
+    only on their own branch, and the clone commit itself wrote zero
+    data files (``n_new_files = 0`` on the ``clone`` row).
+
+    Scale shape: clone cost = O(live files) links + one segment
+    write; each branch's subsequent commits price exactly as they
+    would on an uncloned store."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    scratch, _ = _scratch_base(sf_dir)
+    src = os.path.join(scratch, "events_clone_src")
+    dst = os.path.join(scratch, "events_clone_branch")
+    fp = table_fingerprint(sf_dir, ("events",), params="q160_clone_v1")
+    fp_file = os.path.join(src, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(src) != fp:
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        vstore.commit_append(spark, src,
+                             base.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete_mor(spark, src, F.col("event_id") % 499 == 0,
+                                 txn="q160-mor")
+        vstore.clone(src, dst)
+        restated = (vstore.read_version(spark, dst, 1)
+                    .filter(F.col("event_id") % 101 == 0)
+                    .select("event_id", "user_id",
+                            (F.col("value_q") + F.lit(1000000))
+                            .alias("value_q")))
+        vstore.commit_merge(spark, dst, restated, key_cols=("event_id",),
+                            stats_cols=("event_id",), txn="q160-merge")
+        fresh = base.filter(F.col("event_id") < 30).select(
+            (F.col("event_id") + mx + 1).alias("event_id"),
+            "user_id", "value_q")
+        vstore.commit_append(spark, src, fresh, stats_cols=("event_id",),
+                             txn="q160-append")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for branch, root, versions in (("src", src, (1, 2, 3)),
+                                   ("branch", dst, (1, 2))):
+        hist = (vstore.history(spark, root)
+                .select(F.col("version").cast("int").alias("version"),
+                        "op",
+                        F.when(F.col("op") == "clone",
+                               F.col("n_new_files"))
+                        .cast("int").alias("n_new_files")))
+        summary = None
+        for v in versions:
+            p = (vstore.read_version(spark, root, v)
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum("event_id").alias("id_sum"),
+                      F.sum("value_q").alias("value_q_sum"))
+                 .select(F.lit(v).cast("int").alias("version"),
+                         "n_rows", "id_sum", "value_q_sum"))
+            summary = p if summary is None else summary.unionByName(p)
+        parts.append(summary.join(hist, "version")
+                     .select(F.lit(branch).alias("branch"), "version",
+                             "op", "n_rows", "id_sum", "value_q_sum",
+                             "n_new_files"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q160_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) AS mx FROM base),
+v2 AS (SELECT * FROM base WHERE event_id % 499 <> 0),
+src_v3 AS (
+  SELECT * FROM v2
+  UNION ALL
+  SELECT event_id + (SELECT mx FROM bnd) + 1, user_id, value_q
+  FROM base WHERE event_id < 30
+),
+br_v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 101 = 0 THEN value_q + 1000000
+              ELSE value_q END AS value_q
+  FROM v2
+)
+SELECT 'src' AS branch, CAST(1 AS INT) AS version, 'append' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+       CAST(NULL AS INT) AS n_new_files
+FROM base
+UNION ALL
+SELECT 'src', 2, 'delete_mor', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM v2
+UNION ALL
+SELECT 'src', 3, 'append', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM src_v3
+UNION ALL
+SELECT 'branch', 1, 'clone', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(0 AS INT)
+FROM v2
+UNION ALL
+SELECT 'branch', 2, 'merge', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(NULL AS INT)
+FROM br_v2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1705,4 +1843,5 @@ QUERIES: dict[str, Query] = {
         q157_versioned_sketch_maintenance, _q157_sql()),
     "q158_bloom_point_lookup": Query(q158_bloom_point_lookup, _Q158_SQL),
     "q159_deletion_vectors": Query(q159_deletion_vectors, _Q159_SQL),
+    "q160_versioned_clone": Query(q160_versioned_clone, _Q160_SQL),
 }

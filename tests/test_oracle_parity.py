@@ -195,7 +195,7 @@ _DRIVER_GAPPED = [
     # evidence bridges the gap until then:
     "q70_scd2_history", "q97_bm25_ranking", "q101_bigram_novelty",
     "q132_token_budget_fill", "q129_pareto_frontier", "q108_twap",
-    "q106_streaming_stateful_hwm",
+    "q106_streaming_stateful_hwm", "q96_streaming_dedup",
     "q103_scd2_pit_enrichment", "q119_bpe_encode", "q121_dsir_weights", "q130_importance_resample",
     "q124_lm_perplexity", "q93_zorder_pruning",
     "q110_dynamic_partition_overwrite", "q127_schema_evolution",

@@ -126,6 +126,8 @@ SINGLE_PARTITION_ALLOWED = {
                              "(map-side partials only; the DV "
                              "anti-join side is the broadcast "
                              "deleted-positions table)",
+    "q160_versioned_clone": "per-(branch, version) 1-row checksums "
+                            "(map-side partials only)",
 }
 
 

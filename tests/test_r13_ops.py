@@ -1629,3 +1629,48 @@ def test_store_verbs_compose_against_model(spark, tmp_path, seed):
             f"seed {seed} diff {a}->{b} inserts"
         assert {(r.id, r.x) for r in dels.collect()} == ma - mb, \
             f"seed {seed} diff {a}->{b} deletes"
+
+
+# --- zero-copy shallow clone ---------------------------------------------------
+
+def test_clone_shares_bytes_and_diverges(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "branch")
+    base = (spark.range(0, 500)
+            .select(F.col("id"), (F.col("id") * 3).alias("x")))
+    vstore.commit_append(spark, src, base.repartition(3),
+                         stats_cols=("id",), txn=("up", 4))
+    vstore.commit_delete_mor(spark, src, F.col("id") % 50 == 0)
+    assert vstore.clone(src, dst) == 1
+    # shared inodes, not copies (incl. the DV sidecars)
+    shared = 0
+    for f in os.listdir(os.path.join(dst, "data")):
+        st = os.stat(os.path.join(dst, "data", f))
+        assert st.st_nlink >= 2, f"{f} was copied, not linked"
+        shared += 1
+    assert shared >= 4  # 3 data files + >=1 DV
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.compaction import (
+        multiset_equal)
+    assert multiset_equal(vstore.read_version(spark, dst, 1),
+                          vstore.read_version(spark, src, 2))
+    # the txn ledger is NOT carried: a fresh writer lineage begins
+    assert vstore.txn_seen(dst) == {}
+    raw = vstore._read_manifest_raw(dst, 1)
+    assert raw["op"] == "clone" and raw["cloned_from"][1] == 2
+    # divergence: each side's writes are invisible to the other
+    vstore.commit_append(spark, dst,
+                         spark.createDataFrame([(9001, -1)],
+                                               "id long, x long"),
+                         stats_cols=("id",))
+    vstore.commit_delete(spark, src, F.col("id") < 100,
+                         stats_cols=("id",))
+    assert vstore.read_version(spark, dst, 2).filter("id = 9001").count() == 1
+    assert vstore.read_version(spark, src, 3).filter("id < 100").count() == 0
+    assert vstore.read_version(spark, dst, 2).filter(
+        "id < 100 AND id % 50 != 0").count() == 98
+    # vacuuming the SOURCE to its post-delete state must not break the
+    # clone: shared inodes survive the source unlinking its names
+    vstore.vacuum(src, keep_versions=[3])
+    assert vstore.read_version(spark, dst, 2).count() == 491
+    with pytest.raises(ValueError):
+        vstore.clone(src, dst)  # destination exists
