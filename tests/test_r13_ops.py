@@ -1674,3 +1674,80 @@ def test_clone_shares_bytes_and_diverges(spark, tmp_path):
     assert vstore.read_version(spark, dst, 2).count() == 491
     with pytest.raises(ValueError):
         vstore.clone(src, dst)  # destination exists
+
+
+# --- streaming takedown pipeline (MoR deletes via foreachBatch) ----------------
+
+def test_streaming_takedown_mor_is_exactly_once(spark, tmp_path):
+    """A right-to-be-forgotten REQUEST STREAM applied as merge-on-read
+    deletes: each micro-batch of victim ids becomes one
+    ``commit_delete_mor`` keyed by the batch id — replaying a crashed
+    batch from the engine's checkpoint must NOT re-commit (the txn
+    ledger no-ops it, and even a double-applied MoR delete of already
+    marked positions commits nothing, a belt-and-braces idempotence),
+    and the final store content equals base minus every requested id,
+    with NO data file rewritten anywhere in the run."""
+    import time as _time
+
+    root = str(tmp_path / "takedown_store")
+    base = (spark.range(0, 2000)
+            .select(F.col("id"), (F.col("id") * 3).alias("x")))
+    vstore.commit_append(spark, root, base.repartition(4),
+                         stats_cols=("id",))
+    data_before = {f for f in os.listdir(os.path.join(root, "data"))
+                   if f.endswith(".parquet")}
+
+    # three mtime-ordered request files -> three deterministic batches
+    feed = str(tmp_path / "requests")
+    requested = [7, 13, 21, 500, 1999, 42, 42, 77, 1500, 3]  # dup ok
+    now = _time.time()
+    os.makedirs(feed)
+    for i in range(3):
+        chunk = requested[i::3]
+        (spark.createDataFrame([(v,) for v in chunk], "victim_id long")
+         .coalesce(1).write.mode("append").parquet(feed))
+        for f in os.listdir(feed):
+            p = os.path.join(feed, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > now - 1:
+                t = now - 30 + 10 * i
+                os.utime(p, (t, t))
+    schema = spark.read.parquet(feed).schema
+
+    def run_stream(ck, poison=None):
+        def sink(bdf, bid):
+            ids = [r.victim_id for r in
+                   bdf.select("victim_id").distinct().collect()]
+            if ids:
+                vstore.commit_delete_mor(
+                    bdf.sparkSession, root,
+                    F.col("id").isin(ids), txn=("takedown", bid))
+            if poison is not None and bid == 1 and os.path.exists(poison):
+                os.remove(poison)
+                raise RuntimeError("injected crash after commit")
+
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(feed)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    ck = str(tmp_path / "ck")
+    poison = str(tmp_path / "poison")
+    open(poison, "w").close()
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream(ck, poison=poison)
+    assert vstore.txn_seen(root).get("takedown") == 1
+    run_stream(ck, poison=poison)  # restart: batch 1 replays, no-ops
+    assert vstore.txn_seen(root).get("takedown") == 2
+    final = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert {r.id for r in final.collect()} \
+        == set(range(2000)) - set(requested)
+    # the whole pipeline never rewrote a data file
+    assert {f for f in os.listdir(os.path.join(root, "data"))
+            if f.endswith(".parquet")} == data_before
+    for v in range(2, vstore.latest_version(root) + 1):
+        assert vstore._read_manifest_raw(root, v)["op"] == "delete_mor"
