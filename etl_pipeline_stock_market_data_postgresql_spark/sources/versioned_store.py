@@ -523,6 +523,28 @@ def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
     return out
 
 
+class ConstraintViolationError(ValueError):
+    """A commit's rows (or, at ADD CONSTRAINT time, the existing
+    table) violate a recorded CHECK constraint — rejected BEFORE any
+    manifest publishes, so a constrained store never contains a
+    violating committed row."""
+
+
+def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+    """CHECK semantics (Delta's): a row violates when the expression
+    evaluates FALSE; NULL passes (SQL's CHECK three-valued rule). One
+    validation scan per constrained commit — the price every
+    CHECK-enforcing engine pays (Delta validates in the writer; this
+    driver-side pass is the local-mode stand-in)."""
+    for name, expr in (constraints or {}).items():
+        viol = (df.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1).count())
+        if viol:
+            raise ConstraintViolationError(
+                f"CHECK constraint {name!r} ({expr}) violated by the "
+                f"rows this commit would add")
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer published the version this commit raced for, and
     this commit's semantics do not commute with theirs (rewrite /
@@ -651,7 +673,8 @@ def _next_manifest(pm: dict | None, version: int, new_files: list[str],
     return {"version": version,
             "files": carry_files + new_files,
             "stats": stats, "txns": txns,
-            "schema": rec_schema.jsonValue()}
+            "schema": rec_schema.jsonValue(),
+            "constraints": (pm or {}).get("constraints", {})}
 
 
 def _segmented_body(root: str, praw: dict | None, man: dict, carry,
@@ -723,7 +746,8 @@ def _segmented_body(root: str, praw: dict | None, man: dict, carry,
         segs = [_mk_seg(files, stats)]
     return {"version": man["version"], "format": _FORMAT_VERSION,
             "segments": segs,
-            "txns": man["txns"], "schema": man["schema"]}
+            "txns": man["txns"], "schema": man["schema"],
+            "constraints": man.get("constraints", {})}
 
 
 def _commit(spark: SparkSession, root: str, df: DataFrame,
@@ -768,6 +792,10 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     seq = next(_COMMIT_SEQ)
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    prev0 = latest_version(root)
+    if prev0 is not None:
+        _validate_constraints(
+            df, read_manifest(root, prev0).get("constraints"))
     for entry in os.listdir(root):  # crashed-commit staging debris —
         if not entry.startswith(".commit-tmp-"):  # only DEAD writers'
             continue  # (a live concurrent committer owns its dir)
@@ -1221,6 +1249,7 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
                              sd["files"], sstats))
     raw = {"version": version, "format": _FORMAT_VERSION,
            "segments": segs, "txns": txns, "schema": man["schema"],
+           "constraints": dict(man.get("constraints") or {}),
            "op": "delete_mor", "n_new_files": 0}
     if _publish_cas(root, version, json.dumps(raw)):
         return version, len(by_file), len(victims)
@@ -1587,6 +1616,84 @@ def history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _metadata_commit(root: str, mutate, op: str) -> int:
+    """Publish a metadata-only commit: the latest manifest's segments
+    (or its flat file list wrapped into one segment) re-referenced
+    verbatim, with ``mutate(raw_fields)`` applied to the copied
+    top-level fields. Same conflict rule as rewrites: a lost CAS
+    raises."""
+    import json
+
+    prev = latest_version(root)
+    if prev is None:
+        raise ValueError(f"no committed version under {root}")
+    praw = _read_manifest_raw(root, prev)
+    res = _resolve(root, praw)
+    if "segments" in praw:
+        segs = list(praw["segments"])
+    elif res["files"]:
+        segs = [_seg_ref(_write_segment(root, res["files"],
+                                        res.get("stats", {})),
+                         res["files"], res.get("stats", {}))]
+    else:
+        segs = []
+    raw = {"version": prev + 1, "format": _FORMAT_VERSION,
+           "segments": segs, "txns": _normalize_txns(praw.get("txns")),
+           "schema": res["schema"],
+           "constraints": dict(res.get("constraints") or {}),
+           "op": op, "n_new_files": 0}
+    mutate(raw)
+    if _publish_cas(root, prev + 1, json.dumps(raw)):
+        return prev + 1
+    raise ConcurrentCommitError(
+        f"version {prev + 1} of {root} was committed concurrently; this "
+        f"{op} was derived from superseded version {prev} — re-read and "
+        f"retry")
+
+
+def add_check_constraint(spark: SparkSession, root: str, name: str,
+                         expr_sql: str) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`` — record a
+    CHECK constraint in the manifest so EVERY subsequent commit's rows
+    validate against it before publishing (enforcement lives in
+    ``_commit``, so append/rewrite/delete/merge outputs are all
+    covered from one place). Like Delta, the EXISTING table is scanned
+    once first — a constraint the current data already violates is
+    rejected here, not discovered later. NULL passes (SQL CHECK
+    three-valued semantics). The constraint set version-travels with
+    the manifest: time travel shows the rules in force at each
+    version, and RESTORE rolls constraint changes back with the data."""
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed version under {root}")
+    _validate_constraints(read_version(spark, root, v),
+                          {name: expr_sql})
+
+    def mutate(raw):
+        raw["constraints"][name] = expr_sql
+
+    return _metadata_commit(root, mutate, "add_constraint")
+
+
+def drop_check_constraint(spark: SparkSession, root: str,
+                          name: str) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT`` — metadata-only."""
+    def mutate(raw):
+        if name not in raw["constraints"]:
+            raise KeyError(f"no CHECK constraint named {name!r}")
+        del raw["constraints"][name]
+
+    return _metadata_commit(root, mutate, "drop_constraint")
+
+
+def check_constraints(root: str) -> dict[str, str]:
+    """The CHECK constraints in force at the latest version."""
+    v = latest_version(root)
+    if v is None:
+        return {}
+    return dict(read_manifest(root, v).get("constraints") or {})
+
+
 def restore(spark: SparkSession, root: str, to_version: int,
             txn: str | tuple[str, int] | None = None) -> int:
     """``RESTORE TABLE ... TO VERSION`` — roll the store back to an
@@ -1650,6 +1757,7 @@ def restore(spark: SparkSession, root: str, to_version: int,
         segs = []
     raw = {"version": prev + 1, "format": _FORMAT_VERSION,
            "segments": segs, "txns": txns, "schema": target["schema"],
+           "constraints": dict(target.get("constraints") or {}),
            "op": "restore", "n_new_files": 0,
            "restored_from": to_version}
     if _publish_cas(root, prev + 1, json.dumps(raw)):
@@ -1714,8 +1822,9 @@ def clone(root_src: str, root_dst: str,
     seg = _seg_ref(_write_segment(root_dst, res["files"], stats),
                    res["files"], stats)
     raw = {"version": 1, "format": _FORMAT_VERSION, "segments": [seg],
-           "txns": {}, "schema": res["schema"], "op": "clone",
-           "n_new_files": 0,
+           "txns": {}, "schema": res["schema"],
+           "constraints": dict(res.get("constraints") or {}),
+           "op": "clone", "n_new_files": 0,
            "cloned_from": [os.path.abspath(root_src), v]}
     if not _publish_cas(root_dst, 1, json.dumps(raw)):
         raise ConcurrentCommitError(

@@ -1751,3 +1751,68 @@ def test_streaming_takedown_mor_is_exactly_once(spark, tmp_path):
             if f.endswith(".parquet")} == data_before
     for v in range(2, vstore.latest_version(root) + 1):
         assert vstore._read_manifest_raw(root, v)["op"] == "delete_mor"
+
+
+# --- CHECK constraints ---------------------------------------------------------
+
+def test_check_constraints_enforced_on_every_commit_path(spark, tmp_path):
+    root = str(tmp_path / "constrained")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, x long").coalesce(1)
+    vstore.commit_append(spark, root, base)
+    vstore.add_check_constraint(spark, root, "x_positive", "x > 0")
+    assert vstore.check_constraints(root) == {"x_positive": "x > 0"}
+    # NULL passes (three-valued CHECK); a FALSE row is rejected BEFORE
+    # any manifest publishes
+    ok = spark.createDataFrame([(4, 40), (5, None)], "id long, x long")
+    vstore.commit_append(spark, root, ok.coalesce(1))
+    v_before = vstore.latest_version(root)
+    bad = spark.createDataFrame([(6, -1)], "id long, x long")
+    with pytest.raises(vstore.ConstraintViolationError):
+        vstore.commit_append(spark, root, bad.coalesce(1))
+    assert vstore.latest_version(root) == v_before
+    # merge output validates too (the source tries to smuggle x = -5)
+    with pytest.raises(vstore.ConstraintViolationError):
+        vstore.commit_merge(spark, root,
+                            spark.createDataFrame([(1, -5)],
+                                                  "id long, x long"),
+                            key_cols=("id",))
+    # adding a constraint the EXISTING data violates is rejected
+    with pytest.raises(vstore.ConstraintViolationError):
+        vstore.add_check_constraint(spark, root, "x_big", "x > 15")
+    # the set survives delete/compaction commits and drops cleanly
+    vstore.commit_delete(spark, root, F.col("id") == 2)
+    assert vstore.check_constraints(root) == {"x_positive": "x > 0"}
+    vstore.drop_check_constraint(spark, root, "x_positive")
+    assert vstore.check_constraints(root) == {}
+    vstore.commit_append(spark, root, bad.coalesce(1))  # now allowed
+    with pytest.raises(KeyError):
+        vstore.drop_check_constraint(spark, root, "x_positive")
+
+
+def test_check_constraints_version_travel_and_restore(spark, tmp_path):
+    """The constraint SET is manifest state: RESTORE rolls a dropped
+    constraint back into force, and clones inherit it."""
+    root = str(tmp_path / "ct_restore")
+    vstore.commit_append(spark, root,
+                         spark.createDataFrame([(1, 10)],
+                                               "id long, x long"))
+    vstore.add_check_constraint(spark, root, "pos", "x > 0")  # v2
+    vstore.drop_check_constraint(spark, root, "pos")          # v3
+    vstore.commit_append(spark, root,
+                         spark.createDataFrame([(2, -2)],
+                                               "id long, x long"))  # v4 ok
+    vstore.restore(spark, root, 2)                            # v5
+    assert vstore.check_constraints(root) == {"pos": "x > 0"}
+    with pytest.raises(vstore.ConstraintViolationError):
+        vstore.commit_append(spark, root,
+                             spark.createDataFrame([(3, -3)],
+                                                   "id long, x long"))
+    # clones inherit the constraint set
+    dst = str(tmp_path / "ct_clone")
+    vstore.clone(root, dst)
+    assert vstore.check_constraints(dst) == {"pos": "x > 0"}
+    with pytest.raises(vstore.ConstraintViolationError):
+        vstore.commit_append(spark, dst,
+                             spark.createDataFrame([(4, -4)],
+                                                   "id long, x long"))
