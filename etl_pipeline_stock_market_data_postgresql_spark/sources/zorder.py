@@ -46,6 +46,59 @@ def z_value(a: Column, b: Column, bits: int = 16) -> Column:
     return key
 
 
+def z_value_n(cols: list[Column], bits: int) -> Column:
+    """N-column Morton key: round-robin interleave of the low ``bits``
+    bits of each column (column i owns output positions ``i, i+n,
+    i+2n, ...``). ``n * bits <= 62`` keeps the key in a long — the
+    caller trades per-column resolution for dimensionality exactly as
+    every OPTIMIZE ZORDER implementation does (Delta caps columns for
+    the same reason: each added column halves the per-file tightness
+    of all of them). The two-column :func:`z_value` is the n=2
+    special case kept for its fixed layout compatibility."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if not 1 <= bits or n * bits > 62:
+        raise ValueError(f"n*bits must be in [1, 62], got {n}*{bits}")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            key = key.bitwiseOR(F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(1),
+                i * n + j))
+    return key
+
+
+def zordered_frame_n(df: DataFrame, cols: tuple[str, ...],
+                     n_files: int, bits: int | None = None) -> DataFrame:
+    """N-column generalization of :func:`zordered_frame`: scale each
+    column to [0, 2^bits) from one min/max pass, range-partition +
+    sort on the round-robin Morton key, drop the key. ``bits``
+    defaults to the largest resolution the 62-bit key affords
+    (``62 // n``)."""
+    bits = bits if bits is not None else max(1, 62 // len(cols))
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    row = df.agg(*aggs).collect()[0]
+    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(cols))]
+    if any(lo is None for lo, _ in bounds):
+        return df
+    top = (1 << bits) - 1
+
+    def scaled(c: str, lo, hi) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        return F.least(F.floor(frac * top).cast("long"), F.lit(top))
+
+    zk = z_value_n([scaled(c, lo, hi)
+                    for c, (lo, hi) in zip(cols, bounds)], bits)
+    return (df.withColumn("_zorder_key", zk)
+            .repartitionByRange(n_files, "_zorder_key")
+            .sortWithinPartitions("_zorder_key")
+            .drop("_zorder_key"))
+
+
 def zordered_frame(df: DataFrame, col_a: str, col_b: str,
                    n_files: int, bits: int = 16) -> DataFrame:
     """``df`` re-laid-out as ``n_files`` partitions clustered on the

@@ -113,3 +113,50 @@ def test_zorder_empty_input_writes_cleanly(spark, tmp_path):
     out = os.path.join(str(tmp_path), "empty")
     write_zordered(df, out, "l_partkey", "l_suppkey", 4)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_z_value_n_three_columns_bound_all_ranges(spark, tmp_path):
+    """3-column Morton clustering bounds EVERY column's per-file
+    min/max to a fraction of its domain — the property a linear sort
+    gives one column and z_value gives two. Verified from footers."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.zorder import (
+        z_value_n, zordered_frame_n)
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("a"),
+        (F.col("id") * 40503 % n).alias("b"),
+        (F.col("id") * 69621 % n).alias("c"))
+    out = str(tmp_path / "z3")
+    zordered_frame_n(df, ("a", "b", "c"), n_files=8).write.parquet(out)
+
+    import glob
+
+    import pyarrow.parquet as pq
+    widths = {"a": [], "b": [], "c": []}
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) == 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        for col in widths:
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            widths[col].append(hi - lo)
+    for col, ws in widths.items():
+        avg = sum(ws) / len(ws)
+        # 8 files on a 3-D curve: each axis splits ~2x per file (the
+        # curve's 3 top bits give one split per axis); demand a real
+        # bound well under the full domain
+        assert avg <= 0.75 * n, f"{col}: avg per-file width {avg}"
+    # content invariance
+    assert spark.read.parquet(out).count() == n
+    # geometry guards
+    with pytest.raises(ValueError):
+        z_value_n([], 8)
+    with pytest.raises(ValueError):
+        z_value_n([F.col("a"), F.col("b"), F.col("c")], 21)
