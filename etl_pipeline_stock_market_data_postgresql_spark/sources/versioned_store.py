@@ -1248,7 +1248,7 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
         segs.append(_seg_ref(_write_segment(root, sd["files"], sstats),
                              sd["files"], sstats))
     raw = {"version": version, "format": _FORMAT_VERSION,
-           "segments": segs, "txns": txns, "schema": man["schema"],
+           "segments": segs, "txns": txns, "schema": man.get("schema"),
            "constraints": dict(man.get("constraints") or {}),
            "op": "delete_mor", "n_new_files": 0}
     if _publish_cas(root, version, json.dumps(raw)):
@@ -1639,7 +1639,7 @@ def _metadata_commit(root: str, mutate, op: str) -> int:
         segs = []
     raw = {"version": prev + 1, "format": _FORMAT_VERSION,
            "segments": segs, "txns": _normalize_txns(praw.get("txns")),
-           "schema": res["schema"],
+           "schema": res.get("schema"),
            "constraints": dict(res.get("constraints") or {}),
            "op": op, "n_new_files": 0}
     mutate(raw)
@@ -1756,7 +1756,7 @@ def restore(spark: SparkSession, root: str, to_version: int,
     else:
         segs = []
     raw = {"version": prev + 1, "format": _FORMAT_VERSION,
-           "segments": segs, "txns": txns, "schema": target["schema"],
+           "segments": segs, "txns": txns, "schema": target.get("schema"),
            "constraints": dict(target.get("constraints") or {}),
            "op": "restore", "n_new_files": 0,
            "restored_from": to_version}
@@ -1822,7 +1822,7 @@ def clone(root_src: str, root_dst: str,
     seg = _seg_ref(_write_segment(root_dst, res["files"], stats),
                    res["files"], stats)
     raw = {"version": 1, "format": _FORMAT_VERSION, "segments": [seg],
-           "txns": {}, "schema": res["schema"],
+           "txns": {}, "schema": res.get("schema"),
            "constraints": dict(res.get("constraints") or {}),
            "op": "clone", "n_new_files": 0,
            "cloned_from": [os.path.abspath(root_src), v]}
