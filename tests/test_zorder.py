@@ -128,14 +128,23 @@ def test_z_value_n_three_columns_bound_all_ranges(spark, tmp_path):
         (F.col("id") * 40503 % n).alias("b"),
         (F.col("id") * 69621 % n).alias("c"))
     out = str(tmp_path / "z3")
-    zordered_frame_n(df, ("a", "b", "c"), n_files=8).write.parquet(out)
+    # 64 files => the curve's top 6 bits quarter EVERY column, leaving
+    # slack for repartitionByRange's nondeterministic boundary
+    # sampling (a straddling file widens one column to ~full domain;
+    # with 64 files a few straddlers cannot push the average past the
+    # bound — at 8 files they occasionally did, which is why this test
+    # is not written against the minimum file count)
+    zordered_frame_n(df, ("a", "b", "c"), n_files=64).write.parquet(out)
 
     import glob
 
     import pyarrow.parquet as pq
     widths = {"a": [], "b": [], "c": []}
     files = glob.glob(os.path.join(out, "part-*.parquet"))
-    assert len(files) == 8
+    # sampling wobble can leave a couple of range partitions empty
+    # (an empty partition writes no file) — demand the shape, not
+    # an exact count
+    assert 56 <= len(files) <= 64
     for f in files:
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i
@@ -149,10 +158,7 @@ def test_z_value_n_three_columns_bound_all_ranges(spark, tmp_path):
             widths[col].append(hi - lo)
     for col, ws in widths.items():
         avg = sum(ws) / len(ws)
-        # 8 files on a 3-D curve: each axis splits ~2x per file (the
-        # curve's 3 top bits give one split per axis); demand a real
-        # bound well under the full domain
-        assert avg <= 0.75 * n, f"{col}: avg per-file width {avg}"
+        assert avg <= 0.6 * n, f"{col}: avg per-file width {avg}"
     # content invariance
     assert spark.read.parquet(out).count() == n
     # geometry guards
