@@ -86,16 +86,46 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
+    # Key order matters for the driver's TAIL capture (BENCH_r13 and
+    # every prior round recorded "parsed": null because the one giant
+    # line was cut mid-"queries", losing the scalars): the big
+    # per-query map prints FIRST and the cheap scalars LAST, so
+    # whatever suffix of the line survives always carries the totals.
     out = {
-        "metric": "workload_total_runtime",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": sf,
     }
     if failures:
         out["failures"] = failures
+    out.update({
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    })
+    # The complete result also lands in a repo file, so round-over-round
+    # per-query comparison never depends on how much stdout the driver
+    # kept.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError as ex:
+        print(f"  could not write BENCH_FULL.json: {ex}", file=sys.stderr)
     print(json.dumps(out))
+    # ...and a compact summary line LAST: small enough to always fit
+    # complete inside any tail window, so the driver has one
+    # parseable JSON line carrying the total even if the full line
+    # above was truncated.
+    print(json.dumps({
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "full_results": "BENCH_FULL.json",
+    }))
 
 
 if __name__ == "__main__":

@@ -1494,7 +1494,12 @@ def q158_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
 
-    probes = [mx // 7, mx // 3, (2 * mx) // 3, mx, mx + 12345]
+    # dedup: at degenerate scale factors (mx <= 2) the arithmetic
+    # probes collide, and the oracle's GROUP BY probe_id would collapse
+    # them into one row while a per-entry loop here would emit two —
+    # one row per DISTINCT probe on both sides
+    probes = list(dict.fromkeys(
+        [mx // 7, mx // 3, (2 * mx) // 3, mx, mx + 12345]))
     parts = []
     for pid in probes:
         df, _opened, _total = vstore.read_version_point_lookup(
@@ -1819,6 +1824,99 @@ FROM br_v2
 """
 
 
+def q161_row_tracking_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS typed change feed via ROW TRACKING — the r13 verdict's
+    row-tracking ask: q150's typed feed needs the caller to supply the
+    table's key columns; Delta/Iceberg instead derive row identity
+    from row tracking (a stable per-row id assigned at first commit as
+    file-base + position, materialized through every rewrite,
+    preserved by MERGE updates). The store here is created with
+    ``commit_append(..., row_ids=True)`` and the feed comes from
+    ``versioned_store.version_diff_typed_rows`` — NO key is ever
+    passed; pre/post pairing is purely id-based.
+
+    The chain (documents table): v1 ingests (doc_id, lang, n_chars)
+    id-range clustered; v2 MERGEs a restatement (``doc_id % 7 == 3`` →
+    lang ``'up'``, n_chars bumped a fixed quantum) together with fresh
+    inserts (``% 13 == 1`` rows re-keyed past the max id); v3
+    copy-on-write DELETEs ``doc_id % 5 == 2`` of the then-current
+    content. The gated output is the COMPOSED v1→v3 feed as full rows:
+    a row updated then deleted must surface as ONE delete carrying its
+    v1 preimage; an insert deleted in v3 must not surface at all —
+    compositions a key-less consumer can only get right if row
+    identity is stable across commits. The oracle reconstructs the
+    expected feed relationally from the mutation rules alone.
+
+    Scale shape: feed cost ∝ changed files (carried files never read);
+    id classification joins touch only changed rows; row-id
+    maintenance is footer metadata at append time and one extra long
+    column in rewritten files.
+
+    Reference parity: beyond the reference (PostgreSQL has ctid, but
+    it is NOT stable across UPDATE/VACUUM; stable row identity there
+    requires a user-managed key — exactly what this removes)."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars"))
+    mx, = base.agg(F.max("doc_id")).first()
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "documents_row_tracking")
+    fp = table_fingerprint(sf_dir, ("documents",), params="q161_rt_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "doc_id"),
+                             stats_cols=("doc_id",), row_ids=True)
+        updates = (base.filter(F.col("doc_id") % 7 == 3)
+                   .select("doc_id", F.lit("up").alias("lang"),
+                           (F.col("n_chars") + F.lit(1000000))
+                           .alias("n_chars"))
+                   .unionByName(
+                       base.filter(F.col("doc_id") % 13 == 1)
+                       .select((F.col("doc_id") + F.lit(mx))
+                               .alias("doc_id"),
+                               F.lit("xx").alias("lang"),
+                               (F.col("n_chars") + F.lit(7))
+                               .alias("n_chars"))))
+        vstore.commit_merge(spark, root, updates, key_cols=("doc_id",),
+                            stats_cols=("doc_id",), txn="q161-merge")
+        vstore.commit_delete(spark, root, F.col("doc_id") % 5 == 2,
+                             stats_cols=("doc_id",), txn="q161-delete")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    return (vstore.version_diff_typed_rows(spark, root, 1, 3)
+            .select(F.col("_change_type").alias("change_type"),
+                    "doc_id", "lang", "n_chars"))
+
+
+_Q161_SQL = """
+WITH bnd AS (SELECT max(doc_id) AS mx FROM documents),
+base AS (SELECT doc_id, lang, n_chars FROM documents),
+ins AS (
+  SELECT b.doc_id + (SELECT mx FROM bnd) AS doc_id,
+         'xx' AS lang, b.n_chars + 7 AS n_chars
+  FROM base b WHERE b.doc_id % 13 = 1
+)
+SELECT 'delete' AS change_type, doc_id, lang, n_chars
+FROM base WHERE doc_id % 5 = 2
+UNION ALL
+SELECT 'update_preimage', doc_id, lang, n_chars
+FROM base WHERE doc_id % 7 = 3 AND doc_id % 5 <> 2
+UNION ALL
+SELECT 'update_postimage', doc_id, 'up', n_chars + 1000000
+FROM base WHERE doc_id % 7 = 3 AND doc_id % 5 <> 2
+UNION ALL
+SELECT 'insert', doc_id, lang, n_chars
+FROM ins WHERE doc_id % 5 <> 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1844,4 +1942,5 @@ QUERIES: dict[str, Query] = {
     "q158_bloom_point_lookup": Query(q158_bloom_point_lookup, _Q158_SQL),
     "q159_deletion_vectors": Query(q159_deletion_vectors, _Q159_SQL),
     "q160_versioned_clone": Query(q160_versioned_clone, _Q160_SQL),
+    "q161_row_tracking_cdf": Query(q161_row_tracking_cdf, _Q161_SQL),
 }

@@ -92,7 +92,11 @@ def test_txn_ledger_bounded_end_to_end(spark, tmp_path):
     assert vstore.txn_seen(root) == {"app": 23}
     sz = [os.path.getsize(vstore._manifest_path(root, v))
           for v in (12, 24)]
-    assert sz[0] == sz[1], f"manifest grew with commit count: {sz}"
+    # byte-flat modulo name-width wobble: staged file/segment names
+    # embed a process-global sequence counter, so crossing a power of
+    # ten between the probed versions legitimately adds a digit or two;
+    # O(history) ledger growth would add tens of bytes PER COMMIT
+    assert abs(sz[0] - sz[1]) <= 4, f"manifest grew with commit count: {sz}"
     # replay of ANY earlier batch no-ops (monotone ledger check) and
     # survives a maintenance rewrite
     assert vstore.commit_rewrite(spark, root, df, txn=("app", 7)) == 24
