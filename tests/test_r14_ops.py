@@ -349,3 +349,192 @@ def test_row_ids_survive_restore_clone_and_mor_delete(spark, tmp_path):
     assert rc == r4
     # plain reads never surface the managed column
     assert "_row_id" not in vstore.read_version(spark, root, 4).columns
+
+
+# --- cross-process OCC races for the r13 verbs --------------------------------
+
+def _spawn_verb_workers(tmp_path, root, specs):
+    """Launch occ_verb_worker.py processes staged at a shared barrier;
+    returns after all exit. ``specs`` = [(idx, verb), ...]."""
+    import subprocess
+    import sys
+    import time
+
+    script = os.path.join(os.path.dirname(__file__), "occ_verb_worker.py")
+    barrier = str(tmp_path / "barrier")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo_root + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
+    procs = [subprocess.Popen(
+        [sys.executable, script, root, barrier, str(idx), verb],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        for idx, verb in specs]
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if all(os.path.exists(f"{barrier}.ready.{i}")
+               for i, _ in specs):
+            break
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(0.2)
+    open(f"{barrier}.go", "w").close()
+    outs = [p.communicate(timeout=300) for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    return outs
+
+
+def _base_ids(spark, lo, hi):
+    from pyspark.sql import functions as F2
+
+    return (spark.range(lo, hi)
+            .select(F2.col("id"), F2.lit(1).alias("k"),
+                    (F2.col("id") * 3).alias("x")).coalesce(2))
+
+
+def test_occ_two_process_mor_delete_vs_append(spark, tmp_path):
+    """A MoR delete and a blind append race from separate driver
+    processes: the delete's victims live only in the base id range, so
+    EITHER commit order yields the same final content — the loser must
+    re-derive (the worker's retry loop) and both must land, with no
+    lost appended rows and no resurrected victims."""
+    root = str(tmp_path / "mor_vs_append")
+    vstore.commit_append(spark, root, _base_ids(spark, 0, 100))
+    _spawn_verb_workers(tmp_path, root,
+                        [(0, "append"), (1, "mor_delete")])
+    assert vstore.latest_version(root) == 3  # base + both commits
+    got = vstore.read_version(spark, root, 3)
+    assert got.filter("id < 100 AND id % 3 = 0").count() == 0
+    assert got.filter("id >= 2000").count() == 25
+    assert got.count() == 100 - 34 + 25
+
+
+def test_occ_two_process_restore_vs_append(spark, tmp_path):
+    """RESTORE races a blind append: restore is a whole-table replace,
+    so the two orders legitimately differ (append-then-restore
+    discards the appended rows; restore-then-append keeps them) — the
+    OCC contract is that the result is EXACTLY one of the two
+    sequential outcomes: never a torn state, never a duplicate, and
+    the restored-away v2 slice is gone either way."""
+    root = str(tmp_path / "restore_vs_append")
+    vstore.commit_append(spark, root, _base_ids(spark, 0, 50))     # v1
+    vstore.commit_append(spark, root, _base_ids(spark, 50, 100))   # v2
+    _spawn_verb_workers(tmp_path, root,
+                        [(0, "append"), (1, "restore1")])
+    assert vstore.latest_version(root) == 4
+    got = vstore.read_version(spark, root, 4)
+    assert got.filter("id < 50").count() == 50          # v1 always back
+    assert got.filter("id >= 50 AND id < 100").count() == 0  # restored away
+    n_app = got.filter("id >= 2000").count()
+    assert n_app in (0, 25), n_app  # all-or-nothing, never torn
+    assert got.count() == 50 + n_app
+
+
+def test_occ_clone_snapshot_isolated_from_concurrent_purge(spark, tmp_path):
+    """CLONE races REORG PURGE on the source: clone reads an immutable
+    snapshot (files are never mutated, vacuum is not running), so
+    whichever interleaving happens the clone's content equals the
+    source's logical content — purge is content-invariant maintenance."""
+    root = str(tmp_path / "purge_vs_clone")
+    vstore.commit_append(spark, root, _base_ids(spark, 0, 100))
+    vstore.commit_delete_mor(spark, root, F.col("id") % 7 == 0)
+    _spawn_verb_workers(tmp_path, root, [(0, "purge"), (1, "clone")])
+    want = sorted(r["id"] for r in vstore.read_version(
+        spark, root, vstore.latest_version(root)).collect())
+    assert want == [i for i in range(100) if i % 7 != 0]
+    got = sorted(r["id"] for r in vstore.read_version(
+        spark, root + "_clone", 1).collect())
+    assert got == want
+    # purge really landed on the source (no DVs left at latest)
+    man = vstore.read_manifest(root, vstore.latest_version(root))
+    assert not vstore._dv_map(man.get("stats", {}), man["files"])
+
+
+# --- q122 through a REAL checkpoint restart (r13 verdict task 7) --------------
+
+def test_q122_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """q140's restart proof, twinned for the incremental-dedup stream:
+    crash injected AFTER batch 1's index commit but BEFORE foreachBatch
+    returns (so the checkpoint's commit log never records it), restart
+    from the same checkpoint — Spark replays batch 1 with the same
+    batch id, the txn ledger no-ops it (verdict dir rewrites to the
+    same content), batch 2 proceeds, and BOTH sinks (verdict parquet
+    and versioned index) equal a one-shot run of the same feed."""
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.compaction import (
+        multiset_equal)
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import (
+        load)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.streaming_exec import (
+        _q122_commit_batch, _unload_state_stores)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.text_dedup import (
+        corpus0_signature_index)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    _index, b, cache_path = corpus0_signature_index(spark, sf_dir)
+    mid = (b + docs.agg(F.max("doc_id")).first()[0]) // 2
+
+    feed = str(tmp_path / "feed")
+    d1 = docs.filter((F.col("doc_id") > b) & (F.col("doc_id") <= mid))
+    d2 = docs.filter(F.col("doc_id") > mid)
+    d1.coalesce(1).write.mode("overwrite").parquet(feed)
+    first = {f for f in os.listdir(feed) if f.endswith(".parquet")}
+    d2.coalesce(1).write.mode("append").parquet(feed)
+    import time as _time
+    now = _time.time()
+    for f in os.listdir(feed):
+        if f.endswith(".parquet"):
+            t = now - 10.0 if f in first else now
+            os.utime(os.path.join(feed, f), (t, t))
+    schema = spark.read.parquet(feed).schema
+
+    def run_stream(index_root, out_dir, ck, poison=None):
+        if vstore.latest_version(index_root) is None:
+            vstore.commit_append(spark, index_root,
+                                 spark.read.parquet(cache_path),
+                                 stats_cols=())
+
+        def sink(bdf, bid):
+            _q122_commit_batch(bdf.sparkSession, index_root, out_dir,
+                               bdf, bid)
+            if poison is not None and bid == 0 and os.path.exists(poison):
+                os.remove(poison)
+                raise RuntimeError(
+                    "injected crash after index commit, before checkpoint")
+
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(feed)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+            _unload_state_stores(spark)
+
+    store, out, ck = (str(tmp_path / "idx"), str(tmp_path / "out"),
+                      str(tmp_path / "ck"))
+    poison = str(tmp_path / "poison")
+    open(poison, "w").close()
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream(store, out, ck, poison=poison)
+    # the crash landed after batch 0's commit: the index ledger has
+    # it, the checkpoint does not
+    assert vstore.txn_seen(store).get("q122") == 0
+    n_after_crash = vstore.read_version(
+        spark, store, vstore.latest_version(store)).count()
+    # restart from the SAME checkpoint: batch 0 replays and must no-op
+    run_stream(store, out, ck, poison=poison)
+    assert vstore.txn_seen(store).get("q122") == 1
+    final_idx = vstore.read_version(spark, store,
+                                    vstore.latest_version(store))
+    assert final_idx.count() >= n_after_crash
+    # one-shot control over the same feed
+    store2, out2, ck2 = (str(tmp_path / "idx2"), str(tmp_path / "out2"),
+                         str(tmp_path / "ck2"))
+    run_stream(store2, out2, ck2)
+    control_idx = vstore.read_version(spark, store2,
+                                      vstore.latest_version(store2))
+    assert multiset_equal(final_idx, control_idx)
+    assert multiset_equal(spark.read.parquet(out),
+                          spark.read.parquet(out2))
