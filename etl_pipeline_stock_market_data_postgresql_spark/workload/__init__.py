@@ -40,55 +40,54 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-13 window, per the CORRECTNESS_SEEN.md rule (50 names
+    # round-14 window, per the CORRECTNESS_SEEN.md rule (50 names
     # listed EXPLICITLY — the gate checks exactly all_queries()[:50];
     # tiers derived PROGRAMMATICALLY from CORRECTNESS_r*.json).
-    # (1) new this round, no driver row possible yet: the typed change
-    # data feed (_change_type classification by key), the conditional /
-    # column-subset MERGE, the incremental materialized-view
-    # maintenance loop over the typed feed, RESTORE-to-version,
-    # OPTIMIZE ZORDER on the store, the portable HLL register / KMV
-    # theta sketches, incremental sketch maintenance in the store,
-    # bloom-sidecar point lookups, merge-on-read DELETE via deletion
-    # vectors, and zero-copy shallow CLONE — slots 1-11;
-    "q150_versioned_cdf_typed", "q151_versioned_conditional_merge",
-    "q152_incremental_mv_from_cdf", "q153_versioned_restore",
-    "q154_versioned_optimize_zorder", "q155_portable_hll_registers",
-    "q156_portable_kmv_theta", "q157_versioned_sketch_maintenance",
+    # (1) new this round, no driver row possible yet: the KEYLESS
+    # typed change feed via row tracking, and the atomic cross-store
+    # commit (2PC over the manifest CAS) — slots 1-2;
+    "q161_row_tracking_cdf", "q162_multi_store_atomic_commit",
+    # (2) implementation changed this round (outputs unchanged; their
+    # r13/r12 rows prove the OLD code paths): the copy-on-write
+    # delete/merge victim re-read moved to the shared row-id-aware
+    # _logical_rows, version_diff was refactored around the row-id
+    # engine, deletion-vector construction moved executor-side with a
+    # distributed read path, restore gained the sidecar horizon check,
+    # OPTIMIZE/compaction branch on row tracking, and q158's probes
+    # dedupe — slots 3-13 (module order). Queries whose only commit
+    # path is a plain append (q110/q118/q120/q122/q137/q140/q141/
+    # q145/q148/q155-q157) are untouched by these edits — the staged
+    # constraint validation is a no-op on constraint-less stores —
+    # and keep their r12/r13 rows.
+    "q143_ann_versioned_delete", "q149_versioned_change_feed",
+    "q147_versioned_merge", "q150_versioned_cdf_typed",
+    "q151_versioned_conditional_merge", "q152_incremental_mv_from_cdf",
+    "q153_versioned_restore", "q154_versioned_optimize_zorder",
     "q158_bloom_point_lookup", "q159_deletion_vectors",
     "q160_versioned_clone",
-    # (2) implementation changed this round (outputs unchanged; their
-    # r12/r11/r10 rows prove the OLD manifest format): every query
-    # that COMMITS through versioned_store._commit now writes the
-    # bounded per-app txn ledger, commit_delete is null-safe +
-    # pinned-schema, commit_merge re-reads victims under the pinned
-    # union schema — slots 12-19. (q142/q144/q146 are read-only over
-    # these stores and never touch the txns field; their r12/r10 rows
-    # stand.)
-    "q122_streaming_incremental_dedup", "q140_streaming_ann_ingest",
-    "q141_ann_store_snapshot", "q143_ann_versioned_delete",
-    "q145_ann_retrain_cutover", "q147_versioned_merge",
-    "q148_versioned_schema_evolution", "q149_versioned_change_feed",
-    # (3) the r10 tier in module order (first 31 of its 47; the last 16
-    # — q70/q97/q101/q132/q129/q108/q106/q96 displaced by the in-round
-    # q153-q160 additions, plus q103/q119/q121/q130/q124/q93/q110/q127
-    # per the derivation — and all 49 r11-tier queries fall past the
-    # cap: most recently proven, still covered by local parity
-    # (tests/test_oracle_parity.py runs the identical comparison on
-    # every registered query, plus the sf0.01 driver-scale bridge for
-    # the oldest tier); they rotate forward in r14 — slots 20-50;
-    "q112_equidepth_sketch", "q125_fuzzy_linkage", "q128_pagerank",
-    "q131_kcore", "q114_global_sort", "q85_retention_cohorts",
-    "q88_sliding_window_stats", "q90_gapfill_locf",
-    "q51_lsh_verified_neardup", "q61_dedup_clusters",
-    "q123_canonical_selection", "q120_incremental_dedup",
-    "q83_duplicate_spans", "q28_ivf_topk", "q29_embedding_neardup",
-    "q81_kmeans_step", "q82_kmeans_lloyd", "q86_cluster_purity",
-    "q111_semantic_dedup_hier", "q113_ivfpq_adc",
-    "q126_embedding_covariance", "q32_token_stats", "q33_fingerprint",
-    "q63_quality_gate", "q76_repetition_stats", "q84_heavy_hitters",
-    "q36_sma_over_bars", "q40_date_funcs", "q41_correlated_max",
-    "q43_array_aggregation", "q44_joinback_avg",
+    # (3) the 16-member r10 tier, in module order (the r13 plan's
+    # deferrals) — slots 14-29; if green, the r10 tier EMPTIES;
+    "q96_streaming_dedup", "q106_streaming_stateful_hwm", "q108_twap",
+    "q129_pareto_frontier", "q132_token_budget_fill",
+    "q70_scd2_history", "q97_bm25_ranking", "q101_bigram_novelty",
+    "q103_scd2_pit_enrichment", "q119_bpe_encode", "q121_dsir_weights",
+    "q130_importance_resample", "q124_lm_perplexity",
+    "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
+    "q127_schema_evolution",
+    # (4) the oldest 21 of the 48-member r11 tier in module order —
+    # slots 30-50; the remaining 27 r11-tier queries (plus the r12/r13
+    # tiers) fall past the cap: most recently proven, still covered by
+    # local parity (tests/test_oracle_parity.py) at sf0.001/sf0.01;
+    # they rotate forward in r15.
+    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
+    "q04_antijoin_new_keys", "q05_semijoin_members",
+    "q06_idempotent_merge", "q135_pagerank_convergence",
+    "q136_kcore_converged", "q92_time_range_window",
+    "q134_incremental_ann", "q137_ann_index_writeback",
+    "q138_ann_store_probe", "q139_ann_store_delete",
+    "q142_ann_store_stats_pruning", "q34_multimodal_meta",
+    "q74_multimodal_decode", "q37_cube", "q38_string_funcs",
+    "q39_percentiles", "q42_unpivot", "q45_window_suite",
 )
 
 

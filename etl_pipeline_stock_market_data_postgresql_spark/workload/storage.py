@@ -1917,6 +1917,182 @@ FROM ins WHERE doc_id % 5 <> 2
 """
 
 
+def q162_multi_store_atomic_commit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """ATOMIC CROSS-STORE COMMIT — the multi-table transaction the r13
+    verdict listed as the store's last polish gap: a pipeline landing
+    each ingest batch in TWO tables (the fact slice and its per-user
+    index aggregate) must make them visible together or not at all.
+    ``versioned_store.commit_multi_append`` two-phase-commits over the
+    manifest CAS: each store CAS-publishes a PREPARED (invisible)
+    manifest, then one first-wins decision record in the coordinator
+    log is the commit point; an abort turns every prepare into a
+    permanent version hole (numbers never reused), and a dead
+    coordinator is presumed-aborted by the first reader.
+
+    The chain: batch 1 commits atomically to both stores; the batch-2
+    attempt ABORTS (the index participant rejects schema drift after
+    the fact store already prepared — so the fact store is left with a
+    prepared-then-aborted hole at v2); batch 2 then recommits cleanly;
+    batch 3 commits. The gated output is per-(store, claimed-version)
+    history ops and cumulative content checksums — the aborted hole
+    surfaces as an ``append (aborted)`` row with NULL checksums (it is
+    never readable), and the index rows' event-count column equals the
+    fact rows' count at each transaction boundary: the cross-store
+    consistency the protocol exists to give, certified in one
+    hash-compared result.
+
+    Scale shape: each prepare costs exactly a normal append; the
+    decision is one tiny file; readers pay one extra manifest body
+    read only while a top-of-chain prepare is unresolved."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b1, b2 = mx // 3, (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    facts = os.path.join(scratch, "events_mc_facts")
+    index = os.path.join(scratch, "events_mc_index")
+    txlog = os.path.join(scratch, "events_mc_txlog")
+    fp = table_fingerprint(sf_dir, ("events",), params="q162_mc_v2")
+    fp_file = os.path.join(facts, "_INPUT_FINGERPRINT")
+
+    def batch(lo, hi):
+        return base.filter((F.col("event_id") > lo)
+                           & (F.col("event_id") <= hi))
+
+    def index_agg(lo, hi):
+        return (batch(lo, hi).groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value_q").alias("value_sum")))
+
+    if _stored_fingerprint(facts) != fp:
+        import shutil
+        for d in (facts, index, txlog):
+            shutil.rmtree(d, ignore_errors=True)
+        vstore.commit_multi_append(spark, [
+            (facts, batch(-1, b1).repartitionByRange(2, "event_id"),
+             {"stats_cols": ("event_id",), "txn": ("q162", 1)}),
+            (index, index_agg(-1, b1).coalesce(1),
+             {"stats_cols": ("user_id",), "txn": ("q162", 1)}),
+        ], txlog)
+        # batch-2 attempt: the index participant drifts schema and the
+        # WHOLE transaction aborts — the fact store's prepare becomes a
+        # permanent hole (claimed v2, never visible)
+        drifted = index_agg(b1, b2).withColumn("extra", F.lit(1))
+        try:
+            vstore.commit_multi_append(spark, [
+                (facts, batch(b1, b2).repartitionByRange(2, "event_id"),
+                 {"stats_cols": ("event_id",)}),
+                (index, drifted.coalesce(1),
+                 {"stats_cols": ("user_id",)}),
+            ], txlog)
+            raise AssertionError("q162 fixture: drift must abort")
+        except vstore.SchemaMismatchError:
+            pass
+        vstore.commit_multi_append(spark, [
+            (facts, batch(b1, b2).repartitionByRange(2, "event_id"),
+             {"stats_cols": ("event_id",), "txn": ("q162", 2)}),
+            (index, index_agg(b1, b2).coalesce(1),
+             {"stats_cols": ("user_id",), "txn": ("q162", 2)}),
+        ], txlog)
+        vstore.commit_multi_append(spark, [
+            (facts, batch(b2, mx).repartitionByRange(2, "event_id"),
+             {"stats_cols": ("event_id",), "txn": ("q162", 3)}),
+            (index, index_agg(b2, mx).coalesce(1),
+             {"stats_cols": ("user_id",), "txn": ("q162", 3)}),
+        ], txlog)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for store_name, root in (("facts", facts), ("index", index)):
+        ops = {r["version"]: r["op"]
+               for r in vstore.history(spark, root).collect()}
+        for v in vstore._claimed_versions(root):
+            try:
+                df = vstore.read_version(spark, root, v)
+                if store_name == "facts":
+                    s = df.agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("event_id").alias("key_sum"),
+                        F.sum("value_q").alias("value_sum"))
+                else:
+                    s = df.agg(
+                        F.sum("n_events").alias("n_rows"),
+                        F.sum("user_id").alias("key_sum"),
+                        F.sum("value_sum").alias("value_sum"))
+                s = s.select(
+                    F.lit(store_name).alias("store"),
+                    F.lit(v).cast("int").alias("version"),
+                    F.lit(ops[v]).alias("op"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "key_sum", "value_sum")
+            except vstore.AbortedTransactionError:
+                s = spark.createDataFrame(
+                    [(store_name, v, ops[v], None, None, None)],
+                    "store string, version int, op string, "
+                    "n_rows long, key_sum long, value_sum long")
+            parts.append(s)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q162_SQL = """
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) AS mx, max(event_id) // 3 AS b1,
+               2 * max(event_id) // 3 AS b2 FROM base),
+f1 AS (SELECT * FROM base WHERE event_id <= (SELECT b1 FROM bnd)),
+f2 AS (SELECT * FROM base WHERE event_id <= (SELECT b2 FROM bnd)),
+iu AS (
+  SELECT CASE WHEN event_id <= (SELECT b1 FROM bnd) THEN 1
+              WHEN event_id <= (SELECT b2 FROM bnd) THEN 2
+              ELSE 3 END AS batch, user_id, event_id, value_q
+  FROM base
+),
+iagg AS (
+  SELECT batch, user_id, count(*) AS n_events,
+         sum(value_q) AS value_sum
+  FROM iu GROUP BY batch, user_id
+)
+SELECT 'facts' AS store, CAST(1 AS INT) AS version,
+       'append (committed)' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS key_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_sum
+FROM f1
+UNION ALL
+SELECT 'facts', 2, 'append (aborted)', CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'facts', 3, 'append (committed)', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT)
+FROM f2
+UNION ALL
+SELECT 'facts', 4, 'append (committed)', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT)
+FROM base
+UNION ALL
+SELECT 'index', v.version, 'append (committed)',
+       CAST(sum(n_events) AS BIGINT),
+       CAST(sum(user_id) AS BIGINT), CAST(sum(value_sum) AS BIGINT)
+FROM iagg, (SELECT 1 AS version UNION ALL SELECT 2
+            UNION ALL SELECT 3) v
+WHERE iagg.batch <= v.version
+GROUP BY v.version
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -1943,4 +2119,6 @@ QUERIES: dict[str, Query] = {
     "q159_deletion_vectors": Query(q159_deletion_vectors, _Q159_SQL),
     "q160_versioned_clone": Query(q160_versioned_clone, _Q160_SQL),
     "q161_row_tracking_cdf": Query(q161_row_tracking_cdf, _Q161_SQL),
+    "q162_multi_store_atomic_commit": Query(q162_multi_store_atomic_commit,
+                                            _Q162_SQL),
 }

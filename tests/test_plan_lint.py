@@ -128,6 +128,11 @@ SINGLE_PARTITION_ALLOWED = {
                              "deleted-positions table)",
     "q160_versioned_clone": "per-(branch, version) 1-row checksums "
                             "(map-side partials only)",
+    "q162_multi_store_atomic_commit": "per-(store, claimed-version) "
+                                      "1-row content checksums (map-"
+                                      "side partials only; the aborted-"
+                                      "hole row is a 1-row literal "
+                                      "frame)",
 }
 
 

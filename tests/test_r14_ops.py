@@ -450,6 +450,99 @@ def test_occ_clone_snapshot_isolated_from_concurrent_purge(spark, tmp_path):
     assert not vstore._dv_map(man.get("stats", {}), man["files"])
 
 
+# --- cross-store atomic commit (2PC over the manifest CAS) --------------------
+
+def test_multi_store_commit_all_or_nothing(spark, tmp_path):
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    txlog = str(tmp_path / "txlog")
+    for s in (s1, s2):
+        vstore.commit_append(spark, s, _base_ids(spark, 0, 10))
+    v1, v2 = vstore.commit_multi_append(spark, [
+        (s1, _base_ids(spark, 10, 20), {"txn": ("mc", 0)}),
+        (s2, _base_ids(spark, 10, 15), {"txn": ("mc", 0)}),
+    ], txlog)
+    assert (v1, v2) == (2, 2)
+    assert vstore.read_version(spark, s1, 2).count() == 20
+    assert vstore.read_version(spark, s2, 2).count() == 15
+    # replay of the same per-store txn no-ops store-wide (exactly-once
+    # composes with the cross-store protocol)
+    vstore.commit_multi_append(spark, [
+        (s1, _base_ids(spark, 10, 20), {"txn": ("mc", 0)}),
+        (s2, _base_ids(spark, 10, 15), {"txn": ("mc", 0)}),
+    ], txlog)
+    assert vstore.latest_version(s1) == 2
+    # partial failure aborts the WHOLE transaction: store 2 rejects
+    # schema drift after store 1 already prepared
+    bad = spark.createDataFrame([(1, 2)], "id long, zz long").coalesce(1)
+    with pytest.raises(vstore.SchemaMismatchError):
+        vstore.commit_multi_append(spark, [
+            (s1, _base_ids(spark, 20, 30), {}),
+            (s2, bad, {}),
+        ], txlog)
+    assert vstore.latest_version(s1) == 2  # prepare is an invisible hole
+    assert vstore.read_version(spark, s1, 2).count() == 20
+    with pytest.raises(vstore.AbortedTransactionError):
+        vstore.read_manifest(s1, 3)  # the hole is never readable
+    # later appends skip the hole; numbers are never reused
+    v = vstore.commit_append(spark, s1, _base_ids(spark, 20, 25))
+    assert v == 4
+    assert vstore.read_version(spark, s1, 4).count() == 25
+    ops = {r["version"]: r["op"]
+           for r in vstore.history(spark, s1).collect()}
+    assert ops[3] == "append (aborted)"
+    assert ops[2] == "append (committed)"
+    # vacuum reclaims the aborted prepare's staged files (coordinator =
+    # this live process, but the files ARE published-by-an-aborted-
+    # manifest — reclaimable regardless per the vacuum rule)... the
+    # dead-writer rule keeps THIS process's orphans, so just assert
+    # vacuum doesn't break visible reads
+    vstore.vacuum(s1, keep_versions=[4])
+    assert vstore.read_version(spark, s1, 4).count() == 25
+
+
+def test_multi_store_commit_dead_coordinator_presumed_abort(
+        spark, tmp_path):
+    """REAL crash between phase 1 and the decision: a subprocess
+    coordinator prepares into both stores and exits without deciding.
+    The first reader presumes abort (coordinator pid dead, first-wins
+    decision record), both stores stay at their pre-transaction
+    content, and later writers skip the holes."""
+    import subprocess
+    import sys
+
+    s1, s2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    txlog = str(tmp_path / "txlog")
+    for s in (s1, s2):
+        vstore.commit_append(spark, s, _base_ids(spark, 0, 10))
+    script = os.path.join(os.path.dirname(__file__),
+                          "tx_crash_coordinator.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo_root + os.pathsep
+           + os.environ.get("PYTHONPATH", "")}
+    proc = subprocess.run([sys.executable, script, txlog, s1, s2],
+                          capture_output=True, text=True, timeout=300,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    txid = proc.stdout.strip().splitlines()[-1]
+    # both stores have a prepared v2 on disk, but the coordinator is
+    # dead: the first latest_version() call presumes abort
+    assert vstore.latest_version(s1) == 1
+    assert vstore.latest_version(s2) == 1
+    with open(vstore._tx_decision_path(txlog, txid)) as f:
+        assert f.read().strip() == "aborted"
+    assert vstore.read_version(spark, s1, 1).count() == 10
+    # writers skip the hole on both stores
+    assert vstore.commit_append(spark, s1, _base_ids(spark, 10, 12)) == 3
+    assert vstore.commit_append(spark, s2, _base_ids(spark, 10, 13)) == 3
+    assert vstore.read_version(spark, s1, 3).count() == 12
+    assert vstore.read_version(spark, s2, 3).count() == 13
+    # the dead coordinator's staged files are vacuumable orphans
+    removed = vstore.vacuum(s1, keep_versions=[3])
+    assert any(f"-p{vstore._tx_coordinator_pid(txid)}-" in f
+               for f in removed)
+
+
 # --- q122 through a REAL checkpoint restart (r13 verdict task 7) --------------
 
 def test_q122_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
