@@ -347,7 +347,9 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     existed surface it as NULL — the pinned-union-schema read that
     avoids a mergeSchema footer sweep over every file at plan time
     (the q127 100 TB lesson). An empty version (zero files) reads as
-    an empty frame with that schema."""
+    an empty frame with that schema. On a column-mapped store the
+    scan pins the PHYSICAL schema and projects back to logical names
+    (rename/drop never touch data)."""
     from pyspark.sql.types import StructType
 
     man = read_manifest(root, version)
@@ -356,9 +358,7 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
         schema = (StructType.fromJson(man["schema"])
                   if man.get("schema") is not None else None)
         return spark.createDataFrame([], schema)
-    df = _version_reader(spark, man).parquet(
-        *[os.path.join(root, _DATA, f) for f in files])
-    return _apply_dvs(spark, root, man.get("stats", {}), files, df)
+    return _logical_rows(spark, root, man, files)
 
 
 def _version_reader(spark: SparkSession, man: dict):
@@ -613,27 +613,44 @@ def _strip_row_id(schema):
 
 def _tagged_rows(spark: SparkSession, root: str, schema_json,
                  stats: dict, names: list[str],
-                 row_ids: bool) -> DataFrame:
+                 row_ids: bool, cmap: dict | None = None) -> DataFrame:
     """Scan the named files under the pinned schema with ``_rt_f`` /
     ``_rt_ri`` (file name / row index) tags attached — and, when
     ``row_ids``, the stable :data:`_ROW_ID` materialized as
     ``coalesce(physical column, __brid__ base + row index)``. Callers
     apply their DV anti-join / position semi-join on the tags, then
     drop them. The base map is one broadcast of O(#files) rows —
-    manifest-scale, never row-scale."""
-    from pyspark.sql.types import LongType, StructType
+    manifest-scale, never row-scale.
+
+    ``cmap`` is the manifest's COLUMN MAPPING (logical → physical
+    field name, column-mapped stores only): files store PHYSICAL
+    names, so the scan pins the physical schema and the projection
+    renames to the logical names the recorded schema (and every
+    caller) speaks — rename/drop are thereby pure metadata."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
     reader = spark.read
+    lschema = None
     if schema_json is not None:
-        schema = StructType.fromJson(schema_json)
+        lschema = StructType.fromJson(schema_json)
+        schema = (StructType([StructField(cmap.get(f.name, f.name),
+                                          f.dataType, True)
+                              for f in lschema.fields])
+                  if cmap else StructType(list(lschema.fields)))
         if row_ids:
-            schema = StructType(list(schema.fields)).add(_ROW_ID, LongType())
+            schema = schema.add(_ROW_ID, LongType())
         reader = reader.schema(schema)
     elif row_ids:
         raise ValueError("row-id reads need a recorded schema")
     df = (reader.parquet(*[os.path.join(root, _DATA, f) for f in names])
           .select("*", F.col("_metadata.file_name").alias("_rt_f"),
                   F.col("_metadata.row_index").alias("_rt_ri")))
+    if cmap and lschema is not None:  # physical → logical projection
+        keep = [F.col(cmap.get(f.name, f.name)).alias(f.name)
+                for f in lschema.fields]
+        if row_ids:
+            keep.append(F.col(_ROW_ID))
+        df = df.select(*keep, F.col("_rt_f"), F.col("_rt_ri"))
     if row_ids:
         base_rows = [(f, int(stats[f][_BRID_KEY])) for f in names
                      if _BRID_KEY in stats.get(f, {})]
@@ -652,10 +669,11 @@ def _tagged_rows(spark: SparkSession, root: str, schema_json,
 def _logical_rows(spark: SparkSession, root: str, man: dict,
                   names: list[str], row_ids: bool = False) -> DataFrame:
     """The LOGICAL rows of the named files of manifest ``man`` — pinned
-    schema, deletion vectors applied, optional stable row ids."""
+    schema, column mapping resolved, deletion vectors applied,
+    optional stable row ids."""
     stats = man.get("stats", {})
     df = _tagged_rows(spark, root, man.get("schema"), stats, names,
-                      row_ids)
+                      row_ids, cmap=man.get("colmap"))
     dvm = _dv_map(stats, names)
     if dvm:
         df = df.join(
@@ -1040,18 +1058,26 @@ def _segmented_body(root: str, praw: dict | None, man: dict, carry,
     if man.get("row_tracking"):
         out["row_tracking"] = True
         out["row_hwm"] = man["row_hwm"]
+    if man.get("colmap") is not None:
+        out["colmap"] = man["colmap"]
+        out["colmax"] = man.get("colmax", 0)
     return out
 
 
 def _carry_row_tracking(out: dict, src: dict,
                         hwm_src: dict | None = None) -> dict:
-    """Copy the row-tracking fields a non-``_commit`` manifest builder
-    must carry forward. ``hwm_src`` overrides where the high-water mark
-    comes from (restore carries the CURRENT latest's hwm, never the
-    target's — ids must stay unique across every retained snapshot)."""
+    """Copy the row-tracking AND column-mapping fields a
+    non-``_commit`` manifest builder must carry forward. ``hwm_src``
+    overrides where the MONOTONE counters come from (restore carries
+    the CURRENT latest's row-id high-water mark and physical-column
+    counter, never the target's — ids are never reused across any
+    retained snapshot)."""
     if src.get("row_tracking"):
         out["row_tracking"] = True
         out["row_hwm"] = int((hwm_src or src).get("row_hwm", 0))
+    if src.get("colmap") is not None:
+        out["colmap"] = dict(src["colmap"])
+        out["colmax"] = int((hwm_src or src).get("colmax", 0))
     return out
 
 
@@ -1063,7 +1089,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             based_on: int | None = None,
             bloom_cols: tuple[str, ...] = (),
             row_ids: bool = False,
-            pending_tx: tuple[str, str] | None = None) -> int:
+            pending_tx: tuple[str, str] | None = None,
+            column_mapping: bool = False) -> int:
     """Write ``df``'s part files into the data dir, then CAS-publish a
     new manifest referencing them plus the carried files (by name —
     their bytes are never touched). ``carry`` is ``"prev"`` (carry the
@@ -1105,6 +1132,39 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         owner = entry[len(".commit-tmp-"):].split("-", 1)[0]
         if not (owner.isdigit() and _pid_alive(int(owner))):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    # COLUMN MAPPING (Delta columnMapping name mode): mapped stores
+    # write files under stable PHYSICAL field names (c0, c1, ...) so a
+    # logical RENAME/DROP is pure metadata. The logical schema is
+    # captured BEFORE the physical rename — it is what the manifest
+    # records; ids for logical columns new to the store are assigned
+    # here from the current colmax and re-validated inside the CAS
+    # loop (a concurrent commit assigning the same id to a different
+    # column raises, and the caller restages).
+    logical_cols = [c for c in df.columns if c != _ROW_ID]
+    df_schema = _strip_row_id(df.schema)  # recorded schema: LOGICAL
+    prev0 = latest_version(root)
+    pm0 = read_manifest(root, prev0) if prev0 is not None else None
+    if pm0 is None:
+        mapped = bool(column_mapping)
+        cmap0: dict = {}
+        colmax0 = 0
+    else:
+        mapped = pm0.get("colmap") is not None
+        if column_mapping and not mapped:
+            raise ValueError(
+                f"{root} was created without column mapping — it must "
+                f"be enabled at the store's first commit")
+        cmap0 = dict(pm0.get("colmap") or {})
+        colmax0 = int(pm0.get("colmax", 0))
+    assigned_new: dict[str, str] = {}
+    if mapped:
+        for c in logical_cols:
+            if c not in cmap0:
+                cmap0[c] = f"c{colmax0}"
+                assigned_new[c] = cmap0[c]
+                colmax0 += 1
+        df = df.select(*[F.col(c).alias(cmap0.get(c, c))
+                         for c in df.columns])
     tmp = os.path.join(root, f".commit-tmp-{pid}-{seq}")
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.parquet(tmp)
@@ -1116,15 +1176,17 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         shutil.rmtree(tmp, ignore_errors=True)
         spark.createDataFrame([], df.schema).write.parquet(tmp)
         parts = sorted(x for x in os.listdir(tmp) if x.endswith(".parquet"))
-    cols = tuple(c for c in stats_cols if c in df.columns)
-    bcols = tuple(c for c in bloom_cols if c in df.columns)
+    # footer stats / blooms are keyed PHYSICAL on mapped stores (stable
+    # across renames — a rename must never rewrite O(live files) stats)
+    cols = tuple(cmap0.get(c, c) for c in stats_cols if c in logical_cols)
+    bcols = tuple(cmap0.get(c, c) for c in bloom_cols
+                  if c in logical_cols)
 
     placed: list[str] = []
     placed_version: int | None = None
     new_stats: dict = {}
     validated_cons: dict | None = None
     n_rows_by_idx: list[int] | None = None  # per staged file, in order
-    df_schema = _strip_row_id(df.schema)  # row ids are metadata, never schema
     while True:
         prev = latest_version(root)  # VISIBLE latest; raises while the
         # top manifest is in-doubt (writing past it could drop its rows)
@@ -1212,11 +1274,38 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                 new_stats.setdefault(name, {})[_BRID_KEY] = base
                 base += nr
             row_hwm = base
+        # column mapping: re-validate the staging-time id assumptions
+        # under the latest manifest (a concurrent commit may have
+        # assigned ids of its own) and merge the maps
+        newmap = None
+        if mapped:
+            pmap = dict(pm.get("colmap") or {}) if pm is not None else {}
+            taken = set(pmap.values())
+            for c in logical_cols:
+                want = cmap0[c]
+                ok = (pmap.get(c) == want if c in pmap
+                      # a column this commit did NOT assign that is no
+                      # longer mapped was renamed/dropped concurrently
+                      # — merging would resurrect it under its old id
+                      else (c in assigned_new and want not in taken))
+                if not ok:
+                    raise ConcurrentCommitError(
+                        f"column-mapping conflict on {root}: logical "
+                        f"column {c!r} (staged as {want!r}) no longer "
+                        f"matches the latest manifest's mapping "
+                        f"{pmap.get(c)!r} — a concurrent commit/rename/"
+                        f"drop landed; restage against the new latest")
+            newmap = {**pmap, **{c: cmap0[c] for c in logical_cols}}
         man = _next_manifest(pm, version, new, new_stats, carry,
                              _txn_key(txn), df_schema, allow_evolution)
         if man is not None and tracked:
             man["row_tracking"] = True
             man["row_hwm"] = row_hwm
+        if man is not None and mapped:
+            man["colmap"] = newmap
+            man["colmax"] = max(
+                colmax0,
+                int(pm.get("colmax", 0)) if pm is not None else 0)
         if man is None:
             # a concurrent writer committed this txn between our
             # caller's check and now — exactly-once holds; our staged
@@ -1235,10 +1324,11 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         cons = (pm.get("constraints") or {}) if pm is not None else {}
         if cons != validated_cons:
             if cons and new:
-                _validate_constraints(
-                    _version_reader(spark, man).parquet(
-                        *[os.path.join(root, _DATA, n) for n in new]),
-                    cons, unresolvable_pass=True)
+                staged = _tagged_rows(
+                    spark, root, man["schema"], {}, new,
+                    row_ids=False, cmap=newmap).drop("_rt_f", "_rt_ri")
+                _validate_constraints(staged, cons,
+                                      unresolvable_pass=True)
             validated_cons = cons
         raw = _segmented_body(root, praw, man, carry, new, new_stats)
         raw["op"] = op
@@ -1281,8 +1371,16 @@ def read_version_pruned_multi(
     files). A range-clustered store (each append/compaction bin
     covering a disjoint key range) makes most probes touch one
     segment. Summary-less entries (legacy strings, mixed-stats
-    segments) are conservatively read and pruned file-by-file."""
+    segments) are conservatively read and pruned file-by-file.
+
+    Column-mapped stores record stats under PHYSICAL names (stable
+    across renames, so a rename never rewrites O(live files) of
+    stats); callers keep passing LOGICAL predicate columns — mapped
+    here."""
     raw = _read_manifest_raw(root, version)
+    cm = raw.get("colmap") or {}
+    if cm:
+        preds = {cm.get(c, c): rng for c, rng in preds.items()}
 
     def _hits(fs: dict) -> bool:
         for col, (lo, hi) in preds.items():
@@ -1313,10 +1411,10 @@ def read_version_pruned_multi(
     if not keep:  # preserve schema on an empty match
         return (read_version(spark, root, version).limit(0),
                 0, n_total)
-    df = _version_reader(spark, raw).parquet(
-        *[os.path.join(root, _DATA, f) for f in keep])
-    return (_apply_dvs(spark, root, kept_stats, keep, df),
-            len(keep), n_total)
+    df = _logical_rows(spark, root,
+                       {"schema": raw.get("schema"), "stats": kept_stats,
+                        "colmap": raw.get("colmap")}, keep)
+    return (df, len(keep), n_total)
 
 
 def read_version_pruned(spark: SparkSession, root: str, version: int,
@@ -1349,6 +1447,8 @@ def read_version_point_lookup(
     positive only ever OPENS an extra file, the precise filter keeps
     the answer exact."""
     raw = _read_manifest_raw(root, version)
+    cm = raw.get("colmap") or {}
+    col = cm.get(col, col)  # stats + sidecars are keyed PHYSICAL
     key = _BLOOM_PREFIX + col
 
     if "segments" in raw:
@@ -1386,10 +1486,10 @@ def read_version_point_lookup(
     if not keep:
         return (read_version(spark, root, version).limit(0),
                 0, n_total)
-    df = _version_reader(spark, raw).parquet(
-        *[os.path.join(root, _DATA, f) for f in keep])
-    return (_apply_dvs(spark, root, stats, keep, df),
-            len(keep), n_total)
+    df = _logical_rows(spark, root,
+                       {"schema": raw.get("schema"), "stats": stats,
+                        "colmap": raw.get("colmap")}, keep)
+    return (df, len(keep), n_total)
 
 
 def commit_append(spark: SparkSession, root: str, df: DataFrame,
@@ -1397,7 +1497,8 @@ def commit_append(spark: SparkSession, root: str, df: DataFrame,
                   txn: str | tuple[str, int] | None = None,
                   allow_evolution: bool = False,
                   bloom_cols: tuple[str, ...] = (),
-                  row_ids: bool = False) -> int:
+                  row_ids: bool = False,
+                  column_mapping: bool = False) -> int:
     """New version = previous files + df's files (incremental ingest).
     Footer min/max stats for ``stats_cols`` (those present) are
     recorded per file for :func:`read_version_pruned`. With ``txn``
@@ -1415,13 +1516,21 @@ def commit_append(spark: SparkSession, root: str, df: DataFrame,
     survives update/delete/compaction, read back via
     :func:`read_version_rows` and powering the keyless typed change
     feed :func:`version_diff_typed_rows`. Later commits inherit the
-    setting automatically."""
+    setting automatically.
+
+    ``column_mapping=True`` on the store's FIRST commit enables Delta-
+    style column mapping (name mode): files store stable PHYSICAL
+    field names, so :func:`rename_column` and :func:`drop_column` are
+    pure metadata commits — no data rewrite at any table size, and a
+    re-added name never resurrects dropped data. Later commits
+    inherit the setting."""
     if txn is not None and txn_committed(root, txn):
         return latest_version(root)  # type: ignore[return-value]
     return _commit(spark, root, df, carry="prev",
                    stats_cols=stats_cols, txn=txn,
                    allow_evolution=allow_evolution, op="append",
-                   bloom_cols=bloom_cols, row_ids=row_ids)
+                   bloom_cols=bloom_cols, row_ids=row_ids,
+                   column_mapping=column_mapping)
 
 
 def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
@@ -1453,16 +1562,29 @@ def _census_frame(spark: SparkSession, root: str, man: dict) -> DataFrame:
     comes from the ``_metadata`` column instead — it survives the DV
     anti-join, which ``input_file_name`` cannot — and marked positions
     are filtered out, so already-MoR-deleted rows never count as
-    victims or matches."""
+    victims or matches. On a column-mapped store the rows surface
+    under their LOGICAL names (the census conditions are logical)."""
+    from pyspark.sql.types import StructField, StructType
+
     files = man["files"]
-    raw = _version_reader(spark, man).parquet(
-        *[os.path.join(root, _DATA, f) for f in files])
+    cmap = man.get("colmap")
+    if cmap and man.get("schema") is not None:
+        lschema = StructType.fromJson(man["schema"])
+        reader = spark.read.schema(StructType(
+            [StructField(cmap.get(f.name, f.name), f.dataType, True)
+             for f in lschema.fields]))
+        logical = [F.col(cmap.get(f.name, f.name)).alias(f.name)
+                   for f in lschema.fields]
+    else:
+        reader = _version_reader(spark, man)
+        logical = [F.col("*")]
+    raw = reader.parquet(*[os.path.join(root, _DATA, f) for f in files])
     dvm = _dv_map(man.get("stats", {}), files)
     if not dvm:
         return raw.select(
-            "*", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            *logical, F.element_at(F.split(F.input_file_name(), "/"), -1)
             .alias("_f"))
-    aug = raw.select("*",
+    aug = raw.select(*logical,
                      F.col("_metadata.file_name").alias("_f"),
                      F.col("_metadata.row_index").alias("_dv_ri"))
     pos = _dv_positions_df(spark, root, dvm, fn_col="_f", ri_col="_dv_ri")
@@ -1570,11 +1692,13 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
     stats = man.get("stats", {})
     # census with BOTH tags projected directly above the scan (the
     # `_metadata` column does not reliably resolve through joins, so
-    # project first, then apply any existing vectors)
-    aug = (_version_reader(spark, man).parquet(
-        *[os.path.join(root, _DATA, f) for f in man["files"]])
-        .select("*", F.col("_metadata.file_name").alias("_f"),
-                F.col("_metadata.row_index").alias("_ri")))
+    # project first, then apply any existing vectors); column-mapped
+    # stores surface logical names for the condition
+    aug = (_tagged_rows(spark, root, man.get("schema"), stats,
+                        man["files"], row_ids=False,
+                        cmap=man.get("colmap"))
+           .withColumnRenamed("_rt_f", "_f")
+           .withColumnRenamed("_rt_ri", "_ri"))
     dvm = _dv_map(stats, man["files"])
     if dvm:
         aug = aug.join(
@@ -1906,6 +2030,8 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
     ff, ft = set(mf["files"]), set(mt["files"])
     sf_, st_ = mf.get("stats", {}), mt.get("stats", {})
     schema_json = mt.get("schema")
+    cmap = mt.get("colmap")  # physical names never change; both sides
+    # read under v_to's logical names (a rename feeds NO changes)
     merged_stats = {**sf_, **st_}  # __brid__ never changes for a file
 
     def _empty() -> DataFrame:
@@ -1921,7 +2047,8 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
         if not names:
             return _empty()
         names = sorted(names)
-        df = _tagged_rows(spark, root, schema_json, stats, names, row_ids)
+        df = _tagged_rows(spark, root, schema_json, stats, names,
+                          row_ids, cmap=cmap)
         dvm = _dv_map(stats, names)
         if dvm:
             df = df.join(
@@ -1934,7 +2061,7 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
         if not by_file:
             return _empty()
         raw = _tagged_rows(spark, root, schema_json, merged_stats,
-                           sorted(by_file), row_ids)
+                           sorted(by_file), row_ids, cmap=cmap)
         pos = spark.createDataFrame(
             [(f, int(p)) for f, ps in by_file.items() for p in ps],
             "_rt_f string, _rt_ri long")
@@ -2173,6 +2300,100 @@ def check_constraints(root: str) -> dict[str, str]:
     if v is None:
         return {}
     return dict(read_manifest(root, v).get("constraints") or {})
+
+
+def _require_mapping(root: str) -> tuple[int, dict]:
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed version under {root}")
+    man = read_manifest(root, v)
+    if man.get("colmap") is None:
+        raise ValueError(
+            f"{root} was created without column mapping — rename/drop "
+            f"need physical names; create the store with "
+            f"commit_append(..., column_mapping=True)")
+    return v, man
+
+
+def _constraint_references(constraints: dict, col: str) -> list[str]:
+    """Conservative: any constraint whose expression mentions ``col``
+    as a word (Delta likewise blocks rename/drop of constrained
+    columns — the recorded SQL string would silently dangle)."""
+    import re
+
+    pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+    return [n for n, e in (constraints or {}).items() if pat.search(e)]
+
+
+def rename_column(spark: SparkSession, root: str, old: str,
+                  new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` as a PURE METADATA commit —
+    column mapping's payoff: the recorded logical schema and the
+    logical→physical map change; no data file is read or written at
+    any table size. Time travel shows each version under the names in
+    force when it committed; stats/blooms are keyed by the physical
+    name and stay valid; the change feed across a rename is EMPTY
+    (content never changed). Constrained columns refuse to rename
+    (the recorded CHECK SQL would dangle — drop the constraint
+    first)."""
+    v, man = _require_mapping(root)
+    cmap = dict(man["colmap"])
+    if old not in cmap:
+        raise KeyError(f"no column named {old!r} in {root}")
+    if new in cmap:
+        raise ValueError(f"column {new!r} already exists in {root}")
+    refs = _constraint_references(man.get("constraints"), old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: CHECK constraint(s) {refs} "
+            f"reference it — drop them first")
+
+    def mutate(raw):
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType.fromJson(raw["schema"])
+        raw["schema"] = StructType(
+            [StructField(new if f.name == old else f.name,
+                         f.dataType, True)
+             for f in schema.fields]).jsonValue()
+        m = dict(raw["colmap"])
+        m[new] = m.pop(old)
+        raw["colmap"] = m
+
+    return _metadata_commit(root, mutate, "rename_column", based_on=v)
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` as a PURE METADATA commit: the
+    column leaves the recorded schema and the mapping; the bytes stay
+    in the files (old snapshots still read them — snapshot isolation)
+    but no current read selects them, and the physical id is burned
+    forever (``colmax`` never decrements) so re-adding the same
+    logical name later gets a FRESH physical column — dropped data can
+    never resurrect under a reused name."""
+    v, man = _require_mapping(root)
+    cmap = dict(man["colmap"])
+    if name not in cmap:
+        raise KeyError(f"no column named {name!r} in {root}")
+    if len(cmap) == 1:
+        raise ValueError(f"cannot drop the last column of {root}")
+    refs = _constraint_references(man.get("constraints"), name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: CHECK constraint(s) {refs} "
+            f"reference it — drop them first")
+
+    def mutate(raw):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(raw["schema"])
+        raw["schema"] = StructType(
+            [f for f in schema.fields if f.name != name]).jsonValue()
+        m = dict(raw["colmap"])
+        del m[name]
+        raw["colmap"] = m
+
+    return _metadata_commit(root, mutate, "drop_column", based_on=v)
 
 
 def restore(spark: SparkSession, root: str, to_version: int,

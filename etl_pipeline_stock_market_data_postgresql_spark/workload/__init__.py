@@ -44,9 +44,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # listed EXPLICITLY — the gate checks exactly all_queries()[:50];
     # tiers derived PROGRAMMATICALLY from CORRECTNESS_r*.json).
     # (1) new this round, no driver row possible yet: the KEYLESS
-    # typed change feed via row tracking, and the atomic cross-store
-    # commit (2PC over the manifest CAS) — slots 1-2;
+    # typed change feed via row tracking, the atomic cross-store
+    # commit (2PC over the manifest CAS), and column mapping
+    # (metadata-only RENAME/DROP COLUMN) — slots 1-3;
     "q161_row_tracking_cdf", "q162_multi_store_atomic_commit",
+    "q163_column_mapping",
     # (2) implementation changed this round (outputs unchanged; their
     # r13/r12 rows prove the OLD code paths): the copy-on-write
     # delete/merge victim re-read moved to the shared row-id-aware
@@ -54,7 +56,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # engine, deletion-vector construction moved executor-side with a
     # distributed read path, restore gained the sidecar horizon check,
     # OPTIMIZE/compaction branch on row tracking, and q158's probes
-    # dedupe — slots 3-13 (module order). Queries whose only commit
+    # dedupe — slots 4-14 (module order). Queries whose only commit
     # path is a plain append (q110/q118/q120/q122/q137/q140/q141/
     # q145/q148/q155-q157) are untouched by these edits — the staged
     # constraint validation is a no-op on constraint-less stores —
@@ -66,7 +68,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q158_bloom_point_lookup", "q159_deletion_vectors",
     "q160_versioned_clone",
     # (3) the 16-member r10 tier, in module order (the r13 plan's
-    # deferrals) — slots 14-29; if green, the r10 tier EMPTIES;
+    # deferrals) — slots 15-30; if green, the r10 tier EMPTIES;
     "q96_streaming_dedup", "q106_streaming_stateful_hwm", "q108_twap",
     "q129_pareto_frontier", "q132_token_budget_fill",
     "q70_scd2_history", "q97_bm25_ranking", "q101_bigram_novelty",
@@ -74,8 +76,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q130_importance_resample", "q124_lm_perplexity",
     "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
     "q127_schema_evolution",
-    # (4) the oldest 21 of the 48-member r11 tier in module order —
-    # slots 30-50; the remaining 27 r11-tier queries (plus the r12/r13
+    # (4) the oldest 20 of the 48-member r11 tier in module order —
+    # slots 31-50; the remaining 28 r11-tier queries (plus the r12/r13
     # tiers) fall past the cap: most recently proven, still covered by
     # local parity (tests/test_oracle_parity.py) at sf0.001/sf0.01;
     # they rotate forward in r15.
@@ -87,7 +89,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q138_ann_store_probe", "q139_ann_store_delete",
     "q142_ann_store_stats_pruning", "q34_multimodal_meta",
     "q74_multimodal_decode", "q37_cube", "q38_string_funcs",
-    "q39_percentiles", "q42_unpivot", "q45_window_suite",
+    "q39_percentiles", "q42_unpivot",
 )
 
 

@@ -2093,6 +2093,112 @@ GROUP BY v.version
 """
 
 
+def q163_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (Delta's
+    columnMapping name mode), the schema-evolution surface plain
+    parquet cannot give: files store stable PHYSICAL field names
+    (c0, c1, ...), the manifest maps logical→physical, and a rename
+    or drop is a manifest-only commit — zero data rewritten at any
+    table size, old snapshots keep their old names (time travel), and
+    stats/blooms (keyed physical) stay valid for pruning.
+
+    The chain (documents): v1 ingests (doc_id, lang, n_chars) with
+    ``column_mapping=True``; v2 RENAMEs n_chars→chars; v3 DROPs lang;
+    v4 re-adds a column NAMED lang via an evolution append of
+    shifted-id rows. The gated output is per-version (schema
+    fingerprint, op, row count, length-column checksum, non-NULL lang
+    count): v4's ``n_lang`` counting ONLY the new rows is the
+    no-resurrection certificate — the dropped column's bytes are
+    still in the old files, but the re-added logical name maps to a
+    FRESH physical id and reads NULL from them.
+
+    Scale shape: rename/drop cost O(#segments) manifest metadata;
+    reads pay one projection rename; nothing else changes."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    base = (load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars"))
+    mx, = base.agg(F.max("doc_id")).first()
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "documents_column_mapping")
+    fp = table_fingerprint(sf_dir, ("documents",), params="q163_cm_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "doc_id"),
+                             stats_cols=("doc_id",), column_mapping=True)
+        vstore.rename_column(spark, root, "n_chars", "chars")
+        vstore.drop_column(spark, root, "lang")
+        readd = (base.filter(F.col("doc_id") % 13 == 1)
+                 .select((F.col("doc_id") + F.lit(mx)).alias("doc_id"),
+                         (F.col("n_chars") + F.lit(7)).alias("chars"),
+                         F.lit("xx").alias("lang")))
+        vstore.commit_append(spark, root, readd, stats_cols=("doc_id",),
+                             allow_evolution=True, txn="q163-readd")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    ops = {r["version"]: r["op"]
+           for r in vstore.history(spark, root).collect()}
+    parts = []
+    for v in (1, 2, 3, 4):
+        df = vstore.read_version(spark, root, v)
+        len_col = "n_chars" if "n_chars" in df.columns else "chars"
+        lang_cnt = (F.count("lang") if "lang" in df.columns
+                    else F.lit(None).cast("long"))
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(len_col).alias("len_sum"),
+                   lang_cnt.alias("n_lang"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    F.lit(ops[v]).alias("op"),
+                    F.lit(",".join(df.columns)).alias("cols"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "len_sum", "n_lang"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q163_SQL = """
+WITH bnd AS (SELECT max(doc_id) AS mx FROM documents),
+base AS (SELECT doc_id, lang, n_chars FROM documents),
+readd AS (
+  SELECT doc_id + (SELECT mx FROM bnd) AS doc_id,
+         n_chars + 7 AS chars, 'xx' AS lang
+  FROM base WHERE doc_id % 13 = 1
+)
+SELECT CAST(1 AS INT) AS version, 'append' AS op,
+       'doc_id,lang,n_chars' AS cols,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS len_sum,
+       CAST(count(lang) AS BIGINT) AS n_lang
+FROM base
+UNION ALL
+SELECT 2, 'rename_column', 'doc_id,lang,chars',
+       CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       CAST(count(lang) AS BIGINT)
+FROM base
+UNION ALL
+SELECT 3, 'drop_column', 'doc_id,chars',
+       CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM base
+UNION ALL
+SELECT 4, 'append', 'doc_id,chars,lang',
+       CAST((SELECT count(*) FROM base)
+            + (SELECT count(*) FROM readd) AS BIGINT),
+       CAST((SELECT sum(n_chars) FROM base)
+            + (SELECT COALESCE(sum(chars), 0) FROM readd) AS BIGINT),
+       CAST((SELECT count(lang) FROM readd) AS BIGINT)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -2121,4 +2227,5 @@ QUERIES: dict[str, Query] = {
     "q161_row_tracking_cdf": Query(q161_row_tracking_cdf, _Q161_SQL),
     "q162_multi_store_atomic_commit": Query(q162_multi_store_atomic_commit,
                                             _Q162_SQL),
+    "q163_column_mapping": Query(q163_column_mapping, _Q163_SQL),
 }

@@ -188,29 +188,15 @@ import os as _os
 
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
-    # the tiers whose newest driver row is OLDEST after the r13 window
-    # (the 14 r10-tier queries r13's additions deferred, then the r11
-    # tier in module order — the queries that rotate into the gate in
-    # r14; see CORRECTNESS_SEEN.md's r13 derived row); local sf0.01
-    # evidence bridges the gap until then:
-    "q70_scd2_history", "q97_bm25_ranking", "q101_bigram_novelty",
-    "q132_token_budget_fill", "q129_pareto_frontier", "q108_twap",
-    "q106_streaming_stateful_hwm", "q96_streaming_dedup",
-    "q103_scd2_pit_enrichment", "q119_bpe_encode", "q121_dsir_weights", "q130_importance_resample",
-    "q124_lm_perplexity", "q93_zorder_pruning",
-    "q110_dynamic_partition_overwrite", "q127_schema_evolution",
-    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
-    "q04_antijoin_new_keys", "q05_semijoin_members",
-    "q06_idempotent_merge", "q135_pagerank_convergence",
-    "q136_kcore_converged", "q92_time_range_window",
-    "q134_incremental_ann", "q137_ann_index_writeback",
-    "q138_ann_store_probe", "q139_ann_store_delete",
-    "q141_ann_store_snapshot", "q142_ann_store_stats_pruning",
-    "q34_multimodal_meta", "q74_multimodal_decode", "q37_cube",
-    "q38_string_funcs", "q39_percentiles", "q42_unpivot",
-    "q45_window_suite", "q46_streaming_tumbling",
-    "q62_streaming_session_window", "q73_streaming_stream_join",
-    "q89_streaming_sliding_window", "q47_sql_exists", "q48_vwap",
+    # the tier whose newest driver row is OLDEST after the r14 window
+    # (the 28 r11-tier queries the r14 rotation could not fit — they
+    # rotate into the gate in r15; see CORRECTNESS_SEEN.md's r14
+    # derived row and r15 seed); local sf0.01 evidence bridges the
+    # gap until then:
+    "q45_window_suite",
+    "q46_streaming_tumbling", "q62_streaming_session_window",
+    "q73_streaming_stream_join", "q89_streaming_sliding_window",
+    "q47_sql_exists", "q48_vwap",
     "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
     "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
     "q58_stratified_split", "q59_stratum_sample",

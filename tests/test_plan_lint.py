@@ -133,6 +133,8 @@ SINGLE_PARTITION_ALLOWED = {
                                       "side partials only; the aborted-"
                                       "hole row is a 1-row literal "
                                       "frame)",
+    "q163_column_mapping": "per-version 1-row schema/content "
+                           "summaries (map-side partials only)",
 }
 
 

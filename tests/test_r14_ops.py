@@ -450,6 +450,165 @@ def test_occ_clone_snapshot_isolated_from_concurrent_purge(spark, tmp_path):
     assert not vstore._dv_map(man.get("stats", {}), man["files"])
 
 
+# --- column mapping: metadata-only RENAME / DROP COLUMN -----------------------
+
+def _cm_store(spark, tmp_path, name="cm"):
+    root = str(tmp_path / name)
+    base = (spark.createDataFrame(
+        [(i, f"l{i % 3}", i * 10) for i in range(1, 21)],
+        "id long, lang string, n_chars long").repartitionByRange(2, "id"))
+    vstore.commit_append(spark, root, base, stats_cols=("id",),
+                         column_mapping=True)
+    return root
+
+
+def test_column_mapping_rename_drop_are_metadata_only(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    root = _cm_store(spark, tmp_path)
+    # files store stable physical names
+    f0 = vstore.read_manifest(root, 1)["files"][0]
+    phys = pq.ParquetFile(os.path.join(root, "data", f0)).schema_arrow.names
+    assert phys == ["c0", "c1", "c2"]
+    data_before = set(os.listdir(os.path.join(root, "data")))
+    vstore.rename_column(spark, root, "n_chars", "chars")       # v2
+    vstore.drop_column(spark, root, "lang")                     # v3
+    # ZERO data files written or touched by either
+    assert set(os.listdir(os.path.join(root, "data"))) == data_before
+    for v in (2, 3):
+        assert vstore._read_manifest_raw(root, v)["n_new_files"] == 0
+    # logical schemas per version (time travel shows the old names)
+    assert vstore.read_version(spark, root, 1).columns == [
+        "id", "lang", "n_chars"]
+    assert vstore.read_version(spark, root, 2).columns == [
+        "id", "lang", "chars"]
+    assert vstore.read_version(spark, root, 3).columns == ["id", "chars"]
+    got = vstore.read_version(spark, root, 3)
+    assert got.agg(F.sum("chars")).first()[0] == sum(
+        i * 10 for i in range(1, 21))
+    # rename/drop feed NO changes (content never moved)
+    ins, dels = vstore.version_diff(spark, root, 1, 3)
+    assert ins.count() == 0 and dels.count() == 0
+    # stats pruning by the CURRENT logical name still skips files
+    _, opened, total = vstore.read_version_pruned(spark, root, 3,
+                                                  "id", 1, 5)
+    assert opened < total
+    # guards: unknown/duplicate names, unmapped store, late enable
+    with pytest.raises(KeyError):
+        vstore.rename_column(spark, root, "nope", "x")
+    with pytest.raises(ValueError):
+        vstore.rename_column(spark, root, "id", "chars")
+    plain = str(tmp_path / "plain")
+    vstore.commit_append(spark, plain, spark.range(3).coalesce(1))
+    with pytest.raises(ValueError):
+        vstore.rename_column(spark, plain, "id", "x")
+    with pytest.raises(ValueError):
+        vstore.commit_append(spark, plain, spark.range(3).coalesce(1),
+                             column_mapping=True)
+
+
+def test_column_mapping_dropped_data_never_resurrects(spark, tmp_path):
+    """The column-mapping correctness property: dropping a column
+    burns its physical id, so re-adding the SAME logical name reads
+    NULL from the old files — never the dropped bytes."""
+    root = _cm_store(spark, tmp_path)
+    vstore.drop_column(spark, root, "lang")                     # v2
+    add = spark.createDataFrame([(100, 500, "NEW")],
+                                "id long, n_chars long, lang string")
+    v3 = vstore.commit_append(spark, root, add.coalesce(1),
+                              allow_evolution=True)
+    got = vstore.read_version(spark, root, v3)
+    assert got.filter("id < 100 AND lang IS NOT NULL").count() == 0
+    assert got.filter("id = 100").first()["lang"] == "NEW"
+    # the re-added column got a FRESH physical id
+    man = vstore.read_manifest(root, v3)
+    assert man["colmap"]["lang"] == "c3"
+    # old snapshots still see the original lang data
+    assert vstore.read_version(spark, root, 1) \
+        .filter("lang IS NOT NULL").count() == 20
+
+
+def test_column_mapping_composes_with_verbs_and_constraints(
+        spark, tmp_path):
+    root = _cm_store(spark, tmp_path)
+    vstore.rename_column(spark, root, "n_chars", "chars")
+    # delete / merge / compaction speak logical names throughout
+    vstore.commit_delete(spark, root, F.col("id") % 5 == 2)
+    vstore.commit_merge(
+        spark, root,
+        spark.createDataFrame([(1, "up", 99999), (50, "new", 1)],
+                              "id long, lang string, chars long"),
+        key_cols=("id",))
+    got = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert got.filter("id % 5 = 2").count() == 0
+    assert got.filter("id = 1").first()["chars"] == 99999
+    assert got.filter("id = 50").count() == 1
+    vstore.compact_latest(spark, root, target_bytes=1 << 30,
+                          cluster_by=("id",), stats_cols=("id",))
+    # CHECK constraints are logical; rename of a constrained column is
+    # refused (the recorded SQL would dangle)
+    vstore.add_check_constraint(spark, root, "chars_pos", "chars >= 0")
+    with pytest.raises(vstore.ConstraintViolationError):
+        vstore.commit_append(
+            spark, root,
+            spark.createDataFrame([(999, "x", -5)],
+                                  "id long, lang string, chars long")
+            .coalesce(1))
+    with pytest.raises(ValueError):
+        vstore.rename_column(spark, root, "chars", "zz")
+    with pytest.raises(ValueError):
+        vstore.drop_column(spark, root, "chars")
+    vstore.drop_check_constraint(spark, root, "chars_pos")
+    vstore.rename_column(spark, root, "chars", "zz")  # now allowed
+    assert "zz" in vstore.read_version(
+        spark, root, vstore.latest_version(root)).columns
+
+
+def test_column_mapping_composes_with_row_tracking(spark, tmp_path):
+    root = str(tmp_path / "cm_rt")
+    base = (spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)],
+        "id long, x long").coalesce(2))
+    vstore.commit_append(spark, root, base, stats_cols=("id",),
+                         column_mapping=True, row_ids=True)
+    vstore.rename_column(spark, root, "x", "y")
+    r1 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 1).collect()}
+    vstore.commit_delete(spark, root, F.col("id") % 3 == 0)
+    v3 = vstore.latest_version(root)
+    r3 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, v3).collect()}
+    assert all(r3[i] == r1[i] for i in r3)
+    feed = vstore.version_diff_typed_rows(spark, root, 1, v3)
+    assert sorted((r["_change_type"], r["id"])
+                  for r in feed.collect()) == [
+        ("delete", 3), ("delete", 6), ("delete", 9)]
+
+
+def test_keyless_typed_cdf_over_mor_delete_and_purge(spark, tmp_path):
+    """Row tracking composes with merge-on-read: a DV-marked position
+    feeds as a typed DELETE with the row's stable id (no key), and the
+    purge transition feeds empty — MoR maintenance never touches
+    content, even through the keyless feed."""
+    root = _rt_store(spark, tmp_path, "rt_mor")
+    vstore.commit_delete_mor(spark, root, F.col("id") % 11 == 0)  # v2
+    feed = vstore.version_diff_typed_rows(spark, root, 1, 2)
+    got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
+    assert got == [("delete", 11), ("delete", 22), ("delete", 33)]
+    # deleted rows' ids match v1's ids for those rows
+    r1 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 1).collect()}
+    assert {r["_row_id"] for r in feed.collect()} == {r1[11], r1[22],
+                                                      r1[33]}
+    vstore.purge_deletion_vectors(spark, root, stats_cols=("id",))  # v3
+    purge_feed = vstore.version_diff_typed_rows(spark, root, 2, 3)
+    assert purge_feed.count() == 0
+    # ids stable through the purge rewrite
+    r3 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 3).collect()}
+    assert all(r3[i] == r1[i] for i in r3)
+
+
 # --- cross-store atomic commit (2PC over the manifest CAS) --------------------
 
 def test_multi_store_commit_all_or_nothing(spark, tmp_path):
