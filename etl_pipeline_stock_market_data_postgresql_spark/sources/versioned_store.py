@@ -2069,27 +2069,70 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
                          "left_semi")
                 .drop("_rt_f", "_rt_ri"))
 
+    def _rows_at_df(pos_df, files: list[str]) -> DataFrame:
+        """The rows at a DISTRIBUTED (file, position) frame — the
+        above-threshold twin of :func:`_rows_at`."""
+        if pos_df is None or not files:
+            return _empty()
+        raw = _tagged_rows(spark, root, schema_json, merged_stats,
+                           sorted(files), row_ids, cmap=cmap)
+        return (raw.join(pos_df, ["_rt_f", "_rt_ri"], "left_semi")
+                .drop("_rt_f", "_rt_ri"))
+
     def _positions(stats: dict, f: str) -> set:
         fs = stats.get(f, {})
         return (set(_read_dv(root, fs[_DV_KEY]))
                 if _DV_KEY in fs else set())
 
-    dv_deleted: dict[str, set] = {}
-    dv_restored: dict[str, set] = {}
-    for f in ff & ft:
-        if (_DV_KEY in sf_.get(f, {})) or (_DV_KEY in st_.get(f, {})):
+    # DV deltas on CARRIED files: only files whose vector CHANGED
+    # between the versions can contribute (an identical sidecar name
+    # means identical positions — DV files are immutable and carried
+    # by name — so unchanged vectors are skipped without reading them)
+    carried = ff & ft
+    dv_files = [f for f in carried
+                if _DV_KEY in sf_.get(f, {}) or _DV_KEY in st_.get(f, {})]
+    changed_dv = [f for f in dv_files
+                  if sf_.get(f, {}).get(_DV_KEY)
+                  != st_.get(f, {}).get(_DV_KEY)]
+    dvm_from = _dv_map(sf_, changed_dv)
+    dvm_to = _dv_map(st_, changed_dv)
+    total_dv_bytes = sum(
+        os.path.getsize(os.path.join(root, _DATA, dv))
+        for dv in {*dvm_from.values(), *dvm_to.values()})
+
+    added_rows = _read(list(ft - ff), st_)
+    removed_rows = _read(list(ff - ft), sf_)
+    if total_dv_bytes <= _DV_DRIVER_BYTES:
+        # small vectors: driver set-difference (no extra Spark jobs)
+        dv_deleted: dict[str, set] = {}
+        dv_restored: dict[str, set] = {}
+        for f in changed_dv:
             pf, pt = _positions(sf_, f), _positions(st_, f)
             if pt - pf:
                 dv_deleted[f] = pt - pf
             if pf - pt:
                 dv_restored[f] = pf - pt
-
-    added_rows = _read(list(ft - ff), st_)
-    removed_rows = _read(list(ff - ft), sf_)
-    return (added_rows.exceptAll(removed_rows)
-            .unionByName(_rows_at(dv_restored)),
-            removed_rows.exceptAll(added_rows)
-            .unionByName(_rows_at(dv_deleted)))
+        ins_extra = _rows_at(dv_restored)
+        del_extra = _rows_at(dv_deleted)
+    else:
+        # large vectors: set-difference the (file, position) frames
+        # DISTRIBUTED — positions never materialize on the driver
+        # (the same threshold & sidecar-scan plan as _apply_dvs)
+        pf_df = (_dv_positions_df(spark, root, dvm_from,
+                                  "_rt_f", "_rt_ri")
+                 if dvm_from else None)
+        pt_df = (_dv_positions_df(spark, root, dvm_to, "_rt_f", "_rt_ri")
+                 if dvm_to else None)
+        del_pos = (pt_df if pf_df is None
+                   else None if pt_df is None
+                   else pt_df.exceptAll(pf_df))
+        res_pos = (pf_df if pt_df is None
+                   else None if pf_df is None
+                   else pf_df.exceptAll(pt_df))
+        ins_extra = _rows_at_df(res_pos, changed_dv)
+        del_extra = _rows_at_df(del_pos, changed_dv)
+    return (added_rows.exceptAll(removed_rows).unionByName(ins_extra),
+            removed_rows.exceptAll(added_rows).unionByName(del_extra))
 
 
 def version_diff_typed(spark: SparkSession, root: str, v_from: int,

@@ -585,6 +585,39 @@ def test_column_mapping_composes_with_row_tracking(spark, tmp_path):
         ("delete", 3), ("delete", 6), ("delete", 9)]
 
 
+def test_dv_delta_feed_distributed_equals_driver(spark, tmp_path,
+                                                 monkeypatch):
+    """The change feed's DV-delta path (newly marked positions feed as
+    deletes; restore-rolled-back vectors as inserts) must produce
+    identical results through the distributed (file, position)
+    set-difference plan as through the driver-set plan."""
+    root = str(tmp_path / "dv_delta")
+    vstore.commit_append(
+        spark, root,
+        spark.createDataFrame([(i, i % 9) for i in range(1, 201)],
+                              "id long, x long")
+        .repartitionByRange(2, "id"), stats_cols=("id",))
+    vstore.commit_delete_mor(spark, root, F.col("id") % 7 == 0)   # v2
+    vstore.commit_delete_mor(spark, root, F.col("id") % 11 == 0)  # v3
+    vstore.restore(spark, root, 2)                                # v4
+
+    def feeds():
+        out = {}
+        for tag, vf, vt in (("d_2_3", 2, 3), ("r_3_4", 3, 4)):
+            ins, dels = vstore.version_diff(spark, root, vf, vt)
+            out[tag] = (sorted(r["id"] for r in ins.collect()),
+                        sorted(r["id"] for r in dels.collect()))
+        return out
+
+    want = feeds()
+    assert want["d_2_3"][1] == [i for i in range(1, 201)
+                                if i % 11 == 0 and i % 7 != 0]
+    assert want["d_2_3"][0] == []
+    assert want["r_3_4"][0] == want["d_2_3"][1]  # restore re-inserts
+    monkeypatch.setattr(vstore, "_DV_DRIVER_BYTES", 0)
+    assert feeds() == want
+
+
 def test_keyless_typed_cdf_over_mor_delete_and_purge(spark, tmp_path):
     """Row tracking composes with merge-on-read: a DV-marked position
     feeds as a typed DELETE with the row's stable id (no key), and the
