@@ -666,15 +666,43 @@ def _tagged_rows(spark: SparkSession, root: str, schema_json,
     return df
 
 
+def _plain_scan(spark: SparkSession, root: str, schema_json,
+                names: list[str], cmap: dict | None) -> DataFrame:
+    """Pinned-schema scan with NO per-row tag columns — the fast path
+    for reads that need neither deletion-vector filtering nor row ids
+    (materializing ``_metadata`` costs real per-row work at scale; it
+    must never be paid by a store that doesn't use it)."""
+    from pyspark.sql.types import StructField, StructType
+
+    reader = spark.read
+    lschema = None
+    if schema_json is not None:
+        lschema = StructType.fromJson(schema_json)
+        reader = reader.schema(
+            StructType([StructField(cmap.get(f.name, f.name),
+                                    f.dataType, True)
+                        for f in lschema.fields])
+            if cmap else lschema)
+    df = reader.parquet(*[os.path.join(root, _DATA, f) for f in names])
+    if cmap and lschema is not None:
+        df = df.select(*[F.col(cmap.get(f.name, f.name)).alias(f.name)
+                         for f in lschema.fields])
+    return df
+
+
 def _logical_rows(spark: SparkSession, root: str, man: dict,
                   names: list[str], row_ids: bool = False) -> DataFrame:
     """The LOGICAL rows of the named files of manifest ``man`` — pinned
     schema, column mapping resolved, deletion vectors applied,
-    optional stable row ids."""
+    optional stable row ids. DV-free, id-free reads take the
+    tag-free fast path (zero plan changes vs a plain pinned scan)."""
     stats = man.get("stats", {})
-    df = _tagged_rows(spark, root, man.get("schema"), stats, names,
-                      row_ids, cmap=man.get("colmap"))
     dvm = _dv_map(stats, names)
+    cmap = man.get("colmap")
+    if not dvm and not row_ids:
+        return _plain_scan(spark, root, man.get("schema"), names, cmap)
+    df = _tagged_rows(spark, root, man.get("schema"), stats, names,
+                      row_ids, cmap=cmap)
     if dvm:
         df = df.join(
             _dv_positions_df(spark, root, dvm, "_rt_f", "_rt_ri"),
@@ -2047,9 +2075,11 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
         if not names:
             return _empty()
         names = sorted(names)
+        dvm = _dv_map(stats, names)
+        if not dvm and not row_ids:  # tag-free fast path
+            return _plain_scan(spark, root, schema_json, names, cmap)
         df = _tagged_rows(spark, root, schema_json, stats, names,
                           row_ids, cmap=cmap)
-        dvm = _dv_map(stats, names)
         if dvm:
             df = df.join(
                 _dv_positions_df(spark, root, dvm, "_rt_f", "_rt_ri"),
