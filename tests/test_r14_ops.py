@@ -735,6 +735,131 @@ def test_multi_store_commit_dead_coordinator_presumed_abort(
                for f in removed)
 
 
+# --- randomized model test: row tracking + column mapping through the verbs ---
+
+@pytest.mark.parametrize("seed", [14, 20260817])
+def test_tracked_mapped_store_verbs_compose_against_model(
+        spark, tmp_path, seed):
+    """The r13 model-walk, on a store with BOTH row tracking and
+    column mapping enabled, with RENAME added to the verb pool: every
+    version time-travels to the model under the column names in force
+    when it committed; row ids are unique per snapshot; a logical row
+    keeps ONE id for as long as it lives (insert → updates → delete),
+    and a re-inserted key gets a FRESH id — through arbitrary
+    interleavings of append / COW delete / MoR delete / merge /
+    restore / purge / rename."""
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"rtcm_{seed}")
+    state: dict[int, int] = {}   # key -> value
+    tags: dict[int, int] = {}    # key -> model identity tag
+    next_id, next_tag = 0, 0
+    snapshots: list[tuple[dict, dict, str]] = []  # (state, tags, xname)
+    xname = "x"
+
+    def frame(d: dict, name: str):
+        return (spark.createDataFrame(sorted(d.items()),
+                                      f"id long, {name} long")
+                .coalesce(1))
+
+    def commit_state():
+        snapshots.append((dict(state), dict(tags), xname))
+
+    batch = {i: i * 3 for i in range(150)}
+    next_id = 150
+    state.update(batch)
+    for k in batch:
+        tags[k] = next_tag
+        next_tag += 1
+    vstore.commit_append(spark, root, frame(batch, xname).repartition(3),
+                         stats_cols=("id",), row_ids=True,
+                         column_mapping=True)
+    commit_state()
+
+    for _ in range(12):
+        op = rng.choice(["append", "cow_delete", "mor_delete", "merge",
+                         "restore", "purge", "rename"])
+        v = vstore.latest_version(root)
+        if op == "append":
+            n = rng.randint(15, 60)
+            batch = {next_id + i: (next_id + i) * 3 for i in range(n)}
+            next_id += n
+            state.update(batch)
+            for k in batch:
+                tags[k] = next_tag
+                next_tag += 1
+            vstore.commit_append(spark, root, frame(batch, xname),
+                                 stats_cols=("id",))
+        elif op in ("cow_delete", "mor_delete"):
+            k, r = rng.randint(5, 19), rng.randint(0, 4)
+            victims = {i for i in state if i % k == r}
+            if not victims:
+                continue
+            for i in victims:
+                del state[i]
+                del tags[i]
+            cond = (F.col("id") % k) == r
+            if op == "cow_delete":
+                vstore.commit_delete(spark, root, cond, stats_cols=("id",))
+            else:
+                vstore.commit_delete_mor(spark, root, cond)
+        elif op == "merge":
+            ids = sorted(state)
+            upd = {i: state[i] + 1000
+                   for i in rng.sample(ids, min(12, len(ids)))}
+            fresh = {next_id + i: -(next_id + i) for i in range(4)}
+            next_id += 4
+            state.update(upd)   # updates KEEP their tag
+            state.update(fresh)
+            for k in fresh:
+                tags[k] = next_tag
+                next_tag += 1
+            vstore.commit_merge(spark, root,
+                                frame({**upd, **fresh}, xname),
+                                key_cols=("id",), stats_cols=("id",))
+        elif op == "restore":
+            target = rng.randint(1, v)
+            if target == v:
+                continue
+            state, tags, xname = (dict(snapshots[target - 1][0]),
+                                  dict(snapshots[target - 1][1]),
+                                  snapshots[target - 1][2])
+            vstore.restore(spark, root, target)
+        elif op == "purge":
+            _, n = vstore.purge_deletion_vectors(spark, root,
+                                                 stats_cols=("id",))
+            if n == 0:
+                continue
+        else:  # rename: flip the value column's logical name
+            new = "y" if xname == "x" else "x"
+            vstore.rename_column(spark, root, xname, new)
+            xname = new
+        commit_state()
+
+    # 1) every version time-travels to its model under its THEN names
+    rid_by_version: list[dict[int, int]] = []
+    for v, (snap, _, name) in enumerate(snapshots, start=1):
+        rows = vstore.read_version_rows(spark, root, v).collect()
+        got = {(r["id"], r[name]) for r in rows}
+        assert got == set(snap.items()), f"seed {seed} v{v}"
+        rids = {r["id"]: r["_row_id"] for r in rows}
+        assert len(set(rids.values())) == len(rids), f"dup ids v{v}"
+        rid_by_version.append(rids)
+    # 2) one stable id per model identity tag; fresh tag => fresh id
+    tag_to_rid: dict[int, int] = {}
+    for (snap, tg, _), rids in zip(snapshots, rid_by_version):
+        for key, tag in tg.items():
+            rid = rids[key]
+            if tag in tag_to_rid:
+                assert tag_to_rid[tag] == rid, \
+                    f"seed {seed}: identity {tag} changed row id"
+            else:
+                assert rid not in set(tag_to_rid.values()), \
+                    f"seed {seed}: fresh identity reused a row id"
+                tag_to_rid[tag] = rid
+
+
 # --- q122 through a REAL checkpoint restart (r13 verdict task 7) --------------
 
 def test_q122_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
