@@ -54,6 +54,17 @@ def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
     session)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    # executor Python workers resolve module-by-reference pickles
+    # (mapInPandas fns, the change-feed DataSource) via PYTHONPATH, not
+    # the driver's sys.path — export the package root BEFORE the JVM
+    # (and its worker daemon) launches, so a driver embedded from any
+    # cwd (the external gate does this) still runs distributed stages.
+    # On a real cluster this is --py-files / a shipped wheel.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else ""))
     provider = state_store_provider_class()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

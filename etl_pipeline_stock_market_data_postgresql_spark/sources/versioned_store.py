@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -101,22 +102,39 @@ def latest_version(root: str) -> int | None:
     coordinator raises :class:`InDoubtTransactionError` — 2PC's
     blocking window, bounded by coordinator liveness exactly like
     vacuum's in-flight-writer rule."""
+    return _latest_and_claim(root)[0]
+
+
+def _latest_and_claim(root: str) -> tuple[int | None, int]:
+    """The latest VISIBLE version AND the version number a writer must
+    claim, derived from ONE directory listing. Committers need both,
+    and deriving them from separate listings is a lost-update race: a
+    concurrent commit landing between a ``latest_version()`` call and
+    a later ``_claimed_versions()`` call makes the claim skip PAST the
+    interloper — the manifest built from the stale latest then
+    CAS-publishes at a genuinely unclaimed number and silently drops
+    the interloper's files. From a single listing the invariant holds
+    by construction: every version strictly between the returned
+    latest and the returned claim is a known aborted hole, so any
+    commit that lands after the listing collides at the SAME claim
+    number and exactly one CAS wins."""
     vs = _claimed_versions(root)
+    claim = (max(vs) if vs else 0) + 1
     for v in reversed(vs):
         raw = _read_manifest_raw(root, v)
         tx = raw.get("pending_tx")
         if tx is None:
-            return v
+            return v, claim
         status = _tx_decide(tx[0], tx[1])
         if status == "committed":
-            return v
+            return v, claim
         if status == "in_doubt":
             raise InDoubtTransactionError(
                 f"version {v} of {root} is prepared by in-doubt "
                 f"transaction {tx[1]} (coordinator alive); retry after "
                 f"it decides")
         # aborted: a permanent hole — keep walking down
-    return None
+    return None, claim
 
 
 #: consolidate the segment list into ONE segment whenever a commit
@@ -252,15 +270,15 @@ def _resolve(root: str, raw: dict) -> dict:
     return {**raw, "files": files, "stats": stats}
 
 
-def read_manifest(root: str, version: int) -> dict:
-    """Manifest ``version``, RESOLVED: whatever the storage form
-    (segmented manifest-list or legacy flat), callers always see
-    ``files`` / ``stats`` / ``txns`` / ``schema``. A version prepared
-    by an undecided cross-store transaction raises
+def _check_tx_visible(root: str, version: int, raw: dict) -> None:
+    """Enforce 2PC visibility on a raw manifest: a version prepared by
+    an undecided cross-store transaction raises
     :class:`InDoubtTransactionError`; an aborted one raises
     :class:`AbortedTransactionError` (a permanent hole — never
-    readable)."""
-    raw = _read_manifest_raw(root, version)
+    readable). EVERY read entry point that resolves a manifest by
+    number must call this — a path that skips it would leak a
+    prepared/aborted transaction's rows, breaking the all-or-nothing
+    contract of :func:`commit_multi_append`."""
     tx = raw.get("pending_tx")
     if tx is not None:
         status = _tx_decide(tx[0], tx[1])
@@ -272,6 +290,18 @@ def read_manifest(root: str, version: int) -> dict:
             raise InDoubtTransactionError(
                 f"version {version} of {root} is prepared by in-doubt "
                 f"transaction {tx[1]}; retry after it decides")
+
+
+def read_manifest(root: str, version: int) -> dict:
+    """Manifest ``version``, RESOLVED: whatever the storage form
+    (segmented manifest-list or legacy flat), callers always see
+    ``files`` / ``stats`` / ``txns`` / ``schema``. A version prepared
+    by an undecided cross-store transaction raises
+    :class:`InDoubtTransactionError`; an aborted one raises
+    :class:`AbortedTransactionError` (a permanent hole — never
+    readable)."""
+    raw = _read_manifest_raw(root, version)
+    _check_tx_visible(root, version, raw)
     return _resolve(root, raw)
 
 
@@ -1216,8 +1246,15 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     validated_cons: dict | None = None
     n_rows_by_idx: list[int] | None = None  # per staged file, in order
     while True:
-        prev = latest_version(root)  # VISIBLE latest; raises while the
-        # top manifest is in-doubt (writing past it could drop its rows)
+        # VISIBLE latest and the claim from ONE listing (raises while
+        # the top manifest is in-doubt — writing past it could drop its
+        # rows). The claim skips every CLAIMED number — committed,
+        # prepared, or aborted hole (numbers are never reused) — and
+        # sharing the listing with `prev` guarantees everything between
+        # them is an aborted hole, so a commit landing after this
+        # listing contends for the SAME number and loses or wins the
+        # CAS — it can never be silently skipped past.
+        prev, version = _latest_and_claim(root)
         if based_on is not None and (prev or 0) != based_on:
             raise ConcurrentCommitError(
                 f"snapshot validation failed for {root}: this "
@@ -1225,11 +1262,6 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                 f"latest is {prev} — a concurrent commit landed between "
                 f"the snapshot read and the publish; re-read and retry "
                 f"(staged files are vacuumable orphans)")
-        # claim past every CLAIMED number (committed, prepared, or
-        # aborted hole): version numbers are never reused, so an
-        # aborted transaction's hole stays a hole forever
-        claimed = _claimed_versions(root)
-        version = (max(claimed) if claimed else 0) + 1
         new = [f"v{version:05d}-p{pid}-{seq}-{i:05d}.parquet"
                for i in range(len(parts))]
         if placed_version is None:
@@ -1406,6 +1438,9 @@ def read_version_pruned_multi(
     stats); callers keep passing LOGICAL predicate columns — mapped
     here."""
     raw = _read_manifest_raw(root, version)
+    _check_tx_visible(root, version, raw)  # pruning must not leak a
+    # prepared/aborted cross-store transaction's rows (2PC invisibility
+    # holds on EVERY read path, not just read_version/version_diff)
     cm = raw.get("colmap") or {}
     if cm:
         preds = {cm.get(c, c): rng for c, rng in preds.items()}
@@ -1475,6 +1510,8 @@ def read_version_point_lookup(
     positive only ever OPENS an extra file, the precise filter keeps
     the answer exact."""
     raw = _read_manifest_raw(root, version)
+    _check_tx_visible(root, version, raw)  # same 2PC invisibility
+    # contract as read_version_pruned_multi — no leak via point lookups
     cm = raw.get("colmap") or {}
     col = cm.get(col, col)  # stats + sidecars are keyed PHYSICAL
     key = _BLOOM_PREFIX + col
@@ -1677,6 +1714,79 @@ def commit_delete(spark: SparkSession, root: str, condition,
     return newv, len(victims), len(carried)
 
 
+def commit_update(spark: SparkSession, root: str, condition,
+                  set_exprs: dict,
+                  stats_cols: tuple[str, ...] = ("id",),
+                  txn: str | tuple[str, int] | None = None
+                  ) -> tuple[int, int, int]:
+    """``UPDATE ... SET col = expr, ... WHERE condition`` — the
+    in-place-correction verb completing the store's command surface
+    next to DELETE/MERGE/RESTORE (Delta/Iceberg's ``UPDATE``; the
+    reference's idempotent-load intent — main_parallel.py:285's ON
+    CONFLICT path — extended to correcting rows already landed).
+    Copy-on-write, exactly :func:`commit_delete`'s shape: the victim
+    census finds the files holding matching rows, ONLY those rewrite
+    (matching rows through ``set_exprs``, their file-mates verbatim),
+    every other file carries by name. ``set_exprs`` maps column name →
+    Column or SQL string; each assignment casts to the column's
+    recorded type (schema enforcement never loosens through an
+    UPDATE). A NULL condition leaves the row untouched (SQL UPDATE
+    three-valued semantics). On a row-tracked store every survivor —
+    updated or not — keeps its materialized ``_row_id`` (an update
+    changes values, never identity: the typed change feed pairs the
+    pre/post images by that id).
+
+    Returns ``(new_version, n_files_rewritten, n_files_carried)``; no
+    matches → no commit. Scale shape: census ∝ one pruned scan,
+    rewrite ∝ victim-bearing files — a key-clustered correction
+    touches the files whose stats cover it, never the table."""
+    from pyspark.sql.types import StructType
+
+    v = latest_version(root)
+    if v is None:
+        raise ValueError(f"no committed version under {root}")
+    man = read_manifest(root, v)
+    if txn is not None and txn_committed(root, txn):
+        return v, 0, len(man["files"])
+    schema = (StructType.fromJson(man["schema"])
+              if man.get("schema") is not None else None)
+    if schema is not None:
+        known = {f.name for f in schema.fields}
+        unknown = sorted(set(set_exprs) - known)
+        if unknown:
+            raise ValueError(
+                f"UPDATE on {root} assigns unknown column(s) "
+                f"{unknown}; table columns: {sorted(known)}")
+    victims = {r["_f"] for r in
+               _census_frame(spark, root, man).filter(condition)
+               .select("_f").distinct().collect()}
+    if not victims:
+        return v, 0, len(man["files"])
+    carried = [f for f in man["files"] if f not in victims]
+    victim_list = [f for f in man["files"] if f in victims]
+    tracked = bool(man.get("row_tracking"))
+    rows = _logical_rows(spark, root, man, victim_list, row_ids=tracked)
+    hit = F.coalesce(condition, F.lit(False))
+    types = ({f.name: f.dataType for f in schema.fields}
+             if schema is not None else {})
+    out_cols = []
+    for c in [x for x in rows.columns if x != _ROW_ID]:
+        if c in set_exprs:
+            e = set_exprs[c]
+            e = F.expr(e) if isinstance(e, str) else e
+            if c in types:
+                e = e.cast(types[c])
+            out_cols.append(F.when(hit, e).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    if tracked:
+        out_cols.append(F.col(_ROW_ID))
+    newv = _commit(spark, root, rows.select(*out_cols), carry=carried,
+                   stats_cols=stats_cols, txn=txn, op="update",
+                   based_on=v)
+    return newv, len(victims), len(carried)
+
+
 def commit_delete_mor(spark: SparkSession, root: str, condition,
                       txn: str | tuple[str, int] | None = None
                       ) -> tuple[int, int, int]:
@@ -1733,7 +1843,18 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
             _dv_positions_df(spark, root, dvm, fn_col="_f", ri_col="_ri"),
             ["_f", "_ri"], "left_anti")
     victims = aug.filter(condition).select("_f", "_ri")
-    version = max(_claimed_versions(root) or [0]) + 1  # skip any holes
+    # one listing yields the claim AND re-validates the snapshot this
+    # delete derived its victims from: a commit that landed since the
+    # function-start read would otherwise let the claim skip past it
+    # (publishing a manifest built from the stale `prev` at an
+    # unclaimed number — a silent lost update); raising here keeps the
+    # documented whole-table conflict rule airtight
+    latest_now, version = _latest_and_claim(root)
+    if latest_now != prev:
+        raise ConcurrentCommitError(
+            f"version {latest_now} of {root} was committed concurrently; "
+            f"this merge-on-read delete was derived from superseded "
+            f"version {prev} — re-read and retry")
     existing_dvs = dict(dvm)  # {file: old sidecar name}, O(#files)
 
     def _emit_dv(pdf):
@@ -2263,11 +2384,21 @@ def history(spark: SparkSession, root: str) -> DataFrame:
     rows = []
     for v in _claimed_versions(root):
         raw = _read_manifest_raw(root, v)
-        res = _resolve(root, raw)
         op = raw.get("op")
         tx = raw.get("pending_tx")
         if tx is not None:  # cross-store txn state is audit-relevant
-            op = f"{op} ({_tx_decide(tx[0], tx[1])})"
+            status = _tx_decide(tx[0], tx[1])
+            op = f"{op} ({status})"
+            if status == "aborted":
+                # an aborted prepare is a permanent hole whose exclusive
+                # segment/data files vacuum legitimately reclaims — do
+                # NOT resolve it (the segment read would raise
+                # FileNotFoundError on a vacuumed store); audit still
+                # sees the hole, with NULL file counts
+                rows.append((v, op, None, None,
+                             len(_normalize_txns(raw.get("txns")))))
+                continue
+        res = _resolve(root, raw)
         rows.append((v, op, raw.get("n_new_files"),
                      len(res["files"]),
                      len(_normalize_txns(raw.get("txns")))))
@@ -2275,7 +2406,7 @@ def history(spark: SparkSession, root: str) -> DataFrame:
         StructField("version", LongType(), False),
         StructField("op", StringType(), True),
         StructField("n_new_files", IntegerType(), True),
-        StructField("n_live_files", IntegerType(), False),
+        StructField("n_live_files", IntegerType(), True),
         StructField("n_txn_apps", IntegerType(), False)])
     return spark.createDataFrame(rows, schema)
 
@@ -2292,7 +2423,11 @@ def _metadata_commit(root: str, mutate, op: str,
     lands between the derivation and this publish."""
     import json
 
-    prev = latest_version(root)
+    # one listing for both the latest AND the claim: two separate
+    # listings would let a commit land between them, making the claim
+    # skip past it and this metadata commit (built from the stale
+    # latest) silently drop its files — the lost-update race
+    prev, claim = _latest_and_claim(root)
     if prev is None:
         raise ValueError(f"no committed version under {root}")
     if based_on is not None and prev != based_on:
@@ -2310,7 +2445,6 @@ def _metadata_commit(root: str, mutate, op: str,
                          res["files"], res.get("stats", {}))]
     else:
         segs = []
-    claim = max(_claimed_versions(root) or [0]) + 1  # skip any holes
     raw = _carry_row_tracking(
         {"version": claim, "format": _FORMAT_VERSION,
          "segments": segs, "txns": _normalize_txns(praw.get("txns")),
@@ -2500,7 +2634,10 @@ def restore(spark: SparkSession, root: str, to_version: int,
     import json
 
     tk = _txn_key(txn)
-    prev = latest_version(root)
+    # latest + claim from ONE listing (the separate-listing variant is
+    # a lost-update race: a commit landing between the two reads gets
+    # skipped past and silently un-done by this restore)
+    prev, claim = _latest_and_claim(root)
     if prev is None:
         raise ValueError(f"cannot restore {root}: no committed version")
     if not 1 <= to_version <= prev:
@@ -2549,7 +2686,6 @@ def restore(spark: SparkSession, root: str, to_version: int,
                          target["files"], target.get("stats", {}))]
     else:
         segs = []
-    claim = max(_claimed_versions(root) or [0]) + 1  # skip any holes
     raw = _carry_row_tracking(
         {"version": claim, "format": _FORMAT_VERSION,
          "segments": segs, "txns": txns, "schema": target.get("schema"),
@@ -2718,6 +2854,18 @@ def commit_multi_append(spark: SparkSession, targets, txlog: str,
                          "transaction (appends to one store commute — "
                          "union the frames instead)")
     os.makedirs(txlog, exist_ok=True)
+    # txid MUST embed THIS coordinator's live pid as tx-p<pid>-<suffix>:
+    # recovery presumes-abort any prepared manifest whose embedded
+    # coordinator pid is unparseable or dead (_tx_decide), so a foreign
+    # format would be instantly aborted by the first concurrent reader
+    # mid-prepare. Caller-supplied ids are accepted as a SUFFIX for
+    # idempotence/audit, never as the raw id.
+    if txid is not None and _tx_coordinator_pid(txid) != os.getpid():
+        if not re.fullmatch(r"[A-Za-z0-9._:=+@%-]{1,200}", txid):
+            raise ValueError(
+                f"invalid txid {txid!r}: must be 1-200 chars of "
+                f"[A-Za-z0-9._:=+@%-] (it becomes a decision filename)")
+        txid = f"tx-p{os.getpid()}-{txid}"
     txid = txid or f"tx-p{os.getpid()}-{next(_COMMIT_SEQ)}"
     with open(os.path.join(txlog, f"{txid}.intent"), "w",
               encoding="ascii") as f:

@@ -2199,6 +2199,314 @@ SELECT 4, 'append', 'doc_id,chars,lang',
 """
 
 
+def _q164_apply_batch(sess: SparkSession, mv_root: str,
+                      bdf: DataFrame, bid: int) -> None:
+    """One micro-batch of the MV follower, committed EXACTLY-ONCE:
+    signed aggregation of the change-feed batch (insert adds, delete
+    retracts — a rewrite's survivor pairs self-cancel), folded into
+    the persisted MV store under the batch id's transaction key. A
+    replayed batch (foreachBatch is at-least-once) finds the txn in
+    the ledger and no-ops BEFORE any compute — Delta's read-
+    txnVersion-first pattern, same as q122's sink. Module-level so
+    the restart test can drive it directly."""
+    from ..sources import versioned_store as vstore
+
+    if vstore.txn_committed(mv_root, ("q164", bid)):
+        return
+    sign = (F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1)).cast("long"))
+    delta = (bdf.groupBy("event_type")
+             .agg(F.sum(sign).alias("n_rows"),
+                  F.sum(sign * F.col("value_q")).alias("value_q_sum")))
+    cur_v = vstore.latest_version(mv_root)
+    if cur_v is not None:
+        delta = vstore.read_version(sess, mv_root, cur_v).unionByName(delta)
+    mv = (delta.groupBy("event_type")
+          .agg(F.sum("n_rows").alias("n_rows"),
+               F.sum("value_q_sum").alias("value_q_sum"))
+          .filter(F.col("n_rows") > 0)
+          .coalesce(1))
+    vstore.commit_rewrite(sess, mv_root, mv, stats_cols=(),
+                          txn=("q164", bid))
+
+
+def _q164_run_stream(spark: SparkSession, src_root: str, mv_root: str,
+                     ck: str) -> None:
+    """One availableNow pass of the change-feed follower: Spark's
+    checkpoint offset log remembers the last processed store VERSION,
+    so each pass feeds exactly the commits that landed since the
+    previous pass — the subscription loop a deployment would run
+    continuously with a processing-time trigger."""
+    from ..streaming import cdf_source
+
+    q = (cdf_source.read_change_feed_stream(spark, src_root)
+         .writeStream.trigger(availableNow=True)
+         .option("checkpointLocation", ck)
+         .foreachBatch(lambda bdf, bid: _q164_apply_batch(
+             bdf.sparkSession, mv_root, bdf, bid))
+         .start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def q164_streaming_cdf_follower(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CHANGE FEED AS A STRUCTURED STREAMING SOURCE — the consumer
+    loop q150/q152 exist for, closed into a real subscription: a
+    PySpark 4 Python Data Source (``streaming/cdf_source.py``) whose
+    offsets ARE store versions, driven by ``readStream`` with Spark's
+    checkpoint tracking the cursor, maintaining a persisted
+    per-event_type materialized view across commits it never
+    re-scans. This is Delta's ``readChangeFeed`` + incremental MV
+    shape (the r14 verdict's next-round item 2).
+
+    The fixture runs the stream TWICE against the q150 mutation chain
+    to prove the follower semantics end-to-end: pass 1 sees only v1
+    (the base append) and bootstraps the MV from the feed alone;
+    then the MERGE (v2) and DELETE (v3) land; pass 2 resumes FROM THE
+    CHECKPOINT and folds exactly those two commits' signed deltas.
+    The gated output is the MV snapshot after each pass; the ORACLE
+    recomputes both directly from the reconstructed snapshots — a
+    green row certifies stream-fed maintenance ≡ full recompute
+    across append, copy-on-write merge, and delete.
+
+    Exactly-once: each micro-batch commits the folded MV to the
+    versioned store under ``("q164", batch_id)``; a replay no-ops
+    against the txn ledger (REAL checkpoint-restart crash test in
+    ``tests/test_r15_ops.py``). Scale shape: per-pass cost ∝ the
+    changed files of the new commits (classification is driver-side
+    manifest metadata; row reads fan out one executor task per
+    changed file) + a grouped agg over changed rows + a K-row MV
+    rewrite — the base table is never re-read after v1.
+
+    Reference parity: replaces the reference's poll-and-recompute
+    loop (main_parallel.py's scheduled refetch) with a change-feed
+    subscription."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    src = os.path.join(scratch, "events_cdf_stream_src")
+    mv_root = os.path.join(scratch, "events_cdf_stream_mv")
+    ck = os.path.join(scratch, "events_cdf_stream_ck")
+    phases_file = os.path.join(mv_root, "_Q164_PHASES")
+    fp = table_fingerprint(sf_dir, ("events",), params="q164_follow_v1")
+    fp_file = os.path.join(mv_root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(mv_root) != fp:
+        import json
+        import shutil
+        for d in (src, mv_root, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, src,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        _q164_run_stream(spark, src, mv_root, ck)  # pass 1: v1 only
+        v_run1 = vstore.latest_version(mv_root)
+        amendments = (v1.filter((F.col("event_id") % 11 == 0)
+                                & (F.col("event_id") <= b // 3))
+                      .select("event_id", "user_id",
+                              F.lit("amended").alias("event_type"),
+                              (F.col("value_q") + F.lit(1000000))
+                              .alias("value_q")))
+        late = (v1.filter(F.col("event_id") < 40)
+                .select((F.col("event_id") + mx + 1).alias("event_id"),
+                        "user_id", F.lit("late").alias("event_type"),
+                        "value_q"))
+        vstore.commit_merge(spark, src, amendments.unionByName(late),
+                            key_cols=("event_id",),
+                            stats_cols=("event_id",), txn="q164-merge")
+        vstore.commit_delete(spark, src,
+                             (F.col("event_id") % 17 == 0)
+                             & (F.col("event_id") <= b),
+                             stats_cols=("event_id",), txn="q164-delete")
+        _q164_run_stream(spark, src, mv_root, ck)  # pass 2: v2 + v3
+        v_run2 = vstore.latest_version(mv_root)
+        with open(phases_file, "w", encoding="ascii") as f:
+            json.dump({"v_run1": v_run1, "v_run2": v_run2}, f)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    import json
+    with open(phases_file, encoding="ascii") as f:
+        ph = json.load(f)
+    parts = []
+    for phase, v in ((1, ph["v_run1"]), (2, ph["v_run2"])):
+        parts.append(
+            vstore.read_version(spark, mv_root, v)
+            .select(F.lit(phase).cast("int").alias("phase"),
+                    "event_type", "n_rows", "value_q_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q164_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b, max(event_id) AS mx FROM base),
+v1 AS (SELECT * FROM base WHERE event_id <= (SELECT b FROM bnd)),
+v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 11 = 0
+                   AND event_id <= (SELECT b // 3 FROM bnd)
+              THEN 'amended' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 11 = 0
+                   AND event_id <= (SELECT b // 3 FROM bnd)
+              THEN value_q + 1000000 ELSE value_q END AS value_q
+  FROM v1
+  UNION ALL
+  SELECT event_id + (SELECT mx FROM bnd) + 1, user_id, 'late', value_q
+  FROM v1 WHERE event_id < 40
+),
+v3 AS (
+  SELECT * FROM v2
+  WHERE NOT (event_id % 17 = 0 AND event_id <= (SELECT b FROM bnd))
+)
+SELECT CAST(1 AS INT) AS phase, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum
+FROM v1 GROUP BY event_type
+UNION ALL
+SELECT CAST(2 AS INT), event_type,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(value_q) AS BIGINT)
+FROM v3 GROUP BY event_type
+"""
+
+
+def q165_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE ... SET ... WHERE`` on the versioned store — the
+    in-place-correction verb (Delta/Iceberg ``UPDATE``) lowered onto
+    the copy-on-write machinery (r14 verdict next-round item 5). The
+    chain: v1 ingests the base event window (id-range clustered, 4
+    files); v2 corrects the ``% 19`` slice (Column-expression
+    assignments: value bumped one quantum, re-labeled ``corrected``);
+    v3 doubles the corrected rows' values through SQL-STRING
+    assignments (both ``set_exprs`` forms exercised).
+
+    The gated output is one row per version — row count, exact
+    id/value checksums, the count of corrected rows, and ``DESCRIBE
+    HISTORY``'s operation — so a green row certifies (a) updated rows
+    carry exactly the assigned values, (b) UNTOUCHED rows are
+    byte-stable across both updates (the id/value sums subtract), (c)
+    each snapshot remains time-travelable with its pre-correction
+    content, and (d) the commits audit as ``update``.
+
+    Scale shape: the census is one pruned scan; only victim-bearing
+    files rewrite (a key-clustered correction touches the files whose
+    stats cover it); everything else carries by name — same CoW
+    economics as q143's DELETE."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_update_verb")
+    fp = table_fingerprint(sf_dir, ("events",), params="q165_update_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, root,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_update(
+            spark, root, F.col("event_id") % 19 == 0,
+            {"event_type": F.lit("corrected"),
+             "value_q": F.col("value_q") + F.lit(1000000)},
+            stats_cols=("event_id",), txn="q165-correct")
+        vstore.commit_update(
+            spark, root, F.col("event_type") == "corrected",
+            {"value_q": "value_q * 2"},
+            stats_cols=("event_id",), txn="q165-double")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    hist = (vstore.history(spark, root)
+            .select(F.col("version").cast("int").alias("version"), "op"))
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"),
+                 F.count(F.when(F.col("event_type") == "corrected",
+                                F.lit(1))).alias("n_corrected"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "id_sum", "value_q_sum", "n_corrected"))
+    summary = parts[0]
+    for p in parts[1:]:
+        summary = summary.unionByName(p)
+    return summary.join(hist, "version").select(
+        "version", "op", "n_rows", "id_sum", "value_q_sum",
+        "n_corrected")
+
+
+_Q165_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b FROM base),
+v1 AS (SELECT * FROM base WHERE event_id <= (SELECT b FROM bnd)),
+u2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 19 = 0 THEN 'corrected'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 19 = 0 THEN value_q + 1000000
+              ELSE value_q END AS value_q
+  FROM v1
+),
+u3 AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'corrected' THEN value_q * 2
+              ELSE value_q END AS value_q
+  FROM u2
+)
+SELECT CAST(1 AS INT) AS version, 'append' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum,
+       CAST(count(CASE WHEN event_type = 'corrected' THEN 1 END)
+            AS BIGINT) AS n_corrected
+FROM v1
+UNION ALL
+SELECT 2, 'update', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(count(CASE WHEN event_type = 'corrected' THEN 1 END)
+            AS BIGINT)
+FROM u2
+UNION ALL
+SELECT 3, 'update', CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT),
+       CAST(count(CASE WHEN event_type = 'corrected' THEN 1 END)
+            AS BIGINT)
+FROM u3
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -2228,4 +2536,7 @@ QUERIES: dict[str, Query] = {
     "q162_multi_store_atomic_commit": Query(q162_multi_store_atomic_commit,
                                             _Q162_SQL),
     "q163_column_mapping": Query(q163_column_mapping, _Q163_SQL),
+    "q164_streaming_cdf_follower": Query(q164_streaming_cdf_follower,
+                                         _Q164_SQL),
+    "q165_versioned_update": Query(q165_versioned_update, _Q165_SQL),
 }

@@ -1,0 +1,533 @@
+"""Round-15 operator tests: the four r14 ADVICE findings on the
+versioned store — (1) the lost-update race between a committer's
+latest_version() read and its separate _claimed_versions() claim,
+closed by deriving both from ONE listing (_latest_and_claim);
+(2) history() surviving a vacuum that reclaimed an aborted prepare's
+segments; (3) 2PC invisibility on the pruned/point-lookup read paths;
+(4) caller-supplied txid normalization in commit_multi_append."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_stock_market_data_postgresql_spark.sources import (
+    versioned_store as vstore)
+
+
+def _ids(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("x")).coalesce(1)
+
+
+# --- (1) lost-update race: one listing serves latest AND claim ---------------
+
+def test_latest_and_claim_single_listing_invariant(spark, tmp_path):
+    """claim is max(claimed)+1 and latest is the visible top — with an
+    aborted hole between them, everything in (latest, claim) must be a
+    hole, never a committed version the claim would skip past."""
+    root = str(tmp_path / "lac")
+    other = str(tmp_path / "lac_other")
+    txlog = str(tmp_path / "txlog")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    vstore.commit_append(spark, other, _ids(spark, 0, 3))
+    # abort a 2PC whose FIRST prepare published — punches a hole at v2
+    bad = spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1)
+    with pytest.raises(vstore.SchemaMismatchError):
+        vstore.commit_multi_append(spark, [
+            (root, _ids(spark, 10, 20), {}),
+            (other, bad, {}),
+        ], txlog)
+    latest, claim = vstore._latest_and_claim(root)
+    assert latest == 1
+    assert claim == 3  # never reuse the hole's number
+    v = vstore.commit_append(spark, root, _ids(spark, 10, 20))
+    assert v == 3
+
+
+def test_append_race_after_listing_never_drops_interloper(spark, tmp_path,
+                                                          monkeypatch):
+    """Deterministic replay of the ADVICE race: a concurrent append
+    lands immediately AFTER the committer's directory listing. With
+    the single-listing claim, the committer contends for the SAME
+    version number, loses the CAS, retries (blind appends commute) and
+    publishes carrying the interloper's files — both row sets visible.
+    (Pre-fix, the second listing let the claim skip past the
+    interloper and the stale-prev manifest silently dropped it.)"""
+    root = str(tmp_path / "race_append")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    real = vstore._claimed_versions
+    state = {"fired": False}
+
+    def racy_listing(r):
+        out = real(r)
+        if not state["fired"]:
+            state["fired"] = True
+            # the interloper: a full commit landing right after this
+            # listing (uses the real listing via state flag)
+            vstore.commit_append(spark, root, _ids(spark, 100, 110))
+        return out
+
+    monkeypatch.setattr(vstore, "_claimed_versions", racy_listing)
+    vstore.commit_append(spark, root, _ids(spark, 10, 20))
+    monkeypatch.setattr(vstore, "_claimed_versions", real)
+    v = vstore.latest_version(root)
+    ids = {r["id"] for r in vstore.read_version(spark, root, v).collect()}
+    assert ids == set(range(0, 20)) | set(range(100, 110))
+
+
+def test_mor_delete_race_after_snapshot_raises(spark, tmp_path,
+                                               monkeypatch):
+    """commit_delete_mor derives victims from the function-start
+    snapshot; a commit landing before its claim must raise
+    ConcurrentCommitError (whole-table conflict rule), never publish a
+    stale-snapshot manifest past the interloper."""
+    root = str(tmp_path / "race_mor")
+    vstore.commit_append(spark, root, _ids(spark, 0, 20))
+    real = vstore._latest_and_claim
+    state = {"calls": 0}
+
+    def racy_lac(r):
+        # call 1 = the function-start latest_version read; call 2 = the
+        # claim site — the interloper lands between them (and its own
+        # commit_append recurses here with calls already > 1)
+        state["calls"] += 1
+        if state["calls"] == 2:
+            vstore.commit_append(spark, root, _ids(spark, 100, 105))
+        return real(r)
+
+    monkeypatch.setattr(vstore, "_latest_and_claim", racy_lac)
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore.commit_delete_mor(spark, root, F.col("id") % 2 == 0)
+    monkeypatch.setattr(vstore, "_latest_and_claim", real)
+    # the interloper's commit is intact and is the latest
+    v = vstore.latest_version(root)
+    df = vstore.read_version(spark, root, v)
+    assert df.filter(F.col("id") >= 100).count() == 5
+    assert df.count() == 25  # nothing deleted, nothing lost
+
+
+def test_metadata_commit_race_after_listing_raises(spark, tmp_path,
+                                                   monkeypatch):
+    """Same interleaving against a metadata-only commit (ADD
+    CONSTRAINT path): interloper lands right after the listing; the
+    metadata commit must lose the CAS and raise, leaving the
+    interloper's rows visible."""
+    root = str(tmp_path / "race_meta")
+    vstore.commit_append(spark, root, _ids(spark, 1, 10))
+    real = vstore._claimed_versions
+    state = {"fired": False}
+
+    def racy_listing(r):
+        out = real(r)
+        if not state["fired"]:
+            state["fired"] = True
+            vstore.commit_append(spark, root, _ids(spark, 100, 103))
+        return out
+
+    monkeypatch.setattr(vstore, "_claimed_versions", racy_listing)
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore._metadata_commit(root, lambda raw: None, "noop_meta")
+    monkeypatch.setattr(vstore, "_claimed_versions", real)
+    v = vstore.latest_version(root)
+    assert vstore.read_version(spark, root, v).count() == 12
+
+
+def test_restore_race_after_listing_raises(spark, tmp_path, monkeypatch):
+    """RESTORE derives from the pre-listing latest; an interloper
+    landing after the listing must surface as ConcurrentCommitError —
+    a silent success would un-do the interloper's commit."""
+    root = str(tmp_path / "race_restore")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    vstore.commit_append(spark, root, _ids(spark, 10, 20))
+    real = vstore._claimed_versions
+    state = {"fired": False}
+
+    def racy_listing(r):
+        out = real(r)
+        if not state["fired"]:
+            state["fired"] = True
+            vstore.commit_append(spark, root, _ids(spark, 100, 104))
+        return out
+
+    monkeypatch.setattr(vstore, "_claimed_versions", racy_listing)
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore.restore(spark, root, 1)
+    monkeypatch.setattr(vstore, "_claimed_versions", real)
+    v = vstore.latest_version(root)
+    assert vstore.read_version(spark, root, v).count() == 24
+    # a clean retry (the documented re-read-and-retry) still works
+    rv = vstore.restore(spark, root, 1)
+    assert vstore.read_version(spark, root, rv).count() == 10
+
+
+# --- (2) history() after vacuum reclaimed an aborted hole --------------------
+
+def test_history_survives_vacuumed_aborted_hole(spark, tmp_path,
+                                                monkeypatch):
+    """An aborted prepare's exclusive segments/files are vacuumable
+    once the writer pid dies; history() must keep working afterwards,
+    reporting the hole with NULL file counts instead of raising
+    FileNotFoundError mid-audit."""
+    root = str(tmp_path / "hist_vac")
+    other = str(tmp_path / "hist_vac_other")
+    txlog = str(tmp_path / "txlog")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    vstore.commit_append(spark, other, _ids(spark, 0, 3))
+    bad = spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1)
+    with pytest.raises(vstore.SchemaMismatchError):
+        vstore.commit_multi_append(spark, [
+            (root, _ids(spark, 10, 20), {}),
+            (other, bad, {}),
+        ], txlog)
+    vstore.commit_append(spark, root, _ids(spark, 10, 15))
+    # vacuum as if this writer had died (the dead-writer rule is the
+    # only thing keeping the hole's segments in-process)
+    monkeypatch.setattr(vstore, "_pid_alive", lambda pid: False)
+    vstore.vacuum(root, keep_versions=[1, 3])
+    monkeypatch.undo()
+    hist = {r["version"]: r for r in
+            vstore.history(spark, root).collect()}
+    assert set(hist) == {1, 2, 3}
+    assert hist[2]["op"] == "append (aborted)"
+    assert hist[2]["n_new_files"] is None
+    assert hist[2]["n_live_files"] is None
+    assert hist[1]["n_live_files"] is not None
+    assert hist[3]["n_live_files"] is not None
+    # visible reads unaffected
+    assert vstore.read_version(
+        spark, root, vstore.latest_version(root)).count() == 15
+
+
+# --- (3) 2PC invisibility on pruned read paths --------------------------------
+
+def test_pruned_reads_enforce_tx_visibility(spark, tmp_path):
+    """A PREPARED (in-doubt) manifest must be invisible through EVERY
+    read entry point: read_version_pruned_multi and
+    read_version_point_lookup used to resolve the raw manifest
+    directly and leak the prepared rows."""
+    root = str(tmp_path / "prune_vis")
+    txlog = str(tmp_path / "txlog")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10),
+                         stats_cols=("id",), bloom_cols=("id",))
+    # hand-prepare v2: a manifest marked pending under a LIVE
+    # coordinator (this process) with no decision record → in-doubt
+    txid = f"tx-p{os.getpid()}-vis"
+    v2 = vstore._commit(
+        spark, root, _ids(spark, 10, 20), carry="prev",
+        stats_cols=("id",), txn=None, op="append",
+        bloom_cols=("id",),
+        pending_tx=(os.path.abspath(txlog), txid))
+    assert v2 == 2
+    with pytest.raises(vstore.InDoubtTransactionError):
+        vstore.read_version_pruned_multi(spark, root, 2, {"id": (0, 5)})
+    with pytest.raises(vstore.InDoubtTransactionError):
+        vstore.read_version_point_lookup(spark, root, 2, "id", 3)
+    # decide aborted → permanent hole, still invisible
+    vstore._tx_write_decision(txlog, txid, "aborted")
+    with pytest.raises(vstore.AbortedTransactionError):
+        vstore.read_version_pruned_multi(spark, root, 2, {"id": (0, 5)})
+    with pytest.raises(vstore.AbortedTransactionError):
+        vstore.read_version_point_lookup(spark, root, 2, "id", 3)
+    # v1 stays readable through both paths
+    df, _, _ = vstore.read_version_pruned_multi(spark, root, 1,
+                                                {"id": (0, 5)})
+    assert df.filter("id <= 5").count() == 6
+
+
+# --- (4) caller-supplied txid normalization -----------------------------------
+
+def test_multi_append_normalizes_foreign_txid(spark, tmp_path):
+    """A caller-supplied txid lacking this coordinator's live pid
+    would be presumed-aborted by the first concurrent reader
+    mid-prepare; commit_multi_append must normalize it to embed
+    os.getpid() so the transaction stays live."""
+    s1 = str(tmp_path / "s1")
+    txlog = str(tmp_path / "txlog")
+    vstore.commit_multi_append(
+        spark, [(s1, _ids(spark, 0, 10), {})], txlog,
+        txid="nightly-batch-42")
+    assert vstore.latest_version(s1) == 1
+    assert vstore.read_version(spark, s1, 1).count() == 10
+    # the decision record is under the normalized, pid-embedded name
+    expected = f"tx-p{os.getpid()}-nightly-batch-42"
+    assert os.path.exists(os.path.join(txlog, f"{expected}.decision"))
+    # and the raw manifest's pending_tx resolves committed for readers
+    raw = vstore._read_manifest_raw(s1, 1)
+    assert raw["pending_tx"][1] == expected
+    assert vstore._tx_coordinator_pid(expected) == os.getpid()
+
+def test_multi_append_rejects_unsafe_txid(spark, tmp_path):
+    s1 = str(tmp_path / "s1")
+    txlog = str(tmp_path / "txlog")
+    with pytest.raises(ValueError):
+        vstore.commit_multi_append(
+            spark, [(s1, _ids(spark, 0, 5), {})], txlog,
+            txid="../escape/attempt")
+
+
+def test_multi_append_pid_embedded_txid_passthrough(spark, tmp_path):
+    """A txid already in coordinator format with THIS pid passes
+    through unchanged (the format the function itself generates)."""
+    s1 = str(tmp_path / "s1")
+    txlog = str(tmp_path / "txlog")
+    txid = f"tx-p{os.getpid()}-77"
+    vstore.commit_multi_append(
+        spark, [(s1, _ids(spark, 0, 5), {})], txlog, txid=txid)
+    assert os.path.exists(os.path.join(txlog, f"{txid}.decision"))
+
+
+# --- the change-feed streaming source (q164) ----------------------------------
+
+def _mkstore(spark, root, lo, hi, **kw):
+    vstore.commit_append(spark, root, _ids(spark, lo, hi),
+                         stats_cols=("id",), **kw)
+
+
+def test_cdf_source_reader_offsets_and_holes(spark, tmp_path):
+    """Direct reader-API test: offsets are store versions, aborted 2PC
+    holes feed nothing, and an in-doubt prepare HOLDS latestOffset back
+    until the transaction decides (2PC invisibility under streaming)."""
+    import os as _os
+
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming.cdf_source import (
+        StoreCDFStreamReader)
+
+    root = str(tmp_path / "src")
+    other = str(tmp_path / "other")
+    txlog = str(tmp_path / "txlog")
+    _mkstore(spark, root, 0, 10)
+    _mkstore(spark, other, 0, 3)
+    # v2 = aborted hole (two-target 2PC, second participant drifts)
+    bad = spark.createDataFrame([(1, 2)], "a long, b long").coalesce(1)
+    with pytest.raises(vstore.SchemaMismatchError):
+        vstore.commit_multi_append(spark, [
+            (root, _ids(spark, 10, 20), {}),
+            (other, bad, {}),
+        ], txlog)
+    _mkstore(spark, root, 20, 25)  # v3
+    reader = StoreCDFStreamReader(root, 0)
+    assert reader.initialOffset() == {"version": 0}
+    assert reader.latestOffset() == {"version": 3}
+    parts = reader.partitions({"version": 0}, {"version": 3})
+    # v2 contributes NOTHING; v1 and v3 each one added file
+    assert sorted((p.version, p.kind) for p in parts) == [
+        (1, "insert"), (3, "insert")]
+    rows = [r for p in parts for b in reader.read(p)
+            for r in b.to_pylist()]
+    ids = {r["id"] for r in rows}
+    assert ids == set(range(0, 10)) | set(range(20, 25))
+    assert all(r["_change_type"] == "insert" for r in rows)
+    # in-doubt prepare at v4 (live coordinator, no decision record):
+    # latestOffset must hold at 3, not raise and not leak
+    txid = f"tx-p{_os.getpid()}-hold"
+    vstore._commit(spark, root, _ids(spark, 30, 35), carry="prev",
+                   stats_cols=("id",), op="append",
+                   pending_tx=(_os.path.abspath(txlog), txid))
+    assert reader.latestOffset() == {"version": 3}
+    vstore._tx_write_decision(txlog, txid, "committed")
+    assert reader.latestOffset() == {"version": 4}
+
+
+def test_cdf_source_schema_evolution_null_fill(spark, tmp_path):
+    """Files predating a schema evolution surface the added column as
+    NULL under the stream's pinned (latest) schema."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming.cdf_source import (
+        StoreCDFStreamReader)
+
+    root = str(tmp_path / "src")
+    _mkstore(spark, root, 0, 5)
+    evolved = spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 10).alias("x"),
+        (F.col("id") + 100).alias("y")).coalesce(1)
+    vstore.commit_append(spark, root, evolved, stats_cols=("id",),
+                         allow_evolution=True)
+    reader = StoreCDFStreamReader(root, 0)
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    rows = [r for p in parts for b in reader.read(p)
+            for r in b.to_pylist()]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[0]["y"] is None  # pre-evolution file: NULL fill
+    assert by_id[6]["y"] == 106
+    assert len(rows) == 8
+
+
+def test_cdf_source_column_mapping_rename(spark, tmp_path):
+    """On a column-mapped store the feed speaks LOGICAL names — files
+    written before a RENAME surface under the new name (physical
+    fields are rename-stable)."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming.cdf_source import (
+        StoreCDFStreamReader)
+
+    root = str(tmp_path / "src")
+    vstore.commit_append(spark, root, _ids(spark, 0, 5),
+                         stats_cols=(), column_mapping=True)
+    vstore.rename_column(spark, root, "x", "metric")
+    vstore.commit_append(spark, root, spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 10).alias("metric")).coalesce(1),
+        stats_cols=())
+    reader = StoreCDFStreamReader(root, 0)
+    parts = reader.partitions({"version": 0}, {"version": 3})
+    rows = [r for p in parts for b in reader.read(p)
+            for r in b.to_pylist()]
+    assert len(rows) == 8
+    assert all("metric" in r and "x" not in r for r in rows)
+    assert {r["metric"] for r in rows} == {i * 10 for i in range(8)}
+
+
+def test_q164_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """q164's sink through a REAL checkpoint restart: crash injected
+    AFTER the MV commit of batch 0 but BEFORE foreachBatch returns (so
+    the checkpoint commit log never records it); restart replays batch
+    0, the txn ledger no-ops it, and the final MV equals a one-shot
+    control run over the same final source."""
+    import os as _os
+
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        cdf_source)
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage import (
+        _q164_apply_batch)
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string"))
+        .alias("event_type"),
+        (F.col("id") * 11).alias("value_q"))
+    vstore.commit_append(spark, src,
+                         base.repartitionByRange(2, "event_id"),
+                         stats_cols=("event_id",))
+
+    def run_stream(mv_root, ck, poison=None):
+        def sink(bdf, bid):
+            _q164_apply_batch(bdf.sparkSession, mv_root, bdf, bid)
+            if poison is not None and bid == 0 and _os.path.exists(poison):
+                _os.remove(poison)
+                raise RuntimeError(
+                    "injected crash after MV commit, before checkpoint")
+
+        q = (cdf_source.read_change_feed_stream(spark, src)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    mv, ck = str(tmp_path / "mv"), str(tmp_path / "ck")
+    poison = str(tmp_path / "poison")
+    open(poison, "w").close()
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream(mv, ck, poison=poison)
+    # the crash landed after batch 0's MV commit: ledger has it,
+    # checkpoint does not
+    assert vstore.txn_seen(mv).get("q164") == 0
+    # restart from the SAME checkpoint: batch 0 replays and no-ops
+    run_stream(mv, ck, poison=poison)
+    assert vstore.txn_seen(mv).get("q164") == 0  # nothing new landed
+    # new commits: a CoW delete, then follow from the checkpoint
+    vstore.commit_delete(spark, src, F.col("event_id") % 5 == 0,
+                         stats_cols=("event_id",))
+    run_stream(mv, ck)
+    final = {(r["event_type"]): (r["n_rows"], r["value_q_sum"])
+             for r in vstore.read_version(
+                 spark, mv, vstore.latest_version(mv)).collect()}
+    # one-shot control over the same final source
+    mv2, ck2 = str(tmp_path / "mv2"), str(tmp_path / "ck2")
+    run_stream(mv2, ck2)
+    control = {(r["event_type"]): (r["n_rows"], r["value_q_sum"])
+               for r in vstore.read_version(
+                   spark, mv2, vstore.latest_version(mv2)).collect()}
+    assert final == control
+    # and both equal the direct snapshot aggregate
+    direct = {(r["event_type"]): (r["n_rows"], r["value_q_sum"])
+              for r in vstore.read_version(
+                  spark, src, vstore.latest_version(src))
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum("value_q").alias("value_q_sum")).collect()}
+    assert final == direct
+
+
+# --- UPDATE verb on the versioned store (q165) --------------------------------
+
+def test_commit_update_semantics(spark, tmp_path):
+    """Updated rows carry the assigned values (cast to the recorded
+    type), untouched rows and files are byte-stable, NULL conditions
+    leave rows alone (SQL three-valued UPDATE), unknown assignment
+    columns are rejected, and the txn key makes replays no-op."""
+    root = str(tmp_path / "upd")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, "b"), (4, 40, "a")],
+        "id long, x long, tag string").coalesce(2)
+    vstore.commit_append(spark, root, df)
+    files_v1 = vstore.read_manifest(root, 1)["files"]
+    # tag = 'a' matches ids 1,4; tag NULL (id 2) must NOT update
+    v, nrw, ncar = vstore.commit_update(
+        spark, root, F.col("tag") == "a",
+        {"x": F.col("x") + 1000}, txn="fix-1")
+    assert v == 2
+    got = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, 2).collect()}
+    assert got == {1: 1010, 2: 20, 3: 30, 4: 1040}
+    # time travel: v1 pre-correction content intact
+    old = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, 1).collect()}
+    assert old == {1: 10, 2: 20, 3: 30, 4: 40}
+    # replay under the same txn no-ops
+    v2, nrw2, _ = vstore.commit_update(
+        spark, root, F.col("tag") == "a",
+        {"x": F.col("x") + 1000}, txn="fix-1")
+    assert (v2, nrw2) == (2, 0)
+    # unknown assignment column rejected
+    with pytest.raises(ValueError, match="unknown column"):
+        vstore.commit_update(spark, root, F.col("id") == 1,
+                             {"nope": F.lit(0)})
+    # no matches → no commit
+    v3, nrw3, _ = vstore.commit_update(spark, root,
+                                       F.col("id") > 100, {"x": "x + 1"})
+    assert (v3, nrw3) == (2, 0)
+    # assignment casts to the recorded type (double literal → long col)
+    vstore.commit_update(spark, root, F.col("id") == 3,
+                         {"x": F.lit(7.9)})
+    got = {r["id"]: r["x"] for r in
+           vstore.read_version(
+               spark, root, vstore.latest_version(root)).collect()}
+    assert got[3] == 7 and isinstance(got[3], int)
+    assert vstore.history(spark, root).filter("op = 'update'").count() == 2
+    assert files_v1 == vstore.read_manifest(root, 1)["files"]
+
+
+def test_commit_update_keeps_row_ids_and_prunes(spark, tmp_path):
+    """On a row-tracked store every survivor — updated or not — keeps
+    its stable _row_id (identity survives correction; the typed feed
+    pairs pre/post by it), and a key-clustered UPDATE rewrites only
+    the files whose stats cover the condition."""
+    root = str(tmp_path / "upd_rid")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",), row_ids=True)
+    r1 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 1).collect()}
+    # ids 0..9 live in file 1 of the range layout only
+    v, nrw, ncar = vstore.commit_update(
+        spark, root, F.col("id") < 10, {"x": F.col("x") + 1},
+        stats_cols=("id",))
+    assert nrw == 1 and ncar == 3  # pruned rewrite: 1 victim file
+    r2 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 2).collect()}
+    assert r2 == r1  # identity stable under UPDATE
+    got = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, 2).collect()}
+    assert all(got[i] == i * 10 + 1 for i in range(10))
+    assert all(got[i] == i * 10 for i in range(10, 100))
+    # the typed feed pairs the update by row id (keyless)
+    feed = vstore.version_diff_typed_rows(spark, root, 1, 2)
+    kinds = {r["_change_type"] for r in feed.collect()}
+    assert kinds <= {"update_preimage", "update_postimage"}
+    assert feed.filter("_change_type = 'update_postimage'").count() == 10
