@@ -40,56 +40,53 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-14 window, per the CORRECTNESS_SEEN.md rule (50 names
+    # round-15 window, per the CORRECTNESS_SEEN.md rule (50 names
     # listed EXPLICITLY — the gate checks exactly all_queries()[:50];
     # tiers derived PROGRAMMATICALLY from CORRECTNESS_r*.json).
-    # (1) new this round, no driver row possible yet: the KEYLESS
-    # typed change feed via row tracking, the atomic cross-store
-    # commit (2PC over the manifest CAS), and column mapping
-    # (metadata-only RENAME/DROP COLUMN) — slots 1-3;
-    "q161_row_tracking_cdf", "q162_multi_store_atomic_commit",
-    "q163_column_mapping",
-    # (2) implementation changed this round (outputs unchanged; their
-    # r13/r12 rows prove the OLD code paths): the copy-on-write
-    # delete/merge victim re-read moved to the shared row-id-aware
-    # _logical_rows, version_diff was refactored around the row-id
-    # engine, deletion-vector construction moved executor-side with a
-    # distributed read path, restore gained the sidecar horizon check,
-    # OPTIMIZE/compaction branch on row tracking, and q158's probes
-    # dedupe — slots 4-14 (module order). Queries whose only commit
-    # path is a plain append (q110/q118/q120/q122/q137/q140/q141/
-    # q145/q148/q155-q157) are untouched by these edits — the staged
-    # constraint validation is a no-op on constraint-less stores —
-    # and keep their r12/r13 rows.
-    "q143_ann_versioned_delete", "q149_versioned_change_feed",
-    "q147_versioned_merge", "q150_versioned_cdf_typed",
-    "q151_versioned_conditional_merge", "q152_incremental_mv_from_cdf",
-    "q153_versioned_restore", "q154_versioned_optimize_zorder",
-    "q158_bloom_point_lookup", "q159_deletion_vectors",
-    "q160_versioned_clone",
-    # (3) the 16-member r10 tier, in module order (the r13 plan's
-    # deferrals) — slots 15-30; if green, the r10 tier EMPTIES;
-    "q96_streaming_dedup", "q106_streaming_stateful_hwm", "q108_twap",
-    "q129_pareto_frontier", "q132_token_budget_fill",
-    "q70_scd2_history", "q97_bm25_ranking", "q101_bigram_novelty",
-    "q103_scd2_pit_enrichment", "q119_bpe_encode", "q121_dsir_weights",
-    "q130_importance_resample", "q124_lm_perplexity",
-    "q93_zorder_pruning", "q110_dynamic_partition_overwrite",
-    "q127_schema_evolution",
-    # (4) the oldest 20 of the 48-member r11 tier in module order —
-    # slots 31-50; the remaining 28 r11-tier queries (plus the r12/r13
+    # (1) new this round, no driver row possible yet: the change feed
+    # as a Structured Streaming source (checkpoint-resumed incremental
+    # MV follower) and the copy-on-write UPDATE verb — slots 1-2;
+    "q164_streaming_cdf_follower", "q165_versioned_update",
+    # (2) implementation changed this round (outputs unchanged except
+    # q162's history() rows; existing rows prove the OLD paths): every
+    # committer now derives its claim and the visible latest from ONE
+    # listing (_latest_and_claim) with staleness raises in the MoR
+    # delete / metadata / restore paths (q153, q159, q163, q160's
+    # history), history() skips vacuumed aborted holes (q162), the
+    # pruned and point-lookup read entry points enforce 2PC visibility
+    # (q142, q146, q154, q158), and commit_multi_append normalizes
+    # txids (q162) — slots 3-11. Queries whose only store interaction
+    # is append/read_version keep their r13/r14 rows: the _commit edit
+    # collapses two listings into one with identical single-writer
+    # behavior, re-proven here through the nine most-affected queries.
+    "q162_multi_store_atomic_commit", "q153_versioned_restore",
+    "q159_deletion_vectors", "q160_versioned_clone",
+    "q163_column_mapping", "q142_ann_store_stats_pruning",
+    "q146_ann_multicol_pruning", "q154_versioned_optimize_zorder",
+    "q158_bloom_point_lookup",
+    # (3) the ENTIRE 28-member r11 tier (the r14 plan's deferrals, in
+    # the pre-derived seed order) — slots 12-39; if green, the r11
+    # tier EMPTIES;
+    "q45_window_suite", "q46_streaming_tumbling",
+    "q62_streaming_session_window", "q73_streaming_stream_join",
+    "q89_streaming_sliding_window", "q47_sql_exists", "q48_vwap",
+    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
+    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
+    "q58_stratified_split", "q59_stratum_sample",
+    "q60_embedding_centroids", "q64_sequence_packing",
+    "q71_rollup_refresh", "q72_policy_redaction", "q78_token_chunks",
+    "q79_shuffle_shard", "q91_cdc_apply", "q67_tfidf_topterms",
+    "q68_contamination", "q69_domain_mix_sample", "q75_bucketed_join",
+    "q133_jsonl_roundtrip",
+    # (4) the oldest 11 of the 43-member r12 tier in module order —
+    # slots 40-50; the remaining r12-tier queries (plus the r13/r14
     # tiers) fall past the cap: most recently proven, still covered by
     # local parity (tests/test_oracle_parity.py) at sf0.001/sf0.01;
-    # they rotate forward in r15.
-    "q01_topk_latest", "q02_watermark_read", "q03_incremental_filter",
-    "q04_antijoin_new_keys", "q05_semijoin_members",
-    "q06_idempotent_merge", "q135_pagerank_convergence",
-    "q136_kcore_converged", "q92_time_range_window",
-    "q134_incremental_ann", "q137_ann_index_writeback",
-    "q138_ann_store_probe", "q139_ann_store_delete",
-    "q142_ann_store_stats_pruning", "q34_multimodal_meta",
-    "q74_multimodal_decode", "q37_cube", "q38_string_funcs",
-    "q39_percentiles", "q42_unpivot",
+    # they rotate forward in r16.
+    "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
+    "q10_quarantine_counts", "q11_pricing_summary",
+    "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
+    "q15_set_ops", "q16_rollup", "q17_pivot_status",
 )
 
 
