@@ -77,6 +77,96 @@ def symbol_count(col: Column) -> Column:
     return F.size(F.split(F.btrim(col, F.lit(SEP)), SEP + SEP)).cast("long")
 
 
+#: merge-table size beyond which ``encode_expr``'s single projection of
+#: V nested ``replace`` calls stops being the right plan: the generated
+#: JVM method grows past codegen's 64 KB cap (whole-stage falls back to
+#: interpreted) and analyzer cost is O(V) per query — the r14 verdict's
+#: production-vocab finding. Above it, encoding switches to the
+#: Arrow-batched rank-dict encoder (the algorithm real tokenizers
+#: ship), property-pinned equal to the expression path.
+ENCODE_EXPR_MAX_MERGES = 256
+
+
+def _apply_merges_syms(syms: list, ranks: dict) -> list:
+    """Rank-dict BPE encode of one symbol list: repeatedly merge the
+    LOWEST-RANK adjacent pair present, exhaustively left-to-right.
+    Equivalent to ``encode_expr``'s sequential full-table application
+    because a merge's output symbol can only feed LATER-rank pairs —
+    the pair (x, ab) can only have been learned after ``ab`` existed,
+    i.e. at a later round — so no earlier rank ever reappears once
+    passed. Cost ∝ symbols × merges APPLIED (≤ word length), not the
+    vocabulary size: a 50k-merge table encodes a 10-char word in ≤9
+    rounds — the property that makes production-vocab encode linear."""
+    while len(syms) >= 2:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, syms[i], syms[i + 1])
+        if best is None:
+            return syms
+        _, a, b = best
+        out, i = [], 0
+        while i < len(syms):  # exhaustive left-to-right, F.replace's
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_words(df: DataFrame, in_col: str, merges: list[tuple],
+                 out_col: str,
+                 max_expr_merges: int = ENCODE_EXPR_MAX_MERGES
+                 ) -> DataFrame:
+    """Segment the wrapped words of ``df[in_col]`` with a learned merge
+    table — the HYBRID encode entry point: at or below
+    ``max_expr_merges`` the single-projection ``encode_expr`` runs
+    (whole-stage-codegen'd JVM ``replace`` chain, zero Python); above
+    it the same recursion runs as an Arrow-batched ``mapInPandas``
+    rank-dict encoder whose per-word cost is independent of the
+    vocabulary size — the shape a 32-50k-merge production tokenizer
+    needs, where a 50k-deep expression tree would blow the JVM's 64 KB
+    codegen method cap and pay O(V) analysis per query. Both paths are
+    property-pinned equal (tests/test_r15_ops.py) — same greedy
+    left-to-right exhaustive semantics, same rank order."""
+    if len(merges) <= max_expr_merges:
+        return df.withColumn(out_col, encode_expr(F.col(in_col), merges))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    ranks = {(a, b): k for k, a, b, _m, _cnt in merges}
+    # copy, never .add on df.schema — StructType.add mutates in place
+    # and df.schema is the DataFrame's CACHED schema object
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, StringType())])
+    sep2 = SEP + SEP
+
+    def enc(it):
+        memo: dict = {}
+        for pdf in it:
+            out = []
+            for w in pdf[in_col]:
+                if w in memo:
+                    out.append(memo[w])
+                    continue
+                core = w.strip(SEP) if w else ""
+                if not core:
+                    enc_w = w  # empty segmentation passes through
+                else:
+                    syms = _apply_merges_syms(core.split(sep2), ranks)
+                    enc_w = SEP + sep2.join(syms) + SEP
+                memo[w] = enc_w
+                out.append(enc_w)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(enc, schema)
+
+
 DRIVER_VOCAB_THRESHOLD = 100_000  # distinct words below which the merge
                                   # loop finalizes driver-side
 

@@ -922,10 +922,9 @@ def q119_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("word", bpe.wrap_word(F.col("word")).alias("w"), "freq"))
     merges = bpe.train_bpe(wf.select("w", "freq"), BPE_ENCODE_MERGES,
                            checkpoint_every=BPE_CHECKPOINT_EVERY)
-    enc = wf.select(
+    enc = bpe.encode_words(wf, "w", merges, "enc").select(
         "word",
-        bpe.symbol_count(bpe.encode_expr(F.col("w"), merges))
-        .alias("n_sub"),
+        bpe.symbol_count(F.col("enc")).alias("n_sub"),
         F.length("word").cast("long").alias("n_chr"))
     per_doc = (dw.join(enc, "word")
                .groupBy("doc_id")

@@ -531,3 +531,64 @@ def test_commit_update_keeps_row_ids_and_prunes(spark, tmp_path):
     kinds = {r["_change_type"] for r in feed.collect()}
     assert kinds <= {"update_preimage", "update_postimage"}
     assert feed.filter("_change_type = 'update_postimage'").count() == 10
+
+
+# --- BPE encode scale path (r14 verdict finding 1) ----------------------------
+
+def _bpe_reference_encode(w, merges):
+    """encode_expr's exact semantics driver-side: every merge applied
+    in rank order as one exhaustive left-to-right non-overlapping
+    str.replace — no codegen limit, so it references ANY vocab size."""
+    from etl_pipeline_stock_market_data_postgresql_spark.operators.bpe import SEP
+    for _, a, b, m, _cnt in merges:
+        w = w.replace(f"{SEP}{a}{SEP}{SEP}{b}{SEP}", f"{SEP}{m}{SEP}")
+    return w
+
+
+def test_bpe_encode_paths_agree_on_shared_corpus(spark, sf_dir):
+    """The expression path and the Arrow-batched rank-dict path are
+    the same function: force each on the same trained table and
+    compare outputs word-for-word."""
+    from etl_pipeline_stock_market_data_postgresql_spark.operators import bpe
+    from etl_pipeline_stock_market_data_postgresql_spark.sources.tables import (
+        load)
+
+    words = (load(spark, sf_dir, "documents")
+             .select(F.explode(F.split(F.lower("text"), r"[^a-z0-9]+"))
+                     .alias("word"))
+             .filter(F.length("word") > 0)
+             .groupBy("word").agg(F.count("*").alias("freq"))
+             .select("word", bpe.wrap_word(F.col("word")).alias("w"),
+                     "freq"))
+    merges = bpe.train_bpe(words.select("w", "freq"), 48)
+    expr_path = {r["word"]: r["enc"] for r in bpe.encode_words(
+        words, "w", merges, "enc").collect()}            # 48 <= 256: expr
+    pandas_path = {r["word"]: r["enc"] for r in bpe.encode_words(
+        words, "w", merges, "enc", max_expr_merges=0).collect()}
+    assert expr_path == pandas_path
+
+
+def test_bpe_encode_scales_past_codegen_limit(spark):
+    """Train ≥2k merges and encode through the scale path; outputs
+    match the rank-order replace reference exactly (the r14 verdict's
+    done-criterion). 2k merges ≈ 8x the old single-projection gate and
+    already past what one codegen method should hold."""
+    import random
+
+    from etl_pipeline_stock_market_data_postgresql_spark.operators import bpe
+
+    rng = random.Random(15)
+    vocab = {}
+    for _ in range(4000):
+        w = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 24)))
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+    words = spark.createDataFrame(
+        [(w, f) for w, f in sorted(vocab.items())], "word string, freq long"
+    ).select("word", bpe.wrap_word(F.col("word")).alias("w"), "freq")
+    merges = bpe.train_bpe(words.select("w", "freq"), 2048)
+    assert len(merges) >= 2000, f"corpus exhausted at {len(merges)} merges"
+    got = {r["word"]: r["enc"] for r in
+           bpe.encode_words(words, "w", merges, "enc").collect()}
+    wrapped = {r["word"]: r["w"] for r in words.collect()}
+    for w in vocab:
+        assert got[w] == _bpe_reference_encode(wrapped[w], merges), w
