@@ -1843,18 +1843,11 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
             _dv_positions_df(spark, root, dvm, fn_col="_f", ri_col="_ri"),
             ["_f", "_ri"], "left_anti")
     victims = aug.filter(condition).select("_f", "_ri")
-    # one listing yields the claim AND re-validates the snapshot this
-    # delete derived its victims from: a commit that landed since the
-    # function-start read would otherwise let the claim skip past it
-    # (publishing a manifest built from the stale `prev` at an
-    # unclaimed number — a silent lost update); raising here keeps the
-    # documented whole-table conflict rule airtight
-    latest_now, version = _latest_and_claim(root)
-    if latest_now != prev:
-        raise ConcurrentCommitError(
-            f"version {latest_now} of {root} was committed concurrently; "
-            f"this merge-on-read delete was derived from superseded "
-            f"version {prev} — re-read and retry")
+    # provisional number for sidecar NAMING only (uniqueness + the
+    # dead-writer vacuum rule key on it; manifests reference sidecars
+    # BY NAME, so a rebase publishing at a later version keeps every
+    # staged sidecar valid without re-homing)
+    _, stage_version = _latest_and_claim(root)
     existing_dvs = dict(dvm)  # {file: old sidecar name}, O(#files)
 
     def _emit_dv(pdf):
@@ -1873,7 +1866,7 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
             pos = sorted(set(pos) | set(_read_dv(root, old)))
         else:
             pos = sorted(set(pos))
-        name = _write_dv(root, pos, version)
+        name = _write_dv(root, pos, stage_version)
         return pd.DataFrame({"_f": [f], "dv": [name],
                              "n_new": [int(len(pdf))]})
 
@@ -1884,48 +1877,95 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
         return prev, 0, 0
     n_victims = int(sum(r["n_new"] for r in marked))
     by_file = {r["_f"]: r["dv"] for r in marked}
-    new_stats: dict = {}
-    for f, dvname in by_file.items():
-        fs = dict(stats.get(f, {}))
-        fs[_DV_KEY] = dvname
-        new_stats[f] = fs
 
-    txns = _normalize_txns(praw.get("txns"))
-    if tk is not None:
-        if txns.get(tk[0], -1) >= tk[1]:
-            return prev, 0, 0
-        txns[tk[0]] = tk[1]
-    # segments: references whose files are untouched carry BY NAME;
-    # segments holding a marked file re-emit with the updated stats
-    # (segment-level copy-on-write, mirroring commit_delete's)
-    marked = set(new_stats)
-    if "segments" in praw:
-        prev_iter = [(e, _read_segment(root, _seg_name(e)))
-                     for e in praw["segments"]]
-    else:  # legacy flat manifest migrates to one segment
-        prev_iter = [(None, {"files": praw["files"],
-                             "stats": praw.get("stats", {})})]
-    segs = []
-    for entry, sd in prev_iter:
-        if entry is not None and not (set(sd["files"]) & marked):
-            segs.append(entry)
-            continue
-        sstats = {**sd.get("stats", {}),
-                  **{f: new_stats[f] for f in sd["files"] if f in marked}}
-        segs.append(_seg_ref(_write_segment(root, sd["files"], sstats),
-                             sd["files"], sstats))
-    raw = _carry_row_tracking(
-        {"version": version, "format": _FORMAT_VERSION,
-         "segments": segs, "txns": txns, "schema": man.get("schema"),
-         "constraints": dict(man.get("constraints") or {}),
-         "op": "delete_mor", "n_new_files": 0}, man)
-    if _publish_cas(root, version, json.dumps(raw)):
-        return version, len(by_file), n_victims
+    # PUBLISH LOOP with FILE-GRANULARITY conflict checking (Delta's
+    # WriteSerializable): the expensive staging above is paid ONCE; a
+    # commit that interleaved is a conflict only when its changes
+    # actually touch this delete's marked files (or table metadata) —
+    # otherwise the manifest REBASES onto the new latest and re-CASes.
+    # Two writers MoR-deleting disjoint files (two takedowns on
+    # different days) both land with one staging pass each; a blind
+    # append never conflicts with a delete it wasn't visible to.
+    for _attempt in range(8):
+        cur, version = _latest_and_claim(root)
+        curraw = _read_manifest_raw(root, cur)  # cur is visible ⇒ safe
+        curman = _resolve(root, curraw)
+        if cur != prev and not _mor_rebase_safe(man, curman, by_file):
+            raise ConcurrentCommitError(
+                f"version {cur} of {root} was committed concurrently "
+                f"and touches this merge-on-read delete's marked files "
+                f"(or table metadata); derived from superseded version "
+                f"{prev} — re-read and retry (staged DV sidecars are "
+                f"vacuumable orphans)")
+        txns = _normalize_txns(curraw.get("txns"))
+        if tk is not None:
+            if txns.get(tk[0], -1) >= tk[1]:
+                return cur, 0, 0  # a replay committed concurrently
+            txns[tk[0]] = tk[1]
+        cstats = curman.get("stats", {})
+        new_stats: dict = {}
+        for f, dvname in by_file.items():
+            fs = dict(cstats.get(f, {}))
+            fs[_DV_KEY] = dvname
+            new_stats[f] = fs
+        # segments: references whose files are untouched carry BY NAME;
+        # segments holding a marked file re-emit with the updated stats
+        # (segment-level copy-on-write, mirroring commit_delete's)
+        marked_set = set(new_stats)
+        if "segments" in curraw:
+            prev_iter = [(e, _read_segment(root, _seg_name(e)))
+                         for e in curraw["segments"]]
+        else:  # legacy flat manifest migrates to one segment
+            prev_iter = [(None, {"files": curraw["files"],
+                                 "stats": curraw.get("stats", {})})]
+        segs = []
+        for entry, sd in prev_iter:
+            if entry is not None and not (set(sd["files"]) & marked_set):
+                segs.append(entry)
+                continue
+            sstats = {**sd.get("stats", {}),
+                      **{f: new_stats[f] for f in sd["files"]
+                         if f in marked_set}}
+            segs.append(_seg_ref(_write_segment(root, sd["files"], sstats),
+                                 sd["files"], sstats))
+        raw = _carry_row_tracking(
+            {"version": version, "format": _FORMAT_VERSION,
+             "segments": segs, "txns": txns,
+             "schema": curman.get("schema"),
+             "constraints": dict(curman.get("constraints") or {}),
+             "op": "delete_mor", "n_new_files": 0}, curman)
+        if _publish_cas(root, version, json.dumps(raw)):
+            return version, len(by_file), n_victims
+        # CAS lost: loop — the next attempt revalidates against (and
+        # rebases onto) whatever just landed
     raise ConcurrentCommitError(
-        f"version {version} of {root} was committed concurrently; this "
-        f"merge-on-read delete was derived from superseded version "
-        f"{prev} — re-read and retry (staged DV sidecars are vacuumable "
+        f"merge-on-read delete on {root} lost {8} consecutive CAS "
+        f"races; re-read and retry (staged DV sidecars are vacuumable "
         f"orphans)")
+
+
+def _mor_rebase_safe(prev_man: dict, cur_man: dict,
+                     marked: dict) -> bool:
+    """May a staged MoR delete derived from ``prev_man`` publish on
+    top of ``cur_man`` without restaging? True iff the interleaved
+    commits are DISJOINT from it at file granularity: every marked
+    file still lives in the current manifest with an UNCHANGED
+    deletion vector (our staged sidecars unioned the old one — a
+    concurrent vector would be silently dropped), and table metadata
+    (schema, column mapping, constraints) is untouched. Appends of new
+    files never conflict: the delete was not visible to them and they
+    were not visible to it — Delta's WriteSerializable rule."""
+    if set(marked) - set(cur_man["files"]):
+        return False  # a marked file was rewritten/compacted away
+    ps, cs = prev_man.get("stats", {}), cur_man.get("stats", {})
+    for f in marked:
+        if ps.get(f, {}).get(_DV_KEY) != cs.get(f, {}).get(_DV_KEY):
+            return False  # its vector moved under us
+    return (prev_man.get("schema") == cur_man.get("schema")
+            and (prev_man.get("colmap") or None)
+            == (cur_man.get("colmap") or None)
+            and (prev_man.get("constraints") or {})
+            == (cur_man.get("constraints") or {}))
 
 
 def purge_deletion_vectors(spark: SparkSession, root: str,

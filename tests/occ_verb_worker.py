@@ -45,6 +45,19 @@ def main() -> int:
             return vstore.commit_delete_mor(
                 spark, root, (F.col("id") < 100) & (F.col("id") % 3 == 0),
                 txn=None)
+        if verb == "mor_low":
+            # victims confined to the LOW id-range file of the
+            # 4-file range-clustered base — disjoint from mor_high, so
+            # the CAS loser REBASES (file-granularity OCC) instead of
+            # restaging; zero absorbed conflicts expected
+            return vstore.commit_delete_mor(
+                spark, root, (F.col("id") < 40) & (F.col("id") % 2 == 0),
+                txn=None)
+        if verb == "mor_high":
+            return vstore.commit_delete_mor(
+                spark, root,
+                (F.col("id") >= 160) & (F.col("id") % 2 == 0),
+                txn=None)
         if verb == "restore1":
             return vstore.restore(spark, root, 1)
         if verb == "purge":

@@ -78,35 +78,36 @@ def test_append_race_after_listing_never_drops_interloper(spark, tmp_path,
     assert ids == set(range(0, 20)) | set(range(100, 110))
 
 
-def test_mor_delete_race_after_snapshot_raises(spark, tmp_path,
-                                               monkeypatch):
-    """commit_delete_mor derives victims from the function-start
-    snapshot; a commit landing before its claim must raise
-    ConcurrentCommitError (whole-table conflict rule), never publish a
-    stale-snapshot manifest past the interloper."""
+def test_mor_delete_rebases_over_interleaved_append(spark, tmp_path,
+                                                    monkeypatch):
+    """A blind append landing between a MoR delete's staging and its
+    CAS is DISJOINT (the appended files were not visible to the
+    delete): the delete must rebase onto the new latest and publish
+    without restaging — never drop the append, never raise. The
+    delete's semantics stay as-of its snapshot (WriteSerializable):
+    the appended rows are untouched even where they match."""
     root = str(tmp_path / "race_mor")
     vstore.commit_append(spark, root, _ids(spark, 0, 20))
-    real = vstore._latest_and_claim
-    state = {"calls": 0}
+    real_cas = vstore._publish_cas
+    state = {"fired": False}
 
-    def racy_lac(r):
-        # call 1 = the function-start latest_version read; call 2 = the
-        # claim site — the interloper lands between them (and its own
-        # commit_append recurses here with calls already > 1)
-        state["calls"] += 1
-        if state["calls"] == 2:
+    def racy_cas(r, v, body):
+        if not state["fired"]:
+            state["fired"] = True
             vstore.commit_append(spark, root, _ids(spark, 100, 105))
-        return real(r)
+        return real_cas(r, v, body)
 
-    monkeypatch.setattr(vstore, "_latest_and_claim", racy_lac)
-    with pytest.raises(vstore.ConcurrentCommitError):
-        vstore.commit_delete_mor(spark, root, F.col("id") % 2 == 0)
-    monkeypatch.setattr(vstore, "_latest_and_claim", real)
-    # the interloper's commit is intact and is the latest
-    v = vstore.latest_version(root)
-    df = vstore.read_version(spark, root, v)
+    monkeypatch.setattr(vstore, "_publish_cas", racy_cas)
+    v, nmarked, nvict = vstore.commit_delete_mor(
+        spark, root, F.col("id") % 2 == 0)
+    monkeypatch.setattr(vstore, "_publish_cas", real_cas)
+    assert nvict == 10
+    assert v == vstore.latest_version(root) == 3
+    df = vstore.read_version(spark, root, 3)
+    # both commits visible: evens of the snapshot gone, append intact
+    # (including its even ids — the delete was derived before them)
+    assert df.filter(F.col("id") < 100).count() == 10
     assert df.filter(F.col("id") >= 100).count() == 5
-    assert df.count() == 25  # nothing deleted, nothing lost
 
 
 def test_metadata_commit_race_after_listing_raises(spark, tmp_path,
@@ -592,3 +593,131 @@ def test_bpe_encode_scales_past_codegen_limit(spark):
     wrapped = {r["word"]: r["w"] for r in words.collect()}
     for w in vocab:
         assert got[w] == _bpe_reference_encode(wrapped[w], merges), w
+
+
+# --- file-granularity OCC for MoR deletes (r14 verdict item 6) ----------------
+
+def _dv_count(root):
+    return len([f for f in os.listdir(os.path.join(root, "data"))
+                if f.startswith("dv-") and f.endswith(".json")])
+
+
+def test_disjoint_mor_deletes_one_staging_pass_each(spark, tmp_path,
+                                                    monkeypatch):
+    """Two MoR deletes whose victims live in DISJOINT files (two
+    takedowns on different key ranges of a clustered store): the CAS
+    loser rebases and publishes without restaging — both land, and the
+    sidecar count on disk proves exactly one staging pass each (a
+    restage would leave orphan sidecars)."""
+    root = str(tmp_path / "disjoint_mor")
+    base = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",))
+    cond_a = (F.col("id") < 40) & (F.col("id") % 2 == 0)   # file 1
+    cond_b = (F.col("id") >= 160) & (F.col("id") % 2 == 0)  # file 4
+    real_cas = vstore._publish_cas
+    state = {"fired": False}
+
+    def racy_cas(r, v, body):
+        if not state["fired"]:
+            state["fired"] = True
+            vstore.commit_delete_mor(spark, root, cond_a)  # interloper
+        return real_cas(r, v, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", racy_cas)
+    v, nmarked_b, nvict_b = vstore.commit_delete_mor(spark, root, cond_b)
+    monkeypatch.setattr(vstore, "_publish_cas", real_cas)
+    assert v == vstore.latest_version(root) == 3
+    assert (nmarked_b, nvict_b) == (1, 20)
+    df = vstore.read_version(spark, root, 3)
+    assert df.filter(cond_a).count() == 0  # interloper's delete held
+    assert df.filter(cond_b).count() == 0
+    assert df.count() == 200 - 20 - 20
+    # one sidecar per marked file per delete — NO restage orphans
+    assert _dv_count(root) == 2
+    # intermediate snapshots stay exact
+    assert vstore.read_version(spark, root, 2).count() == 180
+    assert vstore.read_version(spark, root, 1).count() == 200
+
+
+def test_overlapping_mor_deletes_conflict(spark, tmp_path, monkeypatch):
+    """Same interleaving, but both deletes mark the SAME file: the
+    loser's staged sidecar unioned a vector that moved under it —
+    rebasing would drop the winner's deletions, so it must raise."""
+    root = str(tmp_path / "overlap_mor")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(2, "id"),
+                         stats_cols=("id",))
+    real_cas = vstore._publish_cas
+    state = {"fired": False}
+
+    def racy_cas(r, v, body):
+        if not state["fired"]:
+            state["fired"] = True
+            vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 0)
+        return real_cas(r, v, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", racy_cas)
+    with pytest.raises(vstore.ConcurrentCommitError,
+                       match="marked files"):
+        vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 5)
+    monkeypatch.setattr(vstore, "_publish_cas", real_cas)
+    # the winner's delete is intact; a clean retry then lands
+    assert vstore.read_version(spark, root, 2).count() == 90
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 5)
+    assert vstore.read_version(spark, root, 3).count() == 80
+
+
+def test_mor_delete_conflicts_on_concurrent_metadata(spark, tmp_path,
+                                                     monkeypatch):
+    """A concurrent metadata change (ADD CONSTRAINT here) is never
+    rebased over — table-wide rules may have been validated against
+    rows this delete is removing; conservative conflict."""
+    root = str(tmp_path / "meta_mor")
+    vstore.commit_append(spark, root, _ids(spark, 1, 50))
+    real_cas = vstore._publish_cas
+    state = {"fired": False}
+
+    def racy_cas(r, v, body):
+        if not state["fired"]:
+            state["fired"] = True
+            vstore.add_check_constraint(spark, root, "pos", "x >= 0")
+        return real_cas(r, v, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", racy_cas)
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore.commit_delete_mor(spark, root, F.col("id") % 2 == 0)
+    monkeypatch.setattr(vstore, "_publish_cas", real_cas)
+    assert vstore.check_constraints(root) == {"pos": "x >= 0"}
+
+
+def test_occ_two_process_disjoint_mor_deletes(spark, tmp_path):
+    """The r14 verdict's done-criterion for file-granularity OCC: two
+    SEPARATE DRIVER PROCESSES MoR-delete disjoint files of the same
+    store, staged at a barrier so their commit windows overlap. Both
+    must land with ONE staging pass each — the loser rebases rather
+    than raising — proven by zero absorbed conflicts in the workers'
+    reports and exactly one sidecar per marked file on disk."""
+    from tests.test_r14_ops import _spawn_verb_workers
+
+    root = str(tmp_path / "two_proc_disjoint")
+    base = spark.range(0, 200).select(
+        F.col("id"), F.lit(1).alias("k"), (F.col("id") * 3).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",))
+    outs = _spawn_verb_workers(tmp_path, root,
+                               [(0, "mor_low"), (1, "mor_high")])
+    # the rebase path absorbs the race: no ConcurrentCommitError at all
+    for out, _err in outs:
+        assert b"conflicts=0" in out, out
+    assert vstore.latest_version(root) == 3
+    df = vstore.read_version(spark, root, 3)
+    assert df.filter("id < 40 AND id % 2 = 0").count() == 0
+    assert df.filter("id >= 160 AND id % 2 = 0").count() == 0
+    assert df.count() == 200 - 20 - 20
+    assert _dv_count(root) == 2  # one staging pass each, no orphans
