@@ -1148,7 +1148,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             bloom_cols: tuple[str, ...] = (),
             row_ids: bool = False,
             pending_tx: tuple[str, str] | None = None,
-            column_mapping: bool = False) -> int:
+            column_mapping: bool = False,
+            removed_files: list[str] | None = None) -> int:
     """Write ``df``'s part files into the data dir, then CAS-publish a
     new manifest referencing them plus the carried files (by name —
     their bytes are never touched). ``carry`` is ``"prev"`` (carry the
@@ -1172,6 +1173,22 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     read-snapshot validation) and the caller re-derives. Blind appends
     pass None — they re-derive their carry under the latest manifest
     every attempt, which is exactly why they commute.
+
+    ``removed_files`` upgrades that whole-table rule to FILE-
+    GRANULARITY conflict checking (Delta's WriteSerializable): it
+    names the ``based_on``-snapshot files this commit REPLACES (the
+    victim census of a delete/update/merge; every input file of a
+    compaction). When the observed latest has moved past ``based_on``,
+    the commit REBASES instead of raising iff the interleaved commits
+    are disjoint from it: every removed file still lives in the latest
+    manifest with a byte-identical stats entry (same deletion vector,
+    same blooms, same row-id base — the staged rewrite read those
+    bytes), and schema/column-mapping/constraints are untouched. The
+    carry list is then recomputed as ``latest's files − removed`` — a
+    concurrent append's files ride along instead of being replaced
+    away — and the expensive staging is NEVER repaid. Any overlap
+    (victim rewritten, vector moved, metadata changed) raises as
+    before.
 
     The per-app txn ledger carries
     across the chain regardless of carry semantics and is re-checked
@@ -1245,6 +1262,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
     new_stats: dict = {}
     validated_cons: dict | None = None
     n_rows_by_idx: list[int] | None = None  # per staged file, in order
+    base_man: dict | None = None  # based_on's manifest, read lazily on
+    # the first rebase validation (most commits never conflict)
     while True:
         # VISIBLE latest and the claim from ONE listing (raises while
         # the top manifest is in-doubt — writing past it could drop its
@@ -1255,13 +1274,35 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         # listing contends for the SAME number and loses or wins the
         # CAS — it can never be silently skipped past.
         prev, version = _latest_and_claim(root)
+        praw = _read_manifest_raw(root, prev) if prev is not None else None
+        pm = _resolve(root, praw) if praw is not None else None
         if based_on is not None and (prev or 0) != based_on:
-            raise ConcurrentCommitError(
-                f"snapshot validation failed for {root}: this "
-                f"{op} was derived from version {based_on} but the "
-                f"latest is {prev} — a concurrent commit landed between "
-                f"the snapshot read and the publish; re-read and retry "
-                f"(staged files are vacuumable orphans)")
+            # file-granularity conflict check (see docstring): rebase
+            # onto the moved latest when the interleaved commits are
+            # disjoint from this one's removed-file set
+            if removed_files is not None and pm is not None:
+                if base_man is None:
+                    base_man = read_manifest(root, based_on)
+                if _rebase_safe(base_man, pm, removed_files):
+                    removed_set = set(removed_files)
+                    carry = [f for f in pm["files"]
+                             if f not in removed_set]
+                    validated_cons = None  # revalidate under the rebase
+                else:
+                    raise ConcurrentCommitError(
+                        f"snapshot validation failed for {root}: this "
+                        f"{op} was derived from version {based_on}, the "
+                        f"latest is {prev}, and the interleaved commits "
+                        f"touch its replaced files or table metadata — "
+                        f"re-read and retry (staged files are vacuumable "
+                        f"orphans)")
+            else:
+                raise ConcurrentCommitError(
+                    f"snapshot validation failed for {root}: this "
+                    f"{op} was derived from version {based_on} but the "
+                    f"latest is {prev} — a concurrent commit landed "
+                    f"between the snapshot read and the publish; re-read "
+                    f"and retry (staged files are vacuumable orphans)")
         new = [f"v{version:05d}-p{pid}-{seq}-{i:05d}.parquet"
                for i in range(len(parts))]
         if placed_version is None:
@@ -1303,9 +1344,6 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                     renamed_stats[name] = new_stats[old]
             new_stats = renamed_stats
         placed, placed_version = new, version
-
-        praw = _read_manifest_raw(root, prev) if prev is not None else None
-        pm = _resolve(root, praw) if praw is not None else None
         # row tracking: enabled at the store's FIRST commit, inherited
         # forever after (enabling on an existing store would leave the
         # legacy files id-less). Every staged file gets a __brid__ base
@@ -1399,8 +1437,12 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         body = json.dumps(raw)
         if _publish_cas(root, version, body):
             return version
-        # lost the race: another writer claimed this version first
-        if carry != "prev":
+        # lost the race: another writer claimed this version first. A
+        # removed-file-scoped commit loops — the next iteration's
+        # snapshot validation rebases over a disjoint interloper (or
+        # raises on real overlap); everything else snapshot-scoped
+        # raises immediately (its staged plan is superseded wholesale)
+        if carry != "prev" and removed_files is None:
             raise ConcurrentCommitError(
                 f"version {version} of {root} was committed concurrently; "
                 f"this {'rewrite' if carry is None else 'delete/merge'} was "
@@ -1602,7 +1644,8 @@ def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
                    stats_cols: tuple[str, ...] = ("id",),
                    txn: str | tuple[str, int] | None = None,
                    based_on: int | None = None,
-                   bloom_cols: tuple[str, ...] = ()) -> int:
+                   bloom_cols: tuple[str, ...] = (),
+                   removed_files: list[str] | None = None) -> int:
     """New version = ONLY df's files (compaction / full replace). The
     superseded files stay on disk — every retained older snapshot keeps
     reading them — until :func:`vacuum`. Pass ``based_on`` (the
@@ -1616,7 +1659,8 @@ def commit_rewrite(spark: SparkSession, root: str, df: DataFrame,
         return latest_version(root)  # type: ignore[return-value]
     return _commit(spark, root, df, carry=None,
                    stats_cols=stats_cols, txn=txn, op="rewrite",
-                   based_on=based_on, bloom_cols=bloom_cols)
+                   based_on=based_on, bloom_cols=bloom_cols,
+                   removed_files=removed_files)
 
 
 def _census_frame(spark: SparkSession, root: str, man: dict) -> DataFrame:
@@ -1710,7 +1754,7 @@ def commit_delete(spark: SparkSession, root: str, condition,
                  .filter(~F.coalesce(condition, F.lit(False))))
     newv = _commit(spark, root, survivors, carry=carried,
                    stats_cols=stats_cols, txn=txn, op="delete",
-                   based_on=v)
+                   based_on=v, removed_files=victim_list)
     return newv, len(victims), len(carried)
 
 
@@ -1783,7 +1827,7 @@ def commit_update(spark: SparkSession, root: str, condition,
         out_cols.append(F.col(_ROW_ID))
     newv = _commit(spark, root, rows.select(*out_cols), carry=carried,
                    stats_cols=stats_cols, txn=txn, op="update",
-                   based_on=v)
+                   based_on=v, removed_files=victim_list)
     return newv, len(victims), len(carried)
 
 
@@ -1890,7 +1934,7 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
         cur, version = _latest_and_claim(root)
         curraw = _read_manifest_raw(root, cur)  # cur is visible ⇒ safe
         curman = _resolve(root, curraw)
-        if cur != prev and not _mor_rebase_safe(man, curman, by_file):
+        if cur != prev and not _rebase_safe(man, curman, by_file):
             raise ConcurrentCommitError(
                 f"version {cur} of {root} was committed concurrently "
                 f"and touches this merge-on-read delete's marked files "
@@ -1944,27 +1988,29 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
         f"orphans)")
 
 
-def _mor_rebase_safe(prev_man: dict, cur_man: dict,
-                     marked: dict) -> bool:
-    """May a staged MoR delete derived from ``prev_man`` publish on
-    top of ``cur_man`` without restaging? True iff the interleaved
-    commits are DISJOINT from it at file granularity: every marked
-    file still lives in the current manifest with an UNCHANGED
-    deletion vector (our staged sidecars unioned the old one — a
-    concurrent vector would be silently dropped), and table metadata
-    (schema, column mapping, constraints) is untouched. Appends of new
-    files never conflict: the delete was not visible to them and they
-    were not visible to it — Delta's WriteSerializable rule."""
-    if set(marked) - set(cur_man["files"]):
-        return False  # a marked file was rewritten/compacted away
-    ps, cs = prev_man.get("stats", {}), cur_man.get("stats", {})
-    for f in marked:
-        if ps.get(f, {}).get(_DV_KEY) != cs.get(f, {}).get(_DV_KEY):
-            return False  # its vector moved under us
-    return (prev_man.get("schema") == cur_man.get("schema")
-            and (prev_man.get("colmap") or None)
+def _rebase_safe(base_man: dict, cur_man: dict, removed) -> bool:
+    """May a commit staged against ``base_man`` publish on top of
+    ``cur_man`` without restaging? True iff the interleaved commits
+    are DISJOINT from it at file granularity: every file it replaces
+    (or marks) still lives in the current manifest with a
+    BYTE-IDENTICAL stats entry — same deletion vector (the staged
+    rewrite read the logical bytes / the staged sidecar unioned the
+    old vector), same bloom markers, same row-id base — and table
+    metadata (schema, column mapping, constraints) is untouched.
+    Appends of new files never conflict: the staged commit was not
+    visible to them and they were not visible to it — Delta's
+    WriteSerializable rule."""
+    removed = set(removed)
+    if removed - set(cur_man["files"]):
+        return False  # a replaced file was rewritten/compacted away
+    bs, cs = base_man.get("stats", {}), cur_man.get("stats", {})
+    for f in removed:
+        if bs.get(f, {}) != cs.get(f, {}):
+            return False  # its vector/stats moved under us
+    return (base_man.get("schema") == cur_man.get("schema")
+            and (base_man.get("colmap") or None)
             == (cur_man.get("colmap") or None)
-            and (prev_man.get("constraints") or {})
+            and (base_man.get("constraints") or {})
             == (cur_man.get("constraints") or {}))
 
 
@@ -1992,7 +2038,7 @@ def purge_deletion_vectors(spark: SparkSession, root: str,
                               row_ids=bool(man.get("row_tracking")))
     newv = _commit(spark, root, survivors, carry=carried,
                    stats_cols=stats_cols, txn=txn, op="purge_dv",
-                   based_on=v)
+                   based_on=v, removed_files=dirty)
     return newv, len(dirty)
 
 
@@ -2095,7 +2141,9 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
             out = updates.select(*df.columns)
         newv = _commit(spark, root, out, carry=carried,
                        stats_cols=stats_cols, txn=txn, op="merge",
-                       based_on=v)
+                       based_on=v,
+                       removed_files=[f for f in man["files"]
+                                      if f in affected])
         return newv, len(affected), len(carried)
 
     def _joined(target: DataFrame):
@@ -2162,7 +2210,8 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
     out = inserts if rewritten is None else rewritten.unionByName(inserts)
     newv = _commit(spark, root, out, carry=carried,
                    stats_cols=stats_cols, txn=txn, op="merge",
-                   based_on=v)
+                   based_on=v,
+                   removed_files=[f for f in man["files"] if f in affected])
     return newv, len(affected), len(carried)
 
 
@@ -2832,13 +2881,15 @@ def optimize_zorder(spark: SparkSession, root: str, col_a: str,
     v = latest_version(root)
     if v is None:
         raise ValueError(f"cannot optimize {root}: no committed version")
-    tracked = bool(read_manifest(root, v).get("row_tracking"))
+    man = read_manifest(root, v)
+    tracked = bool(man.get("row_tracking"))
     df = (read_version_rows(spark, root, v) if tracked
           else read_version(spark, root, v))  # maintenance keeps ids
     clustered = zordered_frame(df, col_a, col_b, n_files, bits=bits)
     return commit_rewrite(spark, root, clustered,
                           stats_cols=stats_cols or (col_a, col_b),
-                          txn=txn, based_on=v)
+                          txn=txn, based_on=v,
+                          removed_files=man["files"])
 
 
 def commit_multi_append(spark: SparkSession, targets, txlog: str,
@@ -2994,7 +3045,7 @@ def compact_latest(spark: SparkSession, root: str, target_bytes: int,
     df = (df.repartitionByRange(bins, *cluster_by) if cluster_by
           else df.repartition(bins))
     newv = commit_rewrite(spark, root, df, stats_cols=stats_cols, txn=txn,
-                          based_on=v)
+                          based_on=v, removed_files=files)
     return len(files), len(read_manifest(root, newv)["files"])
 
 

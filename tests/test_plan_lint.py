@@ -103,6 +103,8 @@ SINGLE_PARTITION_ALLOWED = {
                                   "(map-side partials only)",
     "q153_versioned_restore": "per-version 1-row rollback-certificate "
                               "summaries (map-side partials only)",
+    "q165_versioned_update": "per-version 1-row correction-certificate "
+                             "summaries (map-side partials only)",
     "q154_versioned_optimize_zorder": "per-(version, probe) 1-row "
                                       "content-invariance summaries "
                                       "(map-side partials only)",

@@ -721,3 +721,122 @@ def test_occ_two_process_disjoint_mor_deletes(spark, tmp_path):
     assert df.filter("id >= 160 AND id % 2 = 0").count() == 0
     assert df.count() == 200 - 20 - 20
     assert _dv_count(root) == 2  # one staging pass each, no orphans
+
+
+def _preempt_cas_once(monkeypatch, interloper):
+    """Patch _publish_cas so the FIRST publish attempt is preempted by
+    ``interloper()`` — the deterministic replay of a commit landing
+    between a writer's staging and its CAS."""
+    real_cas = vstore._publish_cas
+    state = {"fired": False}
+
+    def racy_cas(r, v, body):
+        if not state["fired"]:
+            state["fired"] = True
+            interloper()
+        return real_cas(r, v, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", racy_cas)
+    return real_cas
+
+
+def test_cow_delete_rebases_over_interleaved_append(spark, tmp_path,
+                                                    monkeypatch):
+    """Copy-on-write DELETE loses its CAS to a blind append: disjoint
+    at file granularity, so the staged survivors publish on a rebased
+    manifest carrying the appended files — both commits land, nothing
+    restages, nothing is lost."""
+    root = str(tmp_path / "cow_rebase")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",))
+    _preempt_cas_once(monkeypatch, lambda: vstore.commit_append(
+        spark, root, _ids(spark, 500, 510)))
+    v, nrw, ncar = vstore.commit_delete(spark, root,
+                                        (F.col("id") < 25)
+                                        & (F.col("id") % 2 == 0),
+                                        stats_cols=("id",))
+    monkeypatch.undo()
+    assert v == vstore.latest_version(root) == 3
+    df = vstore.read_version(spark, root, 3)
+    assert df.filter("id < 25 AND id % 2 = 0").count() == 0
+    assert df.filter("id >= 500").count() == 10
+    assert df.count() == 100 - 13 + 10
+
+
+def test_cow_delete_conflicts_when_victim_rewritten(spark, tmp_path,
+                                                    monkeypatch):
+    """The interloper UPDATES rows in the same file this delete is
+    rewriting: the staged survivors were derived from superseded
+    bytes — must raise, never publish stale content."""
+    root = str(tmp_path / "cow_conflict")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",))
+    _preempt_cas_once(monkeypatch, lambda: vstore.commit_update(
+        spark, root, F.col("id") == 3, {"x": F.lit(999)},
+        stats_cols=("id",)))
+    with pytest.raises(vstore.ConcurrentCommitError):
+        vstore.commit_delete(spark, root,
+                             (F.col("id") < 25) & (F.col("id") % 2 == 0),
+                             stats_cols=("id",))
+    monkeypatch.undo()
+    # the interloper's update survived; a clean retry lands
+    got = {r["id"]: r["x"] for r in vstore.read_version(
+        spark, root, vstore.latest_version(root)).collect()}
+    assert got[3] == 999
+    vstore.commit_delete(spark, root,
+                         (F.col("id") < 25) & (F.col("id") % 2 == 0),
+                         stats_cols=("id",))
+    df = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert df.count() == 87
+
+
+def test_compaction_rebases_over_concurrent_append(spark, tmp_path,
+                                                   monkeypatch):
+    """OPTIMIZE/compaction replaced the whole snapshot it read; a
+    concurrent append's files must ride along on the rebased manifest
+    (Delta's OPTIMIZE-vs-append rule) instead of being replaced away
+    or forcing a re-compaction."""
+    root = str(tmp_path / "compact_rebase")
+    for lo in range(0, 80, 10):  # 8 small files
+        vstore.commit_append(spark, root, _ids(spark, lo, lo + 10))
+    _preempt_cas_once(monkeypatch, lambda: vstore.commit_append(
+        spark, root, _ids(spark, 900, 905)))
+    n_before, n_after = vstore.compact_latest(
+        spark, root, target_bytes=1 << 30, cluster_by=("id",))
+    monkeypatch.undo()
+    assert n_before == 8
+    df = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert df.filter("id >= 900").count() == 5  # append survived
+    assert df.count() == 85
+    # compacted bins + the appended file — far fewer than 9
+    man = vstore.read_manifest(root, vstore.latest_version(root))
+    assert len(man["files"]) == 2
+
+
+def test_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """MERGE (update one clustered file + inserts) loses its CAS to an
+    append of unrelated rows: rebase carries the appended files;
+    matched updates and inserts land exactly once."""
+    root = str(tmp_path / "merge_rebase")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",))
+    ups = spark.createDataFrame([(5, -5), (200, -200)], "id long, x long")
+    _preempt_cas_once(monkeypatch, lambda: vstore.commit_append(
+        spark, root, _ids(spark, 900, 903)))
+    vstore.commit_merge(spark, root, ups.coalesce(1), key_cols=("id",),
+                        stats_cols=("id",))
+    monkeypatch.undo()
+    got = {r["id"]: r["x"] for r in vstore.read_version(
+        spark, root, vstore.latest_version(root)).collect()}
+    assert got[5] == -5 and got[200] == -200
+    assert got[900] == 9000
+    assert len(got) == 100 + 1 + 3
