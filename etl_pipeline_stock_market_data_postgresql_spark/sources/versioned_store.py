@@ -1043,7 +1043,8 @@ def _next_manifest(pm: dict | None, version: int, new_files: list[str],
 
 
 def _segmented_body(root: str, praw: dict | None, man: dict, carry,
-                    new_files: list[str], new_stats: dict) -> dict:
+                    new_files: list[str], new_stats: dict,
+                    touched: frozenset = frozenset()) -> dict:
     """Encode the resolved next-manifest ``man`` as a MANIFEST LIST —
     the Iceberg layout the r12 verdict called for: file entries live
     in immutable segment files, the manifest itself holds only segment
@@ -1088,17 +1089,21 @@ def _segmented_body(root: str, praw: dict | None, man: dict, carry,
                                  "stats": praw.get("stats", {})})]
         else:
             prev_iter = []
+        mstats = man.get("stats", {})  # includes any DV-marker
+        # overlays on carried files (MoR update) — re-emitted segment
+        # stats must come from the FINAL manifest view, never the
+        # previous segment's stale entries
         segs = []
         for entry, sd in prev_iter:
             kept = [f for f in sd["files"] if f in carry_set]
             if not kept:
                 continue
-            if entry is not None and len(kept) == len(sd["files"]):
+            if (entry is not None and len(kept) == len(sd["files"])
+                    and not (touched and touched & set(kept))):
                 segs.append(entry)
             else:
-                st = sd.get("stats", {})
                 segs.append(_mk_seg(
-                    kept, {f: st[f] for f in kept if f in st}))
+                    kept, {f: mstats[f] for f in kept if f in mstats}))
     if new_files:
         segs.append(_mk_seg(new_files, dict(new_stats)))
     if len(segs) > _SEG_COMPACT_EVERY:
@@ -1149,7 +1154,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             row_ids: bool = False,
             pending_tx: tuple[str, str] | None = None,
             column_mapping: bool = False,
-            removed_files: list[str] | None = None) -> int:
+            removed_files: list[str] | None = None,
+            dv_updates: dict | None = None) -> int:
     """Write ``df``'s part files into the data dir, then CAS-publish a
     new manifest referencing them plus the carried files (by name —
     their bytes are never touched). ``carry`` is ``"prev"`` (carry the
@@ -1280,11 +1286,14 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             # file-granularity conflict check (see docstring): rebase
             # onto the moved latest when the interleaved commits are
             # disjoint from this one's removed-file set
-            if removed_files is not None and pm is not None:
+            if (removed_files is not None or dv_updates) \
+                    and pm is not None:
                 if base_man is None:
                     base_man = read_manifest(root, based_on)
-                if _rebase_safe(base_man, pm, removed_files):
-                    removed_set = set(removed_files)
+                touched = (set(removed_files or [])
+                           | set(dv_updates or {}))
+                if _rebase_safe(base_man, pm, touched):
+                    removed_set = set(removed_files or [])
                     carry = [f for f in pm["files"]
                              if f not in removed_set]
                     validated_cons = None  # revalidate under the rebase
@@ -1396,6 +1405,13 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
             newmap = {**pmap, **{c: cmap0[c] for c in logical_cols}}
         man = _next_manifest(pm, version, new, new_stats, carry,
                              _txn_key(txn), df_schema, allow_evolution)
+        if man is not None and dv_updates:
+            # MoR-update markers: overlay the staged deletion vectors
+            # onto the CARRIED victim files' stats (the new files hold
+            # the postimages; the vectors mask the preimages in place)
+            for f, dv in dv_updates.items():
+                man["stats"][f] = {**man["stats"].get(f, {}),
+                                   _DV_KEY: dv}
         if man is not None and tracked:
             man["row_tracking"] = True
             man["row_hwm"] = row_hwm
@@ -1428,7 +1444,8 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                 _validate_constraints(staged, cons,
                                       unresolvable_pass=True)
             validated_cons = cons
-        raw = _segmented_body(root, praw, man, carry, new, new_stats)
+        raw = _segmented_body(root, praw, man, carry, new, new_stats,
+                              touched=frozenset(dv_updates or ()))
         raw["op"] = op
         raw["n_new_files"] = len(new)
         if pending_tx is not None:  # phase-1 of a cross-store commit:
@@ -1442,7 +1459,7 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
         # snapshot validation rebases over a disjoint interloper (or
         # raises on real overlap); everything else snapshot-scoped
         # raises immediately (its staged plan is superseded wholesale)
-        if carry != "prev" and removed_files is None:
+        if carry != "prev" and removed_files is None and not dv_updates:
             raise ConcurrentCommitError(
                 f"version {version} of {root} was committed concurrently; "
                 f"this {'rewrite' if carry is None else 'delete/merge'} was "
@@ -1831,6 +1848,139 @@ def commit_update(spark: SparkSession, root: str, condition,
     return newv, len(victims), len(carried)
 
 
+def commit_update_mor(spark: SparkSession, root: str, condition,
+                      set_exprs: dict,
+                      stats_cols: tuple[str, ...] = ("id",),
+                      txn: str | tuple[str, int] | None = None
+                      ) -> tuple[int, int, int]:
+    """MERGE-ON-READ ``UPDATE`` — deletion vectors + an appended
+    postimage file, Delta's DV-backed update path: correcting 100 rows
+    scattered across a 100 TB table must not rewrite terabytes.
+    :func:`commit_update` (copy-on-write) rewrites every
+    victim-bearing file; this instead MASKS each victim row in place
+    (one tiny sidecar per victim file, built executor-side exactly
+    like the MoR delete's) and appends one small file holding the
+    corrected rows — the manifest carries every existing file
+    unchanged plus the new postimages, so commit cost ∝ matched rows,
+    never file sizes. The read tax is the same DV anti-join every
+    merge-on-read read already pays, repaid at the next rewrite/
+    OPTIMIZE/purge.
+
+    Same assignment semantics as :func:`commit_update` (Column or SQL
+    string per column, cast to the recorded type; NULL condition
+    leaves the row untouched). On a row-tracked store the postimages
+    KEEP their row ids — :func:`version_diff_typed_rows` therefore
+    classifies this commit as ``update_preimage``/``update_postimage``
+    pairs with no key, and the streaming change-feed source feeds the
+    masked positions as ``delete`` plus the new file as ``insert``
+    (signed-exact). Conflict rule: file-granularity — a lost CAS
+    rebases over commits disjoint from the marked files
+    (:func:`_rebase_safe`), so a concurrent append never forces a
+    restage.
+
+    Returns ``(version, n_files_marked, n_rows_updated)``; no matches
+    → no commit."""
+    from pyspark.sql.types import StructType
+
+    tk = _txn_key(txn)
+    prev = latest_version(root)
+    if prev is None:
+        raise ValueError(f"no committed version under {root}")
+    if tk is not None and txn_committed(root, txn):
+        return prev, 0, 0
+    man = read_manifest(root, prev)
+    schema = (StructType.fromJson(man["schema"])
+              if man.get("schema") is not None else None)
+    if schema is not None:
+        known = {f.name for f in schema.fields}
+        unknown = sorted(set(set_exprs) - known)
+        if unknown:
+            raise ValueError(
+                f"UPDATE on {root} assigns unknown column(s) "
+                f"{unknown}; table columns: {sorted(known)}")
+    stats = man.get("stats", {})
+    tracked = bool(man.get("row_tracking"))
+    aug = (_tagged_rows(spark, root, man.get("schema"), stats,
+                        man["files"], row_ids=tracked,
+                        cmap=man.get("colmap"))
+           .withColumnRenamed("_rt_f", "_f")
+           .withColumnRenamed("_rt_ri", "_ri"))
+    dvm = _dv_map(stats, man["files"])
+    if dvm:
+        aug = aug.join(
+            _dv_positions_df(spark, root, dvm, fn_col="_f", ri_col="_ri"),
+            ["_f", "_ri"], "left_anti")
+    hit = F.coalesce(condition, F.lit(False))
+    # victims materialize ONCE (they are the matched rows only — small
+    # by the verb's premise) and feed BOTH the sidecar staging and the
+    # postimage write without re-running the census
+    victims = aug.filter(hit).localCheckpoint(eager=True)
+    n_updated = victims.count()
+    if n_updated == 0:
+        return prev, 0, 0
+    _, stage_version = _latest_and_claim(root)
+    marked = _stage_dv_sidecars(root, victims.select("_f", "_ri"),
+                                dict(dvm), stage_version)
+    by_file = {r["_f"]: r["dv"] for r in marked}
+    types = ({f.name: f.dataType for f in schema.fields}
+             if schema is not None else {})
+    data_cols = [c for c in victims.columns
+                 if c not in ("_f", "_ri", _ROW_ID)]
+    out_cols = []
+    for c in data_cols:
+        if c in set_exprs:
+            e = set_exprs[c]
+            e = F.expr(e) if isinstance(e, str) else e
+            if c in types:
+                e = e.cast(types[c])
+            out_cols.append(e.alias(c))
+        else:
+            out_cols.append(F.col(c))
+    if tracked:  # postimages keep their identity
+        out_cols.append(F.col(_ROW_ID))
+    # ONE postimage file: the verb's premise is matched rows ≪ table
+    # (a correction touching a large fraction belongs to the CoW
+    # UPDATE, whose rewrite amortizes); the narrow coalesce avoids a
+    # per-census-partition spray of tiny files
+    corrected = victims.select(*out_cols).coalesce(1)
+    newv = _commit(spark, root, corrected, carry=list(man["files"]),
+                   stats_cols=stats_cols, txn=txn, op="update_mor",
+                   based_on=prev, dv_updates=by_file)
+    return newv, len(by_file), int(n_updated)
+
+
+def _stage_dv_sidecars(root: str, victims: DataFrame,
+                       existing_dvs: dict, stage_version: int) -> list:
+    """Write one deletion-vector sidecar per victim file, EXECUTOR-
+    SIDE: one ``applyInPandas`` group per file aggregates that file's
+    positions, unions any existing vector (vectors only grow — a
+    second takedown on the same file never loses earlier deletions),
+    and writes the sidecar to shared storage from the task. The driver
+    collects ONE ROW PER MARKED FILE — never per deleted row — so
+    marking 10^8 scattered rows costs a shuffle of the victim rows,
+    not driver memory. A retried/speculated task writes an extra
+    orphan sidecar; only the winning attempt's row is referenced and
+    vacuum reclaims the rest. Shared by the MoR DELETE and MoR UPDATE
+    verbs."""
+    def _emit_dv(pdf):
+        import pandas as pd
+
+        f = pdf["_f"].iloc[0]
+        pos = [int(p) for p in pdf["_ri"]]
+        old = existing_dvs.get(f)
+        if old is not None:
+            pos = sorted(set(pos) | set(_read_dv(root, old)))
+        else:
+            pos = sorted(set(pos))
+        name = _write_dv(root, pos, stage_version)
+        return pd.DataFrame({"_f": [f], "dv": [name],
+                             "n_new": [int(len(pdf))]})
+
+    return (victims.groupBy("_f")
+            .applyInPandas(_emit_dv, "_f string, dv string, n_new long")
+            .collect())
+
+
 def commit_delete_mor(spark: SparkSession, root: str, condition,
                       txn: str | tuple[str, int] | None = None
                       ) -> tuple[int, int, int]:
@@ -1893,30 +2043,8 @@ def commit_delete_mor(spark: SparkSession, root: str, condition,
     # staged sidecar valid without re-homing)
     _, stage_version = _latest_and_claim(root)
     existing_dvs = dict(dvm)  # {file: old sidecar name}, O(#files)
-
-    def _emit_dv(pdf):
-        """One victim file's group: union its new positions with any
-        existing vector, write the sidecar from THIS task (shared
-        storage — the same contract the staged data files rely on),
-        return one (file, sidecar, n_new) row. A retried/speculated
-        task writes an extra orphan sidecar; only the winning
-        attempt's row is referenced, vacuum reclaims the rest."""
-        import pandas as pd
-
-        f = pdf["_f"].iloc[0]
-        pos = [int(p) for p in pdf["_ri"]]
-        old = existing_dvs.get(f)
-        if old is not None:  # vectors only grow: union, never replace
-            pos = sorted(set(pos) | set(_read_dv(root, old)))
-        else:
-            pos = sorted(set(pos))
-        name = _write_dv(root, pos, stage_version)
-        return pd.DataFrame({"_f": [f], "dv": [name],
-                             "n_new": [int(len(pdf))]})
-
-    marked = (victims.groupBy("_f")
-              .applyInPandas(_emit_dv, "_f string, dv string, n_new long")
-              .collect())  # one row per MARKED FILE, not per victim row
+    marked = _stage_dv_sidecars(root, victims, existing_dvs,
+                                stage_version)
     if not marked:
         return prev, 0, 0
     n_victims = int(sum(r["n_new"] for r in marked))

@@ -45,8 +45,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # tiers derived PROGRAMMATICALLY from CORRECTNESS_r*.json).
     # (1) new this round, no driver row possible yet: the change feed
     # as a Structured Streaming source (checkpoint-resumed incremental
-    # MV follower) and the copy-on-write UPDATE verb — slots 1-2;
+    # MV follower), the copy-on-write UPDATE verb, and the
+    # merge-on-read UPDATE (deletion vectors + appended postimages) —
+    # slots 1-3;
     "q164_streaming_cdf_follower", "q165_versioned_update",
+    "q166_versioned_update_mor",
     # (2) implementation changed this round (outputs unchanged except
     # q162's history() rows; existing rows prove the OLD paths): every
     # committer now derives its claim and the visible latest from ONE
@@ -55,7 +58,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # history), history() skips vacuumed aborted holes (q162), the
     # pruned and point-lookup read entry points enforce 2PC visibility
     # (q142, q146, q154, q158), and commit_multi_append normalizes
-    # txids (q162) — slots 3-11. Queries whose only store interaction
+    # txids (q162) — slots 4-12. Queries whose only store interaction
     # is append/read_version keep their r13/r14 rows: the _commit edit
     # collapses two listings into one with identical single-writer
     # behavior, re-proven here through the nine most-affected queries.
@@ -65,7 +68,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q146_ann_multicol_pruning", "q154_versioned_optimize_zorder",
     "q158_bloom_point_lookup",
     # (3) the ENTIRE 28-member r11 tier (the r14 plan's deferrals, in
-    # the pre-derived seed order) — slots 12-39; if green, the r11
+    # the pre-derived seed order) — slots 13-40; if green, the r11
     # tier EMPTIES;
     "q45_window_suite", "q46_streaming_tumbling",
     "q62_streaming_session_window", "q73_streaming_stream_join",
@@ -78,15 +81,15 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q79_shuffle_shard", "q91_cdc_apply", "q67_tfidf_topterms",
     "q68_contamination", "q69_domain_mix_sample", "q75_bucketed_join",
     "q133_jsonl_roundtrip",
-    # (4) the oldest 11 of the 43-member r12 tier in module order —
-    # slots 40-50; the remaining r12-tier queries (plus the r13/r14
+    # (4) the oldest 10 of the 43-member r12 tier in module order —
+    # slots 41-50; the remaining r12-tier queries (plus the r13/r14
     # tiers) fall past the cap: most recently proven, still covered by
     # local parity (tests/test_oracle_parity.py) at sf0.001/sf0.01;
     # they rotate forward in r16.
     "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
     "q10_quarantine_counts", "q11_pricing_summary",
     "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
-    "q15_set_ops", "q16_rollup", "q17_pivot_status",
+    "q15_set_ops", "q16_rollup",
 )
 
 

@@ -2507,6 +2507,144 @@ FROM u3
 """
 
 
+def q166_versioned_update_mor(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ ``UPDATE`` — deletion vectors + ONE appended
+    postimage file per correction (Delta's DV-backed update): the
+    scattered-correction twin of q165's copy-on-write UPDATE, for the
+    case where rewriting victim files would rewrite terabytes. The
+    chain: v1 ingests the base event window (id-range clustered, 4
+    files); v2 MoR-corrects the ``% 19`` slice (Column-expression
+    assignments); v3 MoR-doubles the corrected rows through SQL-string
+    assignments — its vectors UNION with v2's on the shared files; v4
+    purges every vector (``REORG``), materializing the survivors.
+
+    The gated output is one row per version — row count, exact
+    id/value checksums, corrected-row count, ``DESCRIBE HISTORY``'s
+    op, and the ``n_new_files`` certificate (exactly ONE postimage
+    file per MoR update, NULL-masked elsewhere) — so a green row
+    certifies (a) masked preimages never surface while postimages do,
+    (b) vector union across stacked updates, (c) snapshots stay
+    time-travelable pre-correction, (d) purge is content-invariant,
+    and (e) the commit wrote postimage bytes only (never victim-file
+    rewrites — the whole point).
+
+    Scale shape: commit cost ∝ matched rows (census + one small file
+    + one sidecar per victim file, built executor-side); the read tax
+    is the standard DV anti-join, repaid at v4's purge."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b = (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_update_mor")
+    fp = table_fingerprint(sf_dir, ("events",), params="q166_updmor_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, root,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_update_mor(
+            spark, root, F.col("event_id") % 19 == 0,
+            {"event_type": F.lit("corrected"),
+             "value_q": F.col("value_q") + F.lit(1000000)},
+            stats_cols=("event_id",), txn="q166-correct")
+        vstore.commit_update_mor(
+            spark, root, F.col("event_type") == "corrected",
+            {"value_q": "value_q * 2"},
+            stats_cols=("event_id",), txn="q166-double")
+        vstore.purge_deletion_vectors(spark, root,
+                                      stats_cols=("event_id",),
+                                      txn="q166-purge")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    hist = (vstore.history(spark, root)
+            .select(F.col("version").cast("int").alias("version"), "op",
+                    F.when(F.col("op") == "update_mor",
+                           F.col("n_new_files"))
+                    .cast("int").alias("n_new_files")))
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"),
+                 F.count(F.when(F.col("event_type") == "corrected",
+                                F.lit(1))).alias("n_corrected"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "id_sum", "value_q_sum", "n_corrected"))
+    summary = parts[0]
+    for p in parts[1:]:
+        summary = summary.unionByName(p)
+    return summary.join(hist, "version").select(
+        "version", "op", "n_new_files", "n_rows", "id_sum",
+        "value_q_sum", "n_corrected")
+
+
+_Q166_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT 2 * max(event_id) // 3 AS b FROM base),
+v1 AS (SELECT * FROM base WHERE event_id <= (SELECT b FROM bnd)),
+u2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 19 = 0 THEN 'corrected'
+              ELSE event_type END AS event_type,
+         CASE WHEN event_id % 19 = 0 THEN value_q + 1000000
+              ELSE value_q END AS value_q
+  FROM v1
+),
+u3 AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'corrected' THEN value_q * 2
+              ELSE value_q END AS value_q
+  FROM u2
+),
+agg AS (
+  SELECT 1 AS version, 'append' AS op, CAST(NULL AS INT) AS n_new_files,
+         count(*) AS n_rows, sum(event_id) AS id_sum,
+         sum(value_q) AS value_q_sum,
+         count(CASE WHEN event_type = 'corrected' THEN 1 END)
+           AS n_corrected
+  FROM v1
+  UNION ALL
+  SELECT 2, 'update_mor', 1, count(*), sum(event_id), sum(value_q),
+         count(CASE WHEN event_type = 'corrected' THEN 1 END)
+  FROM u2
+  UNION ALL
+  SELECT 3, 'update_mor', 1, count(*), sum(event_id), sum(value_q),
+         count(CASE WHEN event_type = 'corrected' THEN 1 END)
+  FROM u3
+  UNION ALL
+  SELECT 4, 'purge_dv', CAST(NULL AS INT), count(*), sum(event_id),
+         sum(value_q),
+         count(CASE WHEN event_type = 'corrected' THEN 1 END)
+  FROM u3
+)
+SELECT CAST(version AS INT) AS version, op, n_new_files,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(id_sum AS BIGINT) AS id_sum,
+       CAST(value_q_sum AS BIGINT) AS value_q_sum,
+       CAST(n_corrected AS BIGINT) AS n_corrected
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -2539,4 +2677,6 @@ QUERIES: dict[str, Query] = {
     "q164_streaming_cdf_follower": Query(q164_streaming_cdf_follower,
                                          _Q164_SQL),
     "q165_versioned_update": Query(q165_versioned_update, _Q165_SQL),
+    "q166_versioned_update_mor": Query(q166_versioned_update_mor,
+                                       _Q166_SQL),
 }

@@ -105,6 +105,9 @@ SINGLE_PARTITION_ALLOWED = {
                               "summaries (map-side partials only)",
     "q165_versioned_update": "per-version 1-row correction-certificate "
                              "summaries (map-side partials only)",
+    "q166_versioned_update_mor": "per-version 1-row correction-"
+                                 "certificate summaries (map-side "
+                                 "partials only)",
     "q154_versioned_optimize_zorder": "per-(version, probe) 1-row "
                                       "content-invariance summaries "
                                       "(map-side partials only)",

@@ -840,3 +840,142 @@ def test_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
     assert got[5] == -5 and got[200] == -200
     assert got[900] == 9000
     assert len(got) == 100 + 1 + 3
+
+
+# --- merge-on-read UPDATE (deletion vectors + appended postimages) ------------
+
+def test_commit_update_mor_semantics(spark, tmp_path):
+    """Victim rows are masked in place (vectors), postimages append as
+    ONE small file; carried files are byte-untouched; earlier
+    snapshots keep the pre-correction content; vectors union on a
+    repeat update of the same file; purge restores the zero-tax
+    plan."""
+    root = str(tmp_path / "mor_upd")
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(4, "id"),
+                         stats_cols=("id",))
+    files_v1 = list(vstore.read_manifest(root, 1)["files"])
+    v, nmarked, nupd = vstore.commit_update_mor(
+        spark, root, (F.col("id") < 25) & (F.col("id") % 5 == 0),
+        {"x": F.col("x") + 1}, stats_cols=("id",), txn="fix-1")
+    assert (v, nmarked, nupd) == (2, 1, 5)
+    man2 = vstore.read_manifest(root, 2)
+    assert set(files_v1) <= set(man2["files"])  # nothing removed
+    assert len(man2["files"]) == len(files_v1) + 1  # one postimage file
+    got = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, 2).collect()}
+    assert all(got[i] == i * 10 + 1 for i in range(0, 25, 5))
+    assert got[7] == 70 and len(got) == 100
+    old = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, 1).collect()}
+    assert all(old[i] == i * 10 for i in range(0, 25, 5))
+    # replay no-ops; unknown column rejected; no-match no-op
+    assert vstore.commit_update_mor(
+        spark, root, F.col("id") < 25, {"x": "x"}, txn="fix-1") == (2, 0, 0)
+    with pytest.raises(ValueError, match="unknown column"):
+        vstore.commit_update_mor(spark, root, F.col("id") == 1,
+                                 {"nope": F.lit(0)})
+    assert vstore.commit_update_mor(
+        spark, root, F.col("id") > 900, {"x": "x + 1"})[2] == 0
+    # second update touching the SAME file: vector unions, both stick
+    v3, _, n3 = vstore.commit_update_mor(
+        spark, root, (F.col("id") < 25) & (F.col("id") % 5 == 1),
+        {"x": F.col("x") - 1}, stats_cols=("id",))
+    assert n3 == 5
+    got3 = {r["id"]: r["x"] for r in
+            vstore.read_version(spark, root, v3).collect()}
+    assert all(got3[i] == i * 10 + 1 for i in range(0, 25, 5))
+    assert all(got3[i] == i * 10 - 1 for i in range(1, 25, 5))
+    assert len(got3) == 100
+    # purge drops every vector; content identical
+    pv, npurged = vstore.purge_deletion_vectors(spark, root,
+                                                stats_cols=("id",))
+    assert npurged >= 1
+    got4 = {r["id"]: r["x"] for r in
+            vstore.read_version(spark, root, pv).collect()}
+    assert got4 == got3
+    ops = {r["version"]: r["op"] for r in
+           vstore.history(spark, root).collect()}
+    assert ops[2] == "update_mor" and ops[3] == "update_mor"
+
+
+def test_commit_update_mor_row_ids_and_typed_feed(spark, tmp_path):
+    """Postimages keep their row ids, so the KEYLESS typed feed
+    classifies a MoR update as update_preimage/update_postimage
+    pairs — same contract as the copy-on-write verbs."""
+    root = str(tmp_path / "mor_upd_rid")
+    base = spark.range(0, 60).select(
+        F.col("id"), (F.col("id") * 10).alias("x"))
+    vstore.commit_append(spark, root,
+                         base.repartitionByRange(3, "id"),
+                         stats_cols=("id",), row_ids=True)
+    r1 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 1).collect()}
+    vstore.commit_update_mor(spark, root, F.col("id") % 20 == 3,
+                             {"x": F.lit(-1)}, stats_cols=("id",))
+    r2 = {r["id"]: r["_row_id"] for r in
+          vstore.read_version_rows(spark, root, 2).collect()}
+    assert r2 == r1  # identity stable through the MoR update
+    feed = vstore.version_diff_typed_rows(spark, root, 1, 2)
+    rows = feed.collect()
+    kinds = {r["_change_type"] for r in rows}
+    assert kinds == {"update_preimage", "update_postimage"}
+    assert len([r for r in rows
+                if r["_change_type"] == "update_postimage"]) == 3
+    assert all(r["x"] == -1 for r in rows
+               if r["_change_type"] == "update_postimage")
+
+
+def test_commit_update_mor_streaming_feed_signed_exact(spark, tmp_path):
+    """The change-feed streaming source feeds a MoR update as masked
+    positions (delete) + the postimage file (insert); signed
+    aggregation equals the snapshot."""
+    import os as _os
+
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        cdf_source)
+
+    root = str(tmp_path / "mor_upd_stream")
+    vstore.commit_append(spark, root, _ids(spark, 0, 30),
+                         stats_cols=("id",))
+    vstore.commit_update_mor(spark, root, F.col("id") % 7 == 0,
+                             {"x": F.col("x") + 100},
+                             stats_cols=("id",))
+    out = str(tmp_path / "out")
+    q = (cdf_source.read_change_feed_stream(spark, root)
+         .writeStream.trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .foreachBatch(lambda bdf, bid:
+                       bdf.write.mode("append").parquet(out))
+         .start())
+    q.awaitTermination()
+    feed = spark.read.parquet(out)
+    sign = F.when(F.col("_change_type") == "insert",
+                  F.lit(1)).otherwise(F.lit(-1))
+    signed = feed.agg(F.sum(sign).alias("n"),
+                      F.sum(sign * F.col("x")).alias("xs")).first()
+    snap = vstore.read_version(spark, root, 2).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("xs")).first()
+    assert (signed["n"], signed["xs"]) == (snap["n"], snap["xs"])
+
+
+def test_commit_update_mor_rebases_over_append(spark, tmp_path,
+                                               monkeypatch):
+    """A concurrent append is disjoint from the marked files: the MoR
+    update rebases and both commits land."""
+    root = str(tmp_path / "mor_upd_rebase")
+    vstore.commit_append(spark, root, _ids(spark, 0, 40),
+                         stats_cols=("id",))
+    _preempt_cas_once(monkeypatch, lambda: vstore.commit_append(
+        spark, root, _ids(spark, 500, 505)))
+    v, nmarked, nupd = vstore.commit_update_mor(
+        spark, root, F.col("id") % 10 == 0, {"x": F.lit(0)},
+        stats_cols=("id",))
+    monkeypatch.undo()
+    assert v == vstore.latest_version(root) == 3
+    got = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, 3).collect()}
+    assert all(got[i] == 0 for i in range(0, 40, 10))
+    assert got[500] == 5000 and len(got) == 45
