@@ -112,12 +112,35 @@ class StoreCDFStreamReader(DataSourceStreamReader):
     persists the committed offset in the checkpoint, so a restarted
     query resumes at the exact version boundary it last processed."""
 
-    def __init__(self, root: str, starting_version: int):
+    def __init__(self, root: str, starting_version: int,
+                 max_versions_per_batch: int | None = None,
+                 cursor_path: str | None = None):
         from ..sources import versioned_store as vstore
 
         self._root = root
         self._start = starting_version
         self._last_visible = starting_version
+        self._max_versions = max_versions_per_batch
+        if max_versions_per_batch is not None and not cursor_path:
+            # the Python source API never hands the reader the
+            # RESTORED offset (initialOffset is skipped on restart, and
+            # latestOffset takes no start), so a capped reader that
+            # forgot its floor would report an offset at-or-behind the
+            # checkpoint forever — a restarted query would never drain.
+            # The cursor file is that floor, ADVISORY ONLY: data
+            # completeness and exactly-once remain entirely Spark's
+            # offset log; a stale/ahead cursor only changes batch
+            # sizing (one cursor per query, like a checkpoint dir).
+            raise ValueError(
+                "maxVersionsPerBatch requires cursorPath (a small "
+                "file this source owns, one per query) so admission "
+                "control survives restarts")
+        self._cursor_path = cursor_path
+        floor = starting_version
+        if cursor_path and os.path.exists(cursor_path):
+            with open(cursor_path, encoding="ascii") as f:
+                floor = max(floor, int(f.read().strip() or floor))
+        self._reported = floor  # admission-control floor (ratcheted)
         # schema + column mapping pinned at query start (see module
         # docstring); physical names are rename-stable, so this one
         # mapping reads every file the stream will ever feed
@@ -147,13 +170,42 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             return {"version": self._last_visible}
         if v is not None and v > self._last_visible:
             self._last_visible = v
-        return {"version": self._last_visible}
+        if self._max_versions is None:
+            return {"version": self._last_visible}
+        # ADMISSION CONTROL (Delta's maxFilesPerTrigger shape): a
+        # follower against a deep backlog catches up in bounded
+        # micro-batches instead of one giant batch whose state/shuffle
+        # must hold the whole backlog at once. Each call RATCHETS the
+        # persisted floor forward by at most one cap (never past the
+        # visible latest): batches then span (checkpoint offset,
+        # floor], so a crash that lost the in-memory floor costs at
+        # most one idle poll before the ratchet re-exceeds the
+        # checkpoint and the next batch fires — never a stall, never
+        # skipped data (completeness is Spark's offset log, the cursor
+        # only sizes batches).
+        target = min(self._last_visible,
+                     self._reported + self._max_versions)
+        if target > self._reported:
+            self._reported = target
+            self._persist_floor()
+        return {"version": self._reported}
+
+    def _persist_floor(self) -> None:
+        if not self._cursor_path:
+            return
+        tmp = f"{self._cursor_path}.tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(self._reported))
+        os.replace(tmp, self._cursor_path)
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
         from ..sources import versioned_store as vstore
 
         lo, hi = int(start["version"]), int(end["version"])
+        if hi > self._reported:  # ground truth during a batch replay
+            self._reported = hi
+            self._persist_floor()
         parts: list[InputPartition] = []
         prev = self._visible_manifest_at(lo) if lo >= 1 else None
         for v in range(lo + 1, hi + 1):
@@ -253,7 +305,11 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint offset log is the durable cursor
+        # Spark's checkpoint offset log is the durable cursor for DATA;
+        # the admission floor just tracks it
+        if int(end["version"]) > self._reported:
+            self._reported = int(end["version"])
+            self._persist_floor()
 
 
 class StoreChangeFeedDataSource(DataSource):
@@ -262,7 +318,15 @@ class StoreChangeFeedDataSource(DataSource):
     Options:
       - ``path`` (required): the versioned-store root;
       - ``startingVersion`` (default 0): feed changes AFTER this
-        version (exclusive) — 0 bootstraps from the first commit.
+        version (exclusive) — 0 bootstraps from the first commit;
+      - ``maxVersionsPerBatch`` (default unbounded): admission
+        control — cap each micro-batch at this many store versions so
+        a deep backlog drains in bounded batches (Delta's
+        maxFilesPerTrigger shape); requires ``cursorPath``;
+      - ``cursorPath``: a small file this source owns (one per query,
+        conventionally next to the checkpoint) holding the admission
+        floor across restarts — ADVISORY only, exactly-once stays with
+        Spark's offset log.
 
     The source schema is the store's CURRENT logical schema plus
     ``_change_type`` (string) and ``_commit_version`` (long) — the
@@ -292,9 +356,12 @@ class StoreChangeFeedDataSource(DataSource):
         return out.add(COMMIT_VERSION_COL, LongType(), False)
 
     def streamReader(self, schema: StructType) -> StoreCDFStreamReader:
+        mv = self.options.get("maxVersionsPerBatch")
         return StoreCDFStreamReader(
             self.options["path"],
-            int(self.options.get("startingVersion", 0)))
+            int(self.options.get("startingVersion", 0)),
+            max_versions_per_batch=int(mv) if mv is not None else None,
+            cursor_path=self.options.get("cursorPath"))
 
 
 def register(spark) -> None:
@@ -302,11 +369,18 @@ def register(spark) -> None:
     spark.dataSource.register(StoreChangeFeedDataSource)
 
 
-def read_change_feed_stream(spark, root: str, starting_version: int = 0):
+def read_change_feed_stream(spark, root: str, starting_version: int = 0,
+                            max_versions_per_batch: int | None = None,
+                            cursor_path: str | None = None):
     """``readStream`` over the store's change feed (registers the
     source on first use)."""
     register(spark)
-    return (spark.readStream.format(FORMAT_NAME)
-            .option("path", root)
-            .option("startingVersion", starting_version)
-            .load())
+    reader = (spark.readStream.format(FORMAT_NAME)
+              .option("path", root)
+              .option("startingVersion", starting_version))
+    if max_versions_per_batch is not None:
+        reader = reader.option("maxVersionsPerBatch",
+                               max_versions_per_batch)
+    if cursor_path is not None:
+        reader = reader.option("cursorPath", cursor_path)
+    return reader.load()

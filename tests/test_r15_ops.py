@@ -979,3 +979,52 @@ def test_commit_update_mor_rebases_over_append(spark, tmp_path,
            vstore.read_version(spark, root, 3).collect()}
     assert all(got[i] == 0 for i in range(0, 40, 10))
     assert got[500] == 5000 and len(got) == 45
+
+
+def test_cdf_source_admission_control(spark, tmp_path):
+    """maxVersionsPerBatch + cursorPath drain a 5-version backlog in
+    ≤2-version batches ACROSS RESTARTED availableNow passes (each pass
+    admits one capped window; the durable cursor survives the restart,
+    which Spark's start-less Python source API cannot do alone), with
+    per-batch version spans never exceeding the cap and the union
+    equal to the uncapped feed. The cap also requires the cursor."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        cdf_source)
+
+    root = str(tmp_path / "src")
+    for lo in range(0, 50, 10):
+        vstore.commit_append(spark, root, _ids(spark, lo, lo + 10))
+    out = str(tmp_path / "out")
+    cursor = str(tmp_path / "cursor")
+    batches = []
+
+    def sink(bdf, bid):
+        vs = [r["_commit_version"] for r in
+              bdf.select("_commit_version").distinct().collect()]
+        batches.append((bid, sorted(vs)))
+        bdf.write.mode("append").parquet(out)
+
+    def run_pass():
+        q = (cdf_source.read_change_feed_stream(
+                spark, root, max_versions_per_batch=2,
+                cursor_path=cursor)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .foreachBatch(sink).start())
+        q.awaitTermination()
+
+    for _ in range(4):  # 3 draining passes + 1 idle pass
+        run_pass()
+    assert [vs for _, vs in batches] == [[1, 2], [3, 4], [5]], batches
+    feed = spark.read.parquet(out)
+    assert feed.count() == 50
+    assert {r["id"] for r in feed.collect()} == set(range(50))
+    # the cap without a cursor is rejected (reader-construction error
+    # surfaces at awaitTermination)
+    with pytest.raises(Exception, match="cursorPath"):
+        q = (cdf_source.read_change_feed_stream(spark, root,
+                                                max_versions_per_batch=2)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck2"))
+             .foreachBatch(lambda b, i: None).start())
+        q.awaitTermination()
