@@ -1848,6 +1848,157 @@ def commit_update(spark: SparkSession, root: str, condition,
     return newv, len(victims), len(carried)
 
 
+def commit_staged_files(root: str, new_files: list[str],
+                        stats_cols: tuple[str, ...] = (),
+                        bloom_cols: tuple[str, ...] = (),
+                        txn: str | tuple[str, int] | None = None,
+                        schema_json=None,
+                        allow_evolution: bool = False,
+                        op: str = "append") -> int:
+    """Publish ALREADY-WRITTEN data files as one append commit — the
+    driver half of a distributed sink whose EXECUTORS wrote their part
+    files straight into the store's data dir (the streaming sink's
+    two-phase shape: tasks stage bytes, the driver publishes ONE
+    manifest). Same contract as :func:`commit_append`: txn-keyed
+    exactly-once (a replayed batch id no-ops), schema ENFORCED against
+    the store (evolution by opt-in), footer stats + bloom sidecars for
+    file skipping, row-tracked stores assign fresh row-id bases, blind
+    appends commute so a lost CAS retries. An EMPTY file list with a
+    txn still publishes (the ledger must record the batch so its
+    replay no-ops). Column-mapped stores raise — executors write
+    logical field names, which a mapped store cannot ingest verbatim.
+
+    CHECK constraints validate the staged bytes through the ACTIVE
+    SparkSession (the streaming driver always has one); committing
+    staged files into a constrained store without an active session
+    raises rather than skipping validation."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    tk = _txn_key(txn)
+    if isinstance(schema_json, str):
+        schema_json = json.loads(schema_json)
+    if schema_json is None:
+        raise ValueError("commit_staged_files needs the writer's "
+                         "schema (schema_json)")
+    df_schema = StructType.fromJson(schema_json)
+    os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+    os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+    new_files = sorted(new_files)
+    for f in new_files:
+        if not os.path.exists(os.path.join(root, _DATA, f)):
+            raise FileNotFoundError(
+                f"staged file {f} is missing under {root}/data")
+    fields = {fld.name for fld in df_schema.fields}
+    cols = tuple(c for c in stats_cols if c in fields)
+    bcols = tuple(c for c in bloom_cols if c in fields)
+    new_stats: dict = {}
+    if (cols or bcols) and new_files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _meta(n: str) -> dict:
+            p = os.path.join(root, _DATA, n)
+            out = _file_stats(p, cols) if cols else {}
+            if bcols:
+                out.update(_write_file_bloom(p, bcols))
+            return out
+
+        with ThreadPoolExecutor(max_workers=min(16, len(new_files))) as ex:
+            new_stats = dict(zip(new_files, ex.map(_meta, new_files)))
+    n_rows_by_idx: list[int] | None = None
+    validated_cons: dict | None = None
+    while True:
+        prev, version = _latest_and_claim(root)
+        praw = _read_manifest_raw(root, prev) if prev is not None else None
+        pm = _resolve(root, praw) if praw is not None else None
+        if pm is not None and pm.get("colmap") is not None:
+            raise ValueError(
+                f"{root} is column-mapped; the staged-file sink cannot "
+                f"write it (physical-name translation) — use "
+                f"commit_append")
+        tracked = bool(pm.get("row_tracking")) if pm is not None else False
+        row_hwm = None
+        if tracked:
+            if n_rows_by_idx is None:
+                import pyarrow.parquet as pq
+                n_rows_by_idx = [
+                    pq.ParquetFile(os.path.join(root, _DATA, f))
+                    .metadata.num_rows for f in new_files]
+            base = int(pm.get("row_hwm", 0)) if pm is not None else 0
+            for name, nr in zip(new_files, n_rows_by_idx):
+                new_stats.setdefault(name, {})[_BRID_KEY] = base
+                base += nr
+            row_hwm = base
+        man = _next_manifest(pm, version, new_files, new_stats, "prev",
+                             tk, df_schema, allow_evolution)
+        if man is None:
+            return prev  # type: ignore[return-value]
+        if tracked:
+            man["row_tracking"] = True
+            man["row_hwm"] = row_hwm
+        cons = (pm.get("constraints") or {}) if pm is not None else {}
+        if cons != validated_cons:
+            if cons and new_files:
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    staged = _tagged_rows(
+                        spark, root, man["schema"], {}, new_files,
+                        row_ids=False).drop("_rt_f", "_rt_ri")
+                    _validate_constraints(staged, cons,
+                                          unresolvable_pass=True)
+                else:
+                    # the streaming sink's commit runs in the Python
+                    # data-source runner process (no SparkSession):
+                    # validate the staged bytes with an embedded scan
+                    _validate_constraints_local(root, new_files, cons)
+            validated_cons = cons
+        raw = _segmented_body(root, praw, man, "prev", new_files,
+                              new_stats)
+        raw["op"] = op
+        raw["n_new_files"] = len(new_files)
+        if _publish_cas(root, version, json.dumps(raw)):
+            return version
+        # lost the CAS: blind appends commute — loop and re-derive
+
+
+def _validate_constraints_local(root: str, files: list[str],
+                                cons: dict) -> None:
+    """CHECK-constraint validation of staged parquet WITHOUT a
+    SparkSession — the streaming sink's commit hook runs inside the
+    Python data-source runner process, which has no session. An
+    embedded DuckDB scan evaluates each constraint with SQL's NULL-
+    passes rule; a constraint referencing a column the staged schema
+    lacks binds to nothing and passes (the evolved-subset NULL-pass,
+    same as the Spark path's ``unresolvable_pass``). Constraints are
+    ANSI expressions in practice; one a local engine cannot parse
+    fails the batch LOUDLY — the sink never publishes rows it could
+    not validate."""
+    import duckdb
+
+    paths = [os.path.join(root, _DATA, f) for f in files]
+    lit = "[" + ", ".join("'" + p.replace("'", "''") + "'"
+                          for p in paths) + "]"
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW staged AS SELECT * FROM "
+                    f"read_parquet({lit})")
+        for name, expr in cons.items():
+            try:
+                n, = con.execute(
+                    f"SELECT count(*) FROM staged "
+                    f"WHERE NOT coalesce(({expr}), TRUE)").fetchone()
+            except duckdb.BinderException:
+                continue  # references an absent column: NULL => passes
+            if n:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{n} staged row(s); batch aborted, nothing "
+                    f"published")
+    finally:
+        con.close()
+
+
 def commit_update_mor(spark: SparkSession, root: str, condition,
                       set_exprs: dict,
                       stats_cols: tuple[str, ...] = ("id",),

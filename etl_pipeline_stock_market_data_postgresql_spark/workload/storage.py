@@ -2645,6 +2645,115 @@ FROM agg
 """
 
 
+def q167_streaming_store_sink(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """THE STORE AS A STANDARD ``writeStream`` SINK —
+    ``df.writeStream.format("versioned_store")`` (streaming/
+    store_sink.py): executors stage one parquet file per partition
+    straight into the store's data dir, the driver publishes each
+    micro-batch as ONE txn-keyed manifest commit — the write half of
+    the q164 source, replacing hand-rolled foreachBatch closures with
+    the sink API every Spark user already knows. Exactly-once comes
+    from the same per-app ledger as every store writer (a replayed
+    batch id no-ops; REAL crash-restart proof in tests/test_r15_ops.py).
+
+    The fixture streams the base event window into a fresh store
+    through the sink in TWO maxFilesPerTrigger micro-batches (a
+    low-id/high-id file split, so batch contents are deterministic);
+    the gated output is the per-version snapshot aggregate — version 1
+    holds exactly batch 0's half, version 2 the full window — plus the
+    ledger high-water mark, certifying batch-level atomic visibility
+    and the append-only history through the standard sink API.
+
+    Scale shape: per batch, executors write their partitions in
+    parallel (rows never visit the driver) and the commit is
+    O(files + #segments) metadata; footer stats land at stage time so
+    file skipping works on sink output immediately.
+
+    Reference parity: the reference's executemany-into-PostgreSQL
+    loop (main_parallel.py:142-161), as an exactly-once streaming
+    table sink."""
+    import time as _time
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import store_sink
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    half = mx // 2
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_sink_store")
+    feed = os.path.join(scratch, "events_sink_feed")
+    ck = os.path.join(scratch, "events_sink_ck")
+    fp = table_fingerprint(sf_dir, ("events",), params="q167_sink_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        for d in (root, feed, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        (base.filter(F.col("event_id") <= half).coalesce(1)
+         .write.parquet(feed))
+        first = {f for f in os.listdir(feed) if f.endswith(".parquet")}
+        (base.filter(F.col("event_id") > half).coalesce(1)
+         .write.mode("append").parquet(feed))
+        now = _time.time()
+        for f in os.listdir(feed):  # deterministic trigger order
+            if f.endswith(".parquet"):
+                t = now - 10.0 if f in first else now
+                os.utime(os.path.join(feed, f), (t, t))
+        schema = spark.read.parquet(feed).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(feed))
+        q = (store_sink.write_stream_to_store(
+                stream, root, ck, app_id="q167",
+                stats_cols=("event_id",))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    ledger_hwm = vstore.txn_seen(root).get("q167", -1)
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    F.lit(ledger_hwm).cast("int").alias("ledger_hwm"),
+                    "n_rows", "id_sum", "value_q_sum"))
+    return parts[0].unionByName(parts[1])
+
+
+_Q167_SQL = """
+WITH base AS (
+  SELECT event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) // 2 AS half FROM base)
+SELECT CAST(1 AS INT) AS version, CAST(1 AS INT) AS ledger_hwm,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum
+FROM base WHERE event_id <= (SELECT half FROM bnd)
+UNION ALL
+SELECT 2, 1, CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT), CAST(sum(value_q) AS BIGINT)
+FROM base
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -2679,4 +2788,6 @@ QUERIES: dict[str, Query] = {
     "q165_versioned_update": Query(q165_versioned_update, _Q165_SQL),
     "q166_versioned_update_mor": Query(q166_versioned_update_mor,
                                        _Q166_SQL),
+    "q167_streaming_store_sink": Query(q167_streaming_store_sink,
+                                       _Q167_SQL),
 }

@@ -108,6 +108,8 @@ SINGLE_PARTITION_ALLOWED = {
     "q166_versioned_update_mor": "per-version 1-row correction-"
                                  "certificate summaries (map-side "
                                  "partials only)",
+    "q167_streaming_store_sink": "per-version 1-row sink-batch "
+                                 "summaries (map-side partials only)",
     "q154_versioned_optimize_zorder": "per-(version, probe) 1-row "
                                       "content-invariance summaries "
                                       "(map-side partials only)",

@@ -1028,3 +1028,145 @@ def test_cdf_source_admission_control(spark, tmp_path):
              .option("checkpointLocation", str(tmp_path / "ck2"))
              .foreachBatch(lambda b, i: None).start())
         q.awaitTermination()
+
+
+# --- the versioned-store streaming SINK ---------------------------------------
+
+def _feed_two_batches(spark, tmp_path, n=100):
+    import time as _time
+
+    feed = str(tmp_path / "feed")
+    d1 = _ids(spark, 0, n // 2)
+    d2 = _ids(spark, n // 2, n)
+    d1.write.mode("overwrite").parquet(feed)
+    first = {f for f in os.listdir(feed) if f.endswith(".parquet")}
+    d2.write.mode("append").parquet(feed)
+    now = _time.time()
+    for f in os.listdir(feed):
+        if f.endswith(".parquet"):
+            t = now - 10.0 if f in first else now
+            os.utime(os.path.join(feed, f), (t, t))
+    return feed, spark.read.parquet(feed).schema
+
+
+def test_store_sink_exactly_once_across_restart(spark, tmp_path):
+    """df.writeStream.format("versioned_store"): each micro-batch is
+    ONE txn-keyed manifest commit; a crash injected after batch 0's
+    commit but before the checkpoint records it replays the batch on
+    restart and the ledger no-ops it — final content equals the feed
+    exactly, no duplicates, and the staged files carry footer stats."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        store_sink)
+
+    feed, schema = _feed_two_batches(spark, tmp_path)
+    root = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    poison = str(tmp_path / "poison")
+    open(poison, "w").close()
+
+    class _Crash(Exception):
+        pass
+
+    def run(crash_after_b0=False):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(feed))
+        q = (store_sink.write_stream_to_store(
+                stream, root, ck, app_id="sink-test",
+                stats_cols=("id",))
+             .trigger(availableNow=True).start())
+        try:
+            while q.isActive:
+                if (crash_after_b0 and os.path.exists(poison)
+                        and vstore.latest_version(root) is not None):
+                    os.remove(poison)
+                    q.stop()  # "crash": commit landed, checkpoint may
+                    break     # not have recorded the batch
+                q.awaitTermination(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run(crash_after_b0=True)
+    n_after_crash = vstore.txn_seen(root).get("sink-test", -1)
+    run()  # restart: replayed batches no-op via the ledger
+    run()  # and an idle extra pass changes nothing
+    assert vstore.txn_seen(root).get("sink-test") == 1
+    assert n_after_crash <= 1
+    v = vstore.latest_version(root)
+    df = vstore.read_version(spark, root, v)
+    assert df.count() == 100
+    assert {r["id"] for r in df.collect()} == set(range(100))
+    # per-version isolation: batch 0's snapshot holds only batch 0
+    assert vstore.read_version(spark, root, 1).count() == 50
+    # footer stats landed (file skipping works on sink output)
+    man = vstore.read_manifest(root, v)
+    assert any("id" in fs for fs in man.get("stats", {}).values())
+    ops = {r["op"] for r in vstore.history(spark, root).collect()}
+    assert ops == {"append"}
+
+
+def test_store_sink_schema_enforcement_and_constraints(spark, tmp_path):
+    """The sink enforces the store's schema (drift aborts the batch and
+    stages become dead-pid orphans, never a published manifest) and
+    validates CHECK constraints on the staged bytes."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        store_sink)
+
+    root = str(tmp_path / "store")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    vstore.add_check_constraint(spark, root, "pos", "x >= 0")
+    feed = str(tmp_path / "feed_bad")
+    spark.createDataFrame([(1, -5)], "id long, x long").coalesce(1) \
+        .write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    q = (store_sink.write_stream_to_store(
+            spark.readStream.schema(schema).parquet(feed),
+            root, str(tmp_path / "ck1"), app_id="bad")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="pos|Constraint|constraint"):
+        q.awaitTermination()
+    assert vstore.latest_version(root) == 2  # nothing published
+    # drifted schema (extra column, no evolution opt-in) also aborts
+    feed2 = str(tmp_path / "feed_drift")
+    spark.createDataFrame([(1, 5, 9)], "id long, x long, zz long") \
+        .coalesce(1).write.parquet(feed2)
+    schema2 = spark.read.parquet(feed2).schema
+    q = (store_sink.write_stream_to_store(
+            spark.readStream.schema(schema2).parquet(feed2),
+            root, str(tmp_path / "ck2"), app_id="drift")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="[Ss]chema"):
+        q.awaitTermination()
+    assert vstore.latest_version(root) == 2
+    # with evolution opted in, the widened batch lands
+    q = (store_sink.write_stream_to_store(
+            spark.readStream.schema(schema2).parquet(feed2),
+            root, str(tmp_path / "ck3"), app_id="evolve",
+            allow_evolution=True)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    df = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert "zz" in df.columns
+    assert df.filter("zz IS NULL").count() == 10  # legacy rows NULL
+
+
+def test_store_sink_row_tracking_assigns_ids(spark, tmp_path):
+    """Sink appends into a row-tracked store mint fresh, unique ids
+    from the manifest high-water mark, exactly like a batch append."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        store_sink)
+
+    root = str(tmp_path / "store")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10), row_ids=True)
+    feed = str(tmp_path / "feed")
+    _ids(spark, 10, 30).write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    q = (store_sink.write_stream_to_store(
+            spark.readStream.schema(schema).parquet(feed),
+            root, str(tmp_path / "ck"), app_id="rt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = vstore.read_version_rows(
+        spark, root, vstore.latest_version(root)).collect()
+    rids = [r["_row_id"] for r in rows]
+    assert len(rids) == 30 and len(set(rids)) == 30
