@@ -47,9 +47,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # as a Structured Streaming source (checkpoint-resumed incremental
     # MV follower), the copy-on-write UPDATE verb, and the
     # merge-on-read UPDATE (deletion vectors + appended postimages),
-    # and the store as a standard writeStream sink — slots 1-4;
+    # the store as a standard writeStream sink, and source→sink
+    # incremental table replication — slots 1-5;
     "q164_streaming_cdf_follower", "q165_versioned_update",
     "q166_versioned_update_mor", "q167_streaming_store_sink",
+    "q168_incremental_replication",
     # (2) implementation changed this round (outputs unchanged except
     # q162's history() rows; existing rows prove the OLD paths): every
     # committer now derives its claim and the visible latest from ONE
@@ -81,15 +83,14 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q79_shuffle_shard", "q91_cdc_apply", "q67_tfidf_topterms",
     "q68_contamination", "q69_domain_mix_sample", "q75_bucketed_join",
     "q133_jsonl_roundtrip",
-    # (4) the oldest 9 of the 43-member r12 tier in module order —
-    # slots 42-50; the remaining r12-tier queries (plus the r13/r14
+    # (4) the oldest 8 of the 43-member r12 tier in module order —
+    # slots 43-50; the remaining r12-tier queries (plus the r13/r14
     # tiers) fall past the cap: most recently proven, still covered by
     # local parity (tests/test_oracle_parity.py) at sf0.001/sf0.01;
     # they rotate forward in r16.
     "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
     "q10_quarantine_counts", "q11_pricing_summary",
     "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
-    "q15_set_ops",
 )
 
 

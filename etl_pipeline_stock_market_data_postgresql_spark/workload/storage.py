@@ -2754,6 +2754,119 @@ FROM base
 """
 
 
+def q168_incremental_replication(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL TABLE REPLICATION — the q164 source composed with
+    the q167 sink into the pipeline both exist for: ``readStream`` the
+    change feed of store A, ``writeStream`` it into store B, and B
+    becomes a version-aligned replica that follows A commit-by-commit
+    (Delta's stream-a-table-into-a-table). Admission control
+    (``maxVersionsPerBatch=1`` + durable cursor) pins each source
+    version to exactly one micro-batch, so B's version history MIRRORS
+    A's — version k of the replica is byte-equivalent to version k of
+    the source, not just the final state. Exactly-once end to end:
+    Spark's checkpoint tracks the source offset, the sink's txn ledger
+    no-ops replayed batches.
+
+    The fixture appends the base event window to A in THREE id-range
+    batches, then drives replication passes until the feed is drained
+    (each capped availableNow pass admits one version). The gated
+    output is B's per-version aggregate for versions 1-3; the ORACLE
+    computes A's cumulative thirds directly — a green row certifies
+    replication preserves content AND version boundaries.
+
+    Scale shape: per replicated version, cost ∝ that commit's changed
+    files (source classification is manifest metadata; sink commit is
+    one manifest write) — replicating a 100 TB table's daily delta
+    costs the delta, never the table."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import cdf_source, store_sink
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    mx, = base.agg(F.max("event_id")).first()
+    b1, b2 = mx // 3, (2 * mx) // 3
+    scratch, _ = _scratch_base(sf_dir)
+    src = os.path.join(scratch, "events_repl_src")
+    dst = os.path.join(scratch, "events_repl_dst")
+    ck = os.path.join(scratch, "events_repl_ck")
+    cursor = os.path.join(scratch, "events_repl_cursor")
+    fp = table_fingerprint(sf_dir, ("events",), params="q168_repl_v1")
+    fp_file = os.path.join(dst, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(dst) != fp:
+        import shutil
+        for d in (src, dst, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        if os.path.exists(cursor):
+            os.remove(cursor)
+        for lo, hi in ((None, b1), (b1, b2), (b2, mx)):
+            batch = base.filter(
+                (F.col("event_id") <= hi)
+                if lo is None else
+                (F.col("event_id") > lo) & (F.col("event_id") <= hi))
+            vstore.commit_append(spark, src, batch.coalesce(2),
+                                 stats_cols=("event_id",))
+        for _ in range(4):  # 3 draining passes + 1 idle (cap = 1)
+            feed = cdf_source.read_change_feed_stream(
+                spark, src, max_versions_per_batch=1,
+                cursor_path=cursor)
+            repl = (feed.filter(F.col("_change_type") == "insert")
+                    .drop("_change_type", "_commit_version"))
+            q = (store_sink.write_stream_to_store(
+                    repl, dst, ck, app_id="q168",
+                    stats_cols=("event_id",))
+                 .trigger(availableNow=True).start())
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            vstore.read_version(spark, dst, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum"),
+                 F.sum("value_q").alias("value_q_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    "n_rows", "id_sum", "value_q_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q168_SQL = """
+WITH base AS (
+  SELECT event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_q
+  FROM events
+),
+bnd AS (SELECT max(event_id) // 3 AS b1,
+               2 * max(event_id) // 3 AS b2 FROM base)
+SELECT CAST(1 AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(value_q) AS BIGINT) AS value_q_sum
+FROM base WHERE event_id <= (SELECT b1 FROM bnd)
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT),
+       CAST(sum(value_q) AS BIGINT)
+FROM base WHERE event_id <= (SELECT b2 FROM bnd)
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT),
+       CAST(sum(value_q) AS BIGINT)
+FROM base
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -2790,4 +2903,6 @@ QUERIES: dict[str, Query] = {
                                        _Q166_SQL),
     "q167_streaming_store_sink": Query(q167_streaming_store_sink,
                                        _Q167_SQL),
+    "q168_incremental_replication": Query(q168_incremental_replication,
+                                          _Q168_SQL),
 }

@@ -110,6 +110,9 @@ SINGLE_PARTITION_ALLOWED = {
                                  "partials only)",
     "q167_streaming_store_sink": "per-version 1-row sink-batch "
                                  "summaries (map-side partials only)",
+    "q168_incremental_replication": "per-version 1-row replica-"
+                                    "certificate summaries (map-side "
+                                    "partials only)",
     "q154_versioned_optimize_zorder": "per-(version, probe) 1-row "
                                       "content-invariance summaries "
                                       "(map-side partials only)",
