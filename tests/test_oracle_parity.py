@@ -188,23 +188,25 @@ import os as _os
 
 _DRIVER_SCALE_DIR = "/root/testdata/sf0.01"
 _DRIVER_GAPPED = [
-    # the tier whose newest driver row is OLDEST after the r14 window
-    # (the 28 r11-tier queries the r14 rotation could not fit — they
-    # rotate into the gate in r15; see CORRECTNESS_SEEN.md's r14
-    # derived row and r15 seed); local sf0.01 evidence bridges the
+    # the tier whose newest driver row is OLDEST after the r15 window
+    # (the 34 r12-tier queries the r15 rotation could not fit — they
+    # rotate into the gate in r16; see CORRECTNESS_SEEN.md's r15
+    # derived row and r16 seed); local sf0.01 evidence bridges the
     # gap until then:
-    "q45_window_suite",
-    "q46_streaming_tumbling", "q62_streaming_session_window",
-    "q73_streaming_stream_join", "q89_streaming_sliding_window",
-    "q47_sql_exists", "q48_vwap",
-    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
-    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
-    "q58_stratified_split", "q59_stratum_sample",
-    "q60_embedding_centroids", "q64_sequence_packing",
-    "q71_rollup_refresh", "q72_policy_redaction", "q78_token_chunks",
-    "q79_shuffle_shard", "q91_cdc_apply", "q67_tfidf_topterms",
-    "q68_contamination", "q69_domain_mix_sample", "q75_bucketed_join",
-    "q133_jsonl_roundtrip",
+    "q15_set_ops", "q16_rollup", "q17_pivot_status",
+    "q18_distinct_agg", "q19_having_heavy_customers",
+    "q20_asof_last_click", "q87_full_outer_reconciliation",
+    "q52_multiset_ops", "q100_table_profile",
+    "q102_equidepth_histogram", "q104_key_uniqueness",
+    "q107_bloom_join", "q22_sessionization", "q65_salted_distinct",
+    "q66_salted_join", "q77_funnel", "q80_hll_distinct",
+    "q95_quantile_sketch", "q99_anomaly_zscore",
+    "q105_histogram_drift", "q23_dedup_exact", "q24_ngram_jaccard",
+    "q25_minhash_lsh", "q26_simhash", "q117_dedup_span_removal",
+    "q94_learned_ivf", "q98_semantic_dedup", "q109_sq8_quantization",
+    "q144_ann_model_drift", "q30_langid", "q31_quality_score",
+    "q115_bpe_train", "q116_trained_quality_scorer",
+    "q118_small_file_compaction",
 ]
 
 

@@ -750,8 +750,10 @@ def test_delete_snapshot_validation_prevents_lost_update(
     would publish under a FRESH version number (no CAS collision)
     while its carry list silently omits the interloper's files —
     dropping committed data. _commit's based_on snapshot validation
-    (Delta's read-snapshot check) must raise instead, and
-    retry_on_conflict must then land BOTH effects."""
+    (Delta's read-snapshot check) catches it, and since r15 the
+    file-granularity path REBASES a delete over a DISJOINT append
+    (the interloper's files ride the recomputed carry) — both effects
+    land in one attempt with no lost data."""
     root = str(tmp_path / "lostupdate")
     vstore.commit_append(spark, root, _mk(spark, 0, 50, 0).coalesce(1))
     # the interloper's append is already durable...
@@ -768,26 +770,22 @@ def test_delete_snapshot_validation_prevents_lost_update(
         return orig(r)
 
     monkeypatch.setattr(vstore, "latest_version", stale_then_real)
-    with pytest.raises(vstore.ConcurrentCommitError,
-                       match="snapshot validation"):
-        vstore.commit_delete(spark, root, F.col("id") < 10)
+    v, _, _ = vstore.commit_delete(spark, root, F.col("id") < 10)
     monkeypatch.setattr(vstore, "latest_version", orig)
-    # nothing was lost or published by the failed attempt
-    assert vstore.latest_version(root) == 2
-    assert vstore.read_version(spark, root, 2).count() == 60
-    # the packaged retry re-derives and lands both effects
-    v, _, _ = vstore.retry_on_conflict(
-        lambda: vstore.commit_delete(spark, root, F.col("id") < 10))
     got = vstore.read_version(spark, root, v)
     assert got.filter("id < 10").count() == 0
-    assert got.filter("k = 9").count() == 10
+    assert got.filter("k = 9").count() == 10  # interloper intact
     assert got.count() == 50
+    # the pre-rebase snapshots are untouched
+    assert vstore.read_version(spark, root, 2).count() == 60
 
 
 def test_compaction_snapshot_validation(spark, tmp_path, monkeypatch):
     """compact_latest derives its input from the version it read; a
-    concurrent append between that read and the publish must raise,
-    not be silently replaced away by the rewrite."""
+    concurrent append between that read and the publish must never be
+    silently replaced away by the rewrite — since r15 the rebase
+    carries the interloper's files alongside the compacted bins
+    (Delta's OPTIMIZE-vs-append rule) instead of raising."""
     root = str(tmp_path / "compactrace")
     for lo in (0, 50, 100):
         vstore.commit_append(spark, root,
@@ -803,16 +801,14 @@ def test_compaction_snapshot_validation(spark, tmp_path, monkeypatch):
         return orig(r)
 
     monkeypatch.setattr(vstore, "latest_version", stale_then_real)
-    with pytest.raises(vstore.ConcurrentCommitError,
-                       match="snapshot validation"):
-        vstore.compact_latest(spark, root, target_bytes=1 << 30)
-    monkeypatch.setattr(vstore, "latest_version", orig)
-    # the interloper's rows are intact; a clean retry compacts ALL
-    assert vstore.read_version(spark, root, 4).count() == 155
     nb, na = vstore.compact_latest(spark, root, target_bytes=1 << 30)
-    assert (nb, na) == (4, 1)
-    assert vstore.read_version(
-        spark, root, vstore.latest_version(root)).count() == 155
+    monkeypatch.setattr(vstore, "latest_version", orig)
+    assert nb == 3  # compacted the three files of the snapshot it read
+    got = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert got.filter("k = 9").count() == 5  # interloper intact
+    assert got.count() == 155
+    # pre-compaction snapshots are untouched
+    assert vstore.read_version(spark, root, 4).count() == 155
 
 
 def test_manifest_format_gate(spark, tmp_path):
