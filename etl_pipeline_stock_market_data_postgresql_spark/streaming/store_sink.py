@@ -53,7 +53,13 @@ _WRITE_CHUNK_ROWS = 1 << 16
 
 
 class _StagedFile(WriterCommitMessage):
-    def __init__(self, file: str, n_rows: int):
+    """One task's commit message; ``file is None`` marks an EMPTY
+    partition (the runtime requires a WriterCommitMessage object from
+    every task — despite its docstring, returning None raises
+    DATA_SOURCE_TYPE_MISMATCH — so empties send a sentinel the driver
+    filters out)."""
+
+    def __init__(self, file: str | None, n_rows: int):
         self.file = file
         self.n_rows = n_rows
 
@@ -73,8 +79,7 @@ class StoreStreamWriter(DataSourceStreamWriter):
         # are transient — their pids would look dead immediately)
         self._driver_pid = os.getpid()
 
-    def write(self, iterator: Iterator[Row]
-              ) -> Optional[WriterCommitMessage]:
+    def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
         """EXECUTOR-side: stream this partition's rows into one staged
         parquet file in the store's data dir (Arrow-batched, bounded
         memory); empty partitions stage nothing."""
@@ -118,7 +123,7 @@ class StoreStreamWriter(DataSourceStreamWriter):
             if writer is not None:
                 writer.close()
         if n == 0:
-            return None
+            return _StagedFile(None, 0)  # empty partition: sentinel
         return _StagedFile(name, n)
 
     def commit(self, messages: List[Optional[WriterCommitMessage]],
@@ -127,7 +132,8 @@ class StoreStreamWriter(DataSourceStreamWriter):
         manifest commit — the batch's atomic visibility point."""
         from ..sources import versioned_store as vstore
 
-        files = sorted(m.file for m in messages if m is not None)
+        files = sorted(m.file for m in messages
+                       if m is not None and m.file is not None)
         app = self._app_id or "stream-sink"
         if not files:
             # an empty batch still records its txn so a replay of it
@@ -149,7 +155,7 @@ class StoreStreamWriter(DataSourceStreamWriter):
         """A task failed: best-effort delete of the staged files (a
         crash that skips this leaves dead-pid orphans for vacuum)."""
         for m in messages:
-            if m is None:
+            if m is None or m.file is None:
                 continue
             try:
                 os.remove(os.path.join(self._root, "data", m.file))
