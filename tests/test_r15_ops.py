@@ -1170,3 +1170,100 @@ def test_store_sink_row_tracking_assigns_ids(spark, tmp_path):
         spark, root, vstore.latest_version(root)).collect()
     rids = [r["_row_id"] for r in rows]
     assert len(rids) == 30 and len(set(rids)) == 30
+
+
+def test_cdf_source_signed_feed_matches_every_snapshot_prefix(spark,
+                                                              tmp_path):
+    """Model walk for the streaming change feed: a seeded random verb
+    chain (append / CoW delete / MoR delete / CoW+MoR update / merge /
+    compaction / purge / restore) drives a store, then the WHOLE feed
+    streams from version 0 and, for EVERY visible version v, the
+    signed aggregation of feed rows with _commit_version <= v must
+    equal snapshot v's aggregate — insert/delete pairing is exact
+    across all verb interactions (rewrite survivors self-cancel,
+    DV deltas feed positions, restore feeds the rollback diff)."""
+    import random
+
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        cdf_source)
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"walk{seed}")
+        nxt = [1000]
+
+        def fresh(n):
+            lo = nxt[0]
+            nxt[0] += n
+            return spark.range(lo, lo + n).select(
+                F.col("id"), (F.col("id") * 10).alias("x")).coalesce(1)
+
+        vstore.commit_append(spark, root, fresh(40), stats_cols=("id",))
+        verbs = ["append", "delete", "mor_delete", "update",
+                 "mor_update", "merge", "compact", "purge", "restore"]
+        for _step in range(10):
+            verb = rng.choice(verbs)
+            mod = rng.randint(2, 9)
+            try:
+                if verb == "append":
+                    vstore.commit_append(spark, root, fresh(15),
+                                         stats_cols=("id",))
+                elif verb == "delete":
+                    vstore.commit_delete(spark, root,
+                                         F.col("id") % mod == 0,
+                                         stats_cols=("id",))
+                elif verb == "mor_delete":
+                    vstore.commit_delete_mor(spark, root,
+                                             F.col("id") % mod == 1)
+                elif verb == "update":
+                    vstore.commit_update(spark, root,
+                                         F.col("id") % mod == 0,
+                                         {"x": F.col("x") + 1},
+                                         stats_cols=("id",))
+                elif verb == "mor_update":
+                    vstore.commit_update_mor(spark, root,
+                                             F.col("id") % mod == 1,
+                                             {"x": F.col("x") - 1},
+                                             stats_cols=("id",))
+                elif verb == "merge":
+                    ups = fresh(5).withColumn("x", F.col("x") + 7)
+                    vstore.commit_merge(spark, root, ups,
+                                        key_cols=("id",),
+                                        stats_cols=("id",))
+                elif verb == "compact":
+                    vstore.compact_latest(spark, root,
+                                          target_bytes=1 << 30,
+                                          cluster_by=("id",))
+                elif verb == "purge":
+                    vstore.purge_deletion_vectors(spark, root,
+                                                  stats_cols=("id",))
+                elif verb == "restore":
+                    cur = vstore.latest_version(root)
+                    tgt = rng.randint(1, cur)
+                    vstore.restore(spark, root, tgt)
+            except (vstore.ConcurrentCommitError, FileNotFoundError):
+                continue  # restore past a horizon etc. — skip verb
+        out = str(tmp_path / f"out{seed}")
+        q = (cdf_source.read_change_feed_stream(spark, root)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / f"ck{seed}"))
+             .foreachBatch(lambda bdf, bid:
+                           bdf.write.mode("append").parquet(out))
+             .start())
+        q.awaitTermination()
+        feed = spark.read.parquet(out)
+        sign = F.when(F.col("_change_type") == "insert",
+                      F.lit(1)).otherwise(F.lit(-1))
+        latest = vstore.latest_version(root)
+        for v in range(1, latest + 1):
+            try:
+                snap = vstore.read_version(spark, root, v)
+            except vstore.AbortedTransactionError:
+                continue
+            sa = snap.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("x").alias("xs")).first()
+            fa = (feed.filter(F.col("_commit_version") <= v)
+                  .agg(F.sum(sign).alias("n"),
+                       F.sum(sign * F.col("x")).alias("xs")).first())
+            assert (fa["n"] or 0, fa["xs"] or 0) == \
+                (sa["n"], sa["xs"] or 0), (seed, v)
