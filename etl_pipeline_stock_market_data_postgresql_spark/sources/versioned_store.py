@@ -1854,7 +1854,10 @@ def commit_staged_files(root: str, new_files: list[str],
                         txn: str | tuple[str, int] | None = None,
                         schema_json=None,
                         allow_evolution: bool = False,
-                        op: str = "append") -> int:
+                        op: str = "append",
+                        colmap: dict | None = None,
+                        assigned_new: dict | None = None,
+                        colmax: int = 0) -> int:
     """Publish ALREADY-WRITTEN data files as one append commit — the
     driver half of a distributed sink whose EXECUTORS wrote their part
     files straight into the store's data dir (the streaming sink's
@@ -1865,8 +1868,21 @@ def commit_staged_files(root: str, new_files: list[str],
     file skipping, row-tracked stores assign fresh row-id bases, blind
     appends commute so a lost CAS retries. An EMPTY file list with a
     txn still publishes (the ledger must record the batch so its
-    replay no-ops). Column-mapped stores raise — executors write
-    logical field names, which a mapped store cannot ingest verbatim.
+    replay no-ops).
+
+    COLUMN-MAPPED stores: pass ``colmap`` — the logical→physical map
+    the executors wrote their files under (captured from the store's
+    latest manifest at query start; physical names are rename-stable,
+    so a mid-stream RENAME never invalidates staged bytes), with
+    ``assigned_new`` the subset of entries this writer assigned for
+    logical columns new to the store (ids drawn from ``colmax``). The
+    mapping is re-validated against the latest manifest inside the CAS
+    loop exactly like :func:`commit_append`'s — a concurrent rename/
+    drop/assign that contradicts the staged physical names raises
+    :class:`ConcurrentCommitError` instead of publishing files whose
+    field names no longer mean what the manifest says. Without
+    ``colmap``, a mapped store raises (executors would have written
+    logical field names, which a mapped store cannot ingest verbatim).
 
     CHECK constraints validate the staged bytes through the ACTIVE
     SparkSession (the streaming driver always has one); committing
@@ -1891,8 +1907,11 @@ def commit_staged_files(root: str, new_files: list[str],
             raise FileNotFoundError(
                 f"staged file {f} is missing under {root}/data")
     fields = {fld.name for fld in df_schema.fields}
-    cols = tuple(c for c in stats_cols if c in fields)
-    bcols = tuple(c for c in bloom_cols if c in fields)
+    # footer stats / blooms are keyed PHYSICAL on mapped stores (the
+    # staged files hold physical field names; stats stay rename-stable)
+    _phys = (colmap or {})
+    cols = tuple(_phys.get(c, c) for c in stats_cols if c in fields)
+    bcols = tuple(_phys.get(c, c) for c in bloom_cols if c in fields)
     new_stats: dict = {}
     if (cols or bcols) and new_files:
         from concurrent.futures import ThreadPoolExecutor
@@ -1912,11 +1931,45 @@ def commit_staged_files(root: str, new_files: list[str],
         prev, version = _latest_and_claim(root)
         praw = _read_manifest_raw(root, prev) if prev is not None else None
         pm = _resolve(root, praw) if praw is not None else None
-        if pm is not None and pm.get("colmap") is not None:
+        mapped = pm is not None and pm.get("colmap") is not None
+        if mapped and colmap is None:
             raise ValueError(
-                f"{root} is column-mapped; the staged-file sink cannot "
-                f"write it (physical-name translation) — use "
-                f"commit_append")
+                f"{root} is column-mapped; staged files must be written "
+                f"under PHYSICAL field names — pass colmap= (the sink "
+                f"does this automatically) or use commit_append")
+        if colmap is not None and not mapped:
+            raise ValueError(
+                f"{root} is not column-mapped but staged files were "
+                f"written under a colmap — the physical field names "
+                f"would not match the store's logical schema")
+        newmap = None
+        if mapped:
+            # re-validate the staging-time mapping under the LATEST
+            # manifest (same rule as commit_append's CAS loop): every
+            # logical column must still map to the physical name the
+            # executors wrote, and a newly-assigned id must still be
+            # free — otherwise a concurrent rename/drop/assign landed
+            # and the staged bytes are orphans to restage
+            pmap = dict(pm.get("colmap") or {})
+            taken = set(pmap.values())
+            anew = assigned_new or {}
+            for c in sorted(fields):
+                want = colmap.get(c)
+                if want is None:
+                    raise ValueError(
+                        f"column-mapped staged commit on {root}: "
+                        f"logical column {c!r} has no physical name in "
+                        f"the writer's colmap")
+                ok = (pmap.get(c) == want if c in pmap
+                      else (c in anew and want not in taken))
+                if not ok:
+                    raise ConcurrentCommitError(
+                        f"column-mapping conflict on {root}: logical "
+                        f"column {c!r} (staged as {want!r}) no longer "
+                        f"matches the latest manifest's mapping "
+                        f"{pmap.get(c)!r} — a concurrent commit/rename/"
+                        f"drop landed; restage against the new latest")
+            newmap = {**pmap, **{c: colmap[c] for c in fields}}
         tracked = bool(pm.get("row_tracking")) if pm is not None else False
         row_hwm = None
         if tracked:
@@ -1937,6 +1990,10 @@ def commit_staged_files(root: str, new_files: list[str],
         if tracked:
             man["row_tracking"] = True
             man["row_hwm"] = row_hwm
+        if mapped:
+            man["colmap"] = newmap
+            man["colmax"] = max(int(colmax),
+                                int(pm.get("colmax", 0)))
         cons = (pm.get("constraints") or {}) if pm is not None else {}
         if cons != validated_cons:
             if cons and new_files:
@@ -1944,14 +2001,16 @@ def commit_staged_files(root: str, new_files: list[str],
                 if spark is not None:
                     staged = _tagged_rows(
                         spark, root, man["schema"], {}, new_files,
-                        row_ids=False).drop("_rt_f", "_rt_ri")
+                        row_ids=False, cmap=newmap).drop("_rt_f",
+                                                         "_rt_ri")
                     _validate_constraints(staged, cons,
                                           unresolvable_pass=True)
                 else:
                     # the streaming sink's commit runs in the Python
                     # data-source runner process (no SparkSession):
                     # validate the staged bytes with an embedded scan
-                    _validate_constraints_local(root, new_files, cons)
+                    _validate_constraints_local(root, new_files, cons,
+                                                cmap=newmap)
             validated_cons = cons
         raw = _segmented_body(root, praw, man, "prev", new_files,
                               new_stats)
@@ -1963,7 +2022,8 @@ def commit_staged_files(root: str, new_files: list[str],
 
 
 def _validate_constraints_local(root: str, files: list[str],
-                                cons: dict) -> None:
+                                cons: dict,
+                                cmap: dict | None = None) -> None:
     """CHECK-constraint validation of staged parquet WITHOUT a
     SparkSession — the streaming sink's commit hook runs inside the
     Python data-source runner process, which has no session. An
@@ -1981,7 +2041,20 @@ def _validate_constraints_local(root: str, files: list[str],
                           for p in paths) + "]"
     con = duckdb.connect()
     try:
-        con.execute(f"CREATE VIEW staged AS SELECT * FROM "
+        proj = "*"
+        if cmap:  # mapped store: files hold PHYSICAL names, the
+            # constraints speak logical — alias in the view projection,
+            # restricted to physical columns the staged files actually
+            # carry (a constraint on an absent column must NULL-pass
+            # via the BinderException below, not break the view)
+            import pyarrow.parquet as pq
+            present: set = set()
+            for p in paths:
+                present.update(pq.ParquetFile(p).schema_arrow.names)
+            proj = ", ".join(
+                f'"{phys}" AS "{log}"' for log, phys in cmap.items()
+                if phys in present) or "*"
+        con.execute(f"CREATE VIEW staged AS SELECT {proj} FROM "
                     f"read_parquet({lit})")
         for name, expr in cons.items():
             try:
@@ -3230,12 +3303,24 @@ def commit_multi_append(spark: SparkSession, targets, txlog: str,
     # format would be instantly aborted by the first concurrent reader
     # mid-prepare. Caller-supplied ids are accepted as a SUFFIX for
     # idempotence/audit, never as the raw id.
-    if txid is not None and _tx_coordinator_pid(txid) != os.getpid():
-        if not re.fullmatch(r"[A-Za-z0-9._:=+@%-]{1,200}", txid):
-            raise ValueError(
-                f"invalid txid {txid!r}: must be 1-200 chars of "
-                f"[A-Za-z0-9._:=+@%-] (it becomes a decision filename)")
-        txid = f"tx-p{os.getpid()}-{txid}"
+    if txid is not None:
+        # Charset is enforced UNCONDITIONALLY — the id becomes txlog
+        # filenames, so a traversal like 'x-p<pid>-../../evil' must be
+        # rejected even when its embedded pid happens to parse to ours.
+        if _tx_coordinator_pid(txid) == os.getpid():
+            if not re.fullmatch(
+                    r"tx-p\d{1,10}-[A-Za-z0-9._:=+@%-]{1,200}", txid):
+                raise ValueError(
+                    f"invalid pid-format txid {txid!r}: must fullmatch "
+                    f"tx-p<pid>-<1-200 chars of [A-Za-z0-9._:=+@%-]> "
+                    f"(it becomes a decision filename)")
+        else:
+            if not re.fullmatch(r"[A-Za-z0-9._:=+@%-]{1,200}", txid):
+                raise ValueError(
+                    f"invalid txid {txid!r}: must be 1-200 chars of "
+                    f"[A-Za-z0-9._:=+@%-] (it becomes a decision "
+                    f"filename)")
+            txid = f"tx-p{os.getpid()}-{txid}"
     txid = txid or f"tx-p{os.getpid()}-{next(_COMMIT_SEQ)}"
     with open(os.path.join(txlog, f"{txid}.intent"), "w",
               encoding="ascii") as f:

@@ -252,9 +252,15 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             dv_t = st.get(f, {}).get(_DV_KEY)
             if dv_f == dv_t:
                 continue
-            out.append(_ChangePartition(  # newly marked → delete
-                f, "delete", v, "dv_diff",
-                dv_include=dv_t, dv_exclude=dv_f))
+            if dv_t is not None:
+                # newly marked = dv_t − dv_f → delete; when the commit
+                # REMOVED the vector entirely (dv_t None, e.g. restore
+                # to a pre-MoR-delete version) that set is empty by
+                # construction and no delete partition exists — emitting
+                # one with dv_include=None would crash read()
+                out.append(_ChangePartition(
+                    f, "delete", v, "dv_diff",
+                    dv_include=dv_t, dv_exclude=dv_f))
             if dv_f is not None:
                 out.append(_ChangePartition(  # rolled back → insert
                     f, "insert", v, "dv_diff",
@@ -281,10 +287,15 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             inc = _read_dv_positions(self._root, p.dv_include)
             exc = (_read_dv_positions(self._root, p.dv_exclude)
                    if p.dv_exclude else set())
-            table = table.take(sorted(q for q in inc - exc if q < n))
+            # indices typed explicitly: an EMPTY diff (a restore that
+            # SHRANK the vector makes dv_t−dv_f empty) would otherwise
+            # hand pyarrow a null-typed list and crash array_take
+            table = table.take(pa.array(
+                sorted(q for q in inc - exc if q < n), type=pa.int64()))
         elif p.dv_exclude:
             exc = _read_dv_positions(self._root, p.dv_exclude)
-            table = table.take([i for i in range(n) if i not in exc])
+            table = table.take(pa.array(
+                [i for i in range(n) if i not in exc], type=pa.int64()))
         target = to_arrow_schema(StructType.fromJson(self._schema_json))
         cols = []
         for field in target:
