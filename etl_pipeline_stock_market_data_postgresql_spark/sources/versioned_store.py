@@ -1943,16 +1943,24 @@ def commit_staged_files(root: str, new_files: list[str],
                 f"written under a colmap — the physical field names "
                 f"would not match the store's logical schema")
         newmap = None
+        eff_schema = df_schema  # per-ATTEMPT effective schema (the CAS
+        # loop re-derives it from the writer's immutable df_schema, so
+        # a retry re-validates from scratch under the new latest)
         if mapped:
             # re-validate the staging-time mapping under the LATEST
-            # manifest (same rule as commit_append's CAS loop): every
-            # logical column must still map to the physical name the
-            # executors wrote, and a newly-assigned id must still be
-            # free — otherwise a concurrent rename/drop/assign landed
-            # and the staged bytes are orphans to restage
+            # manifest. Column identity is the PHYSICAL id (Delta's
+            # column-ID matching): a concurrent logical RENAME leaves
+            # the staged bytes valid — the commit simply publishes
+            # under the current logical name — while a drop, a
+            # logical-name reuse over a different id, or a clashing
+            # new-id assignment raises (the staged files' field names
+            # would no longer mean what the manifest says).
             pmap = dict(pm.get("colmap") or {})
+            inv_pmap = {p: l for l, p in pmap.items()}
             taken = set(pmap.values())
             anew = assigned_new or {}
+            renames: dict[str, str] = {}  # writer logical → current
+            fresh: dict[str, str] = {}    # writer logical → new phys
             for c in sorted(fields):
                 want = colmap.get(c)
                 if want is None:
@@ -1960,16 +1968,27 @@ def commit_staged_files(root: str, new_files: list[str],
                         f"column-mapped staged commit on {root}: "
                         f"logical column {c!r} has no physical name in "
                         f"the writer's colmap")
-                ok = (pmap.get(c) == want if c in pmap
-                      else (c in anew and want not in taken))
-                if not ok:
+                if pmap.get(c) == want:
+                    continue  # unchanged mapping
+                owner = inv_pmap.get(want)
+                if owner is not None and c not in pmap:
+                    renames[c] = owner  # renamed c → owner; bytes valid
+                elif c in anew and want not in taken and c not in pmap:
+                    fresh[c] = want  # evolution column, id still free
+                else:
                     raise ConcurrentCommitError(
                         f"column-mapping conflict on {root}: logical "
                         f"column {c!r} (staged as {want!r}) no longer "
                         f"matches the latest manifest's mapping "
-                        f"{pmap.get(c)!r} — a concurrent commit/rename/"
-                        f"drop landed; restage against the new latest")
-            newmap = {**pmap, **{c: colmap[c] for c in fields}}
+                        f"{pmap.get(c)!r} — a concurrent commit/drop/"
+                        f"assign landed; restage against the new latest")
+            if renames:
+                from pyspark.sql.types import StructField
+                eff_schema = StructType(
+                    [StructField(renames.get(f.name, f.name),
+                                 f.dataType, f.nullable)
+                     for f in df_schema.fields])
+            newmap = {**pmap, **fresh}
         tracked = bool(pm.get("row_tracking")) if pm is not None else False
         row_hwm = None
         if tracked:
@@ -1984,7 +2003,7 @@ def commit_staged_files(root: str, new_files: list[str],
                 base += nr
             row_hwm = base
         man = _next_manifest(pm, version, new_files, new_stats, "prev",
-                             tk, df_schema, allow_evolution)
+                             tk, eff_schema, allow_evolution)
         if man is None:
             return prev  # type: ignore[return-value]
         if tracked:

@@ -161,6 +161,165 @@ def test_multi_append_rejects_malformed_own_pid_txid(spark, tmp_path):
             txid=f"weird-p{os.getpid()}-ok")
 
 
+# --- Arrow-batch store sink (the r15 verdict's perf-weak fix) ----------------
+
+def _feed_dir(spark, tmp_path, tag, lo, hi, parts=2, col="x"):
+    feed = str(tmp_path / f"feed-{tag}")
+    (spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias(col))
+     .coalesce(parts).write.parquet(feed))
+    return feed
+
+
+def _sink_stream(spark, feed, root, ck, impl, **kw):
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        store_sink)
+
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+    q = (store_sink.write_stream_to_store(
+            stream, root, ck, writer_impl=impl, **kw)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def test_sink_arrow_and_row_paths_commit_identically(spark, tmp_path):
+    """Property-pin: the Arrow-batch writer and the legacy Row writer
+    produce stores with identical logical content, identical manifest
+    stats (min/max per staged file), and identical txn ledgers."""
+    feed = _feed_dir(spark, tmp_path, "ab", 0, 5000, parts=3)
+    ra, rr = str(tmp_path / "sa"), str(tmp_path / "sr")
+    _sink_stream(spark, feed, ra, str(tmp_path / "cka"), "arrow",
+                 app_id="ab", stats_cols=("id",))
+    _sink_stream(spark, feed, rr, str(tmp_path / "ckr"), "row",
+                 app_id="ab", stats_cols=("id",))
+    da = vstore.read_version(spark, ra, vstore.latest_version(ra))
+    dr = vstore.read_version(spark, rr, vstore.latest_version(rr))
+    assert da.schema == dr.schema
+    assert da.exceptAll(dr).count() == 0
+    assert dr.exceptAll(da).count() == 0
+    ma = vstore.read_manifest(ra, vstore.latest_version(ra))
+    mr = vstore.read_manifest(rr, vstore.latest_version(rr))
+    sa = sorted(repr(s.get("id")) for s in ma["stats"].values())
+    sr = sorted(repr(s.get("id")) for s in mr["stats"].values())
+    assert sa == sr
+    assert vstore.txn_seen(ra) == vstore.txn_seen(rr)
+
+
+def test_sink_arrow_writer_is_dispatched(spark, tmp_path):
+    """The default writer must be the DataSourceStreamArrowWriter
+    subclass — the whole point of the migration (pyspark dispatches
+    on isinstance, so a broken MRO would silently fall back to rows)."""
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming.store_sink import (
+        VersionedStoreSink)
+
+    sink = VersionedStoreSink(options={"path": str(tmp_path / "s")})
+    w = sink.streamWriter(_ids(spark, 0, 1).schema, overwrite=False)
+    assert isinstance(w, DataSourceStreamArrowWriter)
+
+
+def test_sink_arrow_empty_partition_sentinel(spark, tmp_path):
+    """An all-empty micro-batch through the Arrow path still commits
+    (txn ledger must stay monotone) and publishes a zero-file version."""
+    feed = str(tmp_path / "feed")
+    df = spark.range(0, 0).select(F.col("id"),
+                                  (F.col("id") * 10).alias("x"))
+    df.coalesce(1).write.parquet(feed)
+    _sink_stream(spark, feed, str(tmp_path / "s"), str(tmp_path / "ck"),
+                 "arrow", app_id="empty")
+    root = str(tmp_path / "s")
+    v = vstore.latest_version(root)
+    assert v == 1
+    assert vstore.read_version(spark, root, v).count() == 0
+    assert vstore.txn_seen(root).get("empty") == 0
+
+
+def test_sink_writes_column_mapped_store_physical_names(spark, tmp_path):
+    """Column-mapped store: RENAME a column, then stream into the
+    store via writeStream. Staged files must hold PHYSICAL field
+    names, reads resolve the logical post-rename names, and time
+    travel keeps the pre-rename view."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mapped")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10),
+                         stats_cols=("id",), column_mapping=True)
+    vstore.rename_column(spark, root, "x", "y")
+    feed = _feed_dir(spark, tmp_path, "m", 100, 110, parts=1, col="y")
+    _sink_stream(spark, feed, root, str(tmp_path / "ck"), "arrow",
+                 app_id="m", stats_cols=("id",))
+    v = vstore.latest_version(root)
+    man = vstore.read_manifest(root, v)
+    sink_files = [f for f in man["files"] if f.startswith("sink-")]
+    assert sink_files
+    names = pq.ParquetFile(
+        os.path.join(root, "data", sink_files[0])).schema_arrow.names
+    assert set(names) == {"c0", "c1"}  # physical, not logical
+    df = vstore.read_version(spark, root, v)
+    assert df.columns == ["id", "y"]
+    assert df.count() == 20
+    # stats keyed PHYSICAL: pruning metadata survives the rename
+    assert "c0" in man["stats"][sink_files[0]]
+    # time travel: version 1 still speaks the pre-rename name
+    assert vstore.read_version(spark, root, 1).columns == ["id", "x"]
+
+
+def test_sink_mapped_store_conflicting_concurrent_rename(spark,
+                                                         tmp_path):
+    """A rename landing between the sink's query start and a batch
+    commit is SAFE (physical names are stable): the commit publishes
+    and the store reads under the NEW logical name."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming.store_sink import (
+        VersionedStoreSink)
+
+    root = str(tmp_path / "mapped")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10),
+                         stats_cols=("id",), column_mapping=True)
+    sink = VersionedStoreSink(options={"path": root, "txnAppId": "cr"})
+    schema = _ids(spark, 0, 1).schema
+    w = sink.streamWriter(schema, overwrite=False)  # captures colmap
+    vstore.rename_column(spark, root, "x", "z")     # lands mid-stream
+    # stage one file by hand through the writer's executor path
+    import pyarrow as pa
+    logical, target = w._schemas()
+    batch = pa.record_batch(
+        [pa.array([100, 101], type=pa.int64()),
+         pa.array([7, 8], type=pa.int64())], schema=logical)
+    msg = w.write(iter([batch]))
+    w.commit([msg], 0)
+    v = vstore.latest_version(root)
+    df = vstore.read_version(spark, root, v)
+    assert df.columns == ["id", "z"]  # rename won; bytes still valid
+    assert df.count() == 12
+    assert df.filter(F.col("id") >= 100).agg(
+        F.sum("z")).first()[0] == 15
+
+
+def test_staged_commit_rejects_unmapped_colmap_mismatch(spark,
+                                                        tmp_path):
+    """commit_staged_files guards both directions: colmap passed for
+    an unmapped store raises; a mapped store without colmap raises."""
+    root = str(tmp_path / "plain")
+    vstore.commit_append(spark, root, _ids(spark, 0, 5),
+                         stats_cols=("id",))
+    with pytest.raises(ValueError, match="not column-mapped"):
+        vstore.commit_staged_files(
+            root, [], schema_json=_ids(spark, 0, 1).schema.json(),
+            txn=("t", 0), colmap={"id": "c0", "x": "c1"})
+    mroot = str(tmp_path / "mapped")
+    vstore.commit_append(spark, mroot, _ids(spark, 0, 5),
+                         stats_cols=("id",), column_mapping=True)
+    with pytest.raises(ValueError, match="column-mapped"):
+        vstore.commit_staged_files(
+            mroot, [], schema_json=_ids(spark, 0, 1).schema.json(),
+            txn=("t", 0))
+
+
 def test_multi_append_canonical_own_pid_txid_still_passes(
         spark, tmp_path):
     """The format the function itself generates still passes through
