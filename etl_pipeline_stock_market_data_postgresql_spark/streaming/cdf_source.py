@@ -46,7 +46,17 @@ Schema contract: the stream's schema (and column mapping) is pinned at
 QUERY START from the store's then-latest manifest — Spark streaming
 schemas are static. Files predating a schema evolution surface added
 columns as NULL; physical field names are stable under column mapping,
-so renames never break the feed.
+so renames never break the feed. A RESTART from checkpoint re-resolves
+the schema from the then-latest manifest (``DataSource.schema()`` and
+the reader are re-instantiated per query), so after an ALTER/evolution
+the follower picks up the new columns by restarting — offsets carry
+over, exactly-once holds, pre-evolution files NULL-fill (pinned by
+``tests/test_r16_ops.py::
+test_cdf_restart_from_checkpoint_picks_up_evolved_schema``). While a
+query is IN FLIGHT its pinned schema stays what it was at start:
+commits the evolution made are still fed completely and correctly
+under the old projection (added columns simply don't appear until the
+restart) — Delta's readChangeFeed makes the same trade.
 
 Reference parity: the reference re-polls PostgreSQL tables on a
 schedule (main_parallel.py's fetch loop); this replaces polling with a
@@ -96,8 +106,10 @@ class _ChangePartition(InputPartition):
 
 
 def _read_dv_positions(root: str, name: str) -> set:
+    from ..sources.dv_codec import decode_positions_doc
+
     with open(os.path.join(root, _DATA, name), encoding="ascii") as f:
-        return set(json.load(f)["positions"])
+        return set(decode_positions_doc(json.load(f)))
 
 
 class StoreCDFStreamReader(DataSourceStreamReader):

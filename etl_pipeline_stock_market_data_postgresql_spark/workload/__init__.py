@@ -40,57 +40,55 @@ class Query:
 # front (in this order); everything else follows in module registration
 # order. Unknown names are an error (guards against typos going stale).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # round-15 window, per the CORRECTNESS_SEEN.md rule (50 names
+    # round-16 window, per the CORRECTNESS_SEEN.md rule (50 names
     # listed EXPLICITLY — the gate checks exactly all_queries()[:50];
     # tiers derived PROGRAMMATICALLY from CORRECTNESS_r*.json).
-    # (1) new this round, no driver row possible yet: the change feed
-    # as a Structured Streaming source (checkpoint-resumed incremental
-    # MV follower), the copy-on-write UPDATE verb, and the
-    # merge-on-read UPDATE (deletion vectors + appended postimages),
-    # the store as a standard writeStream sink, and source→sink
-    # incremental table replication — slots 1-5;
+    # (1) new this round, no driver row possible yet: streaming into a
+    # COLUMN-MAPPED store through the writeStream sink, and the
+    # change-feed follower across a RESTORE that rolls a deletion
+    # vector back (the r15 ADVICE crash path, now a gated witness) —
+    # slots 1-2;
+    "q169_mapped_store_sink", "q170_cdf_restore_follower",
+    # (2) implementation changed this round (outputs unchanged; the
+    # r15 rows prove the OLD paths): the change-feed source now
+    # survives restore-after-MoR-delete (removed/shrunk vectors) and
+    # types empty take-lists (q164, q150-adjacent feeds), the store
+    # sink's executor write path is the Arrow-batch writer (q167,
+    # q168, and q164's follower commits), commit_multi_append
+    # validates txids unconditionally (q162), q165/q166 certify
+    # INCREMENTALLY (base + signed per-commit feed, new fixtures), and
+    # every deletion-vector sidecar now writes the v2 delta-varint
+    # format read by all paths (q159, q153's rollback, q161/q150/q152
+    # via version_diff) — slots 3-13;
     "q164_streaming_cdf_follower", "q165_versioned_update",
     "q166_versioned_update_mor", "q167_streaming_store_sink",
-    "q168_incremental_replication",
-    # (2) implementation changed this round (outputs unchanged except
-    # q162's history() rows; existing rows prove the OLD paths): every
-    # committer now derives its claim and the visible latest from ONE
-    # listing (_latest_and_claim) with staleness raises in the MoR
-    # delete / metadata / restore paths (q153, q159, q163, q160's
-    # history), history() skips vacuumed aborted holes (q162), the
-    # pruned and point-lookup read entry points enforce 2PC visibility
-    # (q142, q146, q154, q158), and commit_multi_append normalizes
-    # txids (q162) — slots 4-12. Queries whose only store interaction
-    # is append/read_version keep their r13/r14 rows: the _commit edit
-    # collapses two listings into one with identical single-writer
-    # behavior, re-proven here through the nine most-affected queries.
+    "q168_incremental_replication", "q159_deletion_vectors",
     "q162_multi_store_atomic_commit", "q153_versioned_restore",
-    "q159_deletion_vectors", "q160_versioned_clone",
-    "q163_column_mapping", "q142_ann_store_stats_pruning",
-    "q146_ann_multicol_pruning", "q154_versioned_optimize_zorder",
-    "q158_bloom_point_lookup",
-    # (3) the ENTIRE 28-member r11 tier (the r14 plan's deferrals, in
-    # the pre-derived seed order) — slots 13-40; if green, the r11
+    "q161_row_tracking_cdf", "q150_versioned_cdf_typed",
+    "q152_incremental_mv_from_cdf",
+    # (3) the ENTIRE 34-member r12 tier (the r15 verdict's pre-derived
+    # remainder, in its listed order) — slots 14-47; if green, the r12
     # tier EMPTIES;
-    "q45_window_suite", "q46_streaming_tumbling",
-    "q62_streaming_session_window", "q73_streaming_stream_join",
-    "q89_streaming_sliding_window", "q47_sql_exists", "q48_vwap",
-    "q49_volatility", "q50_drawdown", "q53_ema", "q54_rsi",
-    "q55_bollinger", "q56_range_join", "q57_hierarchical_rollup",
-    "q58_stratified_split", "q59_stratum_sample",
-    "q60_embedding_centroids", "q64_sequence_packing",
-    "q71_rollup_refresh", "q72_policy_redaction", "q78_token_chunks",
-    "q79_shuffle_shard", "q91_cdc_apply", "q67_tfidf_topterms",
-    "q68_contamination", "q69_domain_mix_sample", "q75_bucketed_join",
-    "q133_jsonl_roundtrip",
-    # (4) the oldest 8 of the 43-member r12 tier in module order —
-    # slots 43-50; the remaining r12-tier queries (plus the r13/r14
-    # tiers) fall past the cap: most recently proven, still covered by
-    # local parity (tests/test_oracle_parity.py) at sf0.001/sf0.01;
-    # they rotate forward in r16.
-    "q07_sma_trailing", "q08_multiformat_parse", "q09_decimal_agg",
-    "q10_quarantine_counts", "q11_pricing_summary",
-    "q12_top_revenue_orders", "q13_region_revenue", "q14_group_topn",
+    "q15_set_ops", "q16_rollup", "q17_pivot_status",
+    "q18_distinct_agg", "q19_having_heavy_customers",
+    "q20_asof_last_click", "q87_full_outer_reconciliation",
+    "q52_multiset_ops", "q100_table_profile",
+    "q102_equidepth_histogram", "q104_key_uniqueness",
+    "q107_bloom_join", "q22_sessionization", "q65_salted_distinct",
+    "q66_salted_join", "q77_funnel", "q80_hll_distinct",
+    "q95_quantile_sketch", "q99_anomaly_zscore",
+    "q105_histogram_drift", "q23_dedup_exact", "q24_ngram_jaccard",
+    "q25_minhash_lsh", "q26_simhash", "q117_dedup_span_removal",
+    "q94_learned_ivf", "q98_semantic_dedup", "q109_sq8_quantization",
+    "q144_ann_model_drift", "q30_langid", "q31_quality_score",
+    "q115_bpe_train", "q116_trained_quality_scorer",
+    "q118_small_file_compaction",
+    # (4) oldest-r13 fill to 50 (module order) — slots 48-50; the
+    # remaining r13/r14/r15 tiers fall past the cap: most recently
+    # proven, still covered by local parity
+    # (tests/test_oracle_parity.py) at sf0.001/sf0.01; they rotate
+    # forward in r17.
+    "q112_equidepth_sketch", "q125_fuzzy_linkage", "q128_pagerank",
 )
 
 

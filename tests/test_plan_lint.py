@@ -145,6 +145,11 @@ SINGLE_PARTITION_ALLOWED = {
                                       "frame)",
     "q163_column_mapping": "per-version 1-row schema/content "
                            "summaries (map-side partials only)",
+    "q169_mapped_store_sink": "per-version 1-row content summaries "
+                              "(map-side partials only)",
+    "q170_cdf_restore_follower": "running signed totals over 4 "
+                                 "per-version feed-summary rows "
+                                 "(map-side partials only)",
 }
 
 

@@ -131,6 +131,134 @@ def test_cdf_model_walk_seed_with_restore_after_mor(spark, tmp_path):
             (sa["n"], sa["xs"] or 0), v
 
 
+# --- compact deletion-vector encoding (r15 verdict item 5) --------------------
+
+def test_dv_codec_roundtrip_property():
+    """v2 delta-varint round-trips arbitrary sorted position sets,
+    including boundary magnitudes, and v1 documents stay readable."""
+    import random
+
+    from etl_pipeline_stock_market_data_postgresql_spark.sources import (
+        dv_codec)
+
+    rng = random.Random(16)
+    for _ in range(60):
+        span = 10 ** rng.choice([1, 3, 6, 9, 15])
+        n = rng.choice([0, 1, 2, 17, 500])
+        pos = sorted(rng.sample(range(span + 600), min(n, 600)))
+        doc = dv_codec.encode_positions_doc(pos)
+        assert doc["format"] == 2 and doc["n"] == len(pos)
+        assert dv_codec.decode_positions_doc(doc) == pos
+    big = [0, 1, 2**40, 2**62, 2**63 - 1]
+    assert dv_codec.decode_positions_doc(
+        dv_codec.encode_positions_doc(big)) == big
+    assert dv_codec.decode_positions_doc(
+        {"positions": [1, 5, 9]}) == [1, 5, 9]
+    with pytest.raises(ValueError):
+        dv_codec.decode_positions_doc({"format": 99, "payload": ""})
+
+
+def test_dv_v2_sidecars_read_mixed_with_v1(spark, tmp_path):
+    """A store holding BOTH sidecar formats (v1 written by an older
+    build, v2 by this one) reads identically through the driver-
+    broadcast AND the distributed sidecar-scan branches."""
+    import json
+
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _ids(spark, 0, 2000)
+                         .repartition(2), stats_cols=("id",))
+    vstore.commit_delete_mor(spark, root, F.col("id") % 5 == 0)
+    man = vstore.read_manifest(root, vstore.latest_version(root))
+    dvs = sorted({s[vstore._DV_KEY] for s in man["stats"].values()
+                  if vstore._DV_KEY in s})
+    assert len(dvs) >= 2
+    # downgrade ONE sidecar to v1 in place (same name, same positions)
+    pos = vstore._read_dv(root, dvs[0])
+    with open(os.path.join(root, "data", dvs[0]), "w",
+              encoding="ascii") as f:
+        json.dump({"positions": sorted(pos)}, f)
+    expected = 2000 - len(range(0, 2000, 5))
+    n_driver = vstore.read_version(
+        spark, root, vstore.latest_version(root)).count()
+    old = vstore._DV_DRIVER_BYTES
+    try:
+        vstore._DV_DRIVER_BYTES = 0  # force the distributed branch
+        n_dist = vstore.read_version(
+            spark, root, vstore.latest_version(root)).count()
+    finally:
+        vstore._DV_DRIVER_BYTES = old
+    assert n_driver == n_dist == expected
+
+
+def test_dv_v2_feeds_change_feed_positions(spark, tmp_path):
+    """The streaming change feed decodes v2 sidecars executor-side:
+    a MoR delete feeds exactly the newly-marked positions."""
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _ids(spark, 0, 50),
+                         stats_cols=("id",))
+    vstore.commit_delete_mor(spark, root, F.col("id") % 10 == 3)
+    feed = _stream_feed(spark, root, tmp_path, "v2feed")
+    d = feed.filter((F.col("_commit_version") == 2)
+                    & (F.col("_change_type") == "delete"))
+    assert sorted(r["id"] for r in d.collect()) == [3, 13, 23, 33, 43]
+
+
+# --- restart-time schema refresh (r15 verdict item 4) -------------------------
+
+def test_cdf_restart_from_checkpoint_picks_up_evolved_schema(
+        spark, tmp_path):
+    """Evolve the store's schema BETWEEN two runs of the same
+    checkpointed stream: the restarted query must (a) resume from the
+    checkpoint offset exactly-once and (b) stream under the NEW
+    schema — post-evolution rows carry the added column, and
+    pre-evolution files surface it as NULL."""
+    root = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10),
+                         stats_cols=("id",))
+
+    def drain():
+        q = (cdf_source.read_change_feed_stream(spark, root)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", ck)
+             .option("mergeSchema", "true")
+             .foreachBatch(lambda bdf, bid:
+                           bdf.write.mode("append")
+                           .option("mergeSchema", "true").parquet(out))
+             .start())
+        q.awaitTermination()
+
+    drain()  # pass 1: v1 under the 2-column schema
+    evolved = spark.range(100, 105).select(
+        F.col("id"), (F.col("id") * 10).alias("x"),
+        F.lit("tagged").alias("tag")).coalesce(1)
+    vstore.commit_append(spark, root, evolved, stats_cols=("id",),
+                         allow_evolution=True)
+    drain()  # pass 2 (restart from checkpoint): v2 under 3 columns
+    feed = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "tag" in feed.columns
+    # exactly-once across the restart: v1 fed once, v2 fed once
+    assert feed.filter(F.col("_commit_version") == 1).count() == 10
+    v2 = feed.filter(F.col("_commit_version") == 2)
+    assert v2.count() == 5
+    assert v2.filter(F.col("tag") == "tagged").count() == 5
+    # pass-1 rows predate the evolution; their files lack the column
+    v1 = feed.filter(F.col("_commit_version") == 1)
+    assert v1.filter(F.col("tag").isNull()).count() == 10
+    # and a THIRD pass re-reading pre-evolution leftovers under the
+    # new schema NULL-fills (no stale pinned schema anywhere)
+    vstore.commit_delete(spark, root, F.col("id") < 2,
+                         stats_cols=("id",))
+    drain()
+    v3 = spark.read.option("mergeSchema", "true").parquet(out) \
+        .filter(F.col("_commit_version") == 3)
+    # CoW delete: survivors re-fed as delete+insert pairs from the
+    # rewritten pre-evolution file → tag NULL on all of them
+    assert v3.count() > 0
+    assert v3.filter(F.col("tag").isNotNull()).count() == 0
+
+
 # --- (2) txid charset enforced even for own-pid-format ids --------------------
 
 def test_multi_append_rejects_own_pid_traversal_txid(spark, tmp_path):
