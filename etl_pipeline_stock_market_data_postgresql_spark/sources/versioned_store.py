@@ -2439,22 +2439,31 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
                  txn: str | tuple[str, int] | None = None,
                  matched_condition=None,
                  update_set: dict | None = None,
-                 not_matched_by_source_delete=None) -> tuple[int, int, int]:
+                 not_matched_by_source_delete=None,
+                 matched_delete=None,
+                 not_matched_insert_condition=None) -> tuple[int, int, int]:
     """Copy-on-write MERGE into the latest version — Delta's
 
         MERGE ... ON t.key = s.key
+        [WHEN MATCHED AND matched_delete THEN DELETE]
         WHEN MATCHED [AND matched_condition] THEN
             UPDATE SET {update_set | * }
-        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED [AND not_matched_insert_condition] THEN
+            INSERT *
         [WHEN NOT MATCHED BY SOURCE AND not_matched_by_source_delete
             THEN DELETE]
 
     Defaults reproduce the whole-row upsert: every ``updates`` row
     whose ``key_cols`` match an existing row REPLACES it, the rest
-    INSERT. The extended clauses (all Column expressions over the
+    INSERT. The extended clauses (Column expressions over the
     aliases ``t`` = target and ``s`` = source, e.g.
-    ``F.col("s.value") > F.col("t.value")``):
+    ``F.col("s.value") > F.col("t.value")``, except where noted):
 
+    - ``matched_delete`` — matched rows satisfying it are DELETED;
+      evaluated FIRST among the matched clauses (Delta's clause-order
+      rule: put the DELETE clause first for CDC apply), so a row that
+      satisfies both deletes rather than updates. A source key whose
+      match deleted never re-inserts in the same merge;
     - ``matched_condition`` — only matched rows satisfying it update;
       other matched rows survive UNCHANGED (and, when no other clause
       touches their file, the file itself carries by name unrewritten);
@@ -2463,10 +2472,18 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
       the target value (whole-row replace when ``None``). A source key
       that matched — even with a false ``matched_condition`` — never
       inserts;
+    - ``not_matched_insert_condition`` — a Column over the SOURCE
+      frame's plain column names (no alias): unmatched source rows
+      insert only when it holds — the clause that keeps a CDC
+      tombstone for a never-seen key from inserting;
     - ``not_matched_by_source_delete`` — target rows with NO source
       key match satisfying this ``t``-only condition are DELETED
       (``F.lit(True)`` for the unconditional form). Null-safe: a NULL
       condition keeps the row, like :func:`commit_delete`.
+
+    ``updates`` may carry EXTRA columns beyond the store's (a CDC
+    feed's ``op``/version metadata) — clause conditions can reference
+    them; only the store's columns insert/update.
 
     Like :func:`commit_delete`, only files CONTAINING affected rows
     (an updating match or a deleting unmatched row) are re-read —
@@ -2498,7 +2515,9 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
     df = read_version(spark, root, v)
     keys = updates.select(*key_cols).distinct()
     extended = (matched_condition is not None or update_set is not None
-                or not_matched_by_source_delete is not None)
+                or not_matched_by_source_delete is not None
+                or matched_delete is not None
+                or not_matched_insert_condition is not None)
     if not extended:
         # whole-row unconditional fast path: the census needs only the
         # key columns. _census_frame tags rows with their file name
@@ -2538,9 +2557,10 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
         return newv, len(affected), len(carried)
 
     def _joined(target: DataFrame):
-        """target ⟕ source on keys, plus ``_m`` (match flag), ``_u``
-        (this row updates) and ``_d`` (this row deletes) — the one
-        place the three clause conditions are evaluated."""
+        """target ⟕ source on keys, plus ``_m`` (match flag), ``_md``
+        (matched row deletes — wins over update, Delta clause order),
+        ``_u`` (this row updates) and ``_d`` (unmatched-by-source row
+        deletes) — the one place the clause conditions are evaluated."""
         on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
               for k in key_cols]
         src = updates.withColumn("_s_exists", F.lit(True))
@@ -2550,22 +2570,25 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
         # key column — a NULL source key null-safe-matching a NULL
         # target key would otherwise read as "no match"
         m = F.col("s._s_exists").isNotNull()
+        md = (F.lit(False) if matched_delete is None
+              else m & F.coalesce(matched_delete, F.lit(False)))
         upd = m if matched_condition is None else (
             m & F.coalesce(matched_condition, F.lit(False)))
+        upd = upd & ~md  # DELETE clause first: a deleting match never updates
         if not_matched_by_source_delete is None:
             dele = F.lit(False)
         else:
             dele = (~m) & F.coalesce(not_matched_by_source_delete,
                                      F.lit(False))
-        return j.withColumn("_m", m).withColumn("_u", upd) \
-                .withColumn("_d", dele)
+        return (j.withColumn("_m", m).withColumn("_md", md)
+                .withColumn("_u", upd).withColumn("_d", dele))
 
     # census: one pruned-column scan joined to the source — affected
     # files are those holding an updating match or a deleting
     # unmatched row. _census_frame tags the scan (DV-aware).
     census = _joined(_census_frame(spark, root, man))
     affected = {r["_f"] for r in
-                census.filter(F.col("_u") | F.col("_d"))
+                census.filter(F.col("_u") | F.col("_d") | F.col("_md"))
                 .select("_f").distinct().collect()}
     carried = [f for f in man["files"] if f not in affected]
     tcols = df.columns
@@ -2573,7 +2596,7 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
         victim_list = [f for f in man["files"] if f in affected]
         victims = _logical_rows(spark, root, man, victim_list,
                                 row_ids=tracked)
-        j = _joined(victims).filter(~F.col("_d"))
+        j = _joined(victims).filter(~F.col("_d") & ~F.col("_md"))
         if update_set is None:
             out_cols = [F.when(F.col("_u"), F.col(f"s.{c}"))
                         .otherwise(F.col(f"t.{c}")).alias(c)
@@ -2590,8 +2613,14 @@ def commit_merge(spark: SparkSession, root: str, updates: DataFrame,
         rewritten = None
     # inserts: source keys matching NO target row anywhere (a key that
     # matched a row in a CARRIED file — e.g. matched_condition false —
-    # must not insert), as whole rows
-    inserts = (updates.join(df.select(*key_cols).distinct(),
+    # must not insert), as whole rows; the not-matched condition (over
+    # plain source column names) gates them — a CDC tombstone for a
+    # never-seen key is a no-op, not an insert
+    ins_src = updates
+    if not_matched_insert_condition is not None:
+        ins_src = ins_src.filter(
+            F.coalesce(not_matched_insert_condition, F.lit(False)))
+    inserts = (ins_src.join(df.select(*key_cols).distinct(),
                             list(key_cols), "left_anti")
                .select(*tcols))
     if tracked and rewritten is not None:

@@ -3144,6 +3144,174 @@ FROM agg ORDER BY version
 """
 
 
+def q171_streaming_cdc_merge(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAMING CDC APPLY — the canonical Delta pipeline: a change
+    feed of latest-wins upserts AND tombstones streams in, and every
+    micro-batch lands as ONE exactly-once MERGE into the versioned
+    store, using the full four-clause form
+
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+
+    (q91 is this shape as a BATCH job; q151 the conditional MERGE; this
+    composes them under streaming exactly-once — the per-app txn
+    ledger no-ops replayed batch ids, so a checkpoint restart cannot
+    double-apply a batch). Within each batch the feed collapses to
+    latest-wins per key FIRST (one map-side-combinable ``max_by``
+    aggregate — MERGE requires unique source keys, Delta raises on
+    multi-match for the same reason); across batches the ordered
+    version ranges make sequential merges equal one global
+    latest-wins apply, which is what the oracle computes.
+
+    The feed derives deterministically from orders (o_orderkey is the
+    CDC version; every fifth key a tombstone); batch 0 is the low-id
+    half, batch 1 the rest. The gated output is the per-store-version
+    (op, row count, balance checksum): v2 certifies batch 0's apply
+    (matched deletes vanish, unmatched tombstones no-op, upserts
+    replace/insert), v3 the full feed.
+
+    Scale shape: per batch — one max_by aggregate ∝ batch, one census
+    semi-join against a pruned scan, and a rewrite ∝ affected files;
+    carried files move by name. At 100 TB this is log compaction into
+    a key-clustered table: shuffle ∝ |batch keys|, never |table|."""
+    import time as _time
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "customer_cdc_merge")
+    feed_dir = os.path.join(scratch, "customer_cdc_feed")
+    ck = os.path.join(scratch, "customer_cdc_ck")
+    fp = table_fingerprint(sf_dir, ("customer", "orders"),
+                           params="q171_cdc_merge_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        base = load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cust_id"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal"))
+        feed = load(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("v"),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            .alias("bal"))
+        mx, = feed.agg(F.max("v")).first()
+        half = mx // 2
+        for d in (root, feed_dir, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(2, "cust_id"),
+                             stats_cols=("cust_id",))
+        (feed.filter(F.col("v") <= half).coalesce(1)
+         .write.parquet(feed_dir))
+        first = {f for f in os.listdir(feed_dir)
+                 if f.endswith(".parquet")}
+        (feed.filter(F.col("v") > half).coalesce(1)
+         .write.mode("append").parquet(feed_dir))
+        now = _time.time()
+        for f in os.listdir(feed_dir):  # deterministic trigger order
+            if f.endswith(".parquet"):
+                t = now - 10.0 if f in first else now
+                os.utime(os.path.join(feed_dir, f), (t, t))
+
+        def apply_batch(bdf, bid):
+            sess = bdf.sparkSession
+            latest = (bdf.groupBy("cust_id")
+                      .agg(F.max_by(F.struct("bal", "op"), "v")
+                           .alias("m"))
+                      .select("cust_id", F.col("m.bal").alias("bal"),
+                              F.col("m.op").alias("op")))
+            vstore.commit_merge(
+                sess, root, latest, key_cols=("cust_id",),
+                stats_cols=("cust_id",),
+                matched_delete=F.col("s.op") == "D",
+                not_matched_insert_condition=F.col("op") != "D",
+                txn=("q171", bid))
+
+        schema = spark.read.parquet(feed_dir).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(feed_dir))
+        q = (stream.writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", ck)
+             .foreachBatch(apply_batch).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    hist = (vstore.history(spark, root)
+            .select(F.col("version").cast("int").alias("version"), "op"))
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("bal").alias("bal_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "bal_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(hist, "version").select(
+        "version", "op", "n_rows", "bal_sum")
+
+
+_Q171_SQL = """
+WITH base AS (
+  SELECT c_custkey AS cust_id,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+),
+feed AS (
+  SELECT o_custkey AS cust_id, o_orderkey AS v,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS bal
+  FROM orders
+),
+bnd AS (SELECT max(v) // 2 AS half FROM feed),
+l1 AS (
+  SELECT cust_id, arg_max(op, v) AS op, arg_max(bal, v) AS bal
+  FROM feed WHERE v <= (SELECT half FROM bnd) GROUP BY cust_id
+),
+s1 AS (
+  SELECT COALESCE(b.cust_id, l.cust_id) AS cust_id,
+         CASE WHEN l.cust_id IS NULL THEN b.bal ELSE l.bal END AS bal
+  FROM base b FULL OUTER JOIN l1 l ON b.cust_id = l.cust_id
+  WHERE l.cust_id IS NULL OR l.op != 'D'
+),
+la AS (
+  SELECT cust_id, arg_max(op, v) AS op, arg_max(bal, v) AS bal
+  FROM feed GROUP BY cust_id
+),
+sa AS (
+  SELECT COALESCE(b.cust_id, l.cust_id) AS cust_id,
+         CASE WHEN l.cust_id IS NULL THEN b.bal ELSE l.bal END AS bal
+  FROM base b FULL OUTER JOIN la l ON b.cust_id = l.cust_id
+  WHERE l.cust_id IS NULL OR l.op != 'D'
+)
+SELECT CAST(1 AS INT) AS version, 'append' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bal) AS BIGINT) AS bal_sum
+FROM base
+UNION ALL
+SELECT 2, 'merge', CAST(count(*) AS BIGINT), CAST(sum(bal) AS BIGINT)
+FROM s1
+UNION ALL
+SELECT 3, 'merge', CAST(count(*) AS BIGINT), CAST(sum(bal) AS BIGINT)
+FROM sa
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -3185,4 +3353,6 @@ QUERIES: dict[str, Query] = {
     "q169_mapped_store_sink": Query(q169_mapped_store_sink, _Q169_SQL),
     "q170_cdf_restore_follower": Query(q170_cdf_restore_follower,
                                        _Q170_SQL),
+    "q171_streaming_cdc_merge": Query(q171_streaming_cdc_merge,
+                                      _Q171_SQL),
 }

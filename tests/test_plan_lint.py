@@ -150,6 +150,8 @@ SINGLE_PARTITION_ALLOWED = {
     "q170_cdf_restore_follower": "running signed totals over 4 "
                                  "per-version feed-summary rows "
                                  "(map-side partials only)",
+    "q171_streaming_cdc_merge": "per-version 1-row balance checksums "
+                                "(map-side partials only)",
 }
 
 

@@ -131,6 +131,83 @@ def test_cdf_model_walk_seed_with_restore_after_mor(spark, tmp_path):
             (sa["n"], sa["xs"] or 0), v
 
 
+# --- MERGE matched-DELETE / conditional-INSERT clauses (CDC apply) ------------
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "id long, x long").coalesce(1)
+
+
+def test_merge_matched_delete_clause(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN DELETE: matched rows satisfying the
+    condition vanish; the source rows that deleted them never
+    re-insert; untouched files carry by name."""
+    root = str(tmp_path / "s")
+    vstore.commit_append(
+        spark, root,
+        spark.range(0, 20).select(F.col("id"),
+                                  (F.col("id") * 10).alias("x"))
+        .repartitionByRange(2, "id"),
+        stats_cols=("id",))
+    ups = spark.createDataFrame(
+        [(1, 111, "U"), (3, 0, "D"), (30, 300, "U"), (31, 0, "D")],
+        "id long, x long, op string").coalesce(1)
+    v, nrw, ncar = vstore.commit_merge(
+        spark, root, ups, key_cols=("id",), stats_cols=("id",),
+        matched_delete=F.col("s.op") == "D",
+        not_matched_insert_condition=F.col("op") != "D")
+    df = vstore.read_version(spark, root, v)
+    got = {r["id"]: r["x"] for r in df.collect()}
+    assert 3 not in got                      # matched tombstone deleted
+    assert got[1] == 111                     # matched upsert updated
+    assert got[30] == 300                    # unmatched upsert inserted
+    assert 31 not in got                     # unmatched tombstone no-op
+    assert len(got) == 20 - 1 + 1
+    # both touched keys (1, 3) live in the low-range file; the high
+    # file carries (30 inserts into the new file)
+    assert ncar >= 1
+
+
+def test_merge_delete_clause_wins_over_update(spark, tmp_path):
+    """Delta clause order: a matched row satisfying BOTH the delete
+    and the update conditions DELETES (the delete clause is first)."""
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _kv(spark, [(1, 10), (2, 20)]),
+                         stats_cols=("id",))
+    ups = spark.createDataFrame([(1, 999, "D")],
+                                "id long, x long, op string")
+    v, _, _ = vstore.commit_merge(
+        spark, root, ups, key_cols=("id",), stats_cols=("id",),
+        matched_delete=F.col("s.op") == "D",
+        matched_condition=F.lit(True))
+    got = {r["id"]: r["x"] for r in
+           vstore.read_version(spark, root, v).collect()}
+    assert got == {2: 20}
+
+
+def test_merge_matched_delete_keeps_row_ids(spark, tmp_path):
+    """Row-tracked store: survivors keep their stable ids through a
+    matched-delete merge; the deleted id disappears and is never
+    reused."""
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _kv(spark, [(1, 10), (2, 20),
+                                                  (3, 30)]),
+                         stats_cols=("id",), row_ids=True)
+    before = {r["id"]: r["_row_id"] for r in
+              vstore.read_version_rows(spark, root, 1).collect()}
+    ups = spark.createDataFrame([(2, 0, "D"), (3, 333, "U")],
+                                "id long, x long, op string")
+    v, _, _ = vstore.commit_merge(
+        spark, root, ups, key_cols=("id",), stats_cols=("id",),
+        matched_delete=F.col("s.op") == "D",
+        not_matched_insert_condition=F.col("op") != "D")
+    after = {r["id"]: (r["x"], r["_row_id"]) for r in
+             vstore.read_version_rows(spark, root, v).collect()}
+    assert set(after) == {1, 3}
+    assert after[1] == (10, before[1])   # untouched keeps id
+    assert after[3] == (333, before[3])  # updated keeps id
+    assert before[2] not in {rid for _, rid in after.values()}
+
+
 # --- compact deletion-vector encoding (r15 verdict item 5) --------------------
 
 def test_dv_codec_roundtrip_property():
