@@ -505,6 +505,70 @@ def test_sink_mapped_store_conflicting_concurrent_rename(spark,
         F.sum("z")).first()[0] == 15
 
 
+def test_staged_commit_mapped_cas_retry_after_rename(spark, tmp_path,
+                                                     monkeypatch):
+    """Lost-CAS retry on a column-mapped staged commit: the effective
+    schema (rename resolution) must be re-derived per attempt — a
+    first-attempt loss followed by a retry under a renamed manifest
+    publishes once, under the CURRENT logical name."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming.store_sink import (
+        VersionedStoreSink)
+
+    root = str(tmp_path / "mapped")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10),
+                         stats_cols=("id",), column_mapping=True)
+    sink = VersionedStoreSink(options={"path": root, "txnAppId": "cr"})
+    w = sink.streamWriter(_ids(spark, 0, 1).schema, overwrite=False)
+    vstore.rename_column(spark, root, "x", "z")  # lands mid-stream
+    import pyarrow as pa
+    logical, _ = w._schemas()
+    batch = pa.record_batch(
+        [pa.array([50, 51], type=pa.int64()),
+         pa.array([5, 6], type=pa.int64())], schema=logical)
+    msg = w.write(iter([batch]))
+    real = vstore._publish_cas
+    fails = {"n": 1}
+
+    def flaky(root_, version, body):
+        if fails["n"]:
+            fails["n"] -= 1
+            return False  # simulate losing the CAS race once
+        return real(root_, version, body)
+
+    monkeypatch.setattr(vstore, "_publish_cas", flaky)
+    w.commit([msg], 0)
+    v = vstore.latest_version(root)
+    df = vstore.read_version(spark, root, v)
+    assert df.columns == ["id", "z"]
+    assert df.count() == 12
+    assert fails["n"] == 0  # the flaky CAS actually fired
+
+
+def test_sink_arrow_writer_array_columns(spark, tmp_path):
+    """Nested types through the Arrow writer: an array<float>
+    embedding column round-trips the sink bit-exactly."""
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        store_sink)
+
+    src = (spark.read
+           .parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(200))
+    feed = str(tmp_path / "feed")
+    src.coalesce(2).write.parquet(feed)
+    root, ck = str(tmp_path / "s"), str(tmp_path / "ck")
+    schema = spark.read.parquet(feed).schema
+    stream = spark.readStream.schema(schema).parquet(feed)
+    q = (store_sink.write_stream_to_store(stream, root, ck,
+                                          app_id="emb")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = vstore.read_version(spark, root, vstore.latest_version(root))
+    assert out.schema == spark.read.parquet(feed).schema
+    a = spark.read.parquet(feed)
+    assert out.exceptAll(a).count() == 0
+    assert a.exceptAll(out).count() == 0
+
+
 def test_staged_commit_rejects_unmapped_colmap_mismatch(spark,
                                                         tmp_path):
     """commit_staged_files guards both directions: colmap passed for
