@@ -78,6 +78,10 @@ def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the versioned-store batch reader implements pushFilters for
+        # plan-time file skipping; Spark refuses to run an overriding
+        # reader with this off (rather than silently skip pushdown)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # driver testdata stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in sources.tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -86,6 +90,9 @@ def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", provider)
     spark = builder.getOrCreate()
+    # runtime-settable; getOrCreate may have reused a session built
+    # before this conf existed
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     if provider is not None:
         # getOrCreate may have returned an existing session whose builder
         # confs were ignored; providerClass is runtime-settable and read

@@ -39,6 +39,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the versioned-store batch reader overrides pushFilters; Spark
+    # refuses to run an overriding reader with this off
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

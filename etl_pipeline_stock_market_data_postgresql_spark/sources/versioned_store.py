@@ -1875,6 +1875,7 @@ def commit_staged_files(root: str, new_files: list[str],
                         schema_json=None,
                         allow_evolution: bool = False,
                         op: str = "append",
+                        carry_prev: bool = True,
                         colmap: dict | None = None,
                         assigned_new: dict | None = None,
                         colmax: int = 0) -> int:
@@ -1905,9 +1906,15 @@ def commit_staged_files(root: str, new_files: list[str],
     logical field names, which a mapped store cannot ingest verbatim).
 
     CHECK constraints validate the staged bytes through the ACTIVE
-    SparkSession (the streaming driver always has one); committing
-    staged files into a constrained store without an active session
-    raises rather than skipping validation."""
+    SparkSession (the streaming driver always has one); without one
+    (the batch writer's commit runs in the Python data-source runner)
+    they validate via an embedded local scan rather than skipping.
+
+    ``carry_prev=False`` publishes a manifest referencing ONLY the new
+    files (an OVERWRITE — op defaults should then be ``rewrite``): the
+    previous snapshot stays time-travelable, vacuum reclaims it by
+    policy, and on a row-tracked store the id high-water mark stays
+    monotone so fresh rows never reuse reclaimed ids."""
     import json
 
     from pyspark.sql.types import StructType
@@ -2022,7 +2029,8 @@ def commit_staged_files(root: str, new_files: list[str],
                 new_stats.setdefault(name, {})[_BRID_KEY] = base
                 base += nr
             row_hwm = base
-        man = _next_manifest(pm, version, new_files, new_stats, "prev",
+        man = _next_manifest(pm, version, new_files, new_stats,
+                             "prev" if carry_prev else None,
                              tk, eff_schema, allow_evolution)
         if man is None:
             return prev  # type: ignore[return-value]
@@ -2051,8 +2059,9 @@ def commit_staged_files(root: str, new_files: list[str],
                     _validate_constraints_local(root, new_files, cons,
                                                 cmap=newmap)
             validated_cons = cons
-        raw = _segmented_body(root, praw, man, "prev", new_files,
-                              new_stats)
+        raw = _segmented_body(root, praw, man,
+                              "prev" if carry_prev else None,
+                              new_files, new_stats)
         raw["op"] = op
         raw["n_new_files"] = len(new_files)
         if _publish_cas(root, version, json.dumps(raw)):

@@ -248,56 +248,136 @@ class StoreStreamRowWriter(_StoreWriterCore, DataSourceStreamWriter):
         return _StagedFile(name, n)
 
 
-class VersionedStoreSink(DataSource):
-    """``df.writeStream.format("versioned_store")``.
+def _capture_mapping(vstore, root: str, schema: StructType):
+    """COLUMN MAPPING captured at writer start: executors write
+    PHYSICAL field names (rename-stable for the writer's whole life);
+    ids for logical columns new to the store are assigned here and
+    re-validated by every commit's CAS loop. Returns
+    ``(colmap, assigned_new, colmax)`` — all None/0 on unmapped
+    stores."""
+    colmap = assigned_new = None
+    colmax = 0
+    v = vstore.latest_version(root)
+    if v is not None:
+        man = vstore.read_manifest(root, v)
+        if man.get("colmap") is not None:
+            cmap = dict(man["colmap"])
+            colmax = int(man.get("colmax", 0))
+            assigned_new = {}
+            for f in schema.fields:
+                if f.name not in cmap:
+                    cmap[f.name] = f"c{colmax}"
+                    assigned_new[f.name] = cmap[f.name]
+                    colmax += 1
+            colmap = {f.name: cmap[f.name] for f in schema.fields}
+    return colmap, assigned_new, colmax
 
-    Options:
+
+class VersionedStoreSink(DataSource):
+    """The ``versioned_store`` format — all batch/stream halves:
+    ``df.writeStream.format("versioned_store")`` (streaming sink),
+    ``spark.read.format("versioned_store")`` (batch snapshot scan
+    with planning-time file skipping — ``sources/store_batch.py``),
+    ``df.write.format("versioned_store")`` (batch append/overwrite).
+
+    Write options:
       - ``path`` (required): the store root;
-      - ``txnAppId`` (default "stream-sink"): the per-app ledger key —
-        one entry per writer however many batches commit;
+      - ``txnAppId`` (streaming default "stream-sink"): the per-app
+        ledger key — one entry per writer however many batches commit;
+        batch writes pair it with ``txnVersion`` for idempotent replay;
       - ``statsCols`` / ``bloomCols`` (comma-separated): manifest
         min/max stats and bloom sidecars for the staged files;
       - ``allowEvolution`` ("true"/"false"): schema evolution opt-in;
-      - ``writerImpl`` ("arrow" default | "row"): executor write path —
-        Arrow-batch passthrough vs the legacy Row iterator (A/B only).
+      - ``writerImpl`` ("arrow" default | "row"): streaming executor
+        write path — Arrow passthrough vs legacy Row iterator (A/B).
+
+    Read options:
+      - ``path`` (required); ``versionAsOf`` (default latest visible);
+      - ``filterPushdown`` ("true" default): plan-time stats/bloom file
+        skipping — needs ``spark.sql.python.filterPushdown.enabled``
+        (the session factory sets it); "false" scans every live file
+        and leaves all filtering to Spark.
     """
 
     @classmethod
     def name(cls) -> str:
         return SINK_FORMAT_NAME
 
-    def streamWriter(self, schema: StructType, overwrite: bool):
-        from ..sources import versioned_store as vstore
-
+    def _root(self) -> str:
         root = self.options.get("path")
         if not root:
-            raise ValueError("versioned_store sink requires option "
-                             "'path' (the store root)")
+            raise ValueError("versioned_store requires option 'path' "
+                             "(the store root)")
+        return root
+
+    # -- batch read ---------------------------------------------------
+
+    def _resolved_version(self, vstore, root: str) -> int:
+        v = self.options.get("versionAsOf")
+        if v is not None:
+            return int(v)
+        latest = vstore.latest_version(root)
+        if latest is None:
+            raise ValueError(f"no committed version under {root}")
+        return latest
+
+    def schema(self) -> StructType:
+        from ..sources import store_batch, versioned_store as vstore
+
+        root = self._root()
+        v = self._resolved_version(vstore, root)
+        schema_json = vstore._read_manifest_raw(root, v).get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"{root} predates recorded schemas — the batch source "
+                f"needs the manifest schema to scan under")
+        # nullability relaxed to match parquet snapshot-read semantics
+        return store_batch.nullable_schema(
+            StructType.fromJson(schema_json))
+
+    def reader(self, schema: StructType):
+        from ..sources import store_batch, versioned_store as vstore
+
+        root = self._root()
+        v = self._resolved_version(vstore, root)
+        push = str(self.options.get("filterPushdown",
+                                    "true")).lower() == "true"
+        cls = (store_batch.StoreBatchReader if push
+               else store_batch.StoreBatchPlainReader)
+        return cls(root, v)
+
+    # -- batch write --------------------------------------------------
+
+    def writer(self, schema: StructType, overwrite: bool):
+        from ..sources import store_batch
+
+        app = self.options.get("txnAppId")
+        tv = self.options.get("txnVersion")
+        if (app is None) != (tv is None):
+            raise ValueError("batch writes take txnAppId and "
+                             "txnVersion together (the idempotent-"
+                             "replay ledger key) or neither")
+        txn = (app, int(tv)) if app is not None else None
+        return store_batch.StoreBatchWriter(
+            self._stream_writer(schema), overwrite, txn)
+
+    # -- streaming write ----------------------------------------------
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:
             raise ValueError("versioned_store sink is append-only per "
                              "batch (complete/update output modes are "
                              "not supported; maintain aggregates via "
                              "foreachBatch + commit_rewrite)")
+        return self._stream_writer(schema)
+
+    def _stream_writer(self, schema: StructType):
+        from ..sources import versioned_store as vstore
+
+        root = self._root()
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        # COLUMN MAPPING captured at query start: executors write
-        # PHYSICAL field names (rename-stable for the stream's whole
-        # life); ids for logical columns new to the store are assigned
-        # here and re-validated by every batch's commit CAS loop
-        colmap = assigned_new = None
-        colmax = 0
-        v = vstore.latest_version(root)
-        if v is not None:
-            man = vstore.read_manifest(root, v)
-            if man.get("colmap") is not None:
-                cmap = dict(man["colmap"])
-                colmax = int(man.get("colmax", 0))
-                assigned_new = {}
-                for f in schema.fields:
-                    if f.name not in cmap:
-                        cmap[f.name] = f"c{colmax}"
-                        assigned_new[f.name] = cmap[f.name]
-                        colmax += 1
-                colmap = {f.name: cmap[f.name] for f in schema.fields}
+        colmap, assigned_new, colmax = _capture_mapping(
+            vstore, root, schema)
         split = (lambda v: tuple(x for x in (v or "").split(",") if x))
         impl = str(self.options.get("writerImpl", "arrow")).lower()
         cls = {"arrow": StoreStreamWriter,

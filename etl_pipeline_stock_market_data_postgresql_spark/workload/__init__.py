@@ -47,11 +47,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # COLUMN-MAPPED store through the writeStream sink, the
     # change-feed follower across a RESTORE that rolls a deletion
     # vector back (the r15 ADVICE crash path, now a gated witness),
-    # and streaming CDC apply through the four-clause exactly-once
-    # MERGE (matched-DELETE + conditional-INSERT, new clauses) —
-    # slots 1-3;
+    # streaming CDC apply through the four-clause exactly-once
+    # MERGE (matched-DELETE + conditional-INSERT, new clauses), and
+    # the BATCH data-source halves (spark.read/df.write
+    # format("versioned_store") with versionAsOf + pushFilters stats
+    # pruning + idempotent txn replay) — slots 1-4;
     "q169_mapped_store_sink", "q170_cdf_restore_follower",
-    "q171_streaming_cdc_merge",
+    "q171_streaming_cdc_merge", "q172_batch_source_api",
     # (2) implementation changed this round (outputs unchanged; the
     # r15 rows prove the OLD paths): the change-feed source now
     # survives restore-after-MoR-delete (removed/shrunk vectors) and
@@ -62,7 +64,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # INCREMENTALLY (base + signed per-commit feed, new fixtures), and
     # every deletion-vector sidecar now writes the v2 delta-varint
     # format read by all paths (q159, q153's rollback, q161/q150/q152
-    # via version_diff) — slots 4-14;
+    # via version_diff) — slots 5-15;
     "q164_streaming_cdf_follower", "q165_versioned_update",
     "q166_versioned_update_mor", "q167_streaming_store_sink",
     "q168_incremental_replication", "q159_deletion_vectors",
@@ -70,7 +72,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q161_row_tracking_cdf", "q150_versioned_cdf_typed",
     "q152_incremental_mv_from_cdf",
     # (3) the ENTIRE 34-member r12 tier (the r15 verdict's pre-derived
-    # remainder, in its listed order) — slots 15-48; if green, the r12
+    # remainder, in its listed order) — slots 16-49; if green, the r12
     # tier EMPTIES;
     "q15_set_ops", "q16_rollup", "q17_pivot_status",
     "q18_distinct_agg", "q19_having_heavy_customers",
@@ -86,12 +88,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q144_ann_model_drift", "q30_langid", "q31_quality_score",
     "q115_bpe_train", "q116_trained_quality_scorer",
     "q118_small_file_compaction",
-    # (4) oldest-r13 fill to 50 (module order) — slots 49-50; the
+    # (4) oldest-r13 fill to 50 (module order) — slot 50; the
     # remaining r13/r14/r15 tiers fall past the cap: most recently
     # proven, still covered by local parity
     # (tests/test_oracle_parity.py) at sf0.001/sf0.01; they rotate
-    # forward in r17.
-    "q112_equidepth_sketch", "q125_fuzzy_linkage",
+    # forward in r17 (q125 rotated out when q172 landed late-r16).
+    "q112_equidepth_sketch",
 )
 
 

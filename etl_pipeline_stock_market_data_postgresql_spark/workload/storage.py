@@ -3312,6 +3312,144 @@ FROM sa
 """
 
 
+def q172_batch_source_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BATCH HALVES OF THE STANDARD DATA-SOURCE API — with the
+    streaming pair (q164 source, q167 sink) this closes all four
+    quadrants: the store is now written with
+    ``df.write.format("versioned_store").mode(...)`` and read back
+    with ``spark.read.format("versioned_store")``, exactly like any
+    table format.
+
+    The chain (events, projected to event_id/user_id/value): v1
+    batch-APPENDS the low-id half (4 range files, event_id stats); v2
+    batch-appends the high half under a ``txnAppId/txnVersion`` ledger
+    key and the SAME write is replayed verbatim — the replay must
+    no-op (the 'history' row pins exactly 3 commits); v3
+    batch-OVERWRITES with the ``event_id % 3 = 0`` slice (op
+    ``rewrite`` — the old snapshot stays time-travelable). The gated
+    read walks v1..v3 through ``versionAsOf`` and adds a PRUNED phase:
+    a low-id range filter against the latest snapshot through the
+    reader's ``pushFilters`` stats pruning (the same two-level
+    manifest skipping as read_version_pruned_multi, now driven by
+    Spark's own planner; tests/test_store_batch.py asserts the file
+    counts, this gate certifies the VALUES are exact).
+
+    Scale shape: executors stream Arrow batches straight into staged
+    parquet (no per-row Python transit) and the driver publishes one
+    CAS manifest per write; reads fan one task per live file after
+    plan-time pruning over driver-side metadata. The gated read never
+    scans the input table (the v1/v2 split bound persists beside the
+    fixture fingerprint at build time).
+
+    Reference parity: the reference writes with pandas ``to_sql`` /
+    executemany and reads with ``read_sql`` over one psycopg2 socket;
+    this is the same two-verb surface as a distributed table format
+    with time travel and idempotent replay."""
+    import json
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import store_sink
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_batch_api")
+    fp = table_fingerprint(sf_dir, ("events",),
+                           params="q172_batch_api_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+    bounds_file = os.path.join(root, "_BOUNDS")
+    store_sink.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "value"))
+        # build-only bound: the gated read never scans the input table
+        mx, = base.agg(F.max("event_id")).first()
+        half = mx // 2
+        shutil.rmtree(root, ignore_errors=True)
+
+        def _write(df, mode, txn=None):
+            w = (df.repartitionByRange(4, "event_id")
+                 .write.format("versioned_store")
+                 .option("path", root).option("statsCols", "event_id"))
+            if txn is not None:
+                w = (w.option("txnAppId", txn[0])
+                     .option("txnVersion", str(txn[1])))
+            w.mode(mode).save()
+
+        _write(base.filter(F.col("event_id") <= half), "append")
+        high = base.filter(F.col("event_id") > half)
+        _write(high, "append", txn=("q172", 2))
+        _write(high, "append", txn=("q172", 2))  # replay: must no-op
+        _write(base.filter(F.col("event_id") % 3 == 0), "overwrite")
+        with open(bounds_file, "w", encoding="ascii") as f:
+            json.dump({"half": half}, f)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    with open(bounds_file, encoding="ascii") as f:
+        half = json.load(f)["half"]
+    hist = vstore.history(spark, root).collect()
+    ops = {r["version"]: r["op"] for r in hist}
+    val = F.col("value").cast("decimal(18,4)")
+
+    def _agg(df, phase, op):
+        return (df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(val).cast("double").alias("sum_value"))
+            .select(F.lit(phase).alias("phase"), F.lit(op).alias("op"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "sum_value"))
+
+    parts = []
+    for v in (1, 2, 3):
+        df = (spark.read.format("versioned_store")
+              .option("path", root).option("versionAsOf", v).load())
+        parts.append(_agg(df, f"v{v}", ops[v]))
+    pruned = (spark.read.format("versioned_store")
+              .option("path", root).load()
+              .filter(F.col("event_id") <= half // 2))
+    parts.append(_agg(pruned, "pruned", ops[max(ops)]))
+    parts.append(spark.createDataFrame(
+        [("history", ",".join(ops[v] for v in sorted(ops)),
+          len(hist), 0.0)],
+        "phase string, op string, n_rows long, sum_value double"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q172_SQL = """
+WITH base AS (SELECT event_id, user_id, value FROM events),
+bnd AS (SELECT max(event_id) // 2 AS half FROM base),
+v1 AS (SELECT * FROM base
+       WHERE event_id <= (SELECT half FROM bnd)),
+v3 AS (SELECT * FROM base WHERE event_id % 3 = 0)
+SELECT 'v1' AS phase, 'append' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM v1
+UNION ALL
+SELECT 'v2', 'append', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM base
+UNION ALL
+SELECT 'v3', 'rewrite', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM v3
+UNION ALL
+SELECT 'pruned', 'rewrite', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+FROM v3 WHERE event_id <= (SELECT half FROM bnd) // 2
+UNION ALL
+SELECT 'history', 'append,append,rewrite', 3, 0.0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -3355,4 +3493,5 @@ QUERIES: dict[str, Query] = {
                                        _Q170_SQL),
     "q171_streaming_cdc_merge": Query(q171_streaming_cdc_merge,
                                       _Q171_SQL),
+    "q172_batch_source_api": Query(q172_batch_source_api, _Q172_SQL),
 }

@@ -152,6 +152,8 @@ SINGLE_PARTITION_ALLOWED = {
                                  "(map-side partials only)",
     "q171_streaming_cdc_merge": "per-version 1-row balance checksums "
                                 "(map-side partials only)",
+    "q172_batch_source_api": "per-(version, phase) 1-row content "
+                             "summaries (map-side partials only)",
 }
 
 
