@@ -69,7 +69,8 @@ import json
 import os
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader,
                                     InputPartition)
 from pyspark.sql.types import LongType, StringType, StructType
 
@@ -110,6 +111,129 @@ def _read_dv_positions(root: str, name: str) -> set:
 
     with open(os.path.join(root, _DATA, name), encoding="ascii") as f:
         return set(decode_positions_doc(json.load(f)))
+
+
+def _visible_manifest_at(root: str, v: int):
+    """The resolved manifest of the newest visible version ≤ v —
+    walks down past aborted holes (an offset recorded while a
+    prepare was pending may sit ON a hole after it aborts)."""
+    from ..sources import versioned_store as vstore
+
+    for w in range(v, 0, -1):
+        try:
+            return vstore.read_manifest(root, w)
+        except vstore.AbortedTransactionError:
+            continue
+    return None
+
+
+def _classify_commit(man: dict, prev: dict | None,
+                     v: int) -> list[_ChangePartition]:
+    """DRIVER-side change classification of ONE commit vs its
+    predecessor — the shared planning core of the streaming source
+    and the batch range reader (semantics in the module docstring)."""
+    from ..sources.versioned_store import _DV_KEY
+
+    ft = set(man["files"])
+    st = man.get("stats", {})
+    ff = set(prev["files"]) if prev is not None else set()
+    sf_ = prev.get("stats", {}) if prev is not None else {}
+    out = []
+    for f in sorted(ft - ff):  # added → insert (minus v's DV)
+        out.append(_ChangePartition(
+            f, "insert", v, "all",
+            dv_exclude=st.get(f, {}).get(_DV_KEY)))
+    for f in sorted(ff - ft):  # removed → delete (its LIVE rows)
+        out.append(_ChangePartition(
+            f, "delete", v, "all",
+            dv_exclude=sf_.get(f, {}).get(_DV_KEY)))
+    for f in sorted(ft & ff):  # carried: only a CHANGED vector feeds
+        dv_f = sf_.get(f, {}).get(_DV_KEY)
+        dv_t = st.get(f, {}).get(_DV_KEY)
+        if dv_f == dv_t:
+            continue
+        if dv_t is not None:
+            # newly marked = dv_t − dv_f → delete; when the commit
+            # REMOVED the vector entirely (dv_t None, e.g. restore
+            # to a pre-MoR-delete version) that set is empty by
+            # construction and no delete partition exists — emitting
+            # one with dv_include=None would crash read()
+            out.append(_ChangePartition(
+                f, "delete", v, "dv_diff",
+                dv_include=dv_t, dv_exclude=dv_f))
+        if dv_f is not None:
+            out.append(_ChangePartition(  # rolled back → insert
+                f, "insert", v, "dv_diff",
+                dv_include=dv_f, dv_exclude=dv_t))
+    return out
+
+
+def _plan_changes(root: str, lo: int, hi: int) -> list[_ChangePartition]:
+    """All change partitions of the commit range ``(lo, hi]`` —
+    aborted holes feed nothing; the baseline below ``lo`` walks down
+    past holes."""
+    from ..sources import versioned_store as vstore
+
+    parts: list[_ChangePartition] = []
+    prev = _visible_manifest_at(root, lo) if lo >= 1 else None
+    for v in range(lo + 1, hi + 1):
+        try:
+            man = vstore.read_manifest(root, v)
+        except vstore.AbortedTransactionError:
+            continue  # a hole feeds nothing; prev carries forward
+        parts.extend(_classify_commit(man, prev, v))
+        prev = man
+    return parts
+
+
+def _read_change_partition(root: str, colmap: dict, schema_json,
+                           p: _ChangePartition) -> Iterator:
+    """EXECUTOR-side: pyarrow-read one changed file, apply the
+    position semantics, emit Arrow record batches under the pinned
+    schema (physical→logical mapping resolved here; columns predating
+    an evolution fill as NULL). Shared by the streaming source and
+    the batch range reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    table = pq.read_table(os.path.join(root, _DATA, p.file))
+    if colmap:  # physical field names → logical
+        inv = {phys: log for log, phys in colmap.items()}
+        table = table.rename_columns(
+            [inv.get(c, c) for c in table.column_names])
+    n = table.num_rows
+    if p.mode == "dv_diff":
+        inc = _read_dv_positions(root, p.dv_include)
+        exc = (_read_dv_positions(root, p.dv_exclude)
+               if p.dv_exclude else set())
+        # indices typed explicitly: an EMPTY diff (a restore that
+        # SHRANK the vector makes dv_t−dv_f empty) would otherwise
+        # hand pyarrow a null-typed list and crash array_take
+        table = table.take(pa.array(
+            sorted(q for q in inc - exc if q < n), type=pa.int64()))
+    elif p.dv_exclude:
+        exc = _read_dv_positions(root, p.dv_exclude)
+        table = table.take(pa.array(
+            [i for i in range(n) if i not in exc], type=pa.int64()))
+    target = to_arrow_schema(StructType.fromJson(schema_json))
+    cols = []
+    for field in target:
+        if field.name in table.column_names:
+            col = table.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:  # pre-evolution file: the added column is NULL
+            col = pa.nulls(table.num_rows, type=field.type)
+        cols.append(col)
+    cols.append(pa.array([p.kind] * table.num_rows,
+                         type=pa.string()))
+    cols.append(pa.array([p.version] * table.num_rows,
+                         type=pa.int64()))
+    out = pa.table(
+        cols, names=[f.name for f in target]
+        + [CHANGE_TYPE_COL, COMMIT_VERSION_COL])
+    yield from out.to_batches(max_chunksize=1 << 16)
 
 
 class StoreCDFStreamReader(DataSourceStreamReader):
@@ -212,120 +336,18 @@ class StoreCDFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
-        from ..sources import versioned_store as vstore
-
         lo, hi = int(start["version"]), int(end["version"])
         if hi > self._reported:  # ground truth during a batch replay
             self._reported = hi
             self._persist_floor()
-        parts: list[InputPartition] = []
-        prev = self._visible_manifest_at(lo) if lo >= 1 else None
-        for v in range(lo + 1, hi + 1):
-            try:
-                man = vstore.read_manifest(self._root, v)
-            except vstore.AbortedTransactionError:
-                continue  # a hole feeds nothing; prev carries forward
-            parts.extend(self._classify(man, prev, v))
-            prev = man
-        return parts
-
-    def _visible_manifest_at(self, v: int):
-        """The resolved manifest of the newest visible version ≤ v —
-        walks down past aborted holes (an offset recorded while a
-        prepare was pending may sit ON a hole after it aborts)."""
-        from ..sources import versioned_store as vstore
-
-        for w in range(v, 0, -1):
-            try:
-                return vstore.read_manifest(self._root, w)
-            except vstore.AbortedTransactionError:
-                continue
-        return None
-
-    def _classify(self, man: dict, prev: dict | None,
-                  v: int) -> list[_ChangePartition]:
-        from ..sources.versioned_store import _DV_KEY
-
-        ft = set(man["files"])
-        st = man.get("stats", {})
-        ff = set(prev["files"]) if prev is not None else set()
-        sf_ = prev.get("stats", {}) if prev is not None else {}
-        out = []
-        for f in sorted(ft - ff):  # added → insert (minus v's DV)
-            out.append(_ChangePartition(
-                f, "insert", v, "all",
-                dv_exclude=st.get(f, {}).get(_DV_KEY)))
-        for f in sorted(ff - ft):  # removed → delete (its LIVE rows)
-            out.append(_ChangePartition(
-                f, "delete", v, "all",
-                dv_exclude=sf_.get(f, {}).get(_DV_KEY)))
-        for f in sorted(ft & ff):  # carried: only a CHANGED vector feeds
-            dv_f = sf_.get(f, {}).get(_DV_KEY)
-            dv_t = st.get(f, {}).get(_DV_KEY)
-            if dv_f == dv_t:
-                continue
-            if dv_t is not None:
-                # newly marked = dv_t − dv_f → delete; when the commit
-                # REMOVED the vector entirely (dv_t None, e.g. restore
-                # to a pre-MoR-delete version) that set is empty by
-                # construction and no delete partition exists — emitting
-                # one with dv_include=None would crash read()
-                out.append(_ChangePartition(
-                    f, "delete", v, "dv_diff",
-                    dv_include=dv_t, dv_exclude=dv_f))
-            if dv_f is not None:
-                out.append(_ChangePartition(  # rolled back → insert
-                    f, "insert", v, "dv_diff",
-                    dv_include=dv_f, dv_exclude=dv_t))
-        return out
+        return _plan_changes(self._root, lo, hi)
 
     def read(self, partition: _ChangePartition) -> Iterator:
-        """EXECUTOR-side: pyarrow-read one changed file, apply the
-        position semantics, emit Arrow record batches under the
-        stream's pinned schema (physical→logical mapping resolved
-        here; columns predating an evolution fill as NULL)."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        p = partition
-        table = pq.read_table(os.path.join(self._root, _DATA, p.file))
-        if self._colmap:  # physical field names → logical
-            inv = {phys: log for log, phys in self._colmap.items()}
-            table = table.rename_columns(
-                [inv.get(c, c) for c in table.column_names])
-        n = table.num_rows
-        if p.mode == "dv_diff":
-            inc = _read_dv_positions(self._root, p.dv_include)
-            exc = (_read_dv_positions(self._root, p.dv_exclude)
-                   if p.dv_exclude else set())
-            # indices typed explicitly: an EMPTY diff (a restore that
-            # SHRANK the vector makes dv_t−dv_f empty) would otherwise
-            # hand pyarrow a null-typed list and crash array_take
-            table = table.take(pa.array(
-                sorted(q for q in inc - exc if q < n), type=pa.int64()))
-        elif p.dv_exclude:
-            exc = _read_dv_positions(self._root, p.dv_exclude)
-            table = table.take(pa.array(
-                [i for i in range(n) if i not in exc], type=pa.int64()))
-        target = to_arrow_schema(StructType.fromJson(self._schema_json))
-        cols = []
-        for field in target:
-            if field.name in table.column_names:
-                col = table.column(field.name)
-                if col.type != field.type:
-                    col = col.cast(field.type)
-            else:  # pre-evolution file: the added column is NULL
-                col = pa.nulls(table.num_rows, type=field.type)
-            cols.append(col)
-        cols.append(pa.array([p.kind] * table.num_rows,
-                             type=pa.string()))
-        cols.append(pa.array([p.version] * table.num_rows,
-                             type=pa.int64()))
-        out = pa.table(
-            cols, names=[f.name for f in target]
-            + [CHANGE_TYPE_COL, COMMIT_VERSION_COL])
-        yield from out.to_batches(max_chunksize=1 << 16)
+        """EXECUTOR-side: one changed file → Arrow record batches
+        under the stream's pinned schema (shared core:
+        :func:`_read_change_partition`)."""
+        yield from _read_change_partition(
+            self._root, self._colmap, self._schema_json, partition)
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint offset log is the durable cursor for DATA;
@@ -335,8 +357,43 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             self._persist_floor()
 
 
+class StoreCDFBatchReader(DataSourceReader):
+    """BATCH range read of the change feed — Delta's
+    ``spark.read.format("delta").option("readChangeFeed", ...)`` /
+    ``table_changes(…, start, end)`` shape: all changes in
+    ``(startingVersion, endingVersion]`` as one DataFrame, same typed
+    column contract and per-changed-file executor fan-out as the
+    streaming source, no checkpoint machinery. Planning is the SAME
+    driver-side manifest walk the stream performs per micro-batch;
+    the schema (and column mapping) pins at ``endingVersion`` so a
+    range ending before a schema evolution reads under the schema of
+    its own era."""
+
+    def __init__(self, root: str, lo: int, hi: int):
+        self._root = root
+        self._lo = lo
+        self._hi = hi
+        man = _visible_manifest_at(root, hi)
+        if man is None or man.get("schema") is None:
+            raise ValueError(
+                f"{root} has no visible schema-bearing manifest at or "
+                f"below version {hi}")
+        self._schema_json = man["schema"]
+        self._colmap = man.get("colmap") or {}
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _plan_changes(self._root, self._lo, self._hi)
+
+    def read(self, partition: _ChangePartition | None) -> Iterator:
+        if partition is None:
+            return  # empty range: one no-op task, schema preserved
+        yield from _read_change_partition(
+            self._root, self._colmap, self._schema_json, partition)
+
+
 class StoreChangeFeedDataSource(DataSource):
-    """``spark.readStream.format("store_cdf").option("path", root)``.
+    """``spark.readStream.format("store_cdf").option("path", root)``
+    (streaming), or ``spark.read.format("store_cdf")`` (batch range).
 
     Options:
       - ``path`` (required): the versioned-store root;
@@ -349,11 +406,16 @@ class StoreChangeFeedDataSource(DataSource):
       - ``cursorPath``: a small file this source owns (one per query,
         conventionally next to the checkpoint) holding the admission
         floor across restarts — ADVISORY only, exactly-once stays with
-        Spark's offset log.
+        Spark's offset log;
+      - ``endingVersion`` (BATCH reads only; default latest visible):
+        the inclusive upper bound of the change range — with
+        ``startingVersion`` (exclusive) this is Delta's
+        ``table_changes(start, end)``.
 
-    The source schema is the store's CURRENT logical schema plus
-    ``_change_type`` (string) and ``_commit_version`` (long) — the
-    Delta ``readChangeFeed`` column contract."""
+    The source schema is the store's logical schema at the range end
+    (CURRENT for streams) plus ``_change_type`` (string) and
+    ``_commit_version`` (long) — the Delta ``readChangeFeed`` column
+    contract."""
 
     @classmethod
     def name(cls) -> str:
@@ -366,10 +428,16 @@ class StoreChangeFeedDataSource(DataSource):
         if not root:
             raise ValueError("store_cdf requires option 'path' "
                              "(the versioned-store root)")
-        v = vstore.latest_version(root)
-        if v is None:
-            raise ValueError(f"no committed version under {root}")
-        schema_json = vstore.read_manifest(root, v).get("schema")
+        if self.options.get("endingVersion") is not None:
+            # batch range read: pin the schema of the range's END era
+            man = _visible_manifest_at(
+                root, int(self.options["endingVersion"]))
+            schema_json = man.get("schema") if man else None
+        else:
+            v = vstore.latest_version(root)
+            if v is None:
+                raise ValueError(f"no committed version under {root}")
+            schema_json = vstore.read_manifest(root, v).get("schema")
         if schema_json is None:
             raise ValueError(
                 f"{root} predates recorded schemas — the change-feed "
@@ -385,6 +453,26 @@ class StoreChangeFeedDataSource(DataSource):
             int(self.options.get("startingVersion", 0)),
             max_versions_per_batch=int(mv) if mv is not None else None,
             cursor_path=self.options.get("cursorPath"))
+
+    def _ending_version(self, root: str) -> int:
+        from ..sources import versioned_store as vstore
+
+        ev = self.options.get("endingVersion")
+        if ev is not None:
+            return int(ev)
+        v = vstore.latest_version(root)  # 2PC invisibility applies
+        if v is None:
+            raise ValueError(f"no committed version under {root}")
+        return v
+
+    def reader(self, schema: StructType) -> StoreCDFBatchReader:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("store_cdf requires option 'path' "
+                             "(the versioned-store root)")
+        return StoreCDFBatchReader(
+            root, int(self.options.get("startingVersion", 0)),
+            self._ending_version(root))
 
 
 def register(spark) -> None:
@@ -406,4 +494,18 @@ def read_change_feed_stream(spark, root: str, starting_version: int = 0,
                                max_versions_per_batch)
     if cursor_path is not None:
         reader = reader.option("cursorPath", cursor_path)
+    return reader.load()
+
+
+def read_change_feed(spark, root: str, starting_version: int = 0,
+                     ending_version: int | None = None):
+    """BATCH ``table_changes``: every change in
+    ``(starting_version, ending_version]`` as one DataFrame
+    (registers the source on first use)."""
+    register(spark)
+    reader = (spark.read.format(FORMAT_NAME)
+              .option("path", root)
+              .option("startingVersion", starting_version))
+    if ending_version is not None:
+        reader = reader.option("endingVersion", ending_version)
     return reader.load()

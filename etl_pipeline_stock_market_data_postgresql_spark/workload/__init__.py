@@ -51,9 +51,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # MERGE (matched-DELETE + conditional-INSERT, new clauses), and
     # the BATCH data-source halves (spark.read/df.write
     # format("versioned_store") with versionAsOf + pushFilters stats
-    # pruning + idempotent txn replay) — slots 1-4;
+    # pruning + idempotent txn replay), and the batch change-feed
+    # range read (table_changes(start, end) through
+    # spark.read.format("store_cdf")) — slots 1-5;
     "q169_mapped_store_sink", "q170_cdf_restore_follower",
     "q171_streaming_cdc_merge", "q172_batch_source_api",
+    "q173_cdf_batch_range",
     # (2) implementation changed this round (outputs unchanged; the
     # r15 rows prove the OLD paths): the change-feed source now
     # survives restore-after-MoR-delete (removed/shrunk vectors) and
@@ -64,7 +67,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # INCREMENTALLY (base + signed per-commit feed, new fixtures), and
     # every deletion-vector sidecar now writes the v2 delta-varint
     # format read by all paths (q159, q153's rollback, q161/q150/q152
-    # via version_diff) — slots 5-15;
+    # via version_diff) — slots 6-16;
     "q164_streaming_cdf_follower", "q165_versioned_update",
     "q166_versioned_update_mor", "q167_streaming_store_sink",
     "q168_incremental_replication", "q159_deletion_vectors",
@@ -72,8 +75,10 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q161_row_tracking_cdf", "q150_versioned_cdf_typed",
     "q152_incremental_mv_from_cdf",
     # (3) the ENTIRE 34-member r12 tier (the r15 verdict's pre-derived
-    # remainder, in its listed order) — slots 16-49; if green, the r12
-    # tier EMPTIES;
+    # remainder, in its listed order) — slots 17-50; if green, the r12
+    # tier EMPTIES. The oldest-r13 fill (q112, q125) rotated back out
+    # as q172/q173 landed late-r16; with q128/q131 they lead the r17
+    # fill (all four stay covered by local sf0.001/sf0.01 parity).
     "q15_set_ops", "q16_rollup", "q17_pivot_status",
     "q18_distinct_agg", "q19_having_heavy_customers",
     "q20_asof_last_click", "q87_full_outer_reconciliation",
@@ -88,12 +93,6 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q144_ann_model_drift", "q30_langid", "q31_quality_score",
     "q115_bpe_train", "q116_trained_quality_scorer",
     "q118_small_file_compaction",
-    # (4) oldest-r13 fill to 50 (module order) — slot 50; the
-    # remaining r13/r14/r15 tiers fall past the cap: most recently
-    # proven, still covered by local parity
-    # (tests/test_oracle_parity.py) at sf0.001/sf0.01; they rotate
-    # forward in r17 (q125 rotated out when q172 landed late-r16).
-    "q112_equidepth_sketch",
 )
 
 

@@ -3450,6 +3450,150 @@ SELECT 'history', 'append,append,rewrite', 3, 0.0
 """
 
 
+def q173_cdf_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH CHANGE-FEED RANGE READ — Delta's ``table_changes(start,
+    end)`` as the batch half of the ``store_cdf`` data source
+    (``spark.read.format("store_cdf")`` with exclusive
+    ``startingVersion`` / inclusive ``endingVersion``): all committed
+    changes of a version range as ONE DataFrame, the same typed column
+    contract and per-changed-file executor fan-out as the q164
+    streaming source, with no checkpoint machinery — the shape an
+    ad-hoc backfill or audit query needs.
+
+    The chain (events → event_id/user_id/value): v1 appends the
+    low-id half, v2 the high half, v3 MoR-deletes the ``% 5`` slice
+    (vector-only — the feed emits exactly the marked positions), v4
+    copy-on-write UPDATEs the live ``% 11`` slice to value = -1. The
+    gated output aggregates the FULL feed per version — SIGNED row
+    and value deltas (a CoW rewrite's survivor pair self-cancels, so
+    the signed sums are layout-independent) plus running totals that
+    must equal every snapshot — and adds one WINDOWED row: the
+    sub-range (1, 3] read through its own batch scan (bounded on both
+    ends).
+
+    Scale shape: planning is a driver-side manifest walk of the
+    requested range only (O(changed files)); each changed file is one
+    executor task; a bounded range over a million-commit store reads
+    only its own commits' files. The fixture is built once
+    (fingerprint-gated); the gated read scans only the feed.
+
+    Reference parity: the reference has no change history at all —
+    re-polling PostgreSQL loses intermediate states; here any
+    version window of the table's life is one batch query."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import cdf_source
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_cdf_range")
+    fp = table_fingerprint(sf_dir, ("events",),
+                           params="q173_cdf_range_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "value"))
+        mx, = base.agg(F.max("event_id")).first()
+        half = mx // 2
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(
+            spark, root, base.filter(F.col("event_id") <= half)
+            .repartitionByRange(2, "event_id"),
+            stats_cols=("event_id",))
+        vstore.commit_append(
+            spark, root, base.filter(F.col("event_id") > half)
+            .repartitionByRange(2, "event_id"))
+        vstore.commit_delete_mor(spark, root,
+                                 F.col("event_id") % 5 == 0)
+        vstore.commit_update(spark, root, F.col("event_id") % 11 == 0,
+                             {"value": F.lit(-1.0)},
+                             stats_cols=("event_id",))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    sign = F.when(F.col("_change_type") == "insert",
+                  F.lit(1)).otherwise(F.lit(-1))
+    val = F.col("value").cast("decimal(18,4)")
+    feed = cdf_source.read_change_feed(spark, root)
+    per_v = (feed.groupBy(F.col("_commit_version").alias("version"))
+             .agg(F.sum(sign).alias("n_signed"),
+                  F.sum(sign * val).alias("vs")))
+    w = Window.orderBy("version").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    per_v = per_v.select(
+        F.concat(F.lit("v"), F.col("version")).alias("phase"),
+        F.col("n_signed").cast("long").alias("n_signed"),
+        F.col("vs").cast("double").alias("val_signed"),
+        F.sum("n_signed").over(w).cast("long").alias("run_rows"),
+        F.sum("vs").over(w).cast("double").alias("run_val"))
+    sub = cdf_source.read_change_feed(spark, root, starting_version=1,
+                                      ending_version=3)
+    window_row = (sub.agg(
+        F.sum(sign).alias("n_signed"), F.sum(sign * val).alias("vs"))
+        .select(F.lit("window_1_3").alias("phase"),
+                F.col("n_signed").cast("long").alias("n_signed"),
+                F.col("vs").cast("double").alias("val_signed"),
+                F.lit(None).cast("long").alias("run_rows"),
+                F.lit(None).cast("double").alias("run_val")))
+    return per_v.unionByName(window_row)
+
+
+_Q173_SQL = """
+WITH base AS (SELECT event_id,
+                     CAST(value AS DECIMAL(18,4)) AS v FROM events),
+bnd AS (SELECT max(event_id) // 2 AS half FROM base),
+low AS (SELECT * FROM base
+        WHERE event_id <= (SELECT half FROM bnd)),
+high AS (SELECT * FROM base
+         WHERE event_id > (SELECT half FROM bnd)),
+del3 AS (SELECT * FROM base WHERE event_id % 5 = 0),
+upd4 AS (SELECT * FROM base
+         WHERE event_id % 11 = 0 AND event_id % 5 != 0),
+-- every double below is ONE decimal sum cast once (matching the
+-- Spark side's single decimal aggregation per output cell)
+d AS (SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM low),
+h AS (SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM high),
+x AS (SELECT CAST(sum(v) AS DOUBLE) AS s, count(*) AS n FROM del3),
+u AS (SELECT CAST(sum(CAST(-1.0 AS DECIMAL(18,4)) - v) AS DOUBLE)
+             AS s, count(*) AS n FROM upd4),
+r2 AS (SELECT CAST(sum(v) AS DOUBLE) AS s FROM base),
+r3 AS (SELECT CAST(sum(v) AS DOUBLE) AS s FROM base
+       WHERE event_id % 5 != 0),
+r4 AS (SELECT CAST(sum(CASE WHEN event_id % 11 = 0
+                            THEN CAST(-1.0 AS DECIMAL(18,4))
+                            ELSE v END) AS DOUBLE) AS s
+       FROM base WHERE event_id % 5 != 0),
+w13 AS (SELECT CAST(sum(sv) AS DOUBLE) AS s, CAST(sum(sgn) AS BIGINT)
+               AS n
+        FROM (SELECT v AS sv, 1 AS sgn FROM high
+              UNION ALL SELECT -v, -1 FROM del3))
+SELECT 'v1' AS phase, CAST((SELECT n FROM d) AS BIGINT) AS n_signed,
+       (SELECT s FROM d) AS val_signed,
+       CAST((SELECT n FROM d) AS BIGINT) AS run_rows,
+       (SELECT s FROM d) AS run_val
+UNION ALL
+SELECT 'v2', CAST((SELECT n FROM h) AS BIGINT), (SELECT s FROM h),
+       CAST((SELECT n FROM d) + (SELECT n FROM h) AS BIGINT),
+       (SELECT s FROM r2)
+UNION ALL
+SELECT 'v3', CAST(-(SELECT n FROM x) AS BIGINT), -(SELECT s FROM x),
+       CAST((SELECT n FROM d) + (SELECT n FROM h)
+            - (SELECT n FROM x) AS BIGINT),
+       (SELECT s FROM r3)
+UNION ALL
+SELECT 'v4', CAST(0 AS BIGINT), (SELECT s FROM u),
+       CAST((SELECT n FROM d) + (SELECT n FROM h)
+            - (SELECT n FROM x) AS BIGINT),
+       (SELECT s FROM r4)
+UNION ALL
+SELECT 'window_1_3', (SELECT n FROM w13), (SELECT s FROM w13),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -3494,4 +3638,5 @@ QUERIES: dict[str, Query] = {
     "q171_streaming_cdc_merge": Query(q171_streaming_cdc_merge,
                                       _Q171_SQL),
     "q172_batch_source_api": Query(q172_batch_source_api, _Q172_SQL),
+    "q173_cdf_batch_range": Query(q173_cdf_batch_range, _Q173_SQL),
 }

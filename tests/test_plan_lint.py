@@ -154,6 +154,9 @@ SINGLE_PARTITION_ALLOWED = {
                                 "(map-side partials only)",
     "q172_batch_source_api": "per-(version, phase) 1-row content "
                              "summaries (map-side partials only)",
+    "q173_cdf_batch_range": "running signed totals over 4 per-version "
+                            "feed-summary rows (map-side partials "
+                            "only)",
 }
 
 
