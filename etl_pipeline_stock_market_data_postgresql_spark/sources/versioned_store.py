@@ -89,6 +89,59 @@ def _claimed_versions(root: str) -> list[int]:
                   if f.startswith("v") and f.endswith(".json"))
 
 
+#: advisory O(1) latest-version hint (Delta's ``_last_checkpoint``
+#: idea applied to version DISCOVERY): holds a version number known
+#: claimed at some point. Correctness never depends on it — claims
+#: are DENSE (every committer claims max+1 and aborted holes still
+#: have manifest files), so the true max is found by probing FORWARD
+#: from the hint with O(1 + commits-since-hint) ``exists`` calls
+#: instead of listing the whole manifests directory (O(#versions)
+#: dirents per read — the metadata bottleneck at a million commits).
+#: A missing/stale/corrupt hint falls back to the full listing.
+_HINT_NAME = "_max_claimed.hint"
+
+
+def _hint_path(root: str) -> str:
+    return os.path.join(root, _MANIFESTS, _HINT_NAME)
+
+
+def _read_hint(root: str) -> int:
+    try:
+        with open(_hint_path(root), encoding="ascii") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_hint(root: str, version: int) -> None:
+    """Best-effort, ADVISORY: a lost race can regress the hint by a
+    few versions — the forward probe absorbs that; a failed write
+    just means the next reader probes a little further."""
+    try:
+        tmp = _hint_path(root) + f".tmp-{os.getpid()}"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(version))
+        os.replace(tmp, _hint_path(root))
+    except OSError:
+        pass
+
+
+def _max_claimed(root: str) -> int:
+    """The highest claimed version (0 when none): O(1 + delta)
+    amortized via the hint, full listing when the hint is absent or
+    does not name an existing manifest (fresh store, hand-deleted
+    hint, or a deployment that unlinked expired-audit manifests
+    together with it)."""
+    h = _read_hint(root)
+    if h <= 0 or not os.path.exists(_manifest_path(root, h)):
+        vs = _claimed_versions(root)
+        return max(vs) if vs else 0
+    v = h
+    while os.path.exists(_manifest_path(root, v + 1)):
+        v += 1
+    return v
+
+
 def latest_version(root: str) -> int | None:
     """The latest VISIBLE version: plain commits and cross-store
     transactions whose decision record says committed. A PREPARED
@@ -117,11 +170,20 @@ def _latest_and_claim(root: str) -> tuple[int | None, int]:
     by construction: every version strictly between the returned
     latest and the returned claim is a known aborted hole, so any
     commit that lands after the listing collides at the SAME claim
-    number and exactly one CAS wins."""
-    vs = _claimed_versions(root)
-    claim = (max(vs) if vs else 0) + 1
-    for v in reversed(vs):
-        raw = _read_manifest_raw(root, v)
+    number and exactly one CAS wins. (The "listing" is now the hint-
+    probed :func:`_max_claimed` sweep — one consistent view with the
+    same property: a commit landing after the sweep collides at the
+    returned claim.)"""
+    mx = _max_claimed(root)
+    claim = mx + 1
+    for v in range(mx, 0, -1):
+        try:
+            raw = _read_manifest_raw(root, v)
+        except FileNotFoundError:
+            # expired-audit manifests below were unlinked by
+            # deployment policy (expire_snapshots documents the
+            # option); nothing visible remains beneath this point
+            break
         tx = raw.get("pending_tx")
         if tx is None:
             return v, claim
@@ -955,6 +1017,7 @@ def _publish_cas(root: str, version: int, body: str) -> bool:
         f.write(body)
     try:
         os.link(mtmp, final)
+        _write_hint(root, version)  # advisory O(1)-discovery floor
         return True
     except FileExistsError:
         return False

@@ -1,7 +1,9 @@
 """Round-15 operator tests: the four r14 ADVICE findings on the
 versioned store — (1) the lost-update race between a committer's
-latest_version() read and its separate _claimed_versions() claim,
-closed by deriving both from ONE listing (_latest_and_claim);
+latest_version() read and its separate claim derivation, closed by
+deriving both from ONE consistent sweep (_latest_and_claim; since
+the r16 hint landed the sweep boundary is _max_claimed, which these
+races patch);
 (2) history() surviving a vacuum that reclaimed an aborted prepare's
 segments; (3) 2PC invisibility on the pruned/point-lookup read paths;
 (4) caller-supplied txid normalization in commit_multi_append."""
@@ -58,7 +60,7 @@ def test_append_race_after_listing_never_drops_interloper(spark, tmp_path,
     interloper and the stale-prev manifest silently dropped it.)"""
     root = str(tmp_path / "race_append")
     vstore.commit_append(spark, root, _ids(spark, 0, 10))
-    real = vstore._claimed_versions
+    real = vstore._max_claimed
     state = {"fired": False}
 
     def racy_listing(r):
@@ -70,9 +72,9 @@ def test_append_race_after_listing_never_drops_interloper(spark, tmp_path,
             vstore.commit_append(spark, root, _ids(spark, 100, 110))
         return out
 
-    monkeypatch.setattr(vstore, "_claimed_versions", racy_listing)
+    monkeypatch.setattr(vstore, "_max_claimed", racy_listing)
     vstore.commit_append(spark, root, _ids(spark, 10, 20))
-    monkeypatch.setattr(vstore, "_claimed_versions", real)
+    monkeypatch.setattr(vstore, "_max_claimed", real)
     v = vstore.latest_version(root)
     ids = {r["id"] for r in vstore.read_version(spark, root, v).collect()}
     assert ids == set(range(0, 20)) | set(range(100, 110))
@@ -118,7 +120,7 @@ def test_metadata_commit_race_after_listing_raises(spark, tmp_path,
     interloper's rows visible."""
     root = str(tmp_path / "race_meta")
     vstore.commit_append(spark, root, _ids(spark, 1, 10))
-    real = vstore._claimed_versions
+    real = vstore._max_claimed
     state = {"fired": False}
 
     def racy_listing(r):
@@ -128,10 +130,10 @@ def test_metadata_commit_race_after_listing_raises(spark, tmp_path,
             vstore.commit_append(spark, root, _ids(spark, 100, 103))
         return out
 
-    monkeypatch.setattr(vstore, "_claimed_versions", racy_listing)
+    monkeypatch.setattr(vstore, "_max_claimed", racy_listing)
     with pytest.raises(vstore.ConcurrentCommitError):
         vstore._metadata_commit(root, lambda raw: None, "noop_meta")
-    monkeypatch.setattr(vstore, "_claimed_versions", real)
+    monkeypatch.setattr(vstore, "_max_claimed", real)
     v = vstore.latest_version(root)
     assert vstore.read_version(spark, root, v).count() == 12
 
@@ -143,7 +145,7 @@ def test_restore_race_after_listing_raises(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "race_restore")
     vstore.commit_append(spark, root, _ids(spark, 0, 10))
     vstore.commit_append(spark, root, _ids(spark, 10, 20))
-    real = vstore._claimed_versions
+    real = vstore._max_claimed
     state = {"fired": False}
 
     def racy_listing(r):
@@ -153,10 +155,10 @@ def test_restore_race_after_listing_raises(spark, tmp_path, monkeypatch):
             vstore.commit_append(spark, root, _ids(spark, 100, 104))
         return out
 
-    monkeypatch.setattr(vstore, "_claimed_versions", racy_listing)
+    monkeypatch.setattr(vstore, "_max_claimed", racy_listing)
     with pytest.raises(vstore.ConcurrentCommitError):
         vstore.restore(spark, root, 1)
-    monkeypatch.setattr(vstore, "_claimed_versions", real)
+    monkeypatch.setattr(vstore, "_max_claimed", real)
     v = vstore.latest_version(root)
     assert vstore.read_version(spark, root, v).count() == 24
     # a clean retry (the documented re-read-and-retry) still works

@@ -601,3 +601,55 @@ def test_multi_append_canonical_own_pid_txid_still_passes(
     assert os.path.exists(os.path.join(txlog, f"{txid}.decision"))
     assert vstore.read_version(
         spark, s1, vstore.latest_version(s1)).count() == 5
+
+
+# --- O(1) latest-version discovery (the _max_claimed hint) -------------------
+
+def test_latest_version_hint_written_and_probed(spark, tmp_path):
+    """Commits write the advisory hint; a warm hint resolves the
+    latest version with ZERO directory listings (the metadata-scale
+    contract at a million commits)."""
+    root = str(tmp_path / "s")
+    for lo in (0, 10, 20):
+        vstore.commit_append(spark, root, _ids(spark, lo, lo + 10))
+    assert vstore._read_hint(root) == 3
+    import unittest.mock as mock
+    with mock.patch.object(vstore.os, "listdir",
+                           side_effect=AssertionError(
+                               "listed despite warm hint")):
+        assert vstore.latest_version(root) == 3
+
+
+def test_latest_version_hint_stale_probes_forward(spark, tmp_path):
+    root = str(tmp_path / "s")
+    for lo in (0, 10, 20, 30):
+        vstore.commit_append(spark, root, _ids(spark, lo, lo + 10))
+    vstore._write_hint(root, 1)  # regressed hint (lost race shape)
+    assert vstore.latest_version(root) == 4
+    assert vstore.read_version(spark, root, 4).count() == 40
+
+
+def test_latest_version_hint_missing_or_corrupt_falls_back(
+        spark, tmp_path):
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    vstore.commit_append(spark, root, _ids(spark, 10, 20))
+    os.remove(vstore._hint_path(root))
+    assert vstore.latest_version(root) == 2
+    with open(vstore._hint_path(root), "w", encoding="ascii") as f:
+        f.write("garbage")
+    assert vstore.latest_version(root) == 2
+    vstore._write_hint(root, 99)  # beyond-max hint: no such manifest
+    assert vstore.latest_version(root) == 2
+
+
+def test_hint_survives_expire_and_new_commits(spark, tmp_path):
+    root = str(tmp_path / "s")
+    for lo in range(0, 50, 10):
+        vstore.commit_append(spark, root, _ids(spark, lo, lo + 10))
+    kept, _ = vstore.expire_snapshots(root, keep_last=2)
+    assert kept == [4, 5]
+    assert vstore.latest_version(root) == 5
+    vstore.commit_append(spark, root, _ids(spark, 50, 60))
+    assert vstore.latest_version(root) == 6
+    assert vstore._read_hint(root) == 6
