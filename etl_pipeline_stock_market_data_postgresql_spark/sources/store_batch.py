@@ -176,15 +176,24 @@ class StoreBatchReader(DataSourceReader):
             col = attr[0]
             rng = None
             if isinstance(f, EqualTo):
+                if f.value is None:
+                    continue  # NULL literal: never prune on it
                 rng = (f.value, f.value)
-                self._eq_values.setdefault(col, []).append(f.value)
+                if isinstance(f.value, int):  # bloom keys are ints
+                    self._eq_values.setdefault(col, []).append(f.value)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                if f.value is None:
+                    continue
                 # strict > prunes with the closed bound — superset-safe
                 rng = (f.value, None)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
+                if f.value is None:
+                    continue
                 rng = (None, f.value)
             elif isinstance(f, In):
-                vals = list(f.value)
+                # a NULL in the list never matches a row, so pruning
+                # on the non-null bounds stays superset-safe
+                vals = [v for v in f.value if v is not None]
                 if vals:
                     try:
                         rng = (min(vals), max(vals))

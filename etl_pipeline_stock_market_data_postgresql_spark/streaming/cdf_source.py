@@ -168,6 +168,21 @@ def _classify_commit(man: dict, prev: dict | None,
     return out
 
 
+def _classify_version(root: str, v: int) -> list[_ChangePartition]:
+    """The change partitions of ONE version, in the deterministic
+    classification order (a pure function of the immutable manifests
+    — required by file-granular offsets, whose slices must be stable
+    across restarts and replays). An aborted hole classifies empty."""
+    from ..sources import versioned_store as vstore
+
+    try:
+        man = vstore.read_manifest(root, v)
+    except vstore.AbortedTransactionError:
+        return []
+    prev = _visible_manifest_at(root, v - 1) if v >= 2 else None
+    return _classify_commit(man, prev, v)
+
+
 def _plan_changes(root: str, lo: int, hi: int) -> list[_ChangePartition]:
     """All change partitions of the commit range ``(lo, hi]`` —
     aborted holes feed nothing; the baseline below ``lo`` walks down
@@ -237,7 +252,8 @@ def _read_change_partition(root: str, colmap: dict, schema_json,
 
 
 class StoreCDFStreamReader(DataSourceStreamReader):
-    """Stream reader whose OFFSET is the store's manifest version.
+    """Stream reader whose OFFSET is the store's manifest version,
+    optionally refined by a file index for file-granular admission.
 
     ``initialOffset`` starts at ``startingVersion`` (exclusive;
     default 0 = feed the whole store from its first commit, which is
@@ -246,18 +262,35 @@ class StoreCDFStreamReader(DataSourceStreamReader):
     prepared in-doubt 2PC top holds the offset back instead of
     leaking, an aborted hole is skipped by classification. Spark
     persists the committed offset in the checkpoint, so a restarted
-    query resumes at the exact version boundary it last processed."""
+    query resumes at the exact boundary it last processed.
+
+    Offsets are ``{"version": v}`` (all changes of versions ≤ v
+    complete) or — under ``maxFilesPerBatch`` when a cap lands inside
+    a commit — ``{"version": v, "idx": k}``: additionally the FIRST k
+    change partitions of version v+1 (the classification order is a
+    pure function of the immutable manifests, so the slice is stable
+    across restarts and replays). A whole-version offset serializes
+    WITHOUT ``idx`` so legacy checkpoints and new ones compare
+    equal."""
 
     def __init__(self, root: str, starting_version: int,
                  max_versions_per_batch: int | None = None,
-                 cursor_path: str | None = None):
+                 cursor_path: str | None = None,
+                 max_files_per_batch: int | None = None):
         from ..sources import versioned_store as vstore
 
         self._root = root
         self._start = starting_version
         self._last_visible = starting_version
         self._max_versions = max_versions_per_batch
-        if max_versions_per_batch is not None and not cursor_path:
+        self._max_files = max_files_per_batch
+        if max_versions_per_batch is not None \
+                and max_files_per_batch is not None:
+            raise ValueError(
+                "maxVersionsPerBatch and maxFilesPerBatch are "
+                "alternative admission caps — set at most one")
+        if (max_versions_per_batch is not None
+                or max_files_per_batch is not None) and not cursor_path:
             # the Python source API never hands the reader the
             # RESTORED offset (initialOffset is skipped on restart, and
             # latestOffset takes no start), so a capped reader that
@@ -268,15 +301,20 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             # offset log; a stale/ahead cursor only changes batch
             # sizing (one cursor per query, like a checkpoint dir).
             raise ValueError(
-                "maxVersionsPerBatch requires cursorPath (a small "
-                "file this source owns, one per query) so admission "
+                "admission caps (maxVersionsPerBatch / "
+                "maxFilesPerBatch) require cursorPath (a small file "
+                "this source owns, one per query) so admission "
                 "control survives restarts")
         self._cursor_path = cursor_path
-        floor = starting_version
+        floor = (starting_version, 0)
         if cursor_path and os.path.exists(cursor_path):
             with open(cursor_path, encoding="ascii") as f:
-                floor = max(floor, int(f.read().strip() or floor))
-        self._reported = floor  # admission-control floor (ratcheted)
+                txt = f.read().strip()
+            if txt:
+                v, _, k = txt.partition(":")
+                floor = max(floor, (int(v), int(k or 0)))
+        self._reported = floor  # admission floor (v, idx), ratcheted
+        self._nparts: dict[int, int] = {}  # version → partition count
         # schema + column mapping pinned at query start (see module
         # docstring); physical names are rename-stable, so this one
         # mapping reads every file the stream will ever feed
@@ -291,8 +329,24 @@ class StoreCDFStreamReader(DataSourceStreamReader):
                 f"source needs a pinned schema to stream under")
         self._colmap = man.get("colmap") or {}
 
+    @staticmethod
+    def _off(d: dict) -> tuple[int, int]:
+        """Offset dict → (version, idx); legacy offsets lack idx."""
+        return int(d["version"]), int(d.get("idx", 0))
+
+    @staticmethod
+    def _dict(off: tuple[int, int]) -> dict:
+        """(v, 0) serializes WITHOUT idx (legacy-equal)."""
+        v, k = off
+        return {"version": v, "idx": k} if k else {"version": v}
+
     def initialOffset(self) -> dict:
         return {"version": self._start}
+
+    def _nparts_of(self, v: int) -> int:
+        if v not in self._nparts:
+            self._nparts[v] = len(_classify_version(self._root, v))
+        return self._nparts[v]
 
     def latestOffset(self) -> dict:
         from ..sources import versioned_store as vstore
@@ -306,7 +360,7 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             return {"version": self._last_visible}
         if v is not None and v > self._last_visible:
             self._last_visible = v
-        if self._max_versions is None:
+        if self._max_versions is None and self._max_files is None:
             return {"version": self._last_visible}
         # ADMISSION CONTROL (Delta's maxFilesPerTrigger shape): a
         # follower against a deep backlog catches up in bounded
@@ -319,28 +373,58 @@ class StoreCDFStreamReader(DataSourceStreamReader):
         # checkpoint and the next batch fires — never a stall, never
         # skipped data (completeness is Spark's offset log, the cursor
         # only sizes batches).
-        target = min(self._last_visible,
-                     self._reported + self._max_versions)
+        if self._max_versions is not None:
+            target = (min(self._last_visible,
+                          self._reported[0] + self._max_versions), 0)
+        else:
+            # FILE-granular: walk pending versions spending the budget
+            # on their change-partition counts (driver-side metadata;
+            # counts cached — manifests are immutable); a cap landing
+            # INSIDE a commit yields a partial (v, idx) offset, so a
+            # 10k-file backfill drains as many bounded batches
+            fv, fk = self._reported
+            budget = self._max_files
+            while budget > 0 and fv < self._last_visible:
+                rem = self._nparts_of(fv + 1) - fk
+                if rem <= budget:
+                    budget -= rem
+                    fv, fk = fv + 1, 0
+                else:
+                    fk += budget
+                    budget = 0
+            target = (fv, fk)
         if target > self._reported:
             self._reported = target
             self._persist_floor()
-        return {"version": self._reported}
+        return self._dict(self._reported)
 
     def _persist_floor(self) -> None:
         if not self._cursor_path:
             return
         tmp = f"{self._cursor_path}.tmp-{os.getpid()}"
         with open(tmp, "w", encoding="ascii") as f:
-            f.write(str(self._reported))
+            f.write(f"{self._reported[0]}:{self._reported[1]}")
         os.replace(tmp, self._cursor_path)
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
-        lo, hi = int(start["version"]), int(end["version"])
-        if hi > self._reported:  # ground truth during a batch replay
-            self._reported = hi
+        (v1, k1), (v2, k2) = self._off(start), self._off(end)
+        if (v2, k2) > self._reported:  # ground truth during a replay
+            self._reported = (v2, k2)
             self._persist_floor()
-        return _plan_changes(self._root, lo, hi)
+        parts: list[InputPartition] = []
+        if (v1, k1) >= (v2, k2):
+            return parts
+        if v1 == v2:  # both ends inside version v1+1
+            return _classify_version(self._root, v1 + 1)[k1:k2]
+        lo = v1
+        if k1:  # finish the partially-consumed version first
+            parts += _classify_version(self._root, v1 + 1)[k1:]
+            lo = v1 + 1
+        parts += _plan_changes(self._root, lo, v2)
+        if k2:  # head of the next version up to the cap
+            parts += _classify_version(self._root, v2 + 1)[:k2]
+        return parts
 
     def read(self, partition: _ChangePartition) -> Iterator:
         """EXECUTOR-side: one changed file → Arrow record batches
@@ -352,8 +436,8 @@ class StoreCDFStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Spark's checkpoint offset log is the durable cursor for DATA;
         # the admission floor just tracks it
-        if int(end["version"]) > self._reported:
-            self._reported = int(end["version"])
+        if self._off(end) > self._reported:
+            self._reported = self._off(end)
             self._persist_floor()
 
 
@@ -401,8 +485,14 @@ class StoreChangeFeedDataSource(DataSource):
         version (exclusive) — 0 bootstraps from the first commit;
       - ``maxVersionsPerBatch`` (default unbounded): admission
         control — cap each micro-batch at this many store versions so
-        a deep backlog drains in bounded batches (Delta's
-        maxFilesPerTrigger shape); requires ``cursorPath``;
+        a deep backlog drains in bounded batches; requires
+        ``cursorPath``;
+      - ``maxFilesPerBatch`` (default unbounded; alternative to
+        maxVersionsPerBatch): FILE-granular admission — Delta's
+        maxFilesPerTrigger: caps each micro-batch at this many
+        changed-file partitions, splitting INSIDE a commit when
+        needed (a 10k-file backfill append drains as bounded batches
+        instead of one giant one); requires ``cursorPath``;
       - ``cursorPath``: a small file this source owns (one per query,
         conventionally next to the checkpoint) holding the admission
         floor across restarts — ADVISORY only, exactly-once stays with
@@ -448,11 +538,13 @@ class StoreChangeFeedDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> StoreCDFStreamReader:
         mv = self.options.get("maxVersionsPerBatch")
+        mf = self.options.get("maxFilesPerBatch")
         return StoreCDFStreamReader(
             self.options["path"],
             int(self.options.get("startingVersion", 0)),
             max_versions_per_batch=int(mv) if mv is not None else None,
-            cursor_path=self.options.get("cursorPath"))
+            cursor_path=self.options.get("cursorPath"),
+            max_files_per_batch=int(mf) if mf is not None else None)
 
     def _ending_version(self, root: str) -> int:
         from ..sources import versioned_store as vstore
@@ -482,7 +574,8 @@ def register(spark) -> None:
 
 def read_change_feed_stream(spark, root: str, starting_version: int = 0,
                             max_versions_per_batch: int | None = None,
-                            cursor_path: str | None = None):
+                            cursor_path: str | None = None,
+                            max_files_per_batch: int | None = None):
     """``readStream`` over the store's change feed (registers the
     source on first use)."""
     register(spark)
@@ -492,6 +585,9 @@ def read_change_feed_stream(spark, root: str, starting_version: int = 0,
     if max_versions_per_batch is not None:
         reader = reader.option("maxVersionsPerBatch",
                                max_versions_per_batch)
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerBatch",
+                               max_files_per_batch)
     if cursor_path is not None:
         reader = reader.option("cursorPath", cursor_path)
     return reader.load()

@@ -653,3 +653,94 @@ def test_hint_survives_expire_and_new_commits(spark, tmp_path):
     vstore.commit_append(spark, root, _ids(spark, 50, 60))
     assert vstore.latest_version(root) == 6
     assert vstore._read_hint(root) == 6
+
+
+# --- file-granular admission control (maxFilesPerBatch) ----------------------
+
+def _drain_passes(spark, root, tmp_path, tag, n_passes, **kw):
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        cdf_source)
+
+    out = str(tmp_path / f"out-{tag}")
+    batches = []
+
+    def sink(bdf, bid):
+        vs = sorted(r[0] for r in
+                    bdf.select("_commit_version").distinct().collect())
+        batches.append((bdf.count(), vs))
+        bdf.write.mode("append").parquet(out)
+
+    for _ in range(n_passes):
+        q = (cdf_source.read_change_feed_stream(
+                spark, root,
+                cursor_path=str(tmp_path / f"cursor-{tag}"), **kw)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / f"ck-{tag}"))
+             .foreachBatch(sink).start())
+        q.awaitTermination()
+    return out, batches
+
+
+def test_cdf_max_files_per_batch_splits_inside_a_commit(spark,
+                                                        tmp_path):
+    """Delta's maxFilesPerTrigger: an 8-file commit drains as 3+3+2
+    change partitions per batch — offsets land INSIDE the commit
+    ((version, idx) refinement) and the union is exact."""
+    root = str(tmp_path / "src")
+    for lo, parts in ((0, 8), (800, 3)):
+        df = spark.range(lo, lo + 100 * parts).select(
+            F.col("id"), (F.col("id") * 10).alias("x"))
+        vstore.commit_append(spark, root, df.repartition(parts))
+    out, batches = _drain_passes(spark, root, tmp_path, "mfb", 6,
+                                 max_files_per_batch=3)
+    # 8+3 = 11 change partitions at cap 3 → batches of 3/3/3/2
+    assert len(batches) == 4, batches
+    # version 1 spans multiple batches; the third crosses the boundary
+    assert batches[0][1] == [1] and batches[1][1] == [1]
+    assert batches[2][1] == [1, 2] and batches[3][1] == [2]
+    got = spark.read.parquet(out)
+    assert got.count() == 1100
+    assert got.select("id").distinct().count() == 1100
+
+
+def test_cdf_max_files_resumes_from_legacy_offsets(spark, tmp_path):
+    """A checkpoint written by the UNCAPPED source (whole-version
+    offsets, no idx) continues under maxFilesPerBatch — the offset
+    reader defaults idx to 0."""
+    root = str(tmp_path / "src")
+    vstore.commit_append(spark, root, _ids(spark, 0, 50).repartition(2))
+    out, _ = _drain_passes(spark, root, tmp_path, "legacy", 1)
+    vstore.commit_append(spark, root,
+                         _ids(spark, 50, 250).repartition(4))
+    out2, batches = _drain_passes(spark, root, tmp_path, "legacy", 3,
+                                  max_files_per_batch=2)
+    assert len(batches) == 2 and all(vs == [2] for _, vs in batches)
+    got = spark.read.parquet(out)
+    assert got.count() == 250
+    assert {r["id"] for r in got.select("id").collect()} \
+        == set(range(250))
+
+
+def test_cdf_admission_caps_are_exclusive_and_need_cursor(spark,
+                                                          tmp_path):
+    from etl_pipeline_stock_market_data_postgresql_spark.streaming import (
+        cdf_source)
+
+    root = str(tmp_path / "src")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    with pytest.raises(Exception, match="cursorPath"):
+        q = (cdf_source.read_change_feed_stream(
+                spark, root, max_files_per_batch=2)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck1"))
+             .foreachBatch(lambda b, i: None).start())
+        q.awaitTermination()
+    with pytest.raises(Exception, match="at most one"):
+        q = (cdf_source.read_change_feed_stream(
+                spark, root, max_files_per_batch=2,
+                max_versions_per_batch=2,
+                cursor_path=str(tmp_path / "cur"))
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck2"))
+             .foreachBatch(lambda b, i: None).start())
+        q.awaitTermination()
