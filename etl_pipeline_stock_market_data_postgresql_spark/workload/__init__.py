@@ -53,10 +53,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # format("versioned_store") with versionAsOf + pushFilters stats
     # pruning + idempotent txn replay), and the batch change-feed
     # range read (table_changes(start, end) through
-    # spark.read.format("store_cdf")) — slots 1-5;
+    # spark.read.format("store_cdf")), and file-granular stream
+    # admission (maxFilesPerBatch splitting inside a commit) —
+    # slots 1-6;
     "q169_mapped_store_sink", "q170_cdf_restore_follower",
     "q171_streaming_cdc_merge", "q172_batch_source_api",
-    "q173_cdf_batch_range",
+    "q173_cdf_batch_range", "q174_streaming_file_admission",
     # (2) implementation changed this round (outputs unchanged; the
     # r15 rows prove the OLD paths): the change-feed source now
     # survives restore-after-MoR-delete (removed/shrunk vectors) and
@@ -67,18 +69,19 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # INCREMENTALLY (base + signed per-commit feed, new fixtures), and
     # every deletion-vector sidecar now writes the v2 delta-varint
     # format read by all paths (q159, q153's rollback, q161/q150/q152
-    # via version_diff) — slots 6-16;
+    # via version_diff) — slots 7-17;
     "q164_streaming_cdf_follower", "q165_versioned_update",
     "q166_versioned_update_mor", "q167_streaming_store_sink",
     "q168_incremental_replication", "q159_deletion_vectors",
     "q162_multi_store_atomic_commit", "q153_versioned_restore",
     "q161_row_tracking_cdf", "q150_versioned_cdf_typed",
     "q152_incremental_mv_from_cdf",
-    # (3) the ENTIRE 34-member r12 tier (the r15 verdict's pre-derived
-    # remainder, in its listed order) — slots 17-50; if green, the r12
-    # tier EMPTIES. The oldest-r13 fill (q112, q125) rotated back out
-    # as q172/q173 landed late-r16; with q128/q131 they lead the r17
-    # fill (all four stay covered by local sf0.001/sf0.01 parity).
+    # (3) the r12 tier (the r15 verdict's pre-derived remainder, in
+    # its listed order) — slots 18-50 hold the first 33 of its 34
+    # members; its last member (q118_small_file_compaction) plus the
+    # oldest-r13 fill (q112, q125) rotated past the cap as
+    # q172/q173/q174 landed late-r16 — they and q128/q131 lead the
+    # r17 fill (all covered by local sf0.001/sf0.01 parity).
     "q15_set_ops", "q16_rollup", "q17_pivot_status",
     "q18_distinct_agg", "q19_having_heavy_customers",
     "q20_asof_last_click", "q87_full_outer_reconciliation",

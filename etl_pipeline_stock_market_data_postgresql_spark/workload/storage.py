@@ -3594,6 +3594,133 @@ SELECT 'window_1_3', (SELECT n FROM w13), (SELECT s FROM w13),
 """
 
 
+def q174_streaming_file_admission(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FILE-GRANULAR ADMISSION, driver-gated — Delta's
+    ``maxFilesPerTrigger`` on the change-feed source: a backlog of 9
+    change partitions (v1 = low-id half in exactly 5 files, v2 =
+    high half in exactly 4) drains under ``maxFilesPerBatch=4`` as
+    THREE micro-batches whose offsets land INSIDE v1 — batch 0 is
+    v1's first four files, batch 1 crosses the commit boundary
+    (v1's fifth + v2's first three), batch 2 is v2's last file. The
+    gated output pins that batch/version geometry (batch_seq ×
+    version-span) AND the exactly-once union: per-version row counts
+    and value checksums of the drained feed must equal the input
+    halves.
+
+    Scale shape: this is the knob that makes a 10k-file backfill
+    commit drain as bounded micro-batches instead of one giant batch
+    whose shuffle must hold the whole backlog; admission planning is
+    driver-side manifest metadata (partition counts cached against
+    the immutable manifests), and the per-batch work is one executor
+    task per admitted file.
+
+    Reference parity: the reference's fetch loop re-polls whole
+    tables; it has no notion of bounded incremental admission at
+    all."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import cdf_source
+
+    base = (load(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.floor(F.col("value") * 1000000).cast("long")
+                    .alias("value_q")))
+    scratch, _ = _scratch_base(sf_dir)
+    src = os.path.join(scratch, "events_admission_src")
+    out = os.path.join(scratch, "events_admission_out")
+    ck = os.path.join(scratch, "events_admission_ck")
+    cursor = os.path.join(scratch, "events_admission_cursor")
+    fp = table_fingerprint(sf_dir, ("events",),
+                           params="q174_file_admission_v1")
+    fp_file = os.path.join(src, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(src) != fp:
+        import shutil
+        # build-only bound: the gated read never scans the input table
+        mx, = base.agg(F.max("event_id")).first()
+        half = mx // 2
+        for d in (src, out, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        if os.path.exists(cursor):
+            os.remove(cursor)
+        # exact file counts: repartition(n) is round-robin — never an
+        # empty partition at these row counts, so v1 has exactly 5
+        # change partitions and v2 exactly 4
+        vstore.commit_append(
+            spark, src,
+            base.filter(F.col("event_id") <= half).repartition(5),
+            stats_cols=("event_id",))
+        vstore.commit_append(
+            spark, src,
+            base.filter(F.col("event_id") > half).repartition(4))
+
+        def sink(bdf, bid):
+            (bdf.withColumn("batch_seq", F.lit(bid).cast("int"))
+             .write.mode("append").parquet(out))
+
+        for _ in range(4):  # 3 draining passes + 1 idle (cap = 4)
+            q = (cdf_source.read_change_feed_stream(
+                    spark, src, max_files_per_batch=4,
+                    cursor_path=cursor)
+                 .writeStream.trigger(availableNow=True)
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(sink).start())
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+
+    feed = spark.read.parquet(out)
+    geometry = (feed.groupBy("batch_seq")
+                .agg(F.array_join(F.array_sort(F.collect_set(
+                        F.col("_commit_version").cast("string"))), ",")
+                     .alias("versions"))
+                .select(F.concat(F.lit("batch"), F.col("batch_seq"))
+                        .alias("phase"), "versions",
+                        F.lit(None).cast("long").alias("n_rows"),
+                        F.lit(None).cast("long").alias("value_q_sum")))
+    per_v = (feed.groupBy(F.col("_commit_version"))
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum("value_q").alias("value_q_sum"))
+             .select(F.concat(F.lit("v"), F.col("_commit_version"))
+                     .alias("phase"),
+                     F.lit(None).cast("string").alias("versions"),
+                     F.col("n_rows").cast("long").alias("n_rows"),
+                     F.col("value_q_sum").cast("long")
+                     .alias("value_q_sum")))
+    return geometry.unionByName(per_v)
+
+
+_Q174_SQL = """
+WITH base AS (SELECT event_id,
+                     CAST(floor(value * 1000000) AS BIGINT) AS vq
+              FROM events),
+bnd AS (SELECT max(event_id) // 2 AS half FROM base),
+low AS (SELECT * FROM base
+        WHERE event_id <= (SELECT half FROM bnd)),
+high AS (SELECT * FROM base
+         WHERE event_id > (SELECT half FROM bnd))
+SELECT 'batch0' AS phase, '1' AS versions,
+       CAST(NULL AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS value_q_sum
+UNION ALL
+SELECT 'batch1', '1,2', NULL, NULL
+UNION ALL
+SELECT 'batch2', '2', NULL, NULL
+UNION ALL
+SELECT 'v1', CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT),
+       CAST(sum(vq) AS BIGINT)
+FROM low
+UNION ALL
+SELECT 'v2', NULL, CAST(count(*) AS BIGINT), CAST(sum(vq) AS BIGINT)
+FROM high
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -3639,4 +3766,6 @@ QUERIES: dict[str, Query] = {
                                       _Q171_SQL),
     "q172_batch_source_api": Query(q172_batch_source_api, _Q172_SQL),
     "q173_cdf_batch_range": Query(q173_cdf_batch_range, _Q173_SQL),
+    "q174_streaming_file_admission": Query(q174_streaming_file_admission,
+                                           _Q174_SQL),
 }

@@ -157,6 +157,9 @@ SINGLE_PARTITION_ALLOWED = {
     "q173_cdf_batch_range": "running signed totals over 4 per-version "
                             "feed-summary rows (map-side partials "
                             "only)",
+    "q174_streaming_file_admission": "per-(batch, version) 1-row "
+                                     "geometry/checksum summaries "
+                                     "(map-side partials only)",
 }
 
 
