@@ -100,6 +100,19 @@ def encode_positions_doc(positions) -> dict:
             "payload": payload}
 
 
+def positions_count_doc(doc: dict) -> int:
+    """CARDINALITY of a sidecar document without decoding positions —
+    v2 records ``n`` explicitly; v1 is its list's length. Powers
+    metadata-only COUNT (live rows = footer rows − marked)."""
+    fmt = doc.get("format", 1)
+    if fmt == 1 or doc.get("positions") is not None:
+        return len(doc["positions"])
+    if fmt == 2:
+        return int(doc["n"])
+    raise ValueError(f"unknown deletion-vector sidecar format {fmt!r} "
+                     f"(this build reads ≤ {CURRENT_FORMAT})")
+
+
 def decode_positions_doc(doc: dict) -> list[int]:
     """Positions of a sidecar document, ANY known format (v1's plain
     ``positions`` list, v2's delta-varint payload)."""

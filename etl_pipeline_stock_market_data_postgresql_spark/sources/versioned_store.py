@@ -298,10 +298,17 @@ def _seg_ref(name: str, files: list[str], stats: dict) -> dict:
             cols = set(fs)
             complete = cols if first else (complete & cols)
             first = False
+            if _DV_KEY in fs:
+                # a DV-marked member makes the summed row count an
+                # OVERCOUNT of live rows — the segment then counts
+                # file-by-file (rows − sidecar cardinality)
+                bad.add(_ROWS_KEY)
             for c, v in fs.items():
                 cur = per_col.get(c)
                 if c in (_DV_KEY, _BRID_KEY):  # strictly per-file;
                     bad.add(c)                 # never summarized
+                elif c == _ROWS_KEY:  # summed, not ranged
+                    per_col[c] = v if cur is None else cur + v
                 elif c.startswith(_BLOOM_PREFIX):
                     if cur is None:
                         per_col[c] = list(v)
@@ -492,6 +499,11 @@ _BLOOM_SIDECAR = ".bloom"
 #: isolation), gone the moment a rewrite materializes the survivors
 #: (OPTIMIZE/compaction/copy-on-write purge DVs for free).
 _DV_KEY = "__dv__"
+
+#: per-file parquet ROW COUNT marker in the stats entry (recorded at
+#: commit from the footer); segment summaries carry the pre-summed
+#: total for DV-free segments — COUNT(*) then answers from metadata
+_ROWS_KEY = "__rows__"
 
 #: stats-dict key for a file's BASE ROW ID (row tracking, Delta's
 #: baseRowId): on a row-tracked store every committed file records the
@@ -848,12 +860,15 @@ def _file_stats(path: str, cols: tuple[str, ...]) -> dict:
     """Per-column [min, max] from the parquet footer — metadata only,
     no data pages read. This is the per-file stats entry an Iceberg
     manifest carries; it is what makes :func:`read_version_pruned`'s
-    file skipping a pure planning decision."""
+    file skipping a pure planning decision. Also records the file's
+    ROW COUNT (``__rows__``) — the entry that lets
+    :func:`snapshot_row_count` answer COUNT(*) from the manifest
+    alone (Delta answers it from the transaction log)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out = {}
+    out = {_ROWS_KEY: md.num_rows}
     for c in cols:
         lo = hi = None
         for rg in range(md.num_row_groups):
@@ -1402,19 +1417,21 @@ def _commit(spark: SparkSession, root: str, df: DataFrame,
                 os.replace(os.path.join(tmp, f),
                            os.path.join(root, _DATA, name))
             shutil.rmtree(tmp, ignore_errors=True)
-            if (cols or bcols) and new:
+            if new:
                 # footer-only metadata reads (plus the bloom columns'
                 # data pages when bloom_cols is set), parallelized
                 # (pyarrow releases the GIL on I/O) so a many-file
                 # commit doesn't serialize planning metadata on one
                 # driver thread; at true scale the write TASKS report
                 # these stats back (Iceberg writer metrics / Delta
-                # bloom index files) and the driver only merges them
+                # bloom index files) and the driver only merges them.
+                # Runs even with no stats/bloom columns: the footer's
+                # row count always records (metadata-only COUNT)
                 from concurrent.futures import ThreadPoolExecutor
 
                 def _meta(n: str) -> dict:
                     p = os.path.join(root, _DATA, n)
-                    out = _file_stats(p, cols) if cols else {}
+                    out = _file_stats(p, cols)
                     if bcols:
                         out.update(_write_file_bloom(p, bcols))
                     return out
@@ -1697,6 +1714,85 @@ def read_version_point_lookup(
                        {"schema": raw.get("schema"), "stats": stats,
                         "colmap": raw.get("colmap")}, keep)
     return (df, len(keep), n_total)
+
+
+def snapshot_row_count(root: str, version: int) -> int | None:
+    """``COUNT(*)`` answered from MANIFEST METADATA alone — Delta
+    answers it from the transaction log; no data page is read. Per-
+    file parquet row counts are recorded at commit time (every commit
+    since the marker landed), segment summaries carry the pre-summed
+    total for deletion-vector-free segments (a whole segment costs
+    one dict lookup, not a segment read), and merge-on-read marks
+    subtract by their sidecars' recorded cardinality (the v2 codec
+    stores ``n`` without decoding the payload). Returns None when any
+    live file predates row recording — the caller falls back to a
+    scan, never a wrong count. Cost: O(#segments + files of
+    DV-bearing or summary-less segments) driver metadata."""
+    import json
+
+    from .dv_codec import positions_count_doc
+
+    raw = _read_manifest_raw(root, version)
+    _check_tx_visible(root, version, raw)
+
+    def _files_total(files, stats) -> int | None:
+        t = 0
+        for f in files:
+            fs = stats.get(f, {})
+            n = fs.get(_ROWS_KEY)
+            if n is None:
+                return None
+            t += int(n)
+            dv = fs.get(_DV_KEY)
+            if dv:
+                with open(os.path.join(root, _DATA, dv),
+                          encoding="ascii") as fh:
+                    t -= positions_count_doc(json.load(fh))
+        return t
+
+    if "segments" in raw:
+        total = 0
+        for entry in raw["segments"]:
+            if isinstance(entry, dict) and _ROWS_KEY in entry["stats"]:
+                total += int(entry["stats"][_ROWS_KEY])
+                continue
+            sd = _read_segment(root, _seg_name(entry))
+            sub = _files_total(sd["files"], sd["stats"])
+            if sub is None:
+                return None
+            total += sub
+        return total
+    return _files_total(raw.get("files", []), raw.get("stats", {}))
+
+
+def snapshot_min_max(root: str, version: int,
+                     col: str) -> tuple | None:
+    """EXACT ``(min, max)`` of a column from manifest metadata, or
+    None when metadata cannot prove exactness: a file without
+    recorded range stats for the column, or ANY deletion-vector mark
+    in the snapshot (the marked rows might hold the extremum — the
+    ranges then only BOUND the answer, which pruning may use but a
+    query result must not). An empty snapshot returns None. Column
+    name is LOGICAL (mapped stores translate). Cost: O(live files)
+    driver metadata."""
+    raw = _read_manifest_raw(root, version)
+    _check_tx_visible(root, version, raw)
+    cm = raw.get("colmap") or {}
+    col = cm.get(col, col)
+    res = _resolve(root, raw) if "segments" in raw else raw
+    files = res.get("files", [])
+    if not files:
+        return None
+    stats = res.get("stats", {})
+    lo = hi = None
+    for f in files:
+        fs = stats.get(f, {})
+        if _DV_KEY in fs or col not in fs:
+            return None
+        s = fs[col]
+        lo = s[0] if lo is None else min(lo, s[0])
+        hi = s[1] if hi is None else max(hi, s[1])
+    return (lo, hi)
 
 
 def commit_append(spark: SparkSession, root: str, df: DataFrame,
@@ -2003,12 +2099,12 @@ def commit_staged_files(root: str, new_files: list[str],
     cols = tuple(_phys.get(c, c) for c in stats_cols if c in fields)
     bcols = tuple(_phys.get(c, c) for c in bloom_cols if c in fields)
     new_stats: dict = {}
-    if (cols or bcols) and new_files:
+    if new_files:
         from concurrent.futures import ThreadPoolExecutor
 
         def _meta(n: str) -> dict:
             p = os.path.join(root, _DATA, n)
-            out = _file_stats(p, cols) if cols else {}
+            out = _file_stats(p, cols)  # rows always; ranges per cols
             if bcols:
                 out.update(_write_file_bloom(p, bcols))
             return out

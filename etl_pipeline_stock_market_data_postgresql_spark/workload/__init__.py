@@ -54,11 +54,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # pruning + idempotent txn replay), and the batch change-feed
     # range read (table_changes(start, end) through
     # spark.read.format("store_cdf")), and file-granular stream
-    # admission (maxFilesPerBatch splitting inside a commit) —
-    # slots 1-6;
+    # admission (maxFilesPerBatch splitting inside a commit), and
+    # metadata-answered COUNT/min-max with exactness guards —
+    # slots 1-7;
     "q169_mapped_store_sink", "q170_cdf_restore_follower",
     "q171_streaming_cdc_merge", "q172_batch_source_api",
     "q173_cdf_batch_range", "q174_streaming_file_admission",
+    "q175_metadata_aggregates",
     # (2) implementation changed this round (outputs unchanged; the
     # r15 rows prove the OLD paths): the change-feed source now
     # survives restore-after-MoR-delete (removed/shrunk vectors) and
@@ -69,7 +71,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # INCREMENTALLY (base + signed per-commit feed, new fixtures), and
     # every deletion-vector sidecar now writes the v2 delta-varint
     # format read by all paths (q159, q153's rollback, q161/q150/q152
-    # via version_diff) — slots 7-17;
+    # via version_diff) — slots 8-18;
     "q164_streaming_cdf_follower", "q165_versioned_update",
     "q166_versioned_update_mor", "q167_streaming_store_sink",
     "q168_incremental_replication", "q159_deletion_vectors",
@@ -77,11 +79,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "q161_row_tracking_cdf", "q150_versioned_cdf_typed",
     "q152_incremental_mv_from_cdf",
     # (3) the r12 tier (the r15 verdict's pre-derived remainder, in
-    # its listed order) — slots 18-50 hold the first 33 of its 34
-    # members; its last member (q118_small_file_compaction) plus the
-    # oldest-r13 fill (q112, q125) rotated past the cap as
-    # q172/q173/q174 landed late-r16 — they and q128/q131 lead the
-    # r17 fill (all covered by local sf0.001/sf0.01 parity).
+    # its listed order) — slots 19-50 hold the first 32 of its 34
+    # members; its last two (q116_trained_quality_scorer,
+    # q118_small_file_compaction) plus the oldest-r13 fill (q112,
+    # q125) rotated past the cap as q172-q175 landed late-r16 — they
+    # and q128/q131 lead the r17 fill (all covered by local
+    # sf0.001/sf0.01 parity).
     "q15_set_ops", "q16_rollup", "q17_pivot_status",
     "q18_distinct_agg", "q19_having_heavy_customers",
     "q20_asof_last_click", "q87_full_outer_reconciliation",

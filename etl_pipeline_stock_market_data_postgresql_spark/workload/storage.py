@@ -3450,6 +3450,48 @@ SELECT 'history', 'append,append,rewrite', 3, 0.0
 """
 
 
+def _cdf_range_root(spark: SparkSession, sf_dir: str) -> str:
+    """Shared q173/q175 fixture: events (event_id/user_id/value) as a
+    4-version chain — v1 append low-id half, v2 append high half, v3
+    MoR-delete the ``% 5`` slice (vector only), v4 CoW-UPDATE the
+    live ``% 11`` slice to value = -1. Fingerprint-gated build; the
+    gated reads never scan the input table."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_cdf_range")
+    fp = table_fingerprint(sf_dir, ("events",),
+                           params="q173_cdf_range_v3")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "value"))
+        mx, = base.agg(F.max("event_id")).first()
+        half = mx // 2
+        shutil.rmtree(root, ignore_errors=True)
+        vstore.commit_append(
+            spark, root, base.filter(F.col("event_id") <= half)
+            .repartitionByRange(2, "event_id"),
+            stats_cols=("event_id",))
+        vstore.commit_append(
+            spark, root, base.filter(F.col("event_id") > half)
+            .repartitionByRange(2, "event_id"),
+            stats_cols=("event_id",))
+        vstore.commit_delete_mor(spark, root,
+                                 F.col("event_id") % 5 == 0)
+        vstore.commit_update(spark, root, F.col("event_id") % 11 == 0,
+                             {"value": F.lit(-1.0)},
+                             stats_cols=("event_id",))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q173_cdf_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH CHANGE-FEED RANGE READ — Delta's ``table_changes(start,
     end)`` as the batch half of the ``store_cdf`` data source
@@ -3480,40 +3522,9 @@ def q173_cdf_batch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no change history at all —
     re-polling PostgreSQL loses intermediate states; here any
     version window of the table's life is one batch query."""
-    from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
     from ..streaming import cdf_source
 
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_cdf_range")
-    fp = table_fingerprint(sf_dir, ("events",),
-                           params="q173_cdf_range_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-
-        base = (load(spark, sf_dir, "events")
-                .select("event_id", "user_id", "value"))
-        mx, = base.agg(F.max("event_id")).first()
-        half = mx // 2
-        shutil.rmtree(root, ignore_errors=True)
-        vstore.commit_append(
-            spark, root, base.filter(F.col("event_id") <= half)
-            .repartitionByRange(2, "event_id"),
-            stats_cols=("event_id",))
-        vstore.commit_append(
-            spark, root, base.filter(F.col("event_id") > half)
-            .repartitionByRange(2, "event_id"))
-        vstore.commit_delete_mor(spark, root,
-                                 F.col("event_id") % 5 == 0)
-        vstore.commit_update(spark, root, F.col("event_id") % 11 == 0,
-                             {"value": F.lit(-1.0)},
-                             stats_cols=("event_id",))
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _cdf_range_root(spark, sf_dir)
     sign = F.when(F.col("_change_type") == "insert",
                   F.lit(1)).otherwise(F.lit(-1))
     val = F.col("value").cast("decimal(18,4)")
@@ -3721,6 +3732,63 @@ FROM high
 """
 
 
+def q175_metadata_aggregates(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """METADATA-ANSWERED AGGREGATES — Delta answers ``COUNT(*)`` from
+    the transaction log; this gate proves the store does too, and
+    that it KNOWS WHEN IT CANNOT. Per-file parquet row counts record
+    at every commit; deletion-vector-free segments carry a pre-summed
+    total (one dict lookup per segment); merge-on-read marks subtract
+    by their sidecars' recorded cardinality. ``snapshot_min_max`` is
+    stricter: any deletion vector in the snapshot makes the recorded
+    ranges mere BOUNDS (the marked rows might hold the extremum), so
+    it returns NULL rather than a possibly-wrong answer — exactness
+    guards are part of the contract, and the v3/v4 NULL rows are
+    their witness.
+
+    Chain (the shared q173 fixture): v2 = full table (counts AND
+    exact min/max from metadata); v3 = MoR delete (count subtracts
+    the vector cardinality, min/max refuses with NULL); v4 = CoW
+    update (every ~250-id-range file holds ``% 11`` victims, so the
+    rewrite clears ALL vectors — the count carries and min/max turns
+    EXACT again over the live rows, from the rewritten files' fresh
+    footer stats). No gated cell reads a data page — cost is
+    O(#segments + DV-bearing files) driver metadata at ANY table
+    size.
+
+    Reference parity: the reference issues ``SELECT count(*)`` to
+    PostgreSQL, which answers from its heap or an index scan; here
+    the answer is a manifest lookup."""
+    from ..sources import versioned_store as vstore
+
+    root = _cdf_range_root(spark, sf_dir)
+    rows = []
+    for v in (2, 3, 4):
+        n = vstore.snapshot_row_count(root, v)
+        mm = vstore.snapshot_min_max(root, v, "event_id")
+        rows.append((f"v{v}", int(n),
+                     int(mm[0]) if mm else None,
+                     int(mm[1]) if mm else None))
+    return spark.createDataFrame(
+        rows, "phase string, n_rows long, id_min long, id_max long")
+
+
+_Q175_SQL = """
+WITH base AS (SELECT event_id FROM events)
+SELECT 'v2' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS id_min,
+       CAST(max(event_id) AS BIGINT) AS id_max
+FROM base
+UNION ALL
+SELECT 'v3', CAST(count(*) AS BIGINT), NULL, NULL
+FROM base WHERE event_id % 5 != 0
+UNION ALL
+SELECT 'v4', CAST(count(*) AS BIGINT),
+       CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT)
+FROM base WHERE event_id % 5 != 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q75_bucketed_join": Query(q75_bucketed_join, _Q75_SQL),
     "q93_zorder_pruning": Query(q93_zorder_pruning, _Q93_SQL),
@@ -3768,4 +3836,6 @@ QUERIES: dict[str, Query] = {
     "q173_cdf_batch_range": Query(q173_cdf_batch_range, _Q173_SQL),
     "q174_streaming_file_admission": Query(q174_streaming_file_admission,
                                            _Q174_SQL),
+    "q175_metadata_aggregates": Query(q175_metadata_aggregates,
+                                      _Q175_SQL),
 }

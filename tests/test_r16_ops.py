@@ -744,3 +744,70 @@ def test_cdf_admission_caps_are_exclusive_and_need_cursor(spark,
              .option("checkpointLocation", str(tmp_path / "ck2"))
              .foreachBatch(lambda b, i: None).start())
         q.awaitTermination()
+
+
+# --- metadata-answered aggregates (snapshot_row_count / min_max) -------------
+
+def test_snapshot_row_count_across_verbs(spark, tmp_path):
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _ids(spark, 0, 100))
+    vstore.commit_append(spark, root, _ids(spark, 100, 130),
+                         stats_cols=())  # stats-less: rows still record
+    vstore.commit_delete_mor(spark, root, F.col("id") % 7 == 0)
+    vstore.commit_delete(spark, root, F.col("id") < 3)
+    for v in range(1, 5):
+        meta = vstore.snapshot_row_count(root, v)
+        actual = vstore.read_version(spark, root, v).count()
+        assert meta == actual, f"v{v}: {meta} != {actual}"
+
+
+def test_snapshot_row_count_legacy_store_returns_none(spark,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """Files committed before the rows marker existed make the
+    metadata count refuse (None) instead of undercounting."""
+    root = str(tmp_path / "s")
+    real = vstore._file_stats
+
+    def no_rows(path, cols):
+        out = real(path, cols)
+        out.pop(vstore._ROWS_KEY, None)
+        return out
+
+    monkeypatch.setattr(vstore, "_file_stats", no_rows)
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    monkeypatch.undo()
+    assert vstore.snapshot_row_count(root, 1) is None
+    vstore.commit_append(spark, root, _ids(spark, 10, 20))
+    assert vstore.snapshot_row_count(root, 2) is None  # mixed chain
+
+
+def test_snapshot_min_max_guards_and_mapped(spark, tmp_path):
+    root = str(tmp_path / "s")
+    vstore.commit_append(spark, root, _ids(spark, 5, 50),
+                         stats_cols=("id", "x"), column_mapping=True)
+    vstore.rename_column(spark, root, "x", "z")
+    assert vstore.snapshot_min_max(root, 2, "id") == (5, 49)
+    assert vstore.snapshot_min_max(root, 2, "z") == (50, 490)
+    # a DV makes ranges bounds, not answers
+    vstore.commit_delete_mor(spark, root, F.col("id") == 49)
+    assert vstore.snapshot_min_max(root, 3, "id") is None
+    # metadata count still exact under the DV
+    assert vstore.snapshot_row_count(root, 3) == 44
+    # missing column stats refuse
+    assert vstore.snapshot_min_max(root, 2, "nope") is None
+
+
+def test_snapshot_count_segment_summary_fast_path(spark, tmp_path):
+    """DV-free segments answer from the pre-summed summary without a
+    segment read; a DV-bearing segment falls back to per-file."""
+    root = str(tmp_path / "s")
+    for lo in (0, 100, 200):
+        vstore.commit_append(spark, root, _ids(spark, lo, lo + 100))
+    import unittest.mock as mock
+    with mock.patch.object(vstore, "_read_segment",
+                           side_effect=AssertionError(
+                               "summary should answer")) as m:
+        assert vstore.snapshot_row_count(root, 3) == 300
+    vstore.commit_delete_mor(spark, root, F.col("id") % 2 == 0)
+    assert vstore.snapshot_row_count(root, 4) == 150
