@@ -344,6 +344,13 @@ class StoreBatchWriter(DataSourceArrowWriter):
         c = self._core
         files = sorted(m.file for m in messages
                        if m is not None and m.file is not None)
+        if not files and not self._overwrite and self._txn is None:
+            # un-ledgered APPEND of an empty frame: publishing would
+            # only mint a contentless version — no-op instead. An
+            # overwrite must still publish (it is a truncate), and a
+            # txn-keyed write must record its ledger entry so replays
+            # no-op.
+            return
         vstore.commit_staged_files(
             c._root, files, stats_cols=c._stats_cols,
             bloom_cols=c._bloom_cols, txn=self._txn,

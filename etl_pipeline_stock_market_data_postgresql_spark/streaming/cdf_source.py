@@ -289,6 +289,13 @@ class StoreCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "maxVersionsPerBatch and maxFilesPerBatch are "
                 "alternative admission caps — set at most one")
+        for label, cap in (("maxVersionsPerBatch",
+                            max_versions_per_batch),
+                           ("maxFilesPerBatch", max_files_per_batch)):
+            if cap is not None and cap < 1:
+                # a zero cap would report a frozen offset forever — a
+                # silently-stalled stream, the worst failure mode
+                raise ValueError(f"{label} must be >= 1, got {cap}")
         if (max_versions_per_batch is not None
                 or max_files_per_batch is not None) and not cursor_path:
             # the Python source API never hands the reader the

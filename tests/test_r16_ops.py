@@ -811,3 +811,16 @@ def test_snapshot_count_segment_summary_fast_path(spark, tmp_path):
         assert vstore.snapshot_row_count(root, 3) == 300
     vstore.commit_delete_mor(spark, root, F.col("id") % 2 == 0)
     assert vstore.snapshot_row_count(root, 4) == 150
+
+
+def test_cdf_zero_admission_cap_rejected(spark, tmp_path):
+    root = str(tmp_path / "src")
+    vstore.commit_append(spark, root, _ids(spark, 0, 10))
+    with pytest.raises(Exception, match="must be >= 1"):
+        q = (cdf_source.read_change_feed_stream(
+                spark, root, max_files_per_batch=0,
+                cursor_path=str(tmp_path / "cur"))
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .foreachBatch(lambda b, i: None).start())
+        q.awaitTermination()

@@ -369,3 +369,20 @@ def test_batch_write_stats_enable_pruning(spark, tmp_path):
     parts = r.partitions()
     assert r.plan_report["n_total"] == 2
     assert len(parts) == 1
+
+
+def test_batch_append_of_empty_frame_is_noop(spark, tmp_path):
+    """An un-ledgered append of an empty frame publishes nothing; a
+    txn-keyed one records its ledger entry; an empty OVERWRITE is a
+    truncate and must publish."""
+    root = str(tmp_path / "s")
+    _bwrite(_ids(spark, 0, 10), root)
+    empty = _ids(spark, 0, 10).filter(F.lit(False))
+    _bwrite(empty, root)
+    assert vstore.latest_version(root) == 1  # no contentless version
+    _bwrite(empty, root, txn=("app", 7))
+    assert vstore.latest_version(root) == 2  # ledger entry recorded
+    assert vstore.txn_committed(root, ("app", 7))
+    _bwrite(empty, root, mode="overwrite")
+    assert vstore.latest_version(root) == 3
+    assert vstore.read_version(spark, root, 3).count() == 0
