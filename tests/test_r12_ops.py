@@ -306,17 +306,21 @@ def test_interrupted_commit_leaves_recoverable_orphans(
     root = str(tmp_path / "crashstore")
     vstore.commit_append(spark, root, _mk(spark, 0, 100, 0).coalesce(1))
     fp1 = content_fingerprint(vstore.read_version(spark, root, 1))
-    orig = vstore._manifest_path
+    # crash at the PUBLISH step itself (after the data-file moves):
+    # since the r16 O(1)-discovery hint, _manifest_path is also probed
+    # at claim time (before staging), so the interception point is
+    # _publish_cas — the exact boundary the test's contract names
+    orig = vstore._publish_cas
 
-    def boom(r, version):
+    def boom(r, version, body):
         if version == 2:
             raise RuntimeError("simulated crash before manifest publish")
-        return orig(r, version)
+        return orig(r, version, body)
 
-    monkeypatch.setattr(vstore, "_manifest_path", boom)
+    monkeypatch.setattr(vstore, "_publish_cas", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         vstore.commit_append(spark, root, _mk(spark, 100, 200, 0).coalesce(1))
-    monkeypatch.setattr(vstore, "_manifest_path", orig)
+    monkeypatch.setattr(vstore, "_publish_cas", orig)
     # no manifest published; the old snapshot is untouched
     assert vstore.latest_version(root) == 1
     assert content_fingerprint(vstore.read_version(spark, root, 1)) == fp1
