@@ -66,6 +66,15 @@ def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else ""))
     provider = state_store_provider_class()
+    # Shuffle/spill/broadcast scratch on the fastest local medium: the
+    # sandbox's block device sustains ~25 MB/s bulk writes (measured
+    # r16) and stalls under dirty-page writeback; /dev/shm is RAM. A
+    # cluster sets SPARK_GRAFT_LOCAL_DIR (or pre-sets spark.local.dir)
+    # to its NVMe scratch — this only picks the local default.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if not local_dir:
+        local_dir = ("/dev/shm/spark_local" if os.path.isdir("/dev/shm")
+                     and os.access("/dev/shm", os.W_OK) else None)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -86,6 +95,8 @@ def get_spark(app_name: str = "etl_pipeline_stock_market_data_postgresql_spark",
         # reader rejects; read as long and convert in sources.tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if provider is not None:
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", provider)

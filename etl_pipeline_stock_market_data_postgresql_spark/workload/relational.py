@@ -474,27 +474,32 @@ def q102_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deliberately NOT ntile(): a global ntile is one total sort on a
     single partition — dead at 100 TB. The scale-correct plan computes
-    the k−1 boundary quantiles in one aggregate, broadcasts that
-    single row, and assigns buckets in a map-only comparison pass, then
-    aggregates per bucket: two scans, no global sort, shuffle only on
-    the k-row final aggregate. Boundaries here are exact interpolated
-    percentiles (hash-certifiable); at 100 TB the boundary source swaps
-    to q95's mergeable sketch and the assignment pass is unchanged.
+    the k−1 boundary quantiles with sketch-bracketed exact refinement
+    (functions.quantiles.exact_percentiles — bit-identical to the
+    ``percentile`` aggregate it replaced, which was the query's
+    dominant cost: 2.5–3 s of boxed OpenHashMap updates + a one-reducer
+    merge-sort of every distinct value at sf0.1, vs ~0.7 s for
+    sketch + two conditional-count passes + an O(n/accuracy) candidate
+    refinement), then assigns buckets in a map-only comparison pass
+    against the k−1 LITERAL boundaries (whole-stage codegen; the
+    previous array higher-order function was interpreted per row) and
+    aggregates per bucket: no global sort, shuffle only on the k-row
+    final aggregate. At 100 TB the boundary source swaps to q95's
+    mergeable sketch and the assignment pass is unchanged.
     Boundaries are rounded half-up to 6dp so both engines compare
     against bit-identical doubles; assignment is strict `>` so bucket
     membership can't straddle an engine-formatting difference."""
-    from ..functions.rounding import round_half_up
+    from ..functions.quantiles import exact_percentiles, round_half_up_py
     qs = [k / EQD_BUCKETS for k in range(1, EQD_BUCKETS)]
     li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
-    bounds = li.agg(
-        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, qs))}))")
-        .alias("bs_raw"))
-    bounds = bounds.select(
-        F.transform("bs_raw", lambda b: round_half_up(b, 6)).alias("bs"))
-    asn = (li.crossJoin(F.broadcast(bounds))
-           .select(F.size(F.filter(
-               "bs", lambda b: F.col("l_extendedprice") > b))
-               .cast("int").alias("bucket"), "l_extendedprice"))
+    bs = [round_half_up_py(b, 6)
+          for b in exact_percentiles(li, "l_extendedprice", qs)]
+    x = F.col("l_extendedprice")
+    bucket = None
+    for b in bs:
+        term = F.when(x > F.lit(b), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    asn = li.select(bucket.cast("int").alias("bucket"), "l_extendedprice")
     return (asn.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("l_extendedprice").alias("min_v"),
@@ -583,11 +588,16 @@ def q112_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [i / k for i in range(1, k)]
     qcsv = ",".join(map(str, qs))
     li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    # the exact witness no longer rides the sketch aggregate as a
+    # percentile() term (the dominant cost — see q102); it comes from
+    # the same sketch-bracketed exact refinement, as literals
+    from ..functions.quantiles import exact_percentiles
+    exv = exact_percentiles(li, "l_extendedprice", qs)
     st = li.agg(
         F.count("l_extendedprice").alias("n"),
-        F.expr(f"percentile(l_extendedprice, array({qcsv}))").alias("ex"),
         F.expr(f"percentile_approx(l_extendedprice, array({qcsv}),"
                f" {EQD_SK_ACCURACY})").alias("ap"))
+    st = st.withColumn("ex", F.array(*[F.lit(v) for v in exv]))
     # pass 1: snap each sketch boundary to the nearest data value <= b
     bnd = (st.select("n", F.posexplode("ap").alias("i", "b"))
            .select("n", "i", "b",
