@@ -299,10 +299,13 @@ def simhash(docs: DataFrame, id_col: str, text_col: str,
 DRIVER_EDGES_THRESHOLD = 2_000_000
 
 
-def _cc_driver_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _cc_driver_local(edges: DataFrame, src: str, dst: str,
+                     rows=None) -> DataFrame:
     """Driver-side union-find finalizer — identical fixpoint to the
     distributed loop (comp = minimum reachable node id), reached by
-    keeping every union rooted at the smaller id."""
+    keeping every union rooted at the smaller id. ``rows`` lets the
+    caller hand in an already-collected edge list (the take-probe in
+    :func:`connected_components`) so the edges are read exactly once."""
     parent: dict = {}
 
     def find(x):
@@ -313,7 +316,8 @@ def _cc_driver_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.select(src, dst).collect():
+    for row in (rows if rows is not None
+                else edges.select(src, dst).collect()):
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -385,17 +389,23 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     the returned DataFrame and are the caller's to release.
 
     Caller contract: PERSIST ``edges`` before calling. The finalizer
-    choice pays an unconditional ``edges.count()``, and the edge list
-    is then consumed again by whichever path runs (collect driver-side,
-    or the sym/labels derivation) — an unpersisted caller re-runs its
-    entire verify pipeline once per consumer. Every in-repo caller
-    persists; the count is deliberately NOT wrapped in an internal
-    persist here because the driver-local path would then cache the
-    edge list twice (caller's handle + ours) with no way to release the
-    caller's.
+    choice is a ``take(threshold+1)`` probe — in the small-edge regime
+    the probe IS the driver-local collect (one action total), beyond
+    the threshold the edge list is consumed again by the sym/labels
+    derivation — an unpersisted caller re-runs its entire verify
+    pipeline once per consumer. Every in-repo caller persists; the
+    probe is deliberately NOT wrapped in an internal persist here
+    because the driver-local path would then cache the edge list twice
+    (caller's handle + ours) with no way to release the caller's.
     """
-    if edges.count() <= driver_edges_threshold:
-        return _cc_driver_local(edges, src, dst)
+    # Size probe and driver-local collect in ONE action: take(N+1)
+    # short-circuits partition scans, and when the edge list fits the
+    # threshold the returned rows ARE the whole edge list — the old
+    # count()-then-collect() shape paid two passes (one job each) for
+    # the common small-edge case.
+    probe = edges.select(src, dst).take(driver_edges_threshold + 1)
+    if len(probe) <= driver_edges_threshold:
+        return _cc_driver_local(edges, src, dst, rows=probe)
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import dedup
+from ..functions.hashing import MERSENNE_P, hash32, minhash_perm
 
 #: m-columns stored in the index (bands * rows_per_band at defaults)
 DEFAULT_BANDS = 4
@@ -56,19 +57,29 @@ def build_minhash_index(docs: DataFrame, id_col: str, text_col: str,
                         bands: int = DEFAULT_BANDS,
                         rows_per_band: int = DEFAULT_ROWS_PER_BAND,
                         cache_out: list | None = None) -> DataFrame:
-    """One index row per doc: (id, m0..m{K-1}, shs, n_sh). The shingle
-    pipeline runs once (persisted) and feeds both aggregations; both
-    are grouped on the id, so the second reuses the first's
-    partitioning. The persist backs the returned lazy result — caller
-    owns its lifetime; pass ``cache_out`` to receive the handle for an
-    explicit unpersist once the index is materialized (the
-    verify_jaccard_on_pairs contract)."""
-    sh = dedup.shingle_table(docs, id_col, text_col, n=n).persist()
-    if cache_out is not None:
-        cache_out.append(sh)
-    sig = dedup.minhash_signatures(sh, id_col, k=bands * rows_per_band)
-    sets = dedup.fingerprint_sets(sh, id_col)
-    return sig.join(sets, id_col)
+    """One index row per doc: (id, m0..m{K-1}, shs, n_sh). Both hash
+    projections (the 32-bit permutation input and the 60-bit
+    fingerprint) are computed in ONE pass below a SINGLE grouped
+    aggregation — the K minhash ``min``s and the fingerprint
+    ``collect_set`` share one exchange on the id, where the previous
+    shape ran two aggregations over a persisted shingle table and
+    joined them back (two exchanges + a join + a cache; r16 guide §2.4
+    "two operations keyed the same way share one exchange").
+    ``cache_out`` is kept for signature compatibility (nothing is
+    persisted here any more — the single consumer needs no cache)."""
+    from ..functions.hashing import hash60
+
+    sh = dedup.shingle_table(docs, id_col, text_col, n=n)
+    proj = sh.select(
+        F.col(id_col),
+        (hash32(F.col("shingle")) % F.lit(MERSENNE_P)).alias("hm"),
+        hash60(F.col("shingle")).alias("h60"))
+    k = bands * rows_per_band
+    aggs = [F.min(minhash_perm(F.col("hm"), i)).alias(f"m{i}")
+            for i in range(k)]
+    aggs.append(F.array_sort(F.collect_set("h60")).alias("shs"))
+    return (proj.groupBy(id_col).agg(*aggs)
+            .withColumn("n_sh", F.size("shs").cast("long")))
 
 
 def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
@@ -77,7 +88,8 @@ def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
                         bands: int = DEFAULT_BANDS,
                         rows_per_band: int = DEFAULT_ROWS_PER_BAND,
                         check_ids: bool = True,
-                        cache_out: list | None = None
+                        cache_out: list | None = None,
+                        known_index_max=None
                         ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``delta_docs`` against the stored ``index`` (and against
     itself). Returns ``(verdicts, new_index_rows)``:
@@ -108,7 +120,12 @@ def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
         cache_out.append(delta_index)
 
     if check_ids:
-        hi = index.agg(F.max(id_col).alias("m")).first()["m"]
+        # ``known_index_max`` lets a store-backed caller answer the
+        # index side from manifest column stats (versioned_store.
+        # snapshot_min_max — O(files) driver metadata) instead of a
+        # full index scan per batch; the delta side reads the cache.
+        hi = (known_index_max if known_index_max is not None
+              else index.agg(F.max(id_col).alias("m")).first()["m"])
         lo = delta_index.agg(F.min(id_col).alias("m")).first()["m"]
         if hi is not None and lo is not None and hi >= lo:
             raise ValueError(
@@ -117,29 +134,31 @@ def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
                 f"min(delta)={lo} — batch-equivalence does not hold")
 
     # --- candidates -----------------------------------------------------
+    # ONE banded join covers both pair families (guide §2.4 — two
+    # operations keyed the same way share one exchange): the id_a side
+    # is corpus ∪ delta band keys, the id_b side delta only. Every
+    # corpus id precedes every delta id (the asserted precondition), so
+    # the id_a < id_b filter keeps exactly corpus→delta plus ordered
+    # delta–delta pairs — the same set the previous two joins produced
+    # (their id_a spaces are disjoint, so one distinct over the union
+    # equals the union of the two distincts).
     bt_d = dedup.band_table(delta_index, id_col, bands, rows_per_band)
     bt_c = dedup.band_table(index, id_col, bands, rows_per_band)
-    d_a = bt_d.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    a_all = (bt_c.unionByName(bt_d)
+             .select(F.col(id_col).alias("id_a"), "band_id", "band_key"))
     d_b = bt_d.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
-    # delta-delta: standard LSH self-pairing within the batch
-    cand_dd = (d_a.join(d_b, ["band_id", "band_key"])
-               .filter(F.col("id_a") < F.col("id_b"))
-               .select("id_a", "id_b").distinct())
-    # delta-corpus: corpus band keys stream from the index projection;
-    # index ids precede delta ids, so the corpus doc is always id_a
-    c_a = bt_c.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
-    cand_dc = (c_a.join(d_b, ["band_id", "band_key"])
-               .select("id_a", "id_b").distinct())
+    cand = (a_all.join(d_b, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
 
     # --- exact verification on fingerprint sets -------------------------
+    # one verify join against corpus ∪ delta sets (disjoint id spaces:
+    # each id_a resolves in exactly one of the two tables)
     sets_d = delta_index.select(id_col, "shs", "n_sh")
-    sets_c = index.select(id_col, "shs", "n_sh")
-    ver_dd = dedup.jaccard_on_set_tables(cand_dd, sets_d, sets_d,
-                                         id_col, threshold)
-    ver_dc = dedup.jaccard_on_set_tables(cand_dc, sets_c, sets_d,
-                                         id_col, threshold)
-    edges = (ver_dd.select("id_a", "id_b")
-             .unionByName(ver_dc.select("id_a", "id_b"))).persist()
+    sets_all = index.select(id_col, "shs", "n_sh").unionByName(sets_d)
+    ver = dedup.jaccard_on_set_tables(cand, sets_all, sets_d,
+                                      id_col, threshold)
+    edges = ver.select("id_a", "id_b").persist()
     if cache_out is not None:
         cache_out.append(edges)
 

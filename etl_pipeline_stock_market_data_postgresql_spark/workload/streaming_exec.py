@@ -489,18 +489,26 @@ def _q122_commit_batch(sess: SparkSession, index_root: str, out_dir: str,
 
     if vstore.txn_committed(index_root, ("q122", bid)):
         return
-    index = vstore.read_version(sess, index_root,
-                                vstore.latest_version(index_root))
+    ver = vstore.latest_version(index_root)
+    index = vstore.read_version(sess, index_root, ver)
+    # the id-ordering precondition's index side comes from manifest
+    # column stats (O(files) driver metadata, no scan); every q122
+    # commit records doc_id stats so this stays answerable
+    mm = vstore.snapshot_min_max(index_root, ver, "doc_id")
     caches: list = []
     verdicts, new_rows = inc.incremental_neardup(
         index, bdf, "doc_id", "text", LSH_VERIFY_THRESHOLD,
-        bands=LSH_BANDS, rows_per_band=LSH_ROWS, cache_out=caches)
-    # materialize ONCE before the two sink writes (shared lineage)
-    v = verdicts.localCheckpoint(eager=True)
-    nr = new_rows.localCheckpoint(eager=True)
-    v.write.mode("overwrite").parquet(os.path.join(out_dir, f"bid={bid}"))
-    vstore.commit_append(sess, index_root, nr, stats_cols=(),
-                         txn=("q122", bid))
+        bands=LSH_BANDS, rows_per_band=LSH_ROWS, cache_out=caches,
+        known_index_max=None if mm is None else mm[1])
+    # Both sinks consume cheap joins over state incremental_neardup
+    # already materialized (the persisted delta index + the driver-
+    # local component map), so each write recomputes only a cached
+    # join — no checkpoint barrier needed, and replays stay
+    # deterministic (same snapshot + same cached inputs).
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"bid={bid}"))
+    vstore.commit_append(sess, index_root, new_rows,
+                         stats_cols=("doc_id",), txn=("q122", bid))
     for c in caches:
         c.unpersist()
 
@@ -556,7 +564,8 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     # seeds its own versioned store (v1) from the materialized index
     # cache, never touching the shared cache itself
     vstore.commit_append(spark, index_root,
-                         spark.read.parquet(cache_path), stats_cols=())
+                         spark.read.parquet(cache_path),
+                         stats_cols=("doc_id",))
 
     # the delta arrives as two mtime-ordered micro-batch files
     d1 = docs.filter((F.col("doc_id") > b) & (F.col("doc_id") <= mid))
