@@ -545,7 +545,7 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     from ..sources import versioned_store as vstore
     from ..sources.tables import load
     from .storage import _scratch_base
-    from .text_dedup import corpus0_signature_index
+    from .text_dedup import corpus0_doc_max, corpus0_signature_index
 
     base, _ = _scratch_base(sf_dir)
     feed = os.path.join(base, "q122_feed")
@@ -558,7 +558,9 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     _index, b, cache_path = corpus0_signature_index(spark, sf_dir)
-    mid = (b + docs.agg(F.max("doc_id")).first()[0]) // 2
+    # the split point comes from the fixture's bounds sidecar — no
+    # per-run documents scan
+    mid = (b + corpus0_doc_max(spark, sf_dir)) // 2
 
     # the stream MUTATES its index table (appends per batch), so it
     # seeds its own versioned store (v1) from the materialized index
@@ -726,7 +728,8 @@ def q140_streaming_ann_ingest(spark: SparkSession,
 
     from ..sources import versioned_store as vstore
     from ..sources.tables import load
-    from .similarity import _ivfpq_base_index, _spread_vectors
+    from .similarity import (_emb_vec_max, _ivfpq_base_index,
+                             _spread_vectors)
     from .storage import _scratch_base
 
     base_dir, _ = _scratch_base(sf_dir)
@@ -737,7 +740,7 @@ def q140_streaming_ann_ingest(spark: SparkSession,
         shutil.rmtree(d, ignore_errors=True)
 
     emb = load(spark, sf_dir, "embeddings")
-    max_id = emb.agg(F.max("vec_id")).first()[0]
+    max_id = _emb_vec_max(spark, sf_dir)
     b = (2 * max_id) // 3
     b2 = b + (max_id - b + 1) // 2
     vecs = _spread_vectors(spark, emb).persist()

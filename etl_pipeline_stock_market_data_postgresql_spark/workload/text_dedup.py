@@ -7,6 +7,8 @@ below is generated from the same hashing constants
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import Query
@@ -372,8 +374,22 @@ def corpus0_signature_index(spark: SparkSession,
     from .storage import _scratch_base
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    b = (2 * max_id) // 3
+
+    base, _ = _scratch_base(sf_dir)
+    path = os.path.join(base, "dedup_sig_index")
+    fp = table_fingerprint(
+        sf_dir, ("documents",),
+        params=f"dedup_index_v1_n3_b{LSH_BANDS}_r{LSH_ROWS}"
+               f"_t{LSH_VERIFY_THRESHOLD}")
+    # build-only input bounds, persisted in a fingerprint-keyed sidecar
+    # so warm runs never scan the documents table (q172's _BOUNDS
+    # pattern): at 100 TB the per-run max() IS a fixture-sized scan
+    bounds = _corpus0_bounds_if_current(path, fp)
+    if bounds is None:
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        b = (2 * max_id) // 3
+    else:
+        max_id, b = bounds["max_id"], bounds["b"]
 
     caches: list[DataFrame] = []
 
@@ -396,16 +412,47 @@ def corpus0_signature_index(spark: SparkSession,
                                        rows_per_band=LSH_ROWS,
                                        cache_out=caches)
 
+    index = cached_parquet(spark, path, fp, build)
+    for c in caches:  # build-side persists, dead once written
+        c.unpersist()
+    if bounds is None:
+        with open(path + ".bounds.json", "w", encoding="ascii") as f:
+            json.dump({"fp": fp, "max_id": max_id, "b": b}, f)
+    return index, b, path
+
+
+def _corpus0_bounds_if_current(path: str, fp: str) -> dict | None:
+    """The corpus0 fixture's input-derived constants, valid only when
+    the stored fingerprint matches the sidecar's."""
+    try:
+        with open(path + ".bounds.json", encoding="ascii") as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return d if d.get("fp") == fp else None
+
+
+def corpus0_doc_max(spark: SparkSession, sf_dir: str) -> int:
+    """max(doc_id) of the documents table as the corpus0 fixture saw
+    it — from the bounds sidecar when current (no scan), else
+    computed. Callers that already ran :func:`corpus0_signature_index`
+    in this process always hit the sidecar."""
+    import os
+
+    from ..sources.derived_cache import table_fingerprint
+    from .storage import _scratch_base
+
     base, _ = _scratch_base(sf_dir)
     path = os.path.join(base, "dedup_sig_index")
     fp = table_fingerprint(
         sf_dir, ("documents",),
         params=f"dedup_index_v1_n3_b{LSH_BANDS}_r{LSH_ROWS}"
                f"_t{LSH_VERIFY_THRESHOLD}")
-    index = cached_parquet(spark, path, fp, build)
-    for c in caches:  # build-side persists, dead once written
-        c.unpersist()
-    return index, b, path
+    bounds = _corpus0_bounds_if_current(path, fp)
+    if bounds is not None:
+        return bounds["max_id"]
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(F.max("doc_id")).first()[0]
 
 
 def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
