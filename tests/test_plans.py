@@ -373,8 +373,10 @@ def test_q101_bigram_model_join_no_cartesian(spark, sf_dir):
 
 def test_q102_equidepth_no_global_sort(spark, sf_dir):
     # the whole point vs ntile(): no rangepartitioning / single-partition
-    # global sort; the k-1 boundary row is broadcast back for the
-    # map-only assignment pass
+    # global sort. Since r16 the k-1 boundaries arrive as LITERALS
+    # (functions.quantiles.exact_percentiles runs ahead of the plan), so
+    # the assignment pass needs no runtime boundary join either — the
+    # only exchange left is the bucket hash-aggregate's.
     from etl_pipeline_stock_market_data_postgresql_spark.workload.relational import q102_equidepth_histogram
 
     df = q102_equidepth_histogram(spark, sf_dir)
@@ -385,8 +387,10 @@ def test_q102_equidepth_no_global_sort(spark, sf_dir):
     # non-letter before the window-function call form
     assert not re.search(r"(?<![a-z])ntile\(", low), text[:800]
     assert "rangepartitioning" not in low, text[:800]
-    # the 1-row boundary table broadcasts (nested-loop: there is no key)
-    assert "BroadcastExchange" in text, text[:800]
+    # boundaries are plan-time literals: no broadcast, no join at all
+    assert "BroadcastExchange" not in text, text[:800]
+    assert "Join" not in text, text[:800]
+    assert "hashpartitioning" in low, text[:800]
 
 
 def test_q112_sketch_histogram_no_global_sort_and_certifies(spark, sf_dir):
