@@ -2990,6 +2990,15 @@ def version_diff_typed(spark: SparkSession, root: str, v_from: int,
 
 def _classify_typed(ins: DataFrame, dels: DataFrame,
                     key_cols: tuple[str, ...]) -> DataFrame:
+    # Each feed is consumed FOUR times below (anti/semi probe + the
+    # key projections on the build sides), and each is itself a
+    # changed-file read + exceptAll pipeline — unpersisted, every
+    # consumer re-ran that whole lineage (4× the r16 measured cost of
+    # q150's transitions). The feeds are ∝ changed rows, never the
+    # table, so caching them is bounded by the delta; the cache backs
+    # the returned lazy result (caller/bench owns lifetime via
+    # clearCache, the q113/q134 convention).
+    ins, dels = ins.persist(), dels.persist()
     ikeys = ins.select(*key_cols)
     dkeys = dels.select(*key_cols)
     ct = "_change_type"
