@@ -477,9 +477,13 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = kmeans.assign(vecs, seeds)
     learned = (kmeans.new_centroids(kmeans.component_sums(assigned), seeds)
                .localCheckpoint(eager=True))  # K rows; reused by argmin
+    # THREE consumers below (both pair sides + the verdict join) — an
+    # unpersisted cells re-runs the O(n·K) flat argmin per consumer
+    # (q113's multi-consumer rule; caller/bench owns lifetime via
+    # clearCache)
     cells = (kmeans.assign(vecs, learned)
              .select("id", "v", F.col("cid").alias("cell"),
-                     vfun.norm(F.col("v")).alias("nrm")))
+                     vfun.norm(F.col("v")).alias("nrm")).persist())
     a = cells.select(F.col("id").alias("id_a"), "cell",
                      F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = cells.select(F.col("id").alias("id_b"), "cell",
@@ -597,8 +601,10 @@ def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.min(F.struct("d2", "cid")).alias("m"),
                  F.first("v").alias("v")))
+    # three consumers (both pair sides + the verdict join): persist so
+    # the O(n·C) fine assignment runs once, not thrice (q113's rule)
     cells = fine.select("id", "v", F.col("m.cid").alias("cell"),
-                        vfun.norm(F.col("v")).alias("nrm"))
+                        vfun.norm(F.col("v")).alias("nrm")).persist()
     # --- identical SemDeDup tail to q98 ---
     a = cells.select(F.col("id").alias("id_a"), "cell",
                      F.col("v").alias("va"), F.col("nrm").alias("na"))
