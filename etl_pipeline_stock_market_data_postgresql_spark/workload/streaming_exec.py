@@ -397,6 +397,11 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import stateful_hwm_filter
     from .storage import _scratch_base
 
+    import json
+    import shutil
+
+    from ..sources.derived_cache import table_fingerprint
+
     base, _ = _scratch_base(sf_dir)
     path = os.path.join(base, "q106_hwm_feed")
     ev = load(spark, sf_dir, "events").select(
@@ -406,21 +411,45 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sl arithmetic dropped them entirely
     is_second = F.col("event_id") % 2 != 0
     cols = ["event_id", "event_type", "ts"]
-    # two sequential PARALLEL writes: each delivery is FEED_FILES files
-    # (a coalesce(1) feed write was the single-threaded term of the
-    # 100× probe's q106 row — 10M rows through one writer task). The
-    # file source still replays the deliveries as exactly two
-    # micro-batches because maxFilesPerTrigger = |batch-1 files| and
-    # batch 2 is written with that same file count, so trigger 1 is
-    # precisely the older-mtime batch-1 set and trigger 2 the rest.
-    # (The HWM kernel filters a whole batch against batch-START state,
-    # so row placement across a trigger's files is immaterial.)
-    ev.filter(~is_second).select(*cols).repartition(FEED_FILES) \
-        .write.mode("overwrite").parquet(path)
-    batch1 = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    # The two deliveries are input-derived fixture state: built once
+    # behind the events fingerprint (q122's cached-feed pattern), as
+    # two sequential PARALLEL writes of FEED_FILES files each (a
+    # coalesce(1) feed write was the single-threaded term of the 100×
+    # probe's q106 row). The file source still replays the deliveries
+    # as exactly two micro-batches because maxFilesPerTrigger =
+    # |batch-1 files| and batch 2 is written with that same file
+    # count, so trigger 1 is precisely the older-mtime batch-1 set and
+    # trigger 2 the rest. (The HWM kernel filters a whole batch
+    # against batch-START state, so row placement across a trigger's
+    # files is immaterial.)
+    feed_fp = table_fingerprint(sf_dir, ("events",),
+                                params=f"q106_feed_v1_f{FEED_FILES}")
+    batch1_file = os.path.join(path, "_Q106_BATCH1")
+
+    def _feed_current() -> bool:
+        try:
+            with open(batch1_file, encoding="ascii") as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        have = (set(os.listdir(path)) if os.path.isdir(path) else set())
+        return (d.get("fp") == feed_fp and bool(d.get("first"))
+                and set(d["first"]) <= have)
+
+    if not _feed_current():
+        shutil.rmtree(path, ignore_errors=True)
+        ev.filter(~is_second).select(*cols).repartition(FEED_FILES) \
+            .write.mode("overwrite").parquet(path)
+        first_names = sorted(f for f in os.listdir(path)
+                             if f.endswith(".parquet"))
+        ev.filter(is_second).select(*cols) \
+            .repartition(max(1, len(first_names))) \
+            .write.mode("append").parquet(path)
+        with open(batch1_file, "w", encoding="ascii") as fh:
+            json.dump({"fp": feed_fp, "first": first_names}, fh)
+    with open(batch1_file, encoding="ascii") as fh:
+        batch1 = set(json.load(fh)["first"])
     files_per_trigger = max(1, len(batch1))
-    ev.filter(is_second).select(*cols).repartition(files_per_trigger) \
-        .write.mode("append").parquet(path)
     # pin the batch order explicitly: on a filesystem with coarse mtime
     # resolution the two back-to-back writes can share a timestamp and
     # the file-source ordering (hence the HWM result) would be
@@ -774,7 +803,8 @@ def q140_streaming_ann_ingest(spark: SparkSession,
     feed = os.path.join(base_dir, "q140_feed")
     store = os.path.join(base_dir, "q140_store")
     ckpt = os.path.join(base_dir, "q140_ckpt")
-    for d in (feed, store, ckpt):
+    # feed is fingerprint-cached below; only the run-private state resets
+    for d in (store, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
     emb = load(spark, sf_dir, "embeddings")
@@ -789,11 +819,39 @@ def q140_streaming_ann_ingest(spark: SparkSession,
     codebook_path = os.path.join(base_dir, "ann_codebook")
     vecs.unpersist()  # the stream side re-reads per batch
 
-    d1 = emb.filter((F.col("vec_id") > b) & (F.col("vec_id") <= b2))
-    d2 = emb.filter(F.col("vec_id") > b2)
-    d1.coalesce(1).write.mode("overwrite").parquet(feed)
-    first = {f for f in os.listdir(feed) if f.endswith(".parquet")}
-    d2.coalesce(1).write.mode("append").parquet(feed)
+    # the two delta feed files are input-derived fixture state: build
+    # once behind the embeddings fingerprint (q122's cached-feed
+    # pattern; only the mtime pinning is per-run)
+    import json
+
+    from ..sources.derived_cache import table_fingerprint
+
+    feed_fp = table_fingerprint(sf_dir, ("embeddings",),
+                                params=f"q140_feed_v1_b{b}_b2{b2}")
+    batch1_file = os.path.join(feed, "_Q140_BATCH1")
+
+    def _feed_current() -> bool:
+        try:
+            with open(batch1_file, encoding="ascii") as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        have = (set(os.listdir(feed)) if os.path.isdir(feed) else set())
+        return (d.get("fp") == feed_fp and bool(d.get("first"))
+                and set(d["first"]) <= have)
+
+    if not _feed_current():
+        shutil.rmtree(feed, ignore_errors=True)
+        d1 = emb.filter((F.col("vec_id") > b) & (F.col("vec_id") <= b2))
+        d2 = emb.filter(F.col("vec_id") > b2)
+        d1.coalesce(1).write.mode("overwrite").parquet(feed)
+        first_names = sorted(f for f in os.listdir(feed)
+                             if f.endswith(".parquet"))
+        d2.coalesce(1).write.mode("append").parquet(feed)
+        with open(batch1_file, "w", encoding="ascii") as fh:
+            json.dump({"fp": feed_fp, "first": first_names}, fh)
+    with open(batch1_file, encoding="ascii") as fh:
+        first = set(json.load(fh)["first"])
     now = time.time()
     for f in os.listdir(feed):
         if f.endswith(".parquet"):
