@@ -2928,12 +2928,8 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
         os.path.getsize(os.path.join(root, _DATA, dv))
         for dv in {*dvm_from.values(), *dvm_to.values()})
 
-    # each side feeds BOTH exceptAll directions below — persist so the
-    # changed-file sets are read once, not once per direction (lazy:
-    # costs nothing if the caller consumes only one feed; bounded by
-    # changed rows; caller/bench releases via clearCache)
-    added_rows = _read(list(ft - ff), st_).persist()
-    removed_rows = _read(list(ff - ft), sf_).persist()
+    added_rows = _read(list(ft - ff), st_)
+    removed_rows = _read(list(ff - ft), sf_)
     if total_dv_bytes <= _DV_DRIVER_BYTES:
         # small vectors: driver set-difference (no extra Spark jobs)
         dv_deleted: dict[str, set] = {}
