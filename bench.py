@@ -77,6 +77,141 @@ def _warm_engine_surfaces(spark) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _scratch_marker_snapshot(sf_dir: str) -> dict[str, int]:
+    """(path → mtime_ns) of every fixture fingerprint/marker file in
+    the per-SF scratch tree. Compared before/after the fixture phase
+    to report how many fixtures were actually (re)built — a rebuilt
+    fixture rewrites its marker, a warm one never touches it."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.storage \
+        import _scratch_base
+
+    base, _ = _scratch_base(sf_dir)
+    snap: dict[str, int] = {}
+    if not os.path.isdir(base):
+        return snap
+    for dirpath, _dirs, files in os.walk(base):
+        for fn in files:
+            if (fn == "_INPUT_FINGERPRINT" or fn.startswith("_Q1")
+                    or fn.endswith(".bounds.json")
+                    or fn == "_emb_vec_max.json" or fn == "_BOUNDS"):
+                p = os.path.join(dirpath, fn)
+                try:
+                    snap[p] = os.stat(p).st_mtime_ns
+                except OSError:
+                    pass
+    return snap
+
+
+def _build_fixtures_untimed(spark, sf_dir: str) -> tuple[float, dict, int]:
+    """The r17 fixture/timing boundary (VERDICT item 1): run every
+    fingerprint-gated fixture builder BEFORE the timed loop and report
+    the phase separately, so the timed region is pure query compute
+    and the driver's numbers no longer depend on scratch-directory
+    state (cold vs warm /dev/shm). Fixture builds are input-derived
+    state construction, not result caching — every timed query still
+    computes its result from the parquet inputs, and the oracle
+    revalidates outputs each run. Returns
+    (fixture_build_sec, per-fixture seconds, n_fixtures_built)."""
+    from etl_pipeline_stock_market_data_postgresql_spark.workload.fixtures \
+        import build_fixtures
+
+    before = _scratch_marker_snapshot(sf_dir)
+    t0 = time.perf_counter()
+    per = build_fixtures(spark, sf_dir)
+    total = round(time.perf_counter() - t0, 4)
+    after = _scratch_marker_snapshot(sf_dir)
+    built = sum(1 for p, m in after.items() if before.get(p) != m)
+    spark.catalog.clearCache()  # builders must not seed the timed region
+    for name, sec in sorted(per.items(), key=lambda kv: -kv[1])[:8]:
+        if sec >= 0.1:
+            print(f"  fixture {name}: {sec:.3f}s", file=sys.stderr)
+    state = "cold" if built else "warm"
+    print(f"  fixture phase: {total:.3f}s ({state}, {built} markers "
+          f"rewritten)", file=sys.stderr)
+    return total, per, built
+
+
+def _sf_probe(n_queries: int = 10) -> None:
+    """``bench.py --sf-probe``: demonstrate scaling with SCALE FACTOR
+    rather than cores (r16 VERDICT item 5 — at sf0.1 the c8/c32 ratio
+    is ≈1 everywhere because the workload is overhead-dominated, so
+    core-scaling cannot distinguish good plans from bad; input-scaling
+    can). Runs the N most expensive queries (per BENCH_FULL.json when
+    present, else a static list of the historically expensive ones) at
+    sf0.01 and at $SPARK_GRAFT_SF_DIR (default sf0.1), unchanged
+    methodology (untimed fixture phase + noop sink + clearCache), and
+    prints ONE JSON line with per-query times, the time ratio, and the
+    implied scaling exponent log(t_ratio)/log(sf_ratio). A query is
+    FLAGGED when its exponent exceeds 1.2 — superlinear growth that no
+    declared operator should exhibit (linear operators ≈1 minus the
+    fixed per-query overhead, blocked/indexed ones well below)."""
+    big_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    small_dir = os.path.join(os.path.dirname(big_dir.rstrip("/")), "sf0.01")
+    try:
+        sf_big = float(os.path.basename(
+            big_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf_big = 0.1
+    sf_ratio = sf_big / 0.01
+
+    names: list[str] = []
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json")) as f:
+            prev = json.load(f)["queries"]
+        names = [n for n, _ in sorted(prev.items(),
+                                      key=lambda kv: -kv[1])[:n_queries]]
+    except (OSError, ValueError, KeyError):
+        names = ["q122_streaming_incremental_dedup",
+                 "q140_streaming_ann_ingest", "q120_incremental_dedup",
+                 "q130_importance_resample", "q118_small_file_compaction",
+                 "q159_deletion_vectors", "q131_kcore", "q113_ivfpq_adc",
+                 "q149_versioned_change_feed", "q128_pagerank"][:n_queries]
+
+    spark = get_spark("bench-sf-probe")
+    try:
+        _warm_engine_surfaces(spark)
+    except Exception as ex:
+        print(f"  engine warmup failed (continuing): {ex}", file=sys.stderr)
+    queries = all_queries()
+    import math
+    out: dict[str, dict] = {}
+    for sf_dir in (small_dir, big_dir):
+        try:
+            _build_fixtures_untimed(spark, sf_dir)
+        except Exception as ex:
+            print(f"  fixture phase failed ({sf_dir}): {ex}",
+                  file=sys.stderr)
+        for name in names:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            try:
+                queries[name].spark_fn(spark, sf_dir) \
+                    .write.format("noop").mode("overwrite").save()
+                sec = round(time.perf_counter() - t0, 4)
+            except Exception as ex:
+                print(f"  {name} FAILED at {sf_dir}: {ex}", file=sys.stderr)
+                sec = None
+            key = "t_small" if sf_dir == small_dir else "t_large"
+            out.setdefault(name, {})[key] = sec
+            print(f"  [{os.path.basename(sf_dir)}] {name}: {sec}",
+                  file=sys.stderr)
+            spark.catalog.clearCache()
+    flagged = []
+    for name, d in out.items():
+        ts, tl = d.get("t_small"), d.get("t_large")
+        if ts and tl and ts > 0:
+            d["ratio"] = round(tl / ts, 3)
+            d["exponent"] = round(math.log(max(tl / ts, 1e-9))
+                                  / math.log(sf_ratio), 3)
+            if d["exponent"] > 1.2:
+                flagged.append(name)
+    print(json.dumps({"metric": "sf_scaling_probe", "unit": "sec",
+                      "sf_small": 0.01, "sf_large": sf_big,
+                      "queries": out, "flagged": flagged}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -108,6 +243,15 @@ def main() -> None:
         _warm_engine_surfaces(spark)
     except Exception as ex:
         print(f"  engine warmup failed (continuing): {ex}", file=sys.stderr)
+    # untimed fixture phase (r17): fingerprint-gated fixture builds run
+    # here, reported as fixture_build_sec — never inside a timed query
+    try:
+        fixture_sec, fixture_per, fixtures_built = \
+            _build_fixtures_untimed(spark, sf_dir)
+    except Exception as ex:
+        print(f"  fixture phase failed (queries build inline): {ex}",
+              file=sys.stderr)
+        fixture_sec, fixture_per, fixtures_built = None, {}, None
 
     queries = all_queries()
     timings: dict[str, float] = {}
@@ -167,6 +311,7 @@ def main() -> None:
     # whatever suffix of the line survives always carries the totals.
     out = {
         "queries": timings,
+        "fixtures": fixture_per,
     }
     if failures:
         out["failures"] = failures
@@ -175,6 +320,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        # untimed fixture phase (see _build_fixtures_untimed): lets the
+        # driver interpret the timed total independently of scratch
+        # state — fixture_build_sec is near-zero on a warm scratch
+        "fixture_build_sec": fixture_sec,
+        "fixtures_built": fixtures_built,
+        "scratch_state": ("unknown" if fixtures_built is None else
+                          "cold" if fixtures_built else "warm"),
     })
     # The complete result also lands in a repo file, so round-over-round
     # per-query comparison never depends on how much stdout the driver
@@ -198,9 +350,15 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "fixture_build_sec": fixture_sec,
+        "scratch_state": ("unknown" if fixtures_built is None else
+                          "cold" if fixtures_built else "warm"),
         "full_results": "BENCH_FULL.json",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf-probe" in sys.argv[1:]:
+        _sf_probe()
+    else:
+        main()

@@ -106,6 +106,16 @@ def incremental_neardup(index: DataFrame, delta_docs: DataFrame,
     construction when it was built by this function's keep-set or a
     batch dedup keep-set — and every index id < every delta id.
 
+    .. warning:: the id-ordering precondition is load-bearing for
+       CANDIDATE COMPLETENESS, not just for the error message: the
+       unified banded join keeps only ``id_a < id_b`` pairs, so with
+       ``check_ids=False`` and a violated precondition, corpus→delta
+       candidates whose corpus id >= delta id are SILENTLY DROPPED
+       (the pre-r16 two-join shape would have kept them). Callers that
+       disable the check must guarantee the ordering themselves (e.g.
+       via ``known_index_max`` from store manifest stats, O(files)
+       driver metadata).
+
     Scale shape: delta-side text work ∝ delta; corpus-side work is a
     columnar scan of the compact index (m-columns for banding, arrays
     only for docs that land in a candidate pair via left-semi); the

@@ -1538,6 +1538,33 @@ FROM (
 ANN_GC_MOD = 7
 
 
+def _ensure_ann_gc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated build of q139's GC'd copy of the shared ANN
+    postings store (delete runs on the COPY so q137/q138's
+    certificates stay valid). Returns the gc store path."""
+    import os
+    import shutil
+
+    from ..sources.compaction import delete_where_partitioned
+    from ..sources.derived_cache import _FP_NAME, _stored_fingerprint
+    from .storage import _scratch_base
+
+    store, _b, _b2 = _ann_store_materialized(spark, sf_dir)
+    scratch, _ = _scratch_base(sf_dir)
+    gc_store = os.path.join(scratch, "ann_store_gc")
+    fp = _stored_fingerprint(store) + f"_gc_v1_mod{ANN_GC_MOD}"
+    if _stored_fingerprint(gc_store) != fp:
+        shutil.rmtree(gc_store, ignore_errors=True)
+        shutil.copytree(store, gc_store,
+                        ignore=shutil.ignore_patterns(_FP_NAME))
+        delete_where_partitioned(spark, gc_store, "cell",
+                                 F.col("id") % ANN_GC_MOD == 0)
+        with open(os.path.join(gc_store, _FP_NAME), "w",
+                  encoding="ascii") as f:
+            f.write(fp)
+    return gc_store
+
+
 def q139_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE on the committed postings store — the purge a
     100 TB vector corpus eventually owes (quality retractions,
@@ -1563,26 +1590,7 @@ def q139_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     row certifies the delete removed EXACTLY the victims — no
     over-delete, no survivor corruption, across base and both appended
     batches."""
-    import os
-    import shutil
-
-    from ..sources.compaction import delete_where_partitioned
-    from ..sources.derived_cache import _FP_NAME, _stored_fingerprint
-    from .storage import _scratch_base
-
-    store, _b, _b2 = _ann_store_materialized(spark, sf_dir)
-    scratch, _ = _scratch_base(sf_dir)
-    gc_store = os.path.join(scratch, "ann_store_gc")
-    fp = _stored_fingerprint(store) + f"_gc_v1_mod{ANN_GC_MOD}"
-    if _stored_fingerprint(gc_store) != fp:
-        shutil.rmtree(gc_store, ignore_errors=True)
-        shutil.copytree(store, gc_store,
-                        ignore=shutil.ignore_patterns(_FP_NAME))
-        delete_where_partitioned(spark, gc_store, "cell",
-                                 F.col("id") % ANN_GC_MOD == 0)
-        with open(os.path.join(gc_store, _FP_NAME), "w",
-                  encoding="ascii") as f:
-            f.write(fp)
+    gc_store = _ensure_ann_gc_store(spark, sf_dir)
     st = spark.read.parquet(gc_store)
     return (st.groupBy(F.col("cell").cast("long").alias("cell"), "m")
             .agg(F.count(F.lit(1)).alias("n_rows"),

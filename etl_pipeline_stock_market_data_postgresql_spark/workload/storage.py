@@ -76,8 +76,12 @@ def _store_bounds(root: str, bounds: dict) -> None:
     leaves the fixture stale and rebuildable."""
     import json
 
-    with open(os.path.join(root, "_BOUNDS"), "w", encoding="ascii") as f:
+    # temp-file + rename so a crash mid-write can never leave a
+    # truncated sidecar behind a matching fingerprint (r17 ADVICE)
+    tmp = os.path.join(root, f"_BOUNDS.tmp-{os.getpid()}")
+    with open(tmp, "w", encoding="ascii") as f:
         json.dump(bounds, f)
+    os.replace(tmp, os.path.join(root, "_BOUNDS"))
 
 
 def _load_bounds(root: str) -> dict:
@@ -520,39 +524,15 @@ FROM documents GROUP BY source
 """
 
 
-def q147_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy-on-write MERGE (upsert) on the manifest-versioned store —
-    the other half of q143's DELETE and the reference's K3/K4
-    idempotent-load semantics lifted to snapshot storage: a correction
-    batch arrives for an ALREADY-INGESTED window (here: events with
-    ``event_id % 13 == 0`` in the first half of the base range get
-    their value re-stated and are re-labeled ``corrected`` — the
-    late-restatement every market-data pipeline owes) together with
-    brand-new rows (``backfill`` copies shifted past the max id), and
-    ``versioned_store.commit_merge`` lands BOTH in one commit: matched
-    keys replace their stored rows, unmatched keys insert, and ONLY the
-    files containing matched keys are rewritten — the rest carry by
-    name, and the pre-merge snapshot (v2) stays readable.
-
-    The gated output summarizes v2 (pre-merge) and v3 (post-merge) per
-    event_type with exact integer value/id checksums (values quantized
-    to micro-units at ingest, so no double-sum wobble); the oracle
-    reconstructs both versions from the events table, so a green row
-    certifies matched-key replacement, unmatched-key insertion,
-    survivor preservation, AND the retained pre-merge snapshot.
-
-    Scale shape: the match census is one semi-join grouped to file
-    names; the rewrite ∝ matched files + |updates| — the correction
-    window rides v1's event_id range clustering, so files wholly
-    outside it carry untouched (pinned by the invariant tests). The
-    merge commit is txn-guarded: a replayed batch no-ops."""
+def _ensure_q147(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q147 (merge chain store);
+    idempotent — warm runs pay only the fingerprint stat check. Called
+    inline by the query (standalone correctness) and untimed by
+    bench.build_fixtures (the fixture/timing boundary). Returns the
+    store root."""
     from ..sources import versioned_store as vstore
     from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
     scratch, _ = _scratch_base(sf_dir)
     root = os.path.join(scratch, "events_versioned_merge")
     fp = table_fingerprint(sf_dir, ("events",), params="q147_merge_v1")
@@ -561,6 +541,10 @@ def q147_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _stored_fingerprint(root) != fp:
         import shutil
         shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
         # build-only bounds: the gated read never scans the input table
         mx, = base.agg(F.max("event_id")).first()
         b = (2 * mx) // 3
@@ -590,6 +574,38 @@ def q147_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                             stats_cols=("event_id",), txn="q147-merge")
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
+    return root
+
+
+def q147_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (upsert) on the manifest-versioned store —
+    the other half of q143's DELETE and the reference's K3/K4
+    idempotent-load semantics lifted to snapshot storage: a correction
+    batch arrives for an ALREADY-INGESTED window (here: events with
+    ``event_id % 13 == 0`` in the first half of the base range get
+    their value re-stated and are re-labeled ``corrected`` — the
+    late-restatement every market-data pipeline owes) together with
+    brand-new rows (``backfill`` copies shifted past the max id), and
+    ``versioned_store.commit_merge`` lands BOTH in one commit: matched
+    keys replace their stored rows, unmatched keys insert, and ONLY the
+    files containing matched keys are rewritten — the rest carry by
+    name, and the pre-merge snapshot (v2) stays readable.
+
+    The gated output summarizes v2 (pre-merge) and v3 (post-merge) per
+    event_type with exact integer value/id checksums (values quantized
+    to micro-units at ingest, so no double-sum wobble); the oracle
+    reconstructs both versions from the events table, so a green row
+    certifies matched-key replacement, unmatched-key insertion,
+    survivor preservation, AND the retained pre-merge snapshot.
+
+    Scale shape: the match census is one semi-join grouped to file
+    names; the rewrite ∝ matched files + |updates| — the correction
+    window rides v1's event_id range clustering, so files wholly
+    outside it carry untouched (pinned by the invariant tests). The
+    merge commit is txn-guarded: a replayed batch no-ops."""
+    from ..sources import versioned_store as vstore
+
+    root = _ensure_q147(spark, sf_dir)
     parts = []
     for v in (2, 3):
         parts.append(
@@ -645,6 +661,55 @@ SELECT * FROM summ2 UNION ALL SELECT * FROM summ3
 """
 
 
+def _ensure_q148(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q148 (schema-evolution
+    store), q147's ensure pattern; owns the bounds sidecar (including
+    the backfill for fixtures predating it). Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_evolve")
+    fp = table_fingerprint(sf_dir, ("events",), params="q148_evolve_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    def _base() -> DataFrame:
+        return (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = _base()
+        # build-only input scan; the bound the gated read needs
+        # persists beside the fingerprint
+        mx, = base.agg(F.max("event_id")).first()
+        b = (2 * mx) // 3
+        vstore.commit_append(spark, root,
+                             base.filter(F.col("event_id") <= b),
+                             stats_cols=("event_id",))
+        evolved = (base.filter(F.col("event_id") > b)
+                   .withColumn("quality_q",
+                               (F.col("event_id") % 97).cast("long")))
+        vstore.commit_append(spark, root, evolved,
+                             stats_cols=("event_id",),
+                             allow_evolution=True)
+        _store_bounds(root, {"b": b})
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    try:
+        _load_bounds(root)["b"]
+    except (OSError, ValueError, KeyError):
+        # fixture predates the sidecar, or a crash truncated it:
+        # backfill once (r17 ADVICE: a corrupt sidecar must not wedge
+        # every warm run behind a matching fingerprint)
+        mx, = _base().agg(F.max("event_id")).first()
+        _store_bounds(root, {"b": (2 * mx) // 3})
+    return root
+
+
 def q148_versioned_schema_evolution(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Schema ENFORCEMENT + EVOLUTION on the versioned store — q127's
@@ -670,42 +735,9 @@ def q148_versioned_schema_evolution(spark: SparkSession,
     plan-time-constant (the union schema is metadata, not a footer
     sweep over every file); legacy files are never rewritten."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_versioned_evolve")
-    fp = table_fingerprint(sf_dir, ("events",), params="q148_evolve_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only input scan; the bound the gated read needs
-        # persists beside the fingerprint
-        mx, = base.agg(F.max("event_id")).first()
-        b = (2 * mx) // 3
-        vstore.commit_append(spark, root,
-                             base.filter(F.col("event_id") <= b),
-                             stats_cols=("event_id",))
-        evolved = (base.filter(F.col("event_id") > b)
-                   .withColumn("quality_q",
-                               (F.col("event_id") % 97).cast("long")))
-        vstore.commit_append(spark, root, evolved,
-                             stats_cols=("event_id",),
-                             allow_evolution=True)
-        _store_bounds(root, {"b": b})
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-    try:
-        b = _load_bounds(root)["b"]
-    except OSError:  # fixture predates the sidecar: backfill once
-        mx, = base.agg(F.max("event_id")).first()
-        b = (2 * mx) // 3
-        _store_bounds(root, {"b": b})
+    root = _ensure_q148(spark, sf_dir)
+    b = _load_bounds(root)["b"]
 
     v1 = vstore.read_version(spark, root, 1)
     v2 = vstore.read_version(spark, root, 2)
@@ -913,6 +945,56 @@ FROM feed GROUP BY transition, change_type
 """
 
 
+def _ensure_q151(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q151 (conditional-merge
+    chain store), q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_condmerge")
+    fp = table_fingerprint(sf_dir, ("events",), params="q151_condmerge_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        # build-only bounds: warm runs never scan the input table
+        mx, = base.agg(F.max("event_id")).first()
+        b = (2 * mx) // 3
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(6, "event_id"),
+                             stats_cols=("event_id",))
+        restated = (base.filter((F.col("event_id") % 7 == 0)
+                                & (F.col("event_id") <= b))
+                    .select("event_id",
+                            F.lit(-1).cast("long").alias("user_id"),
+                            F.lit("ignored").alias("event_type"),
+                            (F.col("value_q")
+                             + (F.col("event_id") % 3 - 1) * 1000)
+                            .alias("value_q")))
+        fresh = (base.filter(F.col("event_id") < 30)
+                 .select((F.col("event_id") + mx + 1).alias("event_id"),
+                         "user_id", F.lit("fresh").alias("event_type"),
+                         "value_q"))
+        vstore.commit_merge(
+            spark, root, restated.unionByName(fresh),
+            key_cols=("event_id",), stats_cols=("event_id",),
+            txn="q151-merge",
+            matched_condition=F.col("s.value_q") > F.col("t.value_q"),
+            update_set={"event_type": F.lit("restated"),
+                        "value_q": F.col("s.value_q")},
+            not_matched_by_source_delete=(F.col("t.event_id") % 19 == 0)
+            & (F.col("t.event_id") > b))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q151_versioned_conditional_merge(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """CONDITIONAL, column-subset MERGE — the full Delta clause
@@ -947,50 +1029,8 @@ def q151_versioned_conditional_merge(spark: SparkSession,
     and condition-false files carry by name (pinned by the invariant
     tests)."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_versioned_condmerge")
-    fp = table_fingerprint(sf_dir, ("events",), params="q151_condmerge_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bounds: warm runs never scan the input table
-        mx, = base.agg(F.max("event_id")).first()
-        b = (2 * mx) // 3
-        vstore.commit_append(spark, root,
-                             base.repartitionByRange(6, "event_id"),
-                             stats_cols=("event_id",))
-        restated = (base.filter((F.col("event_id") % 7 == 0)
-                                & (F.col("event_id") <= b))
-                    .select("event_id",
-                            F.lit(-1).cast("long").alias("user_id"),
-                            F.lit("ignored").alias("event_type"),
-                            (F.col("value_q")
-                             + (F.col("event_id") % 3 - 1) * 1000)
-                            .alias("value_q")))
-        fresh = (base.filter(F.col("event_id") < 30)
-                 .select((F.col("event_id") + mx + 1).alias("event_id"),
-                         "user_id", F.lit("fresh").alias("event_type"),
-                         "value_q"))
-        vstore.commit_merge(
-            spark, root, restated.unionByName(fresh),
-            key_cols=("event_id",), stats_cols=("event_id",),
-            txn="q151-merge",
-            matched_condition=F.col("s.value_q") > F.col("t.value_q"),
-            update_set={"event_type": F.lit("restated"),
-                        "value_q": F.col("s.value_q")},
-            not_matched_by_source_delete=(F.col("t.event_id") % 19 == 0)
-            & (F.col("t.event_id") > b))
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q151(spark, sf_dir)
     parts = []
     for v in (1, 2):
         parts.append(
@@ -1138,6 +1178,42 @@ FROM v3 GROUP BY event_type
 """
 
 
+def _ensure_q153(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q153 (restore chain store),
+    q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_restore")
+    fp = table_fingerprint(sf_dir, ("events",), params="q153_restore_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        # build-only bound: warm runs never scan the input table
+        mx, = base.agg(F.max("event_id")).first()
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete(spark, root, F.col("event_id") % 13 == 0,
+                             stats_cols=("event_id",), txn="q153-delete")
+        fresh = base.filter(F.col("event_id") < 25).select(
+            (F.col("event_id") + mx + 1).alias("event_id"),
+            "user_id", "value_q")
+        vstore.commit_append(spark, root, fresh,
+                             stats_cols=("event_id",), txn="q153-append")
+        vstore.restore(spark, root, 1, txn="q153-restore")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q153_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``RESTORE TABLE ... TO VERSION`` — the rollback verb that
     completes the store's command surface (time travel reads the past;
@@ -1169,36 +1245,8 @@ def q153_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-in-time recovery inside the application at all; this is
     Delta's RESTORE rebuilt on immutable snapshots."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_versioned_restore")
-    fp = table_fingerprint(sf_dir, ("events",), params="q153_restore_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bound: warm runs never scan the input table
-        mx, = base.agg(F.max("event_id")).first()
-        vstore.commit_append(spark, root,
-                             base.repartitionByRange(4, "event_id"),
-                             stats_cols=("event_id",))
-        vstore.commit_delete(spark, root, F.col("event_id") % 13 == 0,
-                             stats_cols=("event_id",), txn="q153-delete")
-        fresh = base.filter(F.col("event_id") < 25).select(
-            (F.col("event_id") + mx + 1).alias("event_id"),
-            "user_id", "value_q")
-        vstore.commit_append(spark, root, fresh,
-                             stats_cols=("event_id",), txn="q153-append")
-        vstore.restore(spark, root, 1, txn="q153-restore")
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q153(spark, sf_dir)
     hist = (vstore.history(spark, root)
             .select(F.col("version").cast("int").alias("version"), "op",
                     F.when(F.col("op") == "restore", F.col("n_new_files"))
@@ -1258,6 +1306,48 @@ FROM base
 """
 
 
+def _ensure_q154(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q154 (zorder chain store);
+    owns the bounds sidecar + backfill. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_versioned_zorder")
+    fp = table_fingerprint(sf_dir, ("events",), params="q154_zorder_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    def _base() -> DataFrame:
+        return (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = _base()
+        # build-only bounds; the probe windows the gated read needs
+        # persist beside the fingerprint
+        emax, umax = base.agg(F.max("event_id"), F.max("user_id")).first()
+        vstore.commit_append(spark, root, base.repartition(8),
+                             stats_cols=("user_id", "event_id"))
+        vstore.optimize_zorder(spark, root, "user_id", "event_id",
+                               n_files=8, txn="q154-zorder")
+        _store_bounds(root, {"emax": emax, "umax": umax})
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    try:
+        b = _load_bounds(root)
+        b["emax"], b["umax"]
+    except (OSError, ValueError, KeyError):
+        # sidecar missing or corrupt: backfill once (r17 ADVICE)
+        emax, umax = _base().agg(F.max("event_id"),
+                                 F.max("user_id")).first()
+        _store_bounds(root, {"emax": emax, "umax": umax})
+    return root
+
+
 def q154_versioned_optimize_zorder(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """``OPTIMIZE ... ZORDER BY (user_id, event_id)`` as a
@@ -1289,36 +1379,10 @@ def q154_versioned_optimize_zorder(spark: SparkSession,
     pruned reads); old snapshots keep reading the old layout until
     vacuum; commit metadata O(delta)."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_versioned_zorder")
-    fp = table_fingerprint(sf_dir, ("events",), params="q154_zorder_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bounds; the probe windows the gated read needs
-        # persist beside the fingerprint
-        emax, umax = base.agg(F.max("event_id"), F.max("user_id")).first()
-        vstore.commit_append(spark, root, base.repartition(8),
-                             stats_cols=("user_id", "event_id"))
-        vstore.optimize_zorder(spark, root, "user_id", "event_id",
-                               n_files=8, txn="q154-zorder")
-        _store_bounds(root, {"emax": emax, "umax": umax})
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-    try:
-        _bounds = _load_bounds(root)
-        emax, umax = _bounds["emax"], _bounds["umax"]
-    except OSError:  # fixture predates the sidecar: backfill once
-        emax, umax = base.agg(F.max("event_id"), F.max("user_id")).first()
-        _store_bounds(root, {"emax": emax, "umax": umax})
+    root = _ensure_q154(spark, sf_dir)
+    _bounds = _load_bounds(root)
+    emax, umax = _bounds["emax"], _bounds["umax"]
 
     probes = {
         1: {"user_id": (0, umax // 2), "event_id": (0, emax // 4)},
@@ -1389,6 +1453,49 @@ FROM agg CROSS JOIN (SELECT 1 AS version UNION ALL SELECT 2) v
 """
 
 
+def _ensure_q157(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q157 (HLL register store),
+    q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+    from .events_analytics import phll_bucket_rho
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_hll_store")
+    fp = table_fingerprint(sf_dir, ("events",), params="q157_sketch_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = load(spark, sf_dir, "events").select(
+            F.col("event_id").alias("x"))
+        # build-only bounds: warm runs never scan the input table
+        mx, = base.agg(F.max("x")).first()
+        b1, b2 = mx // 3, (2 * mx) // 3
+        bucket, rho = phll_bucket_rho(F.col("x"))
+        bounds = [(0, b1), (b1 + 1, b2), (b2 + 1, mx)]
+        for i, (lo, hi) in enumerate(bounds):
+            batch_regs = (base.filter((F.col("x") >= lo)
+                                      & (F.col("x") <= hi))
+                          .select(bucket.alias("bucket"), rho.alias("rho"))
+                          .groupBy("bucket").agg(F.max("rho").alias("rho")))
+            prev = vstore.latest_version(root)
+            if prev is not None:
+                merged = (vstore.read_version(spark, root, prev)
+                          .unionByName(batch_regs)
+                          .groupBy("bucket").agg(F.max("rho").alias("rho")))
+            else:
+                merged = batch_regs
+            vstore.commit_rewrite(spark, root, merged.coalesce(1),
+                                  stats_cols=("bucket",),
+                                  txn=("q157-ingest", i),
+                                  based_on=prev)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q157_versioned_sketch_maintenance(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """INCREMENTAL SKETCH MAINTENANCE in the versioned store — the two
@@ -1415,43 +1522,8 @@ def q157_versioned_sketch_maintenance(spark: SparkSession,
     already-profiled corpus is never re-read, and time travel gives
     the profile as-of any ingest point for free."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
-    from .events_analytics import phll_bucket_rho
 
-    base = load(spark, sf_dir, "events").select(
-        F.col("event_id").alias("x"))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_hll_store")
-    fp = table_fingerprint(sf_dir, ("events",), params="q157_sketch_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bounds: warm runs never scan the input table
-        mx, = base.agg(F.max("x")).first()
-        b1, b2 = mx // 3, (2 * mx) // 3
-        bucket, rho = phll_bucket_rho(F.col("x"))
-        bounds = [(0, b1), (b1 + 1, b2), (b2 + 1, mx)]
-        for i, (lo, hi) in enumerate(bounds):
-            batch_regs = (base.filter((F.col("x") >= lo)
-                                      & (F.col("x") <= hi))
-                          .select(bucket.alias("bucket"), rho.alias("rho"))
-                          .groupBy("bucket").agg(F.max("rho").alias("rho")))
-            prev = vstore.latest_version(root)
-            if prev is not None:
-                merged = (vstore.read_version(spark, root, prev)
-                          .unionByName(batch_regs)
-                          .groupBy("bucket").agg(F.max("rho").alias("rho")))
-            else:
-                merged = batch_regs
-            vstore.commit_rewrite(spark, root, merged.coalesce(1),
-                                  stats_cols=("bucket",),
-                                  txn=("q157-ingest", i),
-                                  based_on=prev)
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q157(spark, sf_dir)
     parts = []
     for v in (1, 2, 3):
         parts.append(
@@ -1500,6 +1572,45 @@ FROM regs_{v}"""
             f"{ctes}\n{body}")
 
 
+def _ensure_q158(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q158 (bloom-indexed store);
+    owns the bounds sidecar + backfill. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_bloom_index")
+    fp = table_fingerprint(sf_dir, ("events",), params="q158_bloom_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    def _base() -> DataFrame:
+        return (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = _base()
+        # build-only input scan; the probe-id base the gated read
+        # needs persists beside the fingerprint
+        mx, = base.agg(F.max("event_id")).first()
+        vstore.commit_append(spark, root, base.repartition(8),
+                             stats_cols=("event_id",),
+                             bloom_cols=("event_id",))
+        _store_bounds(root, {"mx": mx})
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    try:
+        _load_bounds(root)["mx"]
+    except (OSError, ValueError, KeyError):
+        # sidecar missing or corrupt: backfill once (r17 ADVICE)
+        mx, = _base().agg(F.max("event_id")).first()
+        _store_bounds(root, {"mx": mx})
+    return root
+
+
 def q158_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT LOOKUPS through the store's bloom-filter index — the file
     skipping min/max stats structurally cannot give: the chain commits
@@ -1529,34 +1640,9 @@ def q158_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the difference between a key lookup scanning the table
     and touching one file."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_bloom_index")
-    fp = table_fingerprint(sf_dir, ("events",), params="q158_bloom_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only input scan; the probe-id base the gated read
-        # needs persists beside the fingerprint
-        mx, = base.agg(F.max("event_id")).first()
-        vstore.commit_append(spark, root, base.repartition(8),
-                             stats_cols=("event_id",),
-                             bloom_cols=("event_id",))
-        _store_bounds(root, {"mx": mx})
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-    try:
-        mx = _load_bounds(root)["mx"]
-    except OSError:  # fixture predates the sidecar: backfill once
-        mx, = base.agg(F.max("event_id")).first()
-        _store_bounds(root, {"mx": mx})
+    root = _ensure_q158(spark, sf_dir)
+    mx = _load_bounds(root)["mx"]
 
     # dedup: at degenerate scale factors (mx <= 2) the arithmetic
     # probes collide, and the oracle's GROUP BY probe_id would collapse
@@ -1604,6 +1690,39 @@ GROUP BY p.probe_id
 """
 
 
+def _ensure_q159(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q159 (deletion-vector
+    chain store), q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_deletion_vectors")
+    fp = table_fingerprint(sf_dir, ("events",), params="q159_dv_v2")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete_mor(spark, root, F.col("event_id") % 997 == 0,
+                                 txn="q159-mor-1")
+        vstore.commit_delete_mor(spark, root, F.col("event_id") % 499 == 0,
+                                 txn="q159-mor-2")
+        vstore.purge_deletion_vectors(spark, root,
+                                      stats_cols=("event_id",),
+                                      txn="q159-purge")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q159_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-ON-READ DELETE via deletion vectors — the other half of
     Delta's delete design, closing the store's last big verb gap:
@@ -1635,33 +1754,8 @@ def q159_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with table size except the census scan every DELETE of any
     kind performs."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_deletion_vectors")
-    fp = table_fingerprint(sf_dir, ("events",), params="q159_dv_v2")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        vstore.commit_append(spark, root,
-                             base.repartitionByRange(4, "event_id"),
-                             stats_cols=("event_id",))
-        vstore.commit_delete_mor(spark, root, F.col("event_id") % 997 == 0,
-                                 txn="q159-mor-1")
-        vstore.commit_delete_mor(spark, root, F.col("event_id") % 499 == 0,
-                                 txn="q159-mor-2")
-        vstore.purge_deletion_vectors(spark, root,
-                                      stats_cols=("event_id",),
-                                      txn="q159-purge")
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q159(spark, sf_dir)
     hist = (vstore.history(spark, root)
             .select(F.col("version").cast("int").alias("version"), "op",
                     F.when(F.col("op") == "delete_mor",
@@ -1750,6 +1844,51 @@ SELECT 'feed_v3_v4_del', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
 """
 
 
+def _ensure_q160(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Fingerprint-gated fixture build for q160 (clone + divergence),
+    q147's ensure pattern. Returns (src_root, branch_root)."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    src = os.path.join(scratch, "events_clone_src")
+    dst = os.path.join(scratch, "events_clone_branch")
+    fp = table_fingerprint(sf_dir, ("events",), params="q160_clone_v1")
+    fp_file = os.path.join(src, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(src) != fp:
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        # build-only bound: warm runs never scan the input table
+        mx, = base.agg(F.max("event_id")).first()
+        vstore.commit_append(spark, src,
+                             base.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete_mor(spark, src, F.col("event_id") % 499 == 0,
+                                 txn="q160-mor")
+        vstore.clone(src, dst)
+        restated = (vstore.read_version(spark, dst, 1)
+                    .filter(F.col("event_id") % 101 == 0)
+                    .select("event_id", "user_id",
+                            (F.col("value_q") + F.lit(1000000))
+                            .alias("value_q")))
+        vstore.commit_merge(spark, dst, restated, key_cols=("event_id",),
+                            stats_cols=("event_id",), txn="q160-merge")
+        fresh = base.filter(F.col("event_id") < 30).select(
+            (F.col("event_id") + mx + 1).alias("event_id"),
+            "user_id", "value_q")
+        vstore.commit_append(spark, src, fresh, stats_cols=("event_id",),
+                             txn="q160-append")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return src, dst
+
+
 def q160_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZERO-COPY SHALLOW CLONE + independent branch divergence —
     Delta's ``CREATE TABLE ... CLONE``, the verb that makes dev/test
@@ -1776,45 +1915,8 @@ def q160_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     write; each branch's subsequent commits price exactly as they
     would on an uncloned store."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    src = os.path.join(scratch, "events_clone_src")
-    dst = os.path.join(scratch, "events_clone_branch")
-    fp = table_fingerprint(sf_dir, ("events",), params="q160_clone_v1")
-    fp_file = os.path.join(src, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(src) != fp:
-        import shutil
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(dst, ignore_errors=True)
-        # build-only bound: warm runs never scan the input table
-        mx, = base.agg(F.max("event_id")).first()
-        vstore.commit_append(spark, src,
-                             base.repartitionByRange(4, "event_id"),
-                             stats_cols=("event_id",))
-        vstore.commit_delete_mor(spark, src, F.col("event_id") % 499 == 0,
-                                 txn="q160-mor")
-        vstore.clone(src, dst)
-        restated = (vstore.read_version(spark, dst, 1)
-                    .filter(F.col("event_id") % 101 == 0)
-                    .select("event_id", "user_id",
-                            (F.col("value_q") + F.lit(1000000))
-                            .alias("value_q")))
-        vstore.commit_merge(spark, dst, restated, key_cols=("event_id",),
-                            stats_cols=("event_id",), txn="q160-merge")
-        fresh = base.filter(F.col("event_id") < 30).select(
-            (F.col("event_id") + mx + 1).alias("event_id"),
-            "user_id", "value_q")
-        vstore.commit_append(spark, src, fresh, stats_cols=("event_id",),
-                             txn="q160-append")
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    src, dst = _ensure_q160(spark, sf_dir)
     parts = []
     for branch, root, versions in (("src", src, (1, 2, 3)),
                                    ("branch", dst, (1, 2))):
@@ -1889,6 +1991,47 @@ FROM br_v2
 """
 
 
+def _ensure_q161(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q161 (row-tracking store),
+    q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "documents_row_tracking")
+    fp = table_fingerprint(sf_dir, ("documents",), params="q161_rt_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "n_chars"))
+        # build-only bound: warm runs never scan the input table
+        mx, = base.agg(F.max("doc_id")).first()
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "doc_id"),
+                             stats_cols=("doc_id",), row_ids=True)
+        updates = (base.filter(F.col("doc_id") % 7 == 3)
+                   .select("doc_id", F.lit("up").alias("lang"),
+                           (F.col("n_chars") + F.lit(1000000))
+                           .alias("n_chars"))
+                   .unionByName(
+                       base.filter(F.col("doc_id") % 13 == 1)
+                       .select((F.col("doc_id") + F.lit(mx))
+                               .alias("doc_id"),
+                               F.lit("xx").alias("lang"),
+                               (F.col("n_chars") + F.lit(7))
+                               .alias("n_chars"))))
+        vstore.commit_merge(spark, root, updates, key_cols=("doc_id",),
+                            stats_cols=("doc_id",), txn="q161-merge")
+        vstore.commit_delete(spark, root, F.col("doc_id") % 5 == 2,
+                             stats_cols=("doc_id",), txn="q161-delete")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q161_row_tracking_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYLESS typed change feed via ROW TRACKING — the r13 verdict's
     row-tracking ask: q150's typed feed needs the caller to supply the
@@ -1921,41 +2064,8 @@ def q161_row_tracking_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is NOT stable across UPDATE/VACUUM; stable row identity there
     requires a user-managed key — exactly what this removes)."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "documents")
-            .select("doc_id", "lang", "n_chars"))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "documents_row_tracking")
-    fp = table_fingerprint(sf_dir, ("documents",), params="q161_rt_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bound: warm runs never scan the input table
-        mx, = base.agg(F.max("doc_id")).first()
-        vstore.commit_append(spark, root,
-                             base.repartitionByRange(4, "doc_id"),
-                             stats_cols=("doc_id",), row_ids=True)
-        updates = (base.filter(F.col("doc_id") % 7 == 3)
-                   .select("doc_id", F.lit("up").alias("lang"),
-                           (F.col("n_chars") + F.lit(1000000))
-                           .alias("n_chars"))
-                   .unionByName(
-                       base.filter(F.col("doc_id") % 13 == 1)
-                       .select((F.col("doc_id") + F.lit(mx))
-                               .alias("doc_id"),
-                               F.lit("xx").alias("lang"),
-                               (F.col("n_chars") + F.lit(7))
-                               .alias("n_chars"))))
-        vstore.commit_merge(spark, root, updates, key_cols=("doc_id",),
-                            stats_cols=("doc_id",), txn="q161-merge")
-        vstore.commit_delete(spark, root, F.col("doc_id") % 5 == 2,
-                             stats_cols=("doc_id",), txn="q161-delete")
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q161(spark, sf_dir)
     return (vstore.version_diff_typed_rows(spark, root, 1, 3)
             .select(F.col("_change_type").alias("change_type"),
                     "doc_id", "lang", "n_chars"))
@@ -1983,41 +2093,12 @@ FROM ins WHERE doc_id % 5 <> 2
 """
 
 
-def q162_multi_store_atomic_commit(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    """ATOMIC CROSS-STORE COMMIT — the multi-table transaction the r13
-    verdict listed as the store's last polish gap: a pipeline landing
-    each ingest batch in TWO tables (the fact slice and its per-user
-    index aggregate) must make them visible together or not at all.
-    ``versioned_store.commit_multi_append`` two-phase-commits over the
-    manifest CAS: each store CAS-publishes a PREPARED (invisible)
-    manifest, then one first-wins decision record in the coordinator
-    log is the commit point; an abort turns every prepare into a
-    permanent version hole (numbers never reused), and a dead
-    coordinator is presumed-aborted by the first reader.
-
-    The chain: batch 1 commits atomically to both stores; the batch-2
-    attempt ABORTS (the index participant rejects schema drift after
-    the fact store already prepared — so the fact store is left with a
-    prepared-then-aborted hole at v2); batch 2 then recommits cleanly;
-    batch 3 commits. The gated output is per-(store, claimed-version)
-    history ops and cumulative content checksums — the aborted hole
-    surfaces as an ``append (aborted)`` row with NULL checksums (it is
-    never readable), and the index rows' event-count column equals the
-    fact rows' count at each transaction boundary: the cross-store
-    consistency the protocol exists to give, certified in one
-    hash-compared result.
-
-    Scale shape: each prepare costs exactly a normal append; the
-    decision is one tiny file; readers pay one extra manifest body
-    read only while a top-of-chain prepare is unresolved."""
+def _ensure_q162(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Fingerprint-gated fixture build for q162 (atomic cross-store
+    commit chain), q147's ensure pattern. Returns (facts, index)."""
     from ..sources import versioned_store as vstore
     from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
     scratch, _ = _scratch_base(sf_dir)
     facts = os.path.join(scratch, "events_mc_facts")
     index = os.path.join(scratch, "events_mc_index")
@@ -2025,19 +2106,24 @@ def q162_multi_store_atomic_commit(spark: SparkSession,
     fp = table_fingerprint(sf_dir, ("events",), params="q162_mc_v2")
     fp_file = os.path.join(facts, "_INPUT_FINGERPRINT")
 
-    def batch(lo, hi):
-        return base.filter((F.col("event_id") > lo)
-                           & (F.col("event_id") <= hi))
-
-    def index_agg(lo, hi):
-        return (batch(lo, hi).groupBy("user_id")
-                .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum("value_q").alias("value_sum")))
-
     if _stored_fingerprint(facts) != fp:
         import shutil
         for d in (facts, index, txlog):
             shutil.rmtree(d, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+
+        def batch(lo, hi):
+            return base.filter((F.col("event_id") > lo)
+                               & (F.col("event_id") <= hi))
+
+        def index_agg(lo, hi):
+            return (batch(lo, hi).groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         F.sum("value_q").alias("value_sum")))
+
         # build-only bounds: warm runs never scan the input table
         mx, = base.agg(F.max("event_id")).first()
         b1, b2 = mx // 3, (2 * mx) // 3
@@ -2075,7 +2161,40 @@ def q162_multi_store_atomic_commit(spark: SparkSession,
         ], txlog)
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
+    return facts, index
 
+
+def q162_multi_store_atomic_commit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """ATOMIC CROSS-STORE COMMIT — the multi-table transaction the r13
+    verdict listed as the store's last polish gap: a pipeline landing
+    each ingest batch in TWO tables (the fact slice and its per-user
+    index aggregate) must make them visible together or not at all.
+    ``versioned_store.commit_multi_append`` two-phase-commits over the
+    manifest CAS: each store CAS-publishes a PREPARED (invisible)
+    manifest, then one first-wins decision record in the coordinator
+    log is the commit point; an abort turns every prepare into a
+    permanent version hole (numbers never reused), and a dead
+    coordinator is presumed-aborted by the first reader.
+
+    The chain: batch 1 commits atomically to both stores; the batch-2
+    attempt ABORTS (the index participant rejects schema drift after
+    the fact store already prepared — so the fact store is left with a
+    prepared-then-aborted hole at v2); batch 2 then recommits cleanly;
+    batch 3 commits. The gated output is per-(store, claimed-version)
+    history ops and cumulative content checksums — the aborted hole
+    surfaces as an ``append (aborted)`` row with NULL checksums (it is
+    never readable), and the index rows' event-count column equals the
+    fact rows' count at each transaction boundary: the cross-store
+    consistency the protocol exists to give, certified in one
+    hash-compared result.
+
+    Scale shape: each prepare costs exactly a normal append; the
+    decision is one tiny file; readers pay one extra manifest body
+    read only while a top-of-chain prepare is unresolved."""
+    from ..sources import versioned_store as vstore
+
+    facts, index = _ensure_q162(spark, sf_dir)
     parts = []
     for store_name, root in (("facts", facts), ("index", index)):
         ops = {r["version"]: r["op"]
@@ -2160,6 +2279,40 @@ GROUP BY v.version
 """
 
 
+def _ensure_q163(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q163 (column-mapping
+    chain store), q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "documents_column_mapping")
+    fp = table_fingerprint(sf_dir, ("documents",), params="q163_cm_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "n_chars"))
+        # build-only bound: warm runs never scan the input table
+        mx, = base.agg(F.max("doc_id")).first()
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(4, "doc_id"),
+                             stats_cols=("doc_id",), column_mapping=True)
+        vstore.rename_column(spark, root, "n_chars", "chars")
+        vstore.drop_column(spark, root, "lang")
+        readd = (base.filter(F.col("doc_id") % 13 == 1)
+                 .select((F.col("doc_id") + F.lit(mx)).alias("doc_id"),
+                         (F.col("n_chars") + F.lit(7)).alias("chars"),
+                         F.lit("xx").alias("lang")))
+        vstore.commit_append(spark, root, readd, stats_cols=("doc_id",),
+                             allow_evolution=True, txn="q163-readd")
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q163_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (Delta's
     columnMapping name mode), the schema-evolution surface plain
@@ -2182,34 +2335,8 @@ def q163_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rename/drop cost O(#segments) manifest metadata;
     reads pay one projection rename; nothing else changes."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
 
-    base = (load(spark, sf_dir, "documents")
-            .select("doc_id", "lang", "n_chars"))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "documents_column_mapping")
-    fp = table_fingerprint(sf_dir, ("documents",), params="q163_cm_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bound: warm runs never scan the input table
-        mx, = base.agg(F.max("doc_id")).first()
-        vstore.commit_append(spark, root,
-                             base.repartitionByRange(4, "doc_id"),
-                             stats_cols=("doc_id",), column_mapping=True)
-        vstore.rename_column(spark, root, "n_chars", "chars")
-        vstore.drop_column(spark, root, "lang")
-        readd = (base.filter(F.col("doc_id") % 13 == 1)
-                 .select((F.col("doc_id") + F.lit(mx)).alias("doc_id"),
-                         (F.col("n_chars") + F.lit(7)).alias("chars"),
-                         F.lit("xx").alias("lang")))
-        vstore.commit_append(spark, root, readd, stats_cols=("doc_id",),
-                             allow_evolution=True, txn="q163-readd")
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q163(spark, sf_dir)
     ops = {r["version"]: r["op"]
            for r in vstore.history(spark, root).collect()}
     parts = []
@@ -2319,6 +2446,66 @@ def _q164_run_stream(spark: SparkSession, src_root: str, mv_root: str,
         q.stop()
 
 
+def _ensure_q164(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q164 (CDF follower chain:
+    source store + two streaming passes into the MV store), q147's
+    ensure pattern. Returns the MV store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    scratch, _ = _scratch_base(sf_dir)
+    src = os.path.join(scratch, "events_cdf_stream_src")
+    mv_root = os.path.join(scratch, "events_cdf_stream_mv")
+    ck = os.path.join(scratch, "events_cdf_stream_ck")
+    phases_file = os.path.join(mv_root, "_Q164_PHASES")
+    fp = table_fingerprint(sf_dir, ("events",), params="q164_follow_v1")
+    fp_file = os.path.join(mv_root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(mv_root) != fp:
+        import json
+        import shutil
+        for d in (src, mv_root, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        # build-only bounds: warm runs never scan the input table
+        mx, = base.agg(F.max("event_id")).first()
+        b = (2 * mx) // 3
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, src,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        _q164_run_stream(spark, src, mv_root, ck)  # pass 1: v1 only
+        v_run1 = vstore.latest_version(mv_root)
+        amendments = (v1.filter((F.col("event_id") % 11 == 0)
+                                & (F.col("event_id") <= b // 3))
+                      .select("event_id", "user_id",
+                              F.lit("amended").alias("event_type"),
+                              (F.col("value_q") + F.lit(1000000))
+                              .alias("value_q")))
+        late = (v1.filter(F.col("event_id") < 40)
+                .select((F.col("event_id") + mx + 1).alias("event_id"),
+                        "user_id", F.lit("late").alias("event_type"),
+                        "value_q"))
+        vstore.commit_merge(spark, src, amendments.unionByName(late),
+                            key_cols=("event_id",),
+                            stats_cols=("event_id",), txn="q164-merge")
+        vstore.commit_delete(spark, src,
+                             (F.col("event_id") % 17 == 0)
+                             & (F.col("event_id") <= b),
+                             stats_cols=("event_id",), txn="q164-delete")
+        _q164_run_stream(spark, src, mv_root, ck)  # pass 2: v2 + v3
+        v_run2 = vstore.latest_version(mv_root)
+        with open(phases_file, "w", encoding="ascii") as f:
+            json.dump({"v_run1": v_run1, "v_run2": v_run2}, f)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return mv_root
+
+
 def q164_streaming_cdf_follower(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """CHANGE FEED AS A STRUCTURED STREAMING SOURCE — the consumer
@@ -2353,58 +2540,9 @@ def q164_streaming_cdf_follower(spark: SparkSession,
     loop (main_parallel.py's scheduled refetch) with a change-feed
     subscription."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    src = os.path.join(scratch, "events_cdf_stream_src")
-    mv_root = os.path.join(scratch, "events_cdf_stream_mv")
-    ck = os.path.join(scratch, "events_cdf_stream_ck")
+    mv_root = _ensure_q164(spark, sf_dir)
     phases_file = os.path.join(mv_root, "_Q164_PHASES")
-    fp = table_fingerprint(sf_dir, ("events",), params="q164_follow_v1")
-    fp_file = os.path.join(mv_root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(mv_root) != fp:
-        import json
-        import shutil
-        for d in (src, mv_root, ck):
-            shutil.rmtree(d, ignore_errors=True)
-        # build-only bounds: warm runs never scan the input table
-        mx, = base.agg(F.max("event_id")).first()
-        b = (2 * mx) // 3
-        v1 = base.filter(F.col("event_id") <= b)
-        vstore.commit_append(spark, src,
-                             v1.repartitionByRange(4, "event_id"),
-                             stats_cols=("event_id",))
-        _q164_run_stream(spark, src, mv_root, ck)  # pass 1: v1 only
-        v_run1 = vstore.latest_version(mv_root)
-        amendments = (v1.filter((F.col("event_id") % 11 == 0)
-                                & (F.col("event_id") <= b // 3))
-                      .select("event_id", "user_id",
-                              F.lit("amended").alias("event_type"),
-                              (F.col("value_q") + F.lit(1000000))
-                              .alias("value_q")))
-        late = (v1.filter(F.col("event_id") < 40)
-                .select((F.col("event_id") + mx + 1).alias("event_id"),
-                        "user_id", F.lit("late").alias("event_type"),
-                        "value_q"))
-        vstore.commit_merge(spark, src, amendments.unionByName(late),
-                            key_cols=("event_id",),
-                            stats_cols=("event_id",), txn="q164-merge")
-        vstore.commit_delete(spark, src,
-                             (F.col("event_id") % 17 == 0)
-                             & (F.col("event_id") <= b),
-                             stats_cols=("event_id",), txn="q164-delete")
-        _q164_run_stream(spark, src, mv_root, ck)  # pass 2: v2 + v3
-        v_run2 = vstore.latest_version(mv_root)
-        with open(phases_file, "w", encoding="ascii") as f:
-            json.dump({"v_run1": v_run1, "v_run2": v_run2}, f)
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
 
     import json
     with open(phases_file, encoding="ascii") as f:
@@ -2503,6 +2641,48 @@ def _read_cert_rollup(spark, root: str) -> DataFrame:
         "n_corrected long")
 
 
+def _ensure_q165(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q165 (CoW UPDATE chain +
+    cert rollup), q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_update_verb")
+    fp = table_fingerprint(sf_dir, ("events",), params="q165_update_v2")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        # build-only bound: the gated read must never scan the input
+        # table (its cost is the rollup + history — metadata-scale)
+        mx, = base.agg(F.max("event_id")).first()
+        b = (2 * mx) // 3
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, root,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_update(
+            spark, root, F.col("event_id") % 19 == 0,
+            {"event_type": F.lit("corrected"),
+             "value_q": F.col("value_q") + F.lit(1000000)},
+            stats_cols=("event_id",), txn="q165-correct")
+        vstore.commit_update(
+            spark, root, F.col("event_type") == "corrected",
+            {"value_q": "value_q * 2"},
+            stats_cols=("event_id",), txn="q165-double")
+        _update_cert_rollup(spark, vstore, root, (1, 2, 3))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q165_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``UPDATE ... SET ... WHERE`` on the versioned store — the
     in-place-correction verb (Delta/Iceberg ``UPDATE``) lowered onto
@@ -2530,42 +2710,8 @@ def q165_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     change feed (cost ∝ changed files), and the gated read is the
     cached rollup — metadata-scale at any table size."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_update_verb")
-    fp = table_fingerprint(sf_dir, ("events",), params="q165_update_v2")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bound: the gated read must never scan the input
-        # table (its cost is the rollup + history — metadata-scale)
-        mx, = base.agg(F.max("event_id")).first()
-        b = (2 * mx) // 3
-        v1 = base.filter(F.col("event_id") <= b)
-        vstore.commit_append(spark, root,
-                             v1.repartitionByRange(4, "event_id"),
-                             stats_cols=("event_id",))
-        vstore.commit_update(
-            spark, root, F.col("event_id") % 19 == 0,
-            {"event_type": F.lit("corrected"),
-             "value_q": F.col("value_q") + F.lit(1000000)},
-            stats_cols=("event_id",), txn="q165-correct")
-        vstore.commit_update(
-            spark, root, F.col("event_type") == "corrected",
-            {"value_q": "value_q * 2"},
-            stats_cols=("event_id",), txn="q165-double")
-        _update_cert_rollup(spark, vstore, root, (1, 2, 3))
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q165(spark, sf_dir)
     hist = (vstore.history(spark, root)
             .select(F.col("version").cast("int").alias("version"), "op"))
     # certification is the build-time incremental rollup (base read +
@@ -2620,6 +2766,50 @@ FROM u3
 """
 
 
+def _ensure_q166(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q166 (MoR UPDATE chain +
+    cert rollup), q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_update_mor")
+    fp = table_fingerprint(sf_dir, ("events",), params="q166_updmor_v2")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "event_type",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        # build-only bound (see q165): gated read stays metadata-scale
+        mx, = base.agg(F.max("event_id")).first()
+        b = (2 * mx) // 3
+        v1 = base.filter(F.col("event_id") <= b)
+        vstore.commit_append(spark, root,
+                             v1.repartitionByRange(4, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_update_mor(
+            spark, root, F.col("event_id") % 19 == 0,
+            {"event_type": F.lit("corrected"),
+             "value_q": F.col("value_q") + F.lit(1000000)},
+            stats_cols=("event_id",), txn="q166-correct")
+        vstore.commit_update_mor(
+            spark, root, F.col("event_type") == "corrected",
+            {"value_q": "value_q * 2"},
+            stats_cols=("event_id",), txn="q166-double")
+        vstore.purge_deletion_vectors(spark, root,
+                                      stats_cols=("event_id",),
+                                      txn="q166-purge")
+        _update_cert_rollup(spark, vstore, root, (1, 2, 3, 4))
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q166_versioned_update_mor(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """MERGE-ON-READ ``UPDATE`` — deletion vectors + ONE appended
@@ -2650,44 +2840,8 @@ def q166_versioned_update_mor(spark: SparkSession,
     feed (cost ∝ marked positions), the purge's feed is EMPTY by
     construction, and the gated read is the cached rollup."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id", "event_type",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_update_mor")
-    fp = table_fingerprint(sf_dir, ("events",), params="q166_updmor_v2")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        shutil.rmtree(root, ignore_errors=True)
-        # build-only bound (see q165): gated read stays metadata-scale
-        mx, = base.agg(F.max("event_id")).first()
-        b = (2 * mx) // 3
-        v1 = base.filter(F.col("event_id") <= b)
-        vstore.commit_append(spark, root,
-                             v1.repartitionByRange(4, "event_id"),
-                             stats_cols=("event_id",))
-        vstore.commit_update_mor(
-            spark, root, F.col("event_id") % 19 == 0,
-            {"event_type": F.lit("corrected"),
-             "value_q": F.col("value_q") + F.lit(1000000)},
-            stats_cols=("event_id",), txn="q166-correct")
-        vstore.commit_update_mor(
-            spark, root, F.col("event_type") == "corrected",
-            {"value_q": "value_q * 2"},
-            stats_cols=("event_id",), txn="q166-double")
-        vstore.purge_deletion_vectors(spark, root,
-                                      stats_cols=("event_id",),
-                                      txn="q166-purge")
-        _update_cert_rollup(spark, vstore, root, (1, 2, 3, 4))
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q166(spark, sf_dir)
     hist = (vstore.history(spark, root)
             .select(F.col("version").cast("int").alias("version"), "op",
                     F.when(F.col("op") == "update_mor",
@@ -2754,45 +2908,15 @@ FROM agg
 """
 
 
-def q167_streaming_store_sink(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
-    """THE STORE AS A STANDARD ``writeStream`` SINK —
-    ``df.writeStream.format("versioned_store")`` (streaming/
-    store_sink.py): executors stage one parquet file per partition
-    straight into the store's data dir, the driver publishes each
-    micro-batch as ONE txn-keyed manifest commit — the write half of
-    the q164 source, replacing hand-rolled foreachBatch closures with
-    the sink API every Spark user already knows. Exactly-once comes
-    from the same per-app ledger as every store writer (a replayed
-    batch id no-ops; REAL crash-restart proof in tests/test_r15_ops.py).
-
-    The fixture streams the base event window into a fresh store
-    through the sink in TWO maxFilesPerTrigger micro-batches (a
-    low-id/high-id file split, so batch contents are deterministic);
-    the gated output is the per-version snapshot aggregate — version 1
-    holds exactly batch 0's half, version 2 the full window — plus the
-    ledger high-water mark, certifying batch-level atomic visibility
-    and the append-only history through the standard sink API.
-
-    Scale shape: per batch, executors write their partitions in
-    parallel (rows never visit the driver) and the commit is
-    O(files + #segments) metadata; footer stats land at stage time so
-    file skipping works on sink output immediately.
-
-    Reference parity: the reference's executemany-into-PostgreSQL
-    loop (main_parallel.py:142-161), as an exactly-once streaming
-    table sink."""
+def _ensure_q167(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q167 (streaming store-sink
+    chain), q147's ensure pattern. Returns the store root."""
     import time as _time
 
-    from ..sources import versioned_store as vstore
     from ..sources.derived_cache import (_stored_fingerprint,
                                          table_fingerprint)
     from ..streaming import store_sink
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
     scratch, _ = _scratch_base(sf_dir)
     root = os.path.join(scratch, "events_sink_store")
     feed = os.path.join(scratch, "events_sink_feed")
@@ -2802,6 +2926,10 @@ def q167_streaming_store_sink(spark: SparkSession,
 
     if _stored_fingerprint(root) != fp:
         import shutil
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
         # build-only bound: the gated read never scans the input table
         mx, = base.agg(F.max("event_id")).first()
         half = mx // 2
@@ -2830,7 +2958,40 @@ def q167_streaming_store_sink(spark: SparkSession,
             q.stop()
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
+    return root
 
+
+def q167_streaming_store_sink(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """THE STORE AS A STANDARD ``writeStream`` SINK —
+    ``df.writeStream.format("versioned_store")`` (streaming/
+    store_sink.py): executors stage one parquet file per partition
+    straight into the store's data dir, the driver publishes each
+    micro-batch as ONE txn-keyed manifest commit — the write half of
+    the q164 source, replacing hand-rolled foreachBatch closures with
+    the sink API every Spark user already knows. Exactly-once comes
+    from the same per-app ledger as every store writer (a replayed
+    batch id no-ops; REAL crash-restart proof in tests/test_r15_ops.py).
+
+    The fixture streams the base event window into a fresh store
+    through the sink in TWO maxFilesPerTrigger micro-batches (a
+    low-id/high-id file split, so batch contents are deterministic);
+    the gated output is the per-version snapshot aggregate — version 1
+    holds exactly batch 0's half, version 2 the full window — plus the
+    ledger high-water mark, certifying batch-level atomic visibility
+    and the append-only history through the standard sink API.
+
+    Scale shape: per batch, executors write their partitions in
+    parallel (rows never visit the driver) and the commit is
+    O(files + #segments) metadata; footer stats land at stage time so
+    file skipping works on sink output immediately.
+
+    Reference parity: the reference's executemany-into-PostgreSQL
+    loop (main_parallel.py:142-161), as an exactly-once streaming
+    table sink."""
+    from ..sources import versioned_store as vstore
+
+    root = _ensure_q167(spark, sf_dir)
     ledger_hwm = vstore.txn_seen(root).get("q167", -1)
     parts = []
     for v in (1, 2):
@@ -2864,40 +3025,15 @@ FROM base
 """
 
 
-def q168_incremental_replication(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    """INCREMENTAL TABLE REPLICATION — the q164 source composed with
-    the q167 sink into the pipeline both exist for: ``readStream`` the
-    change feed of store A, ``writeStream`` it into store B, and B
-    becomes a version-aligned replica that follows A commit-by-commit
-    (Delta's stream-a-table-into-a-table). Admission control
-    (``maxVersionsPerBatch=1`` + durable cursor) pins each source
-    version to exactly one micro-batch, so B's version history MIRRORS
-    A's — version k of the replica is byte-equivalent to version k of
-    the source, not just the final state. Exactly-once end to end:
-    Spark's checkpoint tracks the source offset, the sink's txn ledger
-    no-ops replayed batches.
-
-    The fixture appends the base event window to A in THREE id-range
-    batches, then drives replication passes until the feed is drained
-    (each capped availableNow pass admits one version). The gated
-    output is B's per-version aggregate for versions 1-3; the ORACLE
-    computes A's cumulative thirds directly — a green row certifies
-    replication preserves content AND version boundaries.
-
-    Scale shape: per replicated version, cost ∝ that commit's changed
-    files (source classification is manifest metadata; sink commit is
-    one manifest write) — replicating a 100 TB table's daily delta
-    costs the delta, never the table."""
+def _ensure_q168(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q168 (incremental
+    replication chain), q147's ensure pattern. Returns the replica
+    store root."""
     from ..sources import versioned_store as vstore
     from ..sources.derived_cache import (_stored_fingerprint,
                                          table_fingerprint)
     from ..streaming import cdf_source, store_sink
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
     scratch, _ = _scratch_base(sf_dir)
     src = os.path.join(scratch, "events_repl_src")
     dst = os.path.join(scratch, "events_repl_dst")
@@ -2908,6 +3044,10 @@ def q168_incremental_replication(spark: SparkSession,
 
     if _stored_fingerprint(dst) != fp:
         import shutil
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
         # build-only bound: the gated read never scans the input table
         mx, = base.agg(F.max("event_id")).first()
         b1, b2 = mx // 3, (2 * mx) // 3
@@ -2938,7 +3078,37 @@ def q168_incremental_replication(spark: SparkSession,
                 q.stop()
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
+    return dst
 
+
+def q168_incremental_replication(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL TABLE REPLICATION — the q164 source composed with
+    the q167 sink into the pipeline both exist for: ``readStream`` the
+    change feed of store A, ``writeStream`` it into store B, and B
+    becomes a version-aligned replica that follows A commit-by-commit
+    (Delta's stream-a-table-into-a-table). Admission control
+    (``maxVersionsPerBatch=1`` + durable cursor) pins each source
+    version to exactly one micro-batch, so B's version history MIRRORS
+    A's — version k of the replica is byte-equivalent to version k of
+    the source, not just the final state. Exactly-once end to end:
+    Spark's checkpoint tracks the source offset, the sink's txn ledger
+    no-ops replayed batches.
+
+    The fixture appends the base event window to A in THREE id-range
+    batches, then drives replication passes until the feed is drained
+    (each capped availableNow pass admits one version). The gated
+    output is B's per-version aggregate for versions 1-3; the ORACLE
+    computes A's cumulative thirds directly — a green row certifies
+    replication preserves content AND version boundaries.
+
+    Scale shape: per replicated version, cost ∝ that commit's changed
+    files (source classification is manifest metadata; sink commit is
+    one manifest write) — replicating a 100 TB table's daily delta
+    costs the delta, never the table."""
+    from ..sources import versioned_store as vstore
+
+    dst = _ensure_q168(spark, sf_dir)
     parts = []
     for v in (1, 2, 3):
         parts.append(
@@ -2978,6 +3148,55 @@ FROM base
 """
 
 
+def _ensure_q169(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q169 (column-mapped sink
+    chain), q147's ensure pattern. Returns the store root."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import store_sink
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "documents_mapped_sink")
+    feed = os.path.join(scratch, "documents_mapped_feed")
+    ck = os.path.join(scratch, "documents_mapped_ck")
+    fp = table_fingerprint(sf_dir, ("documents",),
+                           params="q169_mapped_sink_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        base = (load(spark, sf_dir, "documents")
+                .select("doc_id", "lang", "n_chars"))
+        # build-only bound: the gated read never scans the input table
+        mx, = base.agg(F.max("doc_id")).first()
+        half = mx // 2
+        for d in (root, feed, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        vstore.commit_append(
+            spark, root,
+            base.filter(F.col("doc_id") <= half)
+            .repartitionByRange(2, "doc_id"),
+            stats_cols=("doc_id",), column_mapping=True)
+        vstore.rename_column(spark, root, "n_chars", "chars")
+        (base.filter(F.col("doc_id") > half)
+         .withColumnRenamed("n_chars", "chars").coalesce(2)
+         .write.parquet(feed))
+        schema = spark.read.parquet(feed).schema
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (store_sink.write_stream_to_store(
+                stream, root, ck, app_id="q169",
+                stats_cols=("doc_id",))
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q169_mapped_store_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING INTO A COLUMN-MAPPED STORE — the q167 sink writing a
     store whose files hold stable PHYSICAL field names (the r15
@@ -3007,49 +3226,8 @@ def q169_mapped_store_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed column list would break); here the rename is a manifest
     commit and the running sink keeps staging valid bytes."""
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
-    from ..streaming import store_sink
 
-    base = (load(spark, sf_dir, "documents")
-            .select("doc_id", "lang", "n_chars"))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "documents_mapped_sink")
-    feed = os.path.join(scratch, "documents_mapped_feed")
-    ck = os.path.join(scratch, "documents_mapped_ck")
-    fp = table_fingerprint(sf_dir, ("documents",),
-                           params="q169_mapped_sink_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        # build-only bound: the gated read never scans the input table
-        mx, = base.agg(F.max("doc_id")).first()
-        half = mx // 2
-        for d in (root, feed, ck):
-            shutil.rmtree(d, ignore_errors=True)
-        vstore.commit_append(
-            spark, root,
-            base.filter(F.col("doc_id") <= half)
-            .repartitionByRange(2, "doc_id"),
-            stats_cols=("doc_id",), column_mapping=True)
-        vstore.rename_column(spark, root, "n_chars", "chars")
-        (base.filter(F.col("doc_id") > half)
-         .withColumnRenamed("n_chars", "chars").coalesce(2)
-         .write.parquet(feed))
-        schema = spark.read.parquet(feed).schema
-        stream = spark.readStream.schema(schema).parquet(feed)
-        q = (store_sink.write_stream_to_store(
-                stream, root, ck, app_id="q169",
-                stats_cols=("doc_id",))
-             .trigger(availableNow=True).start())
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    root = _ensure_q169(spark, sf_dir)
     ops = {r["version"]: r["op"]
            for r in vstore.history(spark, root).collect()}
     parts = []
@@ -3090,6 +3268,53 @@ FROM documents
 """
 
 
+def _ensure_q170(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q170 (restore-feed chain),
+    q147's ensure pattern. Returns the drained-feed parquet dir."""
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import cdf_source
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_restore_feed_src")
+    out = os.path.join(scratch, "events_restore_feed_out")
+    ck = os.path.join(scratch, "events_restore_feed_ck")
+    fp = table_fingerprint(sf_dir, ("events",),
+                           params="q170_restore_feed_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+        for d in (root, out, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
+        vstore.commit_append(spark, root,
+                             base.repartitionByRange(2, "event_id"),
+                             stats_cols=("event_id",))
+        vstore.commit_delete_mor(spark, root, F.col("event_id") % 7 == 0,
+                                 txn="q170-mor7")
+        vstore.restore(spark, root, 1)
+        vstore.commit_delete_mor(spark, root, F.col("event_id") % 5 == 0,
+                                 txn="q170-mor5")
+        q = (cdf_source.read_change_feed_stream(spark, root)
+             .writeStream.trigger(availableNow=True)
+             .option("checkpointLocation", ck)
+             .foreachBatch(lambda bdf, bid:
+                           bdf.write.mode("append").parquet(out))
+             .start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return out
+
+
 def q170_cdf_restore_follower(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """CHANGE-FEED FOLLOWER ACROSS A RESTORE — the driver-gated
@@ -3115,48 +3340,7 @@ def q170_cdf_restore_follower(spark: SparkSession,
     manifest metadata, row reads are one executor partition per
     changed file; a restore's feed costs the changed positions (read
     by position ``take``), never the table."""
-    from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
-    from ..streaming import cdf_source
-
-    base = (load(spark, sf_dir, "events")
-            .select("event_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_restore_feed_src")
-    out = os.path.join(scratch, "events_restore_feed_out")
-    ck = os.path.join(scratch, "events_restore_feed_ck")
-    fp = table_fingerprint(sf_dir, ("events",),
-                           params="q170_restore_feed_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-        for d in (root, out, ck):
-            shutil.rmtree(d, ignore_errors=True)
-        vstore.commit_append(spark, root,
-                             base.repartitionByRange(2, "event_id"),
-                             stats_cols=("event_id",))
-        vstore.commit_delete_mor(spark, root, F.col("event_id") % 7 == 0,
-                                 txn="q170-mor7")
-        vstore.restore(spark, root, 1)
-        vstore.commit_delete_mor(spark, root, F.col("event_id") % 5 == 0,
-                                 txn="q170-mor5")
-        q = (cdf_source.read_change_feed_stream(spark, root)
-             .writeStream.trigger(availableNow=True)
-             .option("checkpointLocation", ck)
-             .foreachBatch(lambda bdf, bid:
-                           bdf.write.mode("append").parquet(out))
-             .start())
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
+    out = _ensure_q170(spark, sf_dir)
     feed = spark.read.parquet(out)
     sign = F.when(F.col("_change_type") == "insert",
                   F.lit(1)).otherwise(F.lit(-1))
@@ -3245,6 +3429,30 @@ def q171_streaming_cdc_merge(spark: SparkSession,
     semi-join against a pruned scan, and a rewrite ∝ affected files;
     carried files move by name. At 100 TB this is log compaction into
     a key-clustered table: shuffle ∝ |batch keys|, never |table|."""
+    from ..sources import versioned_store as vstore
+
+    root = _ensure_q171(spark, sf_dir)
+    hist = (vstore.history(spark, root)
+            .select(F.col("version").cast("int").alias("version"), "op"))
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            vstore.read_version(spark, root, v)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("bal").alias("bal_sum"))
+            .select(F.lit(v).cast("int").alias("version"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    "bal_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(hist, "version").select(
+        "version", "op", "n_rows", "bal_sum")
+
+
+def _ensure_q171(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q171 (streaming CDC merge
+    chain), q147's ensure pattern. Returns the store root."""
     import time as _time
 
     from ..sources import versioned_store as vstore
@@ -3316,23 +3524,7 @@ def q171_streaming_cdc_merge(spark: SparkSession,
             q.stop()
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
-
-    hist = (vstore.history(spark, root)
-            .select(F.col("version").cast("int").alias("version"), "op"))
-    parts = []
-    for v in (1, 2, 3):
-        parts.append(
-            vstore.read_version(spark, root, v)
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum("bal").alias("bal_sum"))
-            .select(F.lit(v).cast("int").alias("version"),
-                    F.col("n_rows").cast("long").alias("n_rows"),
-                    "bal_sum"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.join(hist, "version").select(
-        "version", "op", "n_rows", "bal_sum")
+    return root
 
 
 _Q171_SQL = """
@@ -3381,6 +3573,54 @@ FROM sa
 """
 
 
+def _ensure_q172(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q172 (batch data-source API
+    chain), q147's ensure pattern. Returns the store root."""
+    import json
+
+    from ..sources.derived_cache import (_stored_fingerprint,
+                                         table_fingerprint)
+    from ..streaming import store_sink
+
+    scratch, _ = _scratch_base(sf_dir)
+    root = os.path.join(scratch, "events_batch_api")
+    fp = table_fingerprint(sf_dir, ("events",),
+                           params="q172_batch_api_v1")
+    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
+    bounds_file = os.path.join(root, "_BOUNDS")
+
+    if _stored_fingerprint(root) != fp:
+        import shutil
+
+        store_sink.register(spark)
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id", "value"))
+        # build-only bound: the gated read never scans the input table
+        mx, = base.agg(F.max("event_id")).first()
+        half = mx // 2
+        shutil.rmtree(root, ignore_errors=True)
+
+        def _write(df, mode, txn=None):
+            w = (df.repartitionByRange(4, "event_id")
+                 .write.format("versioned_store")
+                 .option("path", root).option("statsCols", "event_id"))
+            if txn is not None:
+                w = (w.option("txnAppId", txn[0])
+                     .option("txnVersion", str(txn[1])))
+            w.mode(mode).save()
+
+        _write(base.filter(F.col("event_id") <= half), "append")
+        high = base.filter(F.col("event_id") > half)
+        _write(high, "append", txn=("q172", 2))
+        _write(high, "append", txn=("q172", 2))  # replay: must no-op
+        _write(base.filter(F.col("event_id") % 3 == 0), "overwrite")
+        with open(bounds_file, "w", encoding="ascii") as f:
+            json.dump({"half": half}, f)
+        with open(fp_file, "w", encoding="ascii") as f:
+            f.write(fp)
+    return root
+
+
 def q172_batch_source_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE BATCH HALVES OF THE STANDARD DATA-SOURCE API — with the
     streaming pair (q164 source, q167 sink) this closes all four
@@ -3417,49 +3657,12 @@ def q172_batch_source_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
     from ..sources import versioned_store as vstore
-    from ..sources.derived_cache import (_stored_fingerprint,
-                                         table_fingerprint)
     from ..streaming import store_sink
 
-    scratch, _ = _scratch_base(sf_dir)
-    root = os.path.join(scratch, "events_batch_api")
-    fp = table_fingerprint(sf_dir, ("events",),
-                           params="q172_batch_api_v1")
-    fp_file = os.path.join(root, "_INPUT_FINGERPRINT")
-    bounds_file = os.path.join(root, "_BOUNDS")
+    root = _ensure_q172(spark, sf_dir)
     store_sink.register(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-
-    if _stored_fingerprint(root) != fp:
-        import shutil
-
-        base = (load(spark, sf_dir, "events")
-                .select("event_id", "user_id", "value"))
-        # build-only bound: the gated read never scans the input table
-        mx, = base.agg(F.max("event_id")).first()
-        half = mx // 2
-        shutil.rmtree(root, ignore_errors=True)
-
-        def _write(df, mode, txn=None):
-            w = (df.repartitionByRange(4, "event_id")
-                 .write.format("versioned_store")
-                 .option("path", root).option("statsCols", "event_id"))
-            if txn is not None:
-                w = (w.option("txnAppId", txn[0])
-                     .option("txnVersion", str(txn[1])))
-            w.mode(mode).save()
-
-        _write(base.filter(F.col("event_id") <= half), "append")
-        high = base.filter(F.col("event_id") > half)
-        _write(high, "append", txn=("q172", 2))
-        _write(high, "append", txn=("q172", 2))  # replay: must no-op
-        _write(base.filter(F.col("event_id") % 3 == 0), "overwrite")
-        with open(bounds_file, "w", encoding="ascii") as f:
-            json.dump({"half": half}, f)
-        with open(fp_file, "w", encoding="ascii") as f:
-            f.write(fp)
-
-    with open(bounds_file, encoding="ascii") as f:
+    with open(os.path.join(root, "_BOUNDS"), encoding="ascii") as f:
         half = json.load(f)["half"]
     hist = vstore.history(spark, root).collect()
     ops = {r["version"]: r["op"] for r in hist}
@@ -3674,39 +3877,15 @@ SELECT 'window_1_3', (SELECT n FROM w13), (SELECT s FROM w13),
 """
 
 
-def q174_streaming_file_admission(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """FILE-GRANULAR ADMISSION, driver-gated — Delta's
-    ``maxFilesPerTrigger`` on the change-feed source: a backlog of 9
-    change partitions (v1 = low-id half in exactly 5 files, v2 =
-    high half in exactly 4) drains under ``maxFilesPerBatch=4`` as
-    THREE micro-batches whose offsets land INSIDE v1 — batch 0 is
-    v1's first four files, batch 1 crosses the commit boundary
-    (v1's fifth + v2's first three), batch 2 is v2's last file. The
-    gated output pins that batch/version geometry (batch_seq ×
-    version-span) AND the exactly-once union: per-version row counts
-    and value checksums of the drained feed must equal the input
-    halves.
-
-    Scale shape: this is the knob that makes a 10k-file backfill
-    commit drain as bounded micro-batches instead of one giant batch
-    whose shuffle must hold the whole backlog; admission planning is
-    driver-side manifest metadata (partition counts cached against
-    the immutable manifests), and the per-batch work is one executor
-    task per admitted file.
-
-    Reference parity: the reference's fetch loop re-polls whole
-    tables; it has no notion of bounded incremental admission at
-    all."""
+def _ensure_q174(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-gated fixture build for q174 (file-granular
+    admission chain), q147's ensure pattern. Returns the drained-feed
+    parquet dir."""
     from ..sources import versioned_store as vstore
     from ..sources.derived_cache import (_stored_fingerprint,
                                          table_fingerprint)
     from ..streaming import cdf_source
 
-    base = (load(spark, sf_dir, "events")
-            .select("event_id", "user_id",
-                    F.floor(F.col("value") * 1000000).cast("long")
-                    .alias("value_q")))
     scratch, _ = _scratch_base(sf_dir)
     src = os.path.join(scratch, "events_admission_src")
     out = os.path.join(scratch, "events_admission_out")
@@ -3718,6 +3897,10 @@ def q174_streaming_file_admission(spark: SparkSession,
 
     if _stored_fingerprint(src) != fp:
         import shutil
+        base = (load(spark, sf_dir, "events")
+                .select("event_id", "user_id",
+                        F.floor(F.col("value") * 1000000).cast("long")
+                        .alias("value_q")))
         # build-only bound: the gated read never scans the input table
         mx, = base.agg(F.max("event_id")).first()
         half = mx // 2
@@ -3753,7 +3936,34 @@ def q174_streaming_file_admission(spark: SparkSession,
                 q.stop()
         with open(fp_file, "w", encoding="ascii") as f:
             f.write(fp)
+    return out
 
+
+def q174_streaming_file_admission(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FILE-GRANULAR ADMISSION, driver-gated — Delta's
+    ``maxFilesPerTrigger`` on the change-feed source: a backlog of 9
+    change partitions (v1 = low-id half in exactly 5 files, v2 =
+    high half in exactly 4) drains under ``maxFilesPerBatch=4`` as
+    THREE micro-batches whose offsets land INSIDE v1 — batch 0 is
+    v1's first four files, batch 1 crosses the commit boundary
+    (v1's fifth + v2's first three), batch 2 is v2's last file. The
+    gated output pins that batch/version geometry (batch_seq ×
+    version-span) AND the exactly-once union: per-version row counts
+    and value checksums of the drained feed must equal the input
+    halves.
+
+    Scale shape: this is the knob that makes a 10k-file backfill
+    commit drain as bounded micro-batches instead of one giant batch
+    whose shuffle must hold the whole backlog; admission planning is
+    driver-side manifest metadata (partition counts cached against
+    the immutable manifests), and the per-batch work is one executor
+    task per admitted file.
+
+    Reference parity: the reference's fetch loop re-polls whole
+    tables; it has no notion of bounded incremental admission at
+    all."""
+    out = _ensure_q174(spark, sf_dir)
     feed = spark.read.parquet(out)
     geometry = (feed.groupBy("batch_seq")
                 .agg(F.array_join(F.array_sort(F.collect_set(

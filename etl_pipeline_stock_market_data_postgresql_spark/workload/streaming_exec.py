@@ -369,6 +369,71 @@ SELECT event_id, user_id, event_type, ts, value FROM events
 # --- q106: custom stateful operator under the gate -----------------------
 
 
+def _ensure_q106_feed(spark: SparkSession, sf_dir: str) -> tuple[str, set]:
+    """Fingerprint-gated build of q106's two-delivery parity feed —
+    input-derived fixture state (q122's cached-feed pattern), built as
+    two sequential PARALLEL writes of FEED_FILES files each (a
+    coalesce(1) feed write was the single-threaded term of the 100×
+    probe's q106 row). The file source still replays the deliveries as
+    exactly two micro-batches because maxFilesPerTrigger = |batch-1
+    files| and batch 2 is written with that same file count, so
+    trigger 1 is precisely the older-mtime batch-1 set and trigger 2
+    the rest. (The HWM kernel filters a whole batch against
+    batch-START state, so row placement across a trigger's files is
+    immaterial.) The marker records the FULL expected file set and the
+    check is equality (r17 ADVICE: a stray parquet file must force a
+    rebuild, not silently replay as batch-2 data). Returns
+    ``(feed_dir, batch-1 file names)``."""
+    import json
+    import shutil
+
+    from ..sources.derived_cache import table_fingerprint
+    from ..sources.tables import load
+    from .storage import _scratch_base
+
+    base, _ = _scratch_base(sf_dir)
+    path = os.path.join(base, "q106_hwm_feed")
+    feed_fp = table_fingerprint(sf_dir, ("events",),
+                                params=f"q106_feed_v1_f{FEED_FILES}")
+    batch1_file = os.path.join(path, "_Q106_BATCH1")
+
+    def _feed_current() -> bool:
+        try:
+            with open(batch1_file, encoding="ascii") as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        have = ({f for f in os.listdir(path) if f.endswith(".parquet")}
+                if os.path.isdir(path) else set())
+        return (d.get("fp") == feed_fp and bool(d.get("first"))
+                and bool(d.get("all")) and set(d["all"]) == have
+                and set(d["first"]) <= set(d["all"]))
+
+    if not _feed_current():
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts")
+        # != 0, not == 1: C-style % gives -1 for negative odd ids,
+        # which would silently land them in batch 1 here while the
+        # oracle's sl arithmetic dropped them entirely
+        is_second = F.col("event_id") % 2 != 0
+        cols = ["event_id", "event_type", "ts"]
+        ev.filter(~is_second).select(*cols).repartition(FEED_FILES) \
+            .write.mode("overwrite").parquet(path)
+        first_names = sorted(f for f in os.listdir(path)
+                             if f.endswith(".parquet"))
+        ev.filter(is_second).select(*cols) \
+            .repartition(max(1, len(first_names))) \
+            .write.mode("append").parquet(path)
+        all_names = sorted(f for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+        with open(batch1_file, "w", encoding="ascii") as fh:
+            json.dump({"fp": feed_fp, "first": first_names,
+                       "all": all_names}, fh)
+    with open(batch1_file, encoding="ascii") as fh:
+        return path, set(json.load(fh)["first"])
+
+
 def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful operator (applyInPandasWithState —
     streaming/ingest.stateful_hwm_filter) executed under the driver
@@ -393,62 +458,9 @@ def q106_streaming_stateful_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the gate-sized stand-in for a real feed's thousands of files —
     the operator is batch-count-agnostic. Timestamps compare in exact
     microseconds (ns→us inside the kernel), ties drop (strict >)."""
-    from ..sources.tables import load
     from ..streaming.ingest import stateful_hwm_filter
-    from .storage import _scratch_base
 
-    import json
-    import shutil
-
-    from ..sources.derived_cache import table_fingerprint
-
-    base, _ = _scratch_base(sf_dir)
-    path = os.path.join(base, "q106_hwm_feed")
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "event_type", "ts")
-    # != 0, not == 1: C-style % gives -1 for negative odd ids, which
-    # would silently land them in batch 1 here while the oracle's
-    # sl arithmetic dropped them entirely
-    is_second = F.col("event_id") % 2 != 0
-    cols = ["event_id", "event_type", "ts"]
-    # The two deliveries are input-derived fixture state: built once
-    # behind the events fingerprint (q122's cached-feed pattern), as
-    # two sequential PARALLEL writes of FEED_FILES files each (a
-    # coalesce(1) feed write was the single-threaded term of the 100×
-    # probe's q106 row). The file source still replays the deliveries
-    # as exactly two micro-batches because maxFilesPerTrigger =
-    # |batch-1 files| and batch 2 is written with that same file
-    # count, so trigger 1 is precisely the older-mtime batch-1 set and
-    # trigger 2 the rest. (The HWM kernel filters a whole batch
-    # against batch-START state, so row placement across a trigger's
-    # files is immaterial.)
-    feed_fp = table_fingerprint(sf_dir, ("events",),
-                                params=f"q106_feed_v1_f{FEED_FILES}")
-    batch1_file = os.path.join(path, "_Q106_BATCH1")
-
-    def _feed_current() -> bool:
-        try:
-            with open(batch1_file, encoding="ascii") as fh:
-                d = json.load(fh)
-        except (OSError, ValueError):
-            return False
-        have = (set(os.listdir(path)) if os.path.isdir(path) else set())
-        return (d.get("fp") == feed_fp and bool(d.get("first"))
-                and set(d["first"]) <= have)
-
-    if not _feed_current():
-        shutil.rmtree(path, ignore_errors=True)
-        ev.filter(~is_second).select(*cols).repartition(FEED_FILES) \
-            .write.mode("overwrite").parquet(path)
-        first_names = sorted(f for f in os.listdir(path)
-                             if f.endswith(".parquet"))
-        ev.filter(is_second).select(*cols) \
-            .repartition(max(1, len(first_names))) \
-            .write.mode("append").parquet(path)
-        with open(batch1_file, "w", encoding="ascii") as fh:
-            json.dump({"fp": feed_fp, "first": first_names}, fh)
-    with open(batch1_file, encoding="ascii") as fh:
-        batch1 = set(json.load(fh)["first"])
+    path, batch1 = _ensure_q106_feed(spark, sf_dir)
     files_per_trigger = max(1, len(batch1))
     # pin the batch order explicitly: on a filesystem with coarse mtime
     # resolution the two back-to-back writes can share a timestamp and
@@ -542,6 +554,76 @@ def _q122_commit_batch(sess: SparkSession, index_root: str, out_dir: str,
         c.unpersist()
 
 
+def _ensure_q122_seed(spark: SparkSession,
+                      sf_dir: str) -> tuple[str, str, set, int]:
+    """Fingerprint-gated build of q122's pristine seed index store and
+    two-delivery delta feed (fixture state derived from the corpus0
+    signature cache). The marker records the FULL expected file set
+    and the check is equality (r17 ADVICE: stray parquet files force a
+    rebuild). Returns ``(seed_root, feed_dir, batch-1 names, mid)``."""
+    import json
+    import shutil
+
+    from ..sources import versioned_store as vstore
+    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
+    from ..sources.tables import load
+    from .storage import _scratch_base
+    from .text_dedup import (LSH_BANDS as _B, LSH_ROWS as _R,
+                             LSH_VERIFY_THRESHOLD, corpus0_doc_max,
+                             corpus0_signature_index)
+
+    base, _ = _scratch_base(sf_dir)
+    feed = os.path.join(base, "q122_feed")
+    seed_root = os.path.join(base, "q122_seed")
+    batch1_file = os.path.join(seed_root, "_Q122_BATCH1")
+
+    _index, b, cache_path = corpus0_signature_index(spark, sf_dir)
+    # the split point comes from the fixture's bounds sidecar — no
+    # per-run documents scan
+    mid = (b + corpus0_doc_max(spark, sf_dir)) // 2
+    fp = table_fingerprint(
+        sf_dir, ("documents",),
+        params=f"q122_seed_v1_n3_b{_B}_r{_R}_t{LSH_VERIFY_THRESHOLD}")
+
+    def _feed_current() -> bool:
+        try:
+            with open(batch1_file, encoding="ascii") as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        if not isinstance(d, dict):
+            return False  # pre-r17 marker format: rebuild once
+        have = ({f for f in os.listdir(feed) if f.endswith(".parquet")}
+                if os.path.isdir(feed) else set())
+        return (bool(d.get("first")) and bool(d.get("all"))
+                and set(d["all"]) == have
+                and set(d["first"]) <= set(d["all"]))
+
+    if _stored_fingerprint(seed_root) != fp or not _feed_current():
+        shutil.rmtree(seed_root, ignore_errors=True)
+        shutil.rmtree(feed, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        vstore.commit_append(spark, seed_root,
+                             spark.read.parquet(cache_path),
+                             stats_cols=("doc_id",))
+        d1 = docs.filter((F.col("doc_id") > b) & (F.col("doc_id") <= mid))
+        d2 = docs.filter(F.col("doc_id") > mid)
+        d1.coalesce(1).write.mode("overwrite").parquet(feed)
+        first_names = sorted(f for f in os.listdir(feed)
+                             if f.endswith(".parquet"))
+        d2.coalesce(1).write.mode("append").parquet(feed)
+        all_names = sorted(f for f in os.listdir(feed)
+                           if f.endswith(".parquet"))
+        with open(batch1_file, "w", encoding="ascii") as fh:
+            json.dump({"first": first_names, "all": all_names}, fh)
+        with open(os.path.join(seed_root, "_INPUT_FINGERPRINT"), "w",
+                  encoding="ascii") as fh:
+            fh.write(fp)
+    with open(batch1_file, encoding="ascii") as fh:
+        first = set(json.load(fh)["first"])
+    return seed_root, feed, first, mid
+
+
 def q122_streaming_incremental_dedup(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """Near-dup dedup of a DOCUMENT STREAM against a persisted MinHash
@@ -572,32 +654,16 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     foreachBatch commit (one manifest write). Batch-count-agnostic;
     two batches are the gate-sized stand-in for a day's thousands."""
     from ..sources import versioned_store as vstore
-    from ..sources.tables import load
     from .storage import _scratch_base
-    from .text_dedup import corpus0_doc_max, corpus0_signature_index
 
-    import json
     import shutil
 
-    from ..sources.derived_cache import _stored_fingerprint, table_fingerprint
-    from .text_dedup import (LSH_BANDS as _B, LSH_ROWS as _R,
-                             LSH_VERIFY_THRESHOLD)
-
     base, _ = _scratch_base(sf_dir)
-    feed = os.path.join(base, "q122_feed")
     index_root = os.path.join(base, "q122_index")
     out_dir = os.path.join(base, "q122_out")
     ckpt = os.path.join(base, "q122_ckpt")
-    seed_root = os.path.join(base, "q122_seed")
-    batch1_file = os.path.join(seed_root, "_Q122_BATCH1")
     for d in (index_root, out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    _index, b, cache_path = corpus0_signature_index(spark, sf_dir)
-    # the split point comes from the fixture's bounds sidecar — no
-    # per-run documents scan
-    mid = (b + corpus0_doc_max(spark, sf_dir)) // 2
 
     # The stream MUTATES its index table (appends per batch), so each
     # run needs a private branch of the seed index. The PRISTINE seed
@@ -607,38 +673,7 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     # links with a FRESH txn lineage (clone deliberately drops the
     # ledger) — instead of re-writing the whole index as a new store
     # every run.
-    fp = table_fingerprint(
-        sf_dir, ("documents",),
-        params=f"q122_seed_v1_n3_b{_B}_r{_R}_t{LSH_VERIFY_THRESHOLD}")
-
-    def _feed_current() -> bool:
-        try:
-            with open(batch1_file, encoding="ascii") as fh:
-                first_names = json.load(fh)
-        except (OSError, ValueError):
-            return False
-        have = (set(os.listdir(feed)) if os.path.isdir(feed) else set())
-        return bool(first_names) and set(first_names) <= have
-
-    if _stored_fingerprint(seed_root) != fp or not _feed_current():
-        shutil.rmtree(seed_root, ignore_errors=True)
-        shutil.rmtree(feed, ignore_errors=True)
-        vstore.commit_append(spark, seed_root,
-                             spark.read.parquet(cache_path),
-                             stats_cols=("doc_id",))
-        d1 = docs.filter((F.col("doc_id") > b) & (F.col("doc_id") <= mid))
-        d2 = docs.filter(F.col("doc_id") > mid)
-        d1.coalesce(1).write.mode("overwrite").parquet(feed)
-        first_names = sorted(f for f in os.listdir(feed)
-                             if f.endswith(".parquet"))
-        d2.coalesce(1).write.mode("append").parquet(feed)
-        with open(batch1_file, "w", encoding="ascii") as fh:
-            json.dump(first_names, fh)
-        with open(os.path.join(seed_root, "_INPUT_FINGERPRINT"), "w",
-                  encoding="ascii") as fh:
-            fh.write(fp)
-    with open(batch1_file, encoding="ascii") as fh:
-        first = set(json.load(fh))
+    seed_root, feed, first, mid = _ensure_q122_seed(spark, sf_dir)
     vstore.clone(seed_root, index_root)
     # the two deliveries replay as two mtime-ordered micro-batches;
     # mtimes are pinned fresh every run (coarse-fs determinism)
@@ -763,6 +798,68 @@ def _q140_commit_batch(sess: SparkSession, store: str, bdf: DataFrame,
                          txn=("q140", bid))
 
 
+def _ensure_q140_feed(spark: SparkSession,
+                      sf_dir: str) -> tuple[str, set, int, int]:
+    """Fingerprint-gated build of q140's two delta feed files plus the
+    frozen base model they encode against (q122's cached-feed
+    pattern; only the mtime pinning is per-run). Marker records the
+    FULL expected file set, checked by equality (r17 ADVICE). Returns
+    ``(feed_dir, batch-1 names, b, b2)``."""
+    import json
+    import shutil
+
+    from ..sources.derived_cache import table_fingerprint
+    from ..sources.tables import load
+    from .similarity import (_emb_vec_max, _ivfpq_base_index,
+                             _spread_vectors)
+    from .storage import _scratch_base
+
+    base_dir, _ = _scratch_base(sf_dir)
+    feed = os.path.join(base_dir, "q140_feed")
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = _emb_vec_max(spark, sf_dir)
+    b = (2 * max_id) // 3
+    b2 = b + (max_id - b + 1) // 2
+    # ensure the frozen model is materialized (fingerprint-gated
+    # itself; warm runs are three stat checks)
+    vecs = _spread_vectors(spark, emb).persist()
+    _ivfpq_base_index(spark, sf_dir, vecs, b)
+    vecs.unpersist()  # the stream side re-reads per batch
+
+    feed_fp = table_fingerprint(sf_dir, ("embeddings",),
+                                params=f"q140_feed_v1_b{b}_b2{b2}")
+    batch1_file = os.path.join(feed, "_Q140_BATCH1")
+
+    def _feed_current() -> bool:
+        try:
+            with open(batch1_file, encoding="ascii") as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        have = ({f for f in os.listdir(feed) if f.endswith(".parquet")}
+                if os.path.isdir(feed) else set())
+        return (d.get("fp") == feed_fp and bool(d.get("first"))
+                and bool(d.get("all")) and set(d["all"]) == have
+                and set(d["first"]) <= set(d["all"]))
+
+    if not _feed_current():
+        shutil.rmtree(feed, ignore_errors=True)
+        d1 = emb.filter((F.col("vec_id") > b) & (F.col("vec_id") <= b2))
+        d2 = emb.filter(F.col("vec_id") > b2)
+        d1.coalesce(1).write.mode("overwrite").parquet(feed)
+        first_names = sorted(f for f in os.listdir(feed)
+                             if f.endswith(".parquet"))
+        d2.coalesce(1).write.mode("append").parquet(feed)
+        all_names = sorted(f for f in os.listdir(feed)
+                           if f.endswith(".parquet"))
+        with open(batch1_file, "w", encoding="ascii") as fh:
+            json.dump({"fp": feed_fp, "first": first_names,
+                       "all": all_names}, fh)
+    with open(batch1_file, encoding="ascii") as fh:
+        first = set(json.load(fh)["first"])
+    return feed, first, b, b2
+
+
 def q140_streaming_ann_ingest(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """ANN index maintenance from a VECTOR STREAM — q137's frozen-model
@@ -794,64 +891,20 @@ def q140_streaming_ann_ingest(spark: SparkSession,
     import shutil
 
     from ..sources import versioned_store as vstore
-    from ..sources.tables import load
-    from .similarity import (_emb_vec_max, _ivfpq_base_index,
-                             _spread_vectors)
     from .storage import _scratch_base
 
     base_dir, _ = _scratch_base(sf_dir)
-    feed = os.path.join(base_dir, "q140_feed")
     store = os.path.join(base_dir, "q140_store")
     ckpt = os.path.join(base_dir, "q140_ckpt")
-    # feed is fingerprint-cached below; only the run-private state resets
+    # feed is fingerprint-cached; only the run-private state resets
     for d in (store, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
-    emb = load(spark, sf_dir, "embeddings")
-    max_id = _emb_vec_max(spark, sf_dir)
-    b = (2 * max_id) // 3
-    b2 = b + (max_id - b + 1) // 2
-    vecs = _spread_vectors(spark, emb).persist()
-    # ensure the frozen model is materialized; capture its cache paths
-    # (foreachBatch re-reads them — state comes from disk, not closures)
-    _ivfpq_base_index(spark, sf_dir, vecs, b)
+    feed, first, b, b2 = _ensure_q140_feed(spark, sf_dir)
+    # the frozen model's cache paths (foreachBatch re-reads them —
+    # state comes from disk, not closures)
     centroids_path = os.path.join(base_dir, "ann_centroids")
     codebook_path = os.path.join(base_dir, "ann_codebook")
-    vecs.unpersist()  # the stream side re-reads per batch
-
-    # the two delta feed files are input-derived fixture state: build
-    # once behind the embeddings fingerprint (q122's cached-feed
-    # pattern; only the mtime pinning is per-run)
-    import json
-
-    from ..sources.derived_cache import table_fingerprint
-
-    feed_fp = table_fingerprint(sf_dir, ("embeddings",),
-                                params=f"q140_feed_v1_b{b}_b2{b2}")
-    batch1_file = os.path.join(feed, "_Q140_BATCH1")
-
-    def _feed_current() -> bool:
-        try:
-            with open(batch1_file, encoding="ascii") as fh:
-                d = json.load(fh)
-        except (OSError, ValueError):
-            return False
-        have = (set(os.listdir(feed)) if os.path.isdir(feed) else set())
-        return (d.get("fp") == feed_fp and bool(d.get("first"))
-                and set(d["first"]) <= have)
-
-    if not _feed_current():
-        shutil.rmtree(feed, ignore_errors=True)
-        d1 = emb.filter((F.col("vec_id") > b) & (F.col("vec_id") <= b2))
-        d2 = emb.filter(F.col("vec_id") > b2)
-        d1.coalesce(1).write.mode("overwrite").parquet(feed)
-        first_names = sorted(f for f in os.listdir(feed)
-                             if f.endswith(".parquet"))
-        d2.coalesce(1).write.mode("append").parquet(feed)
-        with open(batch1_file, "w", encoding="ascii") as fh:
-            json.dump({"fp": feed_fp, "first": first_names}, fh)
-    with open(batch1_file, encoding="ascii") as fh:
-        first = set(json.load(fh)["first"])
     now = time.time()
     for f in os.listdir(feed):
         if f.endswith(".parquet"):
