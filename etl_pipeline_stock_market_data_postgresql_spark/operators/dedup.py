@@ -401,13 +401,15 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # Size probe and driver-local collect in ONE action: take(N+1)
     # short-circuits partition scans, and when the edge list fits the
     # threshold the returned rows ARE the whole edge list — the old
-    # count()-then-collect() shape paid two passes (one job each) for
-    # the common small-edge case. Driver-transfer bound (r17 ADVICE):
-    # in the BIG-edge regime the probe still ships threshold+1 rows
-    # (two longs each, ~50 MB as Python Rows at the 2M default) before
-    # the distributed path is taken — bounded, and no larger than what
-    # the small path must hold anyway, so the threshold IS the driver
-    # heap sizing knob; lower it if the driver is memory-constrained.
+    # count()-then-collect() shape paid two passes for the common
+    # small-edge case (re-measured r17: count+collect was +4 Spark
+    # jobs and no faster in interleaved q122 A/Bs, so take stays).
+    # Driver-transfer bound (r17 ADVICE): in the BIG-edge regime the
+    # probe still ships threshold+1 rows (two longs each, ~50 MB as
+    # Python Rows at the 2M default) before the distributed path is
+    # taken — bounded, and no larger than what the small path must
+    # hold anyway, so the threshold IS the driver heap sizing knob;
+    # lower it if the driver is memory-constrained.
     probe = edges.select(src, dst).take(driver_edges_threshold + 1)
     if len(probe) <= driver_edges_threshold:
         return _cc_driver_local(edges, src, dst, rows=probe)

@@ -687,13 +687,25 @@ def q122_streaming_incremental_dedup(spark: SparkSession,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(feed))
-    q = (stream.writeStream
-         .foreachBatch(lambda bdf, bid: _q122_commit_batch(
-             bdf.sparkSession, index_root, out_dir, bdf, bid))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.processAllAvailable()
-    q.stop()
+    # per-batch shuffle width sized to the DELTA, not the session core
+    # count: each trigger admits one feed file, and every shuffle in
+    # the commit (shingle spread, minhash agg, band/verify joins) is
+    # delta-proportional — the same metadata-derived adaptive rule as
+    # _state_width_for_input (guide §2: scale-adaptive partitioning;
+    # a feed above the width threshold keeps the session default)
+    feed_bytes = sum(
+        os.path.getsize(os.path.join(feed, f))
+        for f in os.listdir(feed) if f.endswith(".parquet"))
+    n_parts = (None if feed_bytes > _STATE_WIDTH_BYTES
+               else STREAM_SMALL_STATE_PARTITIONS)
+    with _stateful_shuffle_partitions(spark, n_parts):
+        q = (stream.writeStream
+             .foreachBatch(lambda bdf, bid: _q122_commit_batch(
+                 bdf.sparkSession, index_root, out_dir, bdf, bid))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
     _unload_state_stores(spark)
     # maintenance pass: each micro-batch committed its kept rows as its
     # own small file(s), so the index accretes exactly the backlog the
@@ -915,14 +927,23 @@ def q140_streaming_ann_ingest(spark: SparkSession,
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(feed))
-    q = (stream.writeStream
-         .foreachBatch(lambda bdf, bid: _q140_commit_batch(
-             bdf.sparkSession, store, bdf, bid,
-             centroids_path, codebook_path))
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.processAllAvailable()
-    q.stop()
+    # per-batch shuffle width sized to the DELTA (q122's rule): one
+    # feed file per trigger, and the commit's shuffles (argmin agg,
+    # code join, store write) are all batch-proportional
+    feed_bytes = sum(
+        os.path.getsize(os.path.join(feed, f))
+        for f in os.listdir(feed) if f.endswith(".parquet"))
+    n_parts = (None if feed_bytes > _STATE_WIDTH_BYTES
+               else STREAM_SMALL_STATE_PARTITIONS)
+    with _stateful_shuffle_partitions(spark, n_parts):
+        q = (stream.writeStream
+             .foreachBatch(lambda bdf, bid: _q140_commit_batch(
+                 bdf.sparkSession, store, bdf, bid,
+                 centroids_path, codebook_path))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
     _unload_state_stores(spark)
     vstore.compact_latest(spark, store, STREAM_STORE_TARGET_BYTES,
                           cluster_by=("id",), stats_cols=("id", "cell"))
