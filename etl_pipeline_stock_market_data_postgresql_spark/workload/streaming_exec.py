@@ -127,8 +127,34 @@ def _run_stream_complete_to_files(df: DataFrame, prefix: str, sf_dir: str,
         return spark.createDataFrame([], df.schema)
 
 
+@contextmanager
+def _no_data_batches(spark: SparkSession, enabled: bool):
+    """Optionally disable the post-data NO-DATA micro-batch for a
+    query's lifetime. The engine schedules one extra empty batch after
+    the last data batch whenever the watermark advanced, to evict
+    state and emit watermark-FINALIZED results (window aggregates in
+    append mode). For emission-on-arrival operators — stream-stream
+    INNER joins, dropDuplicates[WithinWatermark] — that batch can only
+    evict state, never emit or retract a row, so its output is
+    byte-identical either way; measured r17 (sf0.1): the empty batch
+    costs nearly a full batch's fixed overhead (q73 addBatch 2.1 s for
+    0 rows vs 2.7 s for 200k — state-store load/commit per partition
+    per stateful op, planning, WAL). Callers whose results DEPEND on
+    watermark finalization (append-mode window aggs) must keep it
+    enabled."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    if not enabled:
+        spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,
-                                n_parts: int | None) -> DataFrame:
+                                n_parts: int | None,
+                                no_data_batches: bool = True) -> DataFrame:
     """Execute an APPEND-mode stream into a parquet FILE sink and read
     the result back lazily. Append-mode outputs scale with the INPUT
     (q96 re-emits every deduped event, q106 every kept row), so the
@@ -143,7 +169,8 @@ def _run_stream_append_to_files(df: DataFrame, prefix: str, sf_dir: str,
     (storage._scratch_base) and are recreated per invocation."""
     out_dir, ckpt = _stream_scratch(prefix, sf_dir)
     spark = df.sparkSession
-    with _stateful_shuffle_partitions(spark, n_parts):
+    with _stateful_shuffle_partitions(spark, n_parts), \
+            _no_data_batches(spark, no_data_batches):
         q = (df.writeStream.outputMode("append")
              .format("parquet")
              .option("path", out_dir)
@@ -283,8 +310,12 @@ def q73_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("click_ts")
                  - F.unix_micros("view_ts")).alias("gap_us")))
 
+    # inner-join matches emit on arrival and never retract (docstring
+    # above), so the post-data no-data batch could only evict state:
+    # skip it (result-identical; it costs a full batch's fixed overhead)
     return _run_stream_append_to_files(joined, "q73_out", sf_dir,
-                                       STREAM_SMALL_STATE_PARTITIONS)
+                                       STREAM_SMALL_STATE_PARTITIONS,
+                                       no_data_batches=False)
 
 
 _Q73_SQL = f"""
@@ -357,8 +388,11 @@ def q96_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (redelivered
                .withWatermark("ts", REDELIVERY_HORIZON)
                .dropDuplicatesWithinWatermark(["event_id"]))
+    # first delivery emits on arrival, duplicates never retract: the
+    # no-data batch could only evict key state — skip it (q73's rule)
     return _run_stream_append_to_files(deduped, "q96_out", sf_dir,
-                                       _state_width_for_input(sf_dir))
+                                       _state_width_for_input(sf_dir),
+                                       no_data_batches=False)
 
 
 _Q96_SQL = """
