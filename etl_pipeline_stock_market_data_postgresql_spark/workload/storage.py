@@ -1131,11 +1131,18 @@ def q152_incremental_mv_from_cdf(spark: SparkSession,
         delta = (feed.groupBy("event_type")
                  .agg(F.sum(sign).alias("n_rows"),
                       F.sum(sign * F.col("value_q")).alias("value_q_sum")))
+        # TWO consumers of the refreshed view (this version's output row
+        # set AND the next refresh's base): without a persist the whole
+        # v2 lineage — base aggregate + first feed — re-runs inside the
+        # v3 branch of the one output action (guide §5 multi-consumer
+        # rule; the view is K rows, so the cache is trivially bounded;
+        # bench/oracle own the lifetime via clearCache)
         mv = (mv.unionByName(delta)
               .groupBy("event_type")
               .agg(F.sum("n_rows").alias("n_rows"),
                    F.sum("value_q_sum").alias("value_q_sum"))
-              .filter(F.col("n_rows") > 0))
+              .filter(F.col("n_rows") > 0)
+              .persist())
         parts.append(mv.select(F.lit(v_to).cast("int").alias("version"),
                                "event_type", "n_rows", "value_q_sum"))
     return parts[0].unionByName(parts[1])
