@@ -2951,16 +2951,47 @@ def _version_diff(spark: SparkSession, root: str, v_from: int,
                  if dvm_from else None)
         pt_df = (_dv_positions_df(spark, root, dvm_to, "_rt_f", "_rt_ri")
                  if dvm_to else None)
-        del_pos = (pt_df if pf_df is None
-                   else None if pt_df is None
-                   else pt_df.exceptAll(pf_df))
-        res_pos = (pf_df if pt_df is None
-                   else None if pf_df is None
-                   else pf_df.exceptAll(pt_df))
+        if pf_df is None:
+            del_pos, res_pos = pt_df, None
+        elif pt_df is None:
+            del_pos, res_pos = None, pf_df
+        else:
+            del_pos, res_pos = _mutual_except_all(pt_df, pf_df)
         ins_extra = _rows_at_df(res_pos, changed_dv)
         del_extra = _rows_at_df(del_pos, changed_dv)
-    return (added_rows.exceptAll(removed_rows).unionByName(ins_extra),
-            removed_rows.exceptAll(added_rows).unionByName(del_extra))
+    ins_core, del_core = _mutual_except_all(added_rows, removed_rows)
+    return (ins_core.unionByName(ins_extra),
+            del_core.unionByName(del_extra))
+
+
+def _mutual_except_all(a: DataFrame, b: DataFrame) -> tuple[DataFrame,
+                                                            DataFrame]:
+    """``(a.exceptAll(b), b.exceptAll(a))`` as ONE counted diff: tag
+    each side ±1, aggregate the signed count per distinct row, and
+    replicate each surviving row |count| times into its direction.
+    Multiset-identical to the mutual ``exceptAll`` pair (for a row with
+    multiplicities ca/cb the pair keeps max(ca−cb,0) / max(cb−ca,0)
+    copies — exactly the positive/negative part of d = ca−cb), but both
+    directions now hang off the SAME union+aggregate subtree, so when a
+    consumer evaluates both feeds in one plan the scan and the diff
+    shuffle run ONCE via ReuseExchange instead of twice (guide §2.4) —
+    plan-level sharing, deliberately NOT a persist: the r16
+    library-persist attempt was reverted after CacheManager substituted
+    stale fragments in interleaved-commit sessions, and exchange reuse
+    is scoped to a single plan so no state survives the query."""
+    cols = a.columns
+    tagged = (a.select(*cols, F.lit(1).alias("_vd_w"))
+              .unionByName(b.select(*cols, F.lit(-1).alias("_vd_w"))))
+    counts = tagged.groupBy(*cols).agg(F.sum("_vd_w").alias("_vd_d"))
+
+    def _side(sign: int) -> DataFrame:
+        n = (F.col("_vd_d") * sign).cast("int")
+        return (counts.filter(n > 0)
+                .withColumn("_vd_r",
+                            F.explode(F.array_repeat(F.lit(True), n)))
+                .select(*cols))
+
+    return _side(1), _side(-1)
 
 
 def version_diff_typed(spark: SparkSession, root: str, v_from: int,
