@@ -519,6 +519,92 @@ FROM corpusv cv LEFT JOIN removed r ON cv.neighbor_id = r.id
 """
 
 
+# --- SemDeDup pair generation with a cell-size skew cap -------------------
+
+SEMDEDUP_SKEW_FACTOR = 4  # a cell under 4x the target size gains nothing
+#                           from splitting; above it AND above the p99.9
+#                           of the observed size distribution, salt
+
+
+def _semdedup_removed(cells: DataFrame) -> DataFrame:
+    """The SemDeDup removal set — DISTINCT ids that sit inside the
+    ε-ball of a lower-id vector in the same cell — with a cell-size
+    skew cap (guide §2.5): the within-cell pair join inherits whatever
+    size skew the data has, and AQE's skew-join splitting cannot split
+    a single giant key. Cells larger than
+    ``max(p99.9(cell sizes), SEMDEDUP_SKEW_FACTOR × target)`` route to
+    a salted bucket-pair join; every other cell keeps the flat
+    ``id_a < id_b`` self-join. At gate scale the salted branch is
+    empty (sizes hug the target); under a hot cell it bounds any one
+    join task at ~(size/s)² instead of size².
+
+    Equivalence to the flat join (pinned by
+    tests/test_similarity.py::test_semdedup_salted_pairs_equivalence):
+    members of an oversized cell get a deterministic bucket
+    ``b = pmod(xxhash64(id), s)``; side A replicates each member to
+    keys (cell, b, j≥b), side B to (cell, i≤b, b), so an unordered
+    pair with buckets bx ≤ by meets EXACTLY once on (cell, bx, by)
+    when bx < by (arbitrary side order) and exactly twice with both
+    orders when bx = by (deduped by ``id_a < id_b``). Cosine sim is
+    orientation-symmetric bit-for-bit (component products and the
+    norm product commute exactly, same fold order), and the removed
+    id is ``greatest(id_a, id_b)`` — so each qualifying unordered
+    pair contributes the same removed id the flat join's
+    ``id_a < id_b``/``id_b`` rule does."""
+    from ..functions.rounding import round_half_up
+
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("_csz"))
+    cap = (sizes.agg(F.expr("percentile(_csz, 0.999)").alias("_p999"))
+           .select(F.greatest(
+               F.col("_p999"),
+               F.lit(float(SEMDEDUP_SKEW_FACTOR * SEMDEDUP_VECS_PER_CELL)))
+               .alias("_cap")))
+    ovr = (sizes.crossJoin(F.broadcast(cap))
+           .filter(F.col("_csz") > F.col("_cap"))
+           .select("cell",
+                   F.ceil(F.col("_csz")
+                          / F.lit(SEMDEDUP_VECS_PER_CELL))
+                   .cast("int").alias("_s")))
+
+    def _sides(df: DataFrame, tag: str):
+        return df.select(F.col("id").alias(f"id_{tag}"), "cell",
+                         F.col("v").alias(f"v{tag}"),
+                         F.col("nrm").alias(f"n{tag}"))
+
+    sim6 = round_half_up(
+        vfun.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+
+    flat = cells.join(F.broadcast(ovr.select("cell")), "cell", "left_anti")
+    pairs_flat = (_sides(flat, "a").join(_sides(flat, "b"), "cell")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .withColumn("sim", sim6)
+                  .filter(F.col("sim") >= SEMDEDUP_SIM)
+                  .select(F.col("id_b").alias("id")))
+
+    big = cells.join(F.broadcast(ovr), "cell")
+    bucketed = big.withColumn(
+        "_b", F.pmod(F.xxhash64("id"), F.col("_s")).cast("int"))
+    aside = (bucketed
+             .withColumn("_j", F.explode(F.sequence(F.col("_b"),
+                                                    F.col("_s") - 1)))
+             .select(F.col("id").alias("id_a"), "cell",
+                     F.col("v").alias("va"), F.col("nrm").alias("na"),
+                     F.col("_b").alias("_i"), "_j"))
+    bside = (bucketed
+             .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_b"))))
+             .select(F.col("id").alias("id_b"), "cell",
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                     "_i", F.col("_b").alias("_j")))
+    pairs_big = (aside.join(bside, ["cell", "_i", "_j"])
+                 .filter((F.col("_i") < F.col("_j"))
+                         | (F.col("id_a") < F.col("id_b")))
+                 .withColumn("sim", sim6)
+                 .filter(F.col("sim") >= SEMDEDUP_SIM)
+                 .select(F.greatest("id_a", "id_b").alias("id")))
+
+    return pairs_flat.unionByName(pairs_big).distinct()
+
+
 # --- q111: hierarchical SemDeDup (IVF-on-IVF coarse quantizer) ------------
 
 
@@ -553,7 +639,6 @@ def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no vector can route to a childless cell."""
     from pyspark.sql import Window
 
-    from ..functions.rounding import round_half_up
     from ..operators import kmeans
     emb = load(spark, sf_dir, "embeddings")
     vecs = _spread_vectors(spark, emb)
@@ -605,18 +690,11 @@ def q111_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the O(n·C) fine assignment runs once, not thrice (q113's rule)
     cells = fine.select("id", "v", F.col("m.cid").alias("cell"),
                         vfun.norm(F.col("v")).alias("nrm")).persist()
-    # --- identical SemDeDup tail to q98 ---
-    a = cells.select(F.col("id").alias("id_a"), "cell",
-                     F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = cells.select(F.col("id").alias("id_b"), "cell",
-                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim6 = round_half_up(
-        vfun.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    pairs = (a.join(b, "cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("sim", sim6)
-             .filter(F.col("sim") >= SEMDEDUP_SIM))
-    removed = (pairs.select(F.col("id_b").alias("id")).distinct()
+    # --- q98's SemDeDup tail, with the cell-size skew cap: oversized
+    # cells (> max(p99.9, 4x target)) route to the salted bucket-pair
+    # join; the flat id_a < id_b join keeps every normal cell. q98
+    # stays on the flat tail as the exactness witness. ---
+    removed = (_semdedup_removed(cells)
                .withColumn("removed", F.lit(True)))
     return (cells.join(removed, "id", "left")
             .select(F.col("id").alias("vec_id"), "cell",

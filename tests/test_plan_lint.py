@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     "q100_table_profile":     "1-row table-wide stats",
     "q102_equidepth_histogram": "k-1 quantile boundary rows",
     "q105_histogram_drift":   "1-row per-window totals",
+    "q111_semantic_dedup_hier": "1-row skew-cap (p99.9 of K cell sizes) "
+                                "broadcast to the K-row size table",
     "q112_equidepth_sketch":  "k-1 sketch boundary rows (2 passes)",
     "q113_ivfpq_adc":         "codebook / ADC lookup table rows",
     "q121_dsir_weights":      "1-row corpus/target feature totals",
@@ -78,6 +80,8 @@ SINGLE_PARTITION_ALLOWED = {
     "q102_equidepth_histogram": "1-row exact-percentile agg",
     "q104_key_uniqueness":    "1-row count-vs-distinct verdict",
     "q105_histogram_drift":   "1-row TVD verdict agg",
+    "q111_semantic_dedup_hier": "1-row skew-cap agg (p99.9 over K "
+                                "cell-size rows; map-side partials only)",
     "q112_equidepth_sketch":  "1-row sketch agg (k-1 boundaries)",
     "q114_global_sort":       "cumulative offsets over |partitions| rows",
     "q121_dsir_weights":      "1-row corpus/target totals agg",
