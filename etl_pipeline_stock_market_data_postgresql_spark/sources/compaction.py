@@ -261,6 +261,20 @@ def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     return (a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty())
 
 
+def content_fingerprint_exprs(columns: list[str]) -> list:
+    """The two aggregate expressions behind
+    :func:`content_fingerprint` (``n``, ``h``), factored out so a
+    caller can compute the certificate as ``df.observe(...)`` metrics
+    riding an EXISTING job (e.g. the write that materializes the rows)
+    instead of paying a second full scan — the hash contract lives in
+    exactly one place either way."""
+    cols = sorted(columns)
+    row = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    return [F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(row.cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("h")]
+
+
 def content_fingerprint(df: DataFrame) -> tuple[int, int]:
     """(row count, commutative row-hash sum) — the content certificate
     that survives 100 TB: one map-side-combinable aggregate, no join,
@@ -270,9 +284,5 @@ def content_fingerprint(df: DataFrame) -> tuple[int, int]:
     row struct over name-sorted columns, so column order is
     insignificant; DECIMAL(38,0) sum cannot overflow at any real row
     count."""
-    cols = sorted(df.columns)
-    row = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
-    r = df.agg(F.count(F.lit(1)).alias("n"),
-               F.coalesce(F.sum(row.cast("decimal(38,0)")),
-                          F.lit(0).cast("decimal(38,0)")).alias("h")).first()
+    r = df.agg(*content_fingerprint_exprs(df.columns)).first()
     return (int(r["n"]), int(r["h"]))

@@ -342,13 +342,21 @@ def q118_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     same checksums from the manifest for free)."""
     from ..sources import compaction
 
+    from pyspark.sql import Observation
+
     base, _ = _scratch_base(sf_dir)
     path = os.path.join(base, "q118_events_by_day")
     ev = (load(spark, sf_dir, "events")
           .select("event_id", "user_id", "event_type", "value",
                   F.to_date("ts").alias("day")))
-    (ev.repartition(Q118_FRAGMENT_TASKS)
+    # the source-side content certificate rides the seed write as
+    # observed metrics — same (n, h) contract as content_fingerprint,
+    # one fewer full scan + action (guide §5 driver actions)
+    src_obs = Observation("q118_src_fp")
+    (ev.observe(src_obs, *compaction.content_fingerprint_exprs(ev.columns))
+     .repartition(Q118_FRAGMENT_TASKS)
      .write.partitionBy("day").mode("overwrite").parquet(path))
+    src_fp = (int(src_obs.get["n"]), int(src_obs.get["h"]))
     before = compaction.partition_file_stats(path, "day")
     plan = compaction.compact_partitioned(
         spark, path, "day", "event_id", Q118_TARGET_BYTES)
@@ -362,8 +370,7 @@ def q118_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched_ok = all(after[d] == before[d]
                        for d in before if d not in plan)
     back = spark.read.parquet(path)
-    content_ok = (compaction.content_fingerprint(back)
-                  == compaction.content_fingerprint(ev))
+    content_ok = compaction.content_fingerprint(back) == src_fp
 
     val = F.col("value").cast("decimal(18,4)")
     return (back.groupBy("day")
