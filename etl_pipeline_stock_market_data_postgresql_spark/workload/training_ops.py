@@ -1163,6 +1163,11 @@ def q130_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("svk", F.expr(
         f"CASE WHEN n_feats > 0 THEN "
         f"((w_q + n_feats * {RS_SHIFT}L) div n_feats) div 1000 END"))
+    # TWO consumers (the corpus-mean aggregate and the gating pass):
+    # without a persist the scored-doc aggregation + docs join re-run
+    # for each (guide §5 multi-consumer rule; doc-scale, 6 columns —
+    # bench/oracle own the lifetime via clearCache)
+    d = d.persist()
     m = (d.filter(F.col("svk").isNotNull())
          .agg(F.expr("sum(svk) div count(*)").alias("mean_svk")))
     p_pm = (F.when(F.col("svk").isNull(), F.lit(0).cast("long"))
